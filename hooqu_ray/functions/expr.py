@@ -1,0 +1,410 @@
+"""Predicate mini-language → vectorized pyarrow.compute evaluation.
+
+The reference exposes arbitrary ``pandas.query``/``pandas.eval`` strings
+through ``where=`` filters and ``Check.satisfies`` predicates
+(``hooqu/analyzers/compliance.py:33-37``, ``hooqu/checks.py:341-375``).  All
+expressions its API sugar and tests actually emit use a small surface:
+
+    comparisons  < <= > >= == !=     (incl. chained a < b < c)
+    boolean      and or not          (Kleene semantics on nulls)
+    membership   x in [..] / .isin([...])
+    null ops     .isna() .notna() .isnull() .notnull() .fillna(v)
+    arithmetic   + - * / **          (/ is true division, as in pandas)
+    backticks    `column name`
+    literals     numbers, strings, True/False/None, [list] / (tuple)
+
+We compile that surface once on the driver into a picklable evaluator over
+``pyarrow.Table`` blocks (zero Python-per-row work).  Anything outside the
+surface raises ``ExprCompileError``; callers fall back to per-batch
+``pandas.eval`` (`PandasPredicate`) for exact reference semantics.
+
+Pinned reference quirks reproduced here:
+- ``item != '6'`` on an int column: the reference CI (pandas 1.x + numexpr)
+  coerces the numeric-looking string literal; its goldens depend on row 6
+  being excluded (``tests/test_analyzers.py:57-65``).  We coerce numeric
+  string literals when compared against numeric columns.
+- ``.isna()`` treats float NaN like null (pandas has no NaN/null split).
+- Comparisons with null evaluate to null, which counts as "no match" both in
+  filters (dropped) and in Compliance sums (skipped) — same outcome as
+  pandas' False.
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+from typing import Any, Callable, Dict, List, Optional, Sequence, Set
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class ExprCompileError(ValueError):
+    pass
+
+
+_BTICK_RE = re.compile(r"`([^`]*)`")
+
+_NUMERIC_STR_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+Evaluator = Callable[[pa.Table], Any]  # returns pa.Array / ChunkedArray / scalar
+
+
+def _is_float_type(t: pa.DataType) -> bool:
+    return pa.types.is_floating(t)
+
+
+def _isna_array(arr) -> pa.Array:
+    if _is_float_type(arr.type):
+        return pc.is_null(arr, nan_is_null=True)
+    return pc.is_null(arr)
+
+
+def _fillna_array(arr, value):
+    if _is_float_type(arr.type):
+        mask = pc.is_null(arr, nan_is_null=True)
+        return pc.if_else(mask, pa.scalar(float(value), type=arr.type), arr)
+    return pc.fill_null(arr, value)
+
+
+class _Node:
+    """Compiled expression node; callable on a pa.Table."""
+
+    __slots__ = ("fn", "is_column", "column")
+
+    def __init__(self, fn: Evaluator, is_column: bool = False, column: Optional[str] = None):
+        self.fn = fn
+        self.is_column = is_column
+        self.column = column
+
+    def __call__(self, table: pa.Table):
+        return self.fn(table)
+
+
+def _col_node(name: str) -> _Node:
+    def fn(table: pa.Table):
+        col = table.column(name)
+        # Single-chunk arrays keep kernels on the simple path.
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    return _Node(fn, is_column=True, column=name)
+
+
+def _const_node(value: Any) -> _Node:
+    return _Node(lambda table: value)
+
+
+def _coerce_literal(value: Any, other_type: Optional[pa.DataType]) -> Any:
+    """Numeric-string literal vs numeric column → coerce to number."""
+    if (
+        isinstance(value, str)
+        and other_type is not None
+        and (pa.types.is_integer(other_type) or pa.types.is_floating(other_type))
+        and _NUMERIC_STR_RE.match(value)
+    ):
+        return float(value) if ("." in value or "e" in value.lower()) else int(value)
+    return value
+
+
+_CMP_KERNELS = {
+    ast.Gt: pc.greater,
+    ast.GtE: pc.greater_equal,
+    ast.Lt: pc.less,
+    ast.LtE: pc.less_equal,
+    ast.Eq: pc.equal,
+    ast.NotEq: pc.not_equal,
+}
+
+_BIN_KERNELS = {
+    ast.Add: pc.add,
+    ast.Sub: pc.subtract,
+    ast.Mult: pc.multiply,
+    ast.Pow: pc.power,
+}
+
+
+class _Compiler(ast.NodeVisitor):
+    def __init__(self, schema: Optional[pa.Schema], colmap: Dict[str, str]):
+        self.schema = schema
+        self.colmap = colmap  # sanitized identifier -> real column name
+        self.columns: Set[str] = set()
+
+    # -- helpers ---------------------------------------------------------
+    def _resolve_column(self, ident: str) -> str:
+        name = self.colmap.get(ident, ident)
+        if self.schema is not None and name not in self.schema.names:
+            raise ExprCompileError(f"name '{name}' is not defined (no such column)")
+        self.columns.add(name)
+        return name
+
+    def _type_of(self, node: _Node) -> Optional[pa.DataType]:
+        if node.is_column and self.schema is not None:
+            return self.schema.field(node.column).type
+        return None
+
+    # -- dispatch --------------------------------------------------------
+    def compile(self, node: ast.AST) -> _Node:
+        method = "c_" + type(node).__name__
+        fn = getattr(self, method, None)
+        if fn is None:
+            raise ExprCompileError(f"unsupported syntax: {type(node).__name__}")
+        return fn(node)
+
+    def c_Expression(self, node: ast.Expression) -> _Node:
+        return self.compile(node.body)
+
+    def c_Name(self, node: ast.Name) -> _Node:
+        if node.id == "True":
+            return _const_node(True)
+        if node.id == "False":
+            return _const_node(False)
+        if node.id == "None":
+            return _const_node(None)
+        return _col_node(self._resolve_column(node.id))
+
+    def c_Constant(self, node: ast.Constant) -> _Node:
+        return _const_node(node.value)
+
+    def c_List(self, node: ast.List) -> _Node:
+        return _const_node([self._const_value(e) for e in node.elts])
+
+    c_Tuple = c_List
+    c_Set = c_List
+
+    def _const_value(self, node: ast.AST) -> Any:
+        if isinstance(node, ast.Constant):
+            return node.value
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub) and isinstance(
+            node.operand, ast.Constant
+        ):
+            return -node.operand.value
+        raise ExprCompileError("list literals must contain constants")
+
+    def c_UnaryOp(self, node: ast.UnaryOp) -> _Node:
+        operand = self.compile(node.operand)
+        if isinstance(node.op, ast.Not):
+            return _Node(lambda t: pc.invert(operand(t)))
+        if isinstance(node.op, ast.USub):
+            if not operand.is_column and not callable(getattr(operand, "fn", None)):
+                pass
+            def neg(t, _op=operand):
+                v = _op(t)
+                if isinstance(v, (int, float)):
+                    return -v
+                return pc.negate(v)
+            return _Node(neg)
+        raise ExprCompileError(f"unsupported unary op {type(node.op).__name__}")
+
+    def c_BoolOp(self, node: ast.BoolOp) -> _Node:
+        parts = [self.compile(v) for v in node.values]
+        kernel = pc.and_kleene if isinstance(node.op, ast.And) else pc.or_kleene
+
+        def fn(table: pa.Table):
+            out = _as_bool_array(parts[0](table), len(table))
+            for p in parts[1:]:
+                out = kernel(out, _as_bool_array(p(table), len(table)))
+            return out
+
+        return _Node(fn)
+
+    def c_BinOp(self, node: ast.BinOp) -> _Node:
+        left = self.compile(node.left)
+        right = self.compile(node.right)
+        if isinstance(node.op, ast.Div):
+            def div(t):
+                lv, rv = _to_double(left(t)), _to_double(right(t))
+                return pc.divide(lv, rv)
+            return _Node(div)
+        kernel = _BIN_KERNELS.get(type(node.op))
+        if kernel is None:
+            raise ExprCompileError(f"unsupported operator {type(node.op).__name__}")
+        return _Node(lambda t: kernel(left(t), right(t)))
+
+    def c_Compare(self, node: ast.Compare) -> _Node:
+        operands = [self.compile(v) for v in [node.left] + list(node.comparators)]
+        legs: List[Evaluator] = []
+        for i, op in enumerate(node.ops):
+            lhs, rhs = operands[i], operands[i + 1]
+            if isinstance(op, (ast.In, ast.NotIn)):
+                legs.append(self._isin_leg(lhs, rhs, negate=isinstance(op, ast.NotIn)))
+                continue
+            kernel = _CMP_KERNELS.get(type(op))
+            if kernel is None:
+                raise ExprCompileError(f"unsupported comparison {type(op).__name__}")
+            lt, rt = self._type_of(lhs), self._type_of(rhs)
+
+            def leg(t, _l=lhs, _r=rhs, _k=kernel, _lt=lt, _rt=rt):
+                lv, rv = _l(t), _r(t)
+                lv = _coerce_literal(lv, _rt)
+                rv = _coerce_literal(rv, _lt)
+                return _k(lv, rv)
+
+            legs.append(leg)
+        if len(legs) == 1:
+            return _Node(legs[0])
+
+        def chained(table: pa.Table):
+            out = _as_bool_array(legs[0](table), len(table))
+            for leg_fn in legs[1:]:
+                out = pc.and_kleene(out, _as_bool_array(leg_fn(table), len(table)))
+            return out
+
+        return _Node(chained)
+
+    def _isin_leg(self, lhs: _Node, rhs: _Node, negate: bool) -> Evaluator:
+        def fn(table: pa.Table):
+            values = rhs(table)
+            if not isinstance(values, (list, tuple)):
+                raise ExprCompileError("'in' requires a list literal")
+            arr = lhs(table)
+            out = pc.is_in(arr, value_set=pa.array(list(values)))
+            return pc.invert(out) if negate else out
+
+        return fn
+
+    def c_Call(self, node: ast.Call) -> _Node:
+        if not isinstance(node.func, ast.Attribute):
+            raise ExprCompileError("only method calls on columns are supported")
+        target = self.compile(node.func.value)
+        meth = node.func.attr
+        args = [self.compile(a) for a in node.args]
+        if meth in ("isna", "isnull"):
+            return _Node(lambda t: _isna_array(target(t)))
+        if meth in ("notna", "notnull"):
+            return _Node(lambda t: pc.invert(_isna_array(target(t))))
+        if meth == "isin":
+            if len(args) != 1:
+                raise ExprCompileError("isin takes one list argument")
+            tt = self._type_of(target)
+
+            def isin_fn(t, _a=args[0], _tt=tt):
+                values = _a(t)
+                if not isinstance(values, (list, tuple)):
+                    raise ExprCompileError("isin requires a list literal")
+                values = [_coerce_literal(v, _tt) for v in values]
+                return pc.is_in(target(t), value_set=pa.array(values))
+
+            return _Node(isin_fn)
+        if meth == "fillna":
+            if len(args) != 1:
+                raise ExprCompileError("fillna takes one argument")
+
+            def fillna_fn(t, _a=args[0]):
+                return _fillna_array(target(t), _a(t))
+
+            return _Node(fillna_fn)
+        if meth == "abs":
+            return _Node(lambda t: pc.abs(target(t)))
+        raise ExprCompileError(f"unsupported method .{meth}()")
+
+
+def _as_bool_array(v, nrows: int):
+    if isinstance(v, bool):
+        return pa.array(np.full(nrows, v), type=pa.bool_())
+    return v
+
+
+def _to_double(v):
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, (pa.Array, pa.ChunkedArray)) and not _is_float_type(v.type):
+        return pc.cast(v, pa.float64())
+    return v
+
+
+class Predicate:
+    """A compiled predicate: picklable, evaluates per Arrow block.
+
+    ``mask(table)`` → boolean Array (nulls = no-match);
+    ``filter(table)`` → rows where mask is true;
+    ``values(table)`` → raw evaluation result (Compliance sums this, matching
+    the reference's ``df.eval(pred).sum()`` — compliance.py:33-37).
+    """
+
+    def __init__(self, expression: str, schema: Optional[pa.Schema] = None):
+        self.expression = expression
+        src, colmap = _sanitize_backticks(expression)
+        try:
+            tree = ast.parse(src, mode="eval")
+        except SyntaxError as ex:
+            raise ExprCompileError(f"cannot parse expression {expression!r}: {ex}")
+        compiler = _Compiler(schema, colmap)
+        self._root = compiler.compile(tree)
+        self.columns = sorted(compiler.columns)
+        self._schema = schema
+
+    def __getstate__(self):
+        return {"expression": self.expression, "schema": self._schema}
+
+    def __setstate__(self, state):
+        self.__init__(state["expression"], state["schema"])
+
+    def values(self, table: pa.Table):
+        return self._root(table)
+
+    def mask(self, table: pa.Table) -> pa.Array:
+        out = self._root(table)
+        out = _as_bool_array(out, len(table))
+        if isinstance(out, pa.ChunkedArray):
+            out = out.combine_chunks()
+        return out
+
+    def filter(self, table: pa.Table) -> pa.Table:
+        # null mask entries drop the row, matching pandas-query semantics
+        return table.filter(self.mask(table))
+
+
+class PandasPredicate:
+    """Fallback: exact pandas.query/eval semantics, evaluated per batch.
+
+    Used when an expression falls outside the compiled surface.  Slower
+    (forces an Arrow→pandas conversion per block) but byte-compatible with
+    the reference for arbitrary expressions."""
+
+    def __init__(self, expression: str, schema: Optional[pa.Schema] = None):
+        self.expression = expression
+        self.columns: Sequence[str] = ()
+
+    def values(self, table: pa.Table):
+        df = table.to_pandas()
+        return pa.array(df.eval(self.expression))
+
+    def mask(self, table: pa.Table) -> pa.Array:
+        return pa.array(table.to_pandas().eval(self.expression)).cast(pa.bool_())
+
+    def filter(self, table: pa.Table) -> pa.Table:
+        df = table.to_pandas().query(self.expression)
+        return pa.Table.from_pandas(df, schema=table.schema, preserve_index=False)
+
+
+def _sanitize_backticks(expr: str):
+    colmap: Dict[str, str] = {}
+
+    def repl(m: "re.Match[str]") -> str:
+        ident = f"_BTICKCOL_{len(colmap)}_"
+        colmap[ident] = m.group(1)
+        return ident
+
+    return _BTICK_RE.sub(repl, expr), colmap
+
+
+def compile_predicate(expression: str, schema: Optional[pa.Schema] = None):
+    """Compile to the fast Arrow path, falling back to pandas-eval semantics
+    for anything outside the supported surface.  Missing-column references
+    raise ExprCompileError (callers convert to a Failure metric, mirroring
+    the reference's precondition behavior)."""
+    try:
+        return Predicate(expression, schema)
+    except ExprCompileError:
+        if schema is not None:
+            # Column-existence errors should surface as failures, not fall
+            # back: re-check by compiling without a schema.
+            try:
+                unschema = Predicate(expression, None)
+            except ExprCompileError:
+                return PandasPredicate(expression, schema)
+            missing = [c for c in unschema.columns if c not in schema.names]
+            if missing:
+                raise
+        return PandasPredicate(expression, schema)

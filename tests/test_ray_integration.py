@@ -1,0 +1,105 @@
+"""Distributed-path tests: the same analyzers over a ray.data.Dataset must
+agree with the local backend / pandas oracle, including shuffled
+(frequency) and selection (quantile) operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import hooqu_ray as hq
+from hooqu_ray.checks import Check, CheckLevel, CheckStatus
+from hooqu_ray.runner import do_analysis_run
+from hooqu_ray.verification import VerificationSuite
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def lineitem_pdf():
+    return pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+def test_scan_analyzers_match_pandas(lineitem_ds, lineitem_pdf):
+    analyzers = [
+        hq.Size(),
+        hq.Mean("l_quantity"),
+        hq.Minimum("l_extendedprice"),
+        hq.Maximum("l_extendedprice"),
+        hq.Sum("l_discount"),
+        hq.StandardDeviation("l_quantity"),
+        hq.Completeness("l_returnflag"),
+        hq.Compliance("qty>25", "l_quantity > 25"),
+    ]
+    ctx = do_analysis_run(lineitem_ds, analyzers)
+    pdf = lineitem_pdf
+    expected = {
+        "Size": float(len(pdf)),
+        "Mean": pdf.l_quantity.mean(),
+        "Minimum": pdf.l_extendedprice.min(),
+        "Maximum": pdf.l_extendedprice.max(),
+        "Sum": pdf.l_discount.sum(),
+        "StandardDeviation": pdf.l_quantity.std(ddof=0),
+        "Completeness": 1.0,
+        "Compliance": (pdf.l_quantity > 25).mean(),
+    }
+    for a in analyzers:
+        np.testing.assert_allclose(
+            ctx.metric_map[a].value.get(), expected[a.name], rtol=1e-9
+        )
+
+
+def test_where_filter_on_dataset(lineitem_ds, lineitem_pdf):
+    a = hq.Mean("l_extendedprice", where="l_quantity > 25")
+    ctx = do_analysis_run(lineitem_ds, [a])
+    expected = lineitem_pdf.query("l_quantity > 25").l_extendedprice.mean()
+    np.testing.assert_allclose(ctx.metric_map[a].value.get(), expected, rtol=1e-9)
+
+
+def test_quantile_exact_on_dataset(lineitem_ds, lineitem_pdf):
+    for q in (0.1, 0.5, 0.9):
+        a = hq.Quantile("l_extendedprice", q)
+        ctx = do_analysis_run(lineitem_ds, [a])
+        expected = lineitem_pdf.l_extendedprice.quantile(q, interpolation="nearest")
+        assert ctx.metric_map[a].value.get() == expected
+
+
+def test_uniqueness_on_dataset(lineitem_ds, lineitem_pdf):
+    a = hq.Uniqueness(["l_orderkey"])
+    d = hq.Distinctness(["l_returnflag"])
+    ctx = do_analysis_run(lineitem_ds, [a, d])
+    freq = lineitem_pdf.groupby("l_orderkey").size()
+    assert ctx.metric_map[a].value.get() == (freq == 1).sum() / len(lineitem_pdf)
+    assert (
+        ctx.metric_map[d].value.get()
+        == lineitem_pdf.l_returnflag.nunique() / len(lineitem_pdf)
+    )
+
+
+def test_suite_on_dataset(ray_session, lineitem_ds):
+    check = (
+        Check(CheckLevel.ERROR, "lineitem integrity")
+        .is_complete("l_orderkey")
+        .is_non_negative("l_quantity")
+        .has_size(lambda n: n > 1000)
+        .is_contained_in("l_linestatus", ("O", "F"))
+    )
+    result = VerificationSuite().on_data(lineitem_ds).add_check(check).run()
+    assert result.status == CheckStatus.SUCCESS
+
+
+def test_documents_pattern_match(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    a = hq.PatternMatch("text", hq.patterns.EMAIL)
+    ctx = do_analysis_run(ds, [a])
+    expected = pdf.text.str.contains(hq.patterns.EMAIL).sum() / len(pdf)
+    np.testing.assert_allclose(ctx.metric_map[a].value.get(), expected, rtol=1e-12)
