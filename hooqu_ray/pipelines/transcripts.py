@@ -1,0 +1,214 @@
+"""Flagship pipeline: transcript quality-filter + PII/toxicity scrub.
+
+Ray-Data-native realization of BASELINE.json's north_star: hooqu's
+Check/Compliance model fused with a training-data quality filter over
+multi-turn conversation transcripts
+``(conv_id, turn_idx, role, text, tool, ts)``.
+
+Stages (all streaming, no full materialization):
+
+1. ``compute_features`` — stateless ``map_batches`` (Arrow in/out):
+   heuristic features (symbol ratio, repetition, stopword density, …) +
+   compiled-regex PII/toxicity scrub → ``text_scrubbed``.
+2. ``QualityScorer`` — ACTOR-POOL ``map_batches(QualityScorer,
+   concurrency=...)``: char-ngram language-ID + bigram perplexity; model
+   tables built once per actor in ``__init__`` (the fastText/KenLM shape).
+3. ``apply_policy`` — per-turn keep/drop: every rule is a hooqu-style
+   Compliance predicate over the feature columns, compiled once on the
+   driver; the SAME rule expressions feed ``quality_report`` so the
+   VerificationSuite metrics and the keep mask cannot drift apart.
+4. conversation-level pass — aggregate per-conv kept/total counts
+   (``groupby("conv_id")`` over a two-column projection — the shuffle moves
+   only (conv_id, keep), not the text) then broadcast the small verdict
+   table back via ``ray.put`` + per-batch lookup.  At 10^12-turn scale the
+   broadcast side switches to a partitioned join on conv_id hash; the
+   projection trick keeps the heavy table out of the shuffle either way.
+5. output — ``keep`` column on every turn; ``filtered(ds)`` selects kept
+   rows, re-sorted by (conv_id, turn_idx) for the stable order the
+   north_rule requires.
+
+The independent single-process oracle for F1/byte-equality lives in
+``tests/reference_impl.py`` (pure pandas + ``re`` over the same spec).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.expr import Predicate
+from ..stages import spec
+from ..stages.heuristics import compute_features
+from ..stages.models import CharBigramLM, TrigramLangID
+
+# ---------------------------------------------------------------------------
+# Rules: (name, predicate over feature columns).  Shared by the keep mask,
+# the VerificationSuite report, and (conceptually) the oracle.
+# ---------------------------------------------------------------------------
+
+TURN_RULES: Tuple[Tuple[str, str], ...] = (
+    ("non_empty", f"n_chars >= {spec.MIN_CHARS}"),
+    ("word_count", f"n_words >= {spec.MIN_WORDS} and n_words <= {spec.MAX_WORDS}"),
+    (
+        "mean_word_len",
+        f"mean_word_len >= {spec.MIN_MEAN_WORD_LEN} and mean_word_len <= {spec.MAX_MEAN_WORD_LEN}",
+    ),
+    ("symbol_ratio", f"symbol_ratio <= {spec.MAX_SYMBOL_RATIO}"),
+    ("repetition", f"dup_2gram <= {spec.MAX_DUP_2GRAM_FRACTION}"),
+    (
+        "stopword",
+        f"n_words < {spec.STOPWORD_MIN_WORDS} or stopword_ratio >= {spec.MIN_STOPWORD_RATIO}",
+    ),
+    ("language", "lang == 'en'"),
+    ("perplexity", f"ppl <= {spec.MAX_PERPLEXITY}"),
+    ("toxicity", "not has_toxic"),
+)
+
+
+def _default_scorer_concurrency() -> Tuple[int, int]:
+    """Autoscaling actor pool sized to the cluster: min 1, max ≈ CPUs."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (1, max(2, cpus))
+
+
+class QualityScorer:
+    """Actor-pool stage: language ID + perplexity.
+
+    Models are built once per actor (``__init__``); ``__call__`` scores a
+    zero-copy Arrow batch with vectorized numpy."""
+
+    def __init__(self) -> None:
+        self.lm = CharBigramLM()
+        self.lid = TrigramLangID()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs, margin = self.lid.predict(texts)
+        ppl = self.lm.perplexity(texts)
+        return (
+            batch.append_column("lang", pa.array(langs, pa.string()))
+            .append_column("lang_margin", pa.array(margin, pa.float64()))
+            .append_column("ppl", pa.array(ppl, pa.float64()))
+        )
+
+
+class _PolicyStage:
+    """Compiled per-turn rule masks + AND-combined ``keep_turn``."""
+
+    def __init__(self, schema: Optional[pa.Schema] = None):
+        self.predicates = [(name, Predicate(expr)) for name, expr in TURN_RULES]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = np.ones(len(batch), dtype=bool)
+        for name, pred in self.predicates:
+            mask = pred.mask(batch)
+            mask_np = pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+            batch = batch.append_column(f"rule_{name}", pa.array(mask_np, pa.bool_()))
+            keep &= mask_np
+        return batch.append_column("keep_turn", pa.array(keep, pa.bool_()))
+
+
+class _ConvVerdictLookup:
+    """Per-batch lookup of the broadcast conversation verdicts."""
+
+    def __init__(self, verdicts_ref):
+        self.verdicts_ref = verdicts_ref
+        self._verdicts: Optional[Dict[str, bool]] = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._verdicts is None:
+            import ray
+
+            obj = self.verdicts_ref
+            self._verdicts = ray.get(obj) if not isinstance(obj, dict) else obj
+        conv = batch.column("conv_id").to_pylist()
+        keep_turn = batch.column("keep_turn").to_numpy(zero_copy_only=False)
+        conv_ok = np.fromiter(
+            (self._verdicts.get(c, False) for c in conv), dtype=bool, count=len(conv)
+        )
+        return batch.append_column("keep", pa.array(keep_turn & conv_ok, pa.bool_()))
+
+
+def conv_verdicts_from_counts(conv_ids, kept, total) -> Dict[str, bool]:
+    """Conversation-level keep rule over per-conv (kept, total) counts."""
+    out = {}
+    for c, k, t in zip(conv_ids, kept, total):
+        out[c] = bool(
+            k >= spec.CONV_MIN_KEPT_TURNS and (t > 0 and k / t >= spec.CONV_MIN_KEPT_FRACTION)
+        )
+    return out
+
+
+def score_turns(ds, scorer_concurrency: Optional[Tuple[int, int]] = None):
+    """Stages 1–3: features + scrub, actor-pool scoring, per-turn policy."""
+    featured = ds.map_batches(compute_features, batch_format="pyarrow")
+    scored = featured.map_batches(
+        QualityScorer,
+        batch_format="pyarrow",
+        concurrency=scorer_concurrency or _default_scorer_concurrency(),
+    )
+    return scored.map_batches(_PolicyStage(), batch_format="pyarrow")
+
+
+def filter_and_scrub(ds, scorer_concurrency: Optional[Tuple[int, int]] = None):
+    """Full pipeline: returns the dataset with per-turn ``keep`` + scrubbed
+    text columns (all turns retained so metrics/oracles can inspect drops)."""
+    import ray
+
+    turns = score_turns(ds, scorer_concurrency)
+    # conversation-level: shuffle ONLY (conv_id, keep_turn); text stays put
+    proj = turns.map_batches(_ProjectConvKeep, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    stats = proj.groupby("conv_id").aggregate(Sum("keep_turn"), Count())
+    sp = stats.to_pandas()
+    kept_col = "sum(keep_turn)"
+    count_col = "count()"
+    verdicts = conv_verdicts_from_counts(
+        sp["conv_id"].tolist(), sp[kept_col].tolist(), sp[count_col].tolist()
+    )
+    verdicts_ref = ray.put(verdicts)
+    return turns.map_batches(_ConvVerdictLookup(verdicts_ref), batch_format="pyarrow")
+
+
+def filtered_output(ds, scorer_concurrency=None):
+    """Kept turns only, scrubbed text as ``text``, stable order."""
+    full = filter_and_scrub(ds, scorer_concurrency)
+    kept = full.map_batches(_SelectKept(), batch_format="pyarrow")
+    return kept.sort(["conv_id", "turn_idx"])
+
+
+def _ProjectConvKeep(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "conv_id": batch.column("conv_id"),
+            "keep_turn": pc.cast(batch.column("keep_turn"), pa.int64()),
+        }
+    )
+
+
+class _SelectKept:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kept = batch.filter(batch.column("keep"))
+        out = kept.select(["conv_id", "turn_idx", "role", "text_scrubbed", "tool", "ts"])
+        return out.rename_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
+def quality_report(ds):
+    """hooqu VerificationSuite over the scored turns: every rule as a
+    Compliance constraint (fraction of turns passing), plus dataset-level
+    metrics — the keep/drop decision and this report share TURN_RULES."""
+    from ..checks import Check, CheckLevel
+    from ..verification import VerificationSuite
+
+    check = Check(CheckLevel.WARNING, "transcript quality")
+    for name, expr in TURN_RULES:
+        check = check.satisfies(expr, name, lambda v: v >= 0.5)
+    check = check.has_completeness("text", lambda v: v > 0.9)
+    scored = score_turns(ds)
+    return VerificationSuite().on_data(scored).add_check(check).run()

@@ -1,0 +1,125 @@
+"""Per-turn heuristic quality features + PII/toxicity scrub.
+
+One stateless ``map_batches`` stage (Arrow in / Arrow out) computes every
+Gopher/C4-style feature the keep/drop rules need, plus the scrubbed text.
+Everything except the 2-gram repetition statistic and the regex substitution
+is a vectorized Arrow kernel; the scrub is compiled-``re`` per process
+(module level), applied per row — exactly the execution shape the reference
+uses for PatternMatch (``hooqu/dataframe.py:57-65``) and what the north_star
+prescribes for the scrub pass.
+
+Feature definitions are frozen in ``spec`` (shared with the test oracle).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import spec
+
+# ASCII-pinned classes so RE2 (engine) and Python re (oracle) agree exactly
+SYMBOL_PATTERN = r"[^0-9A-Za-z_\s]"
+WHITESPACE_PATTERN = r"\s"
+STOPWORD_PATTERN = r"\b(?:%s)\b" % "|".join(sorted(spec.STOPWORDS))
+
+_SCRUB_RULES = (
+    (spec.EMAIL, spec.EMAIL_TOKEN),
+    (spec.CREDITCARD, spec.CC_TOKEN),
+    (spec.TOXIC_RE, spec.TOX_TOKEN),
+)
+
+
+def scrub_text(text: Optional[str]) -> Optional[str]:
+    """Fixed-order global substitution (EMAIL → CC → TOX); None passes through."""
+    if text is None:
+        return None
+    for rx, token in _SCRUB_RULES:
+        text = rx.sub(token, text)
+    return text
+
+
+def _dup_2gram_fraction(words_lists: List[Optional[List[str]]]) -> np.ndarray:
+    """Fraction of word-2grams that are repeats of an earlier 2gram."""
+    out = np.zeros(len(words_lists))
+    for i, words in enumerate(words_lists):
+        if words:
+            words = [w for w in words if w]  # drop empty split tokens
+        if not words or len(words) < 3:
+            continue
+        seen = set()
+        dups = 0
+        prev = words[0]
+        for w in words[1:]:
+            pair = (prev, w)
+            if pair in seen:
+                dups += 1
+            else:
+                seen.add(pair)
+            prev = w
+        out[i] = dups / (len(words) - 1)
+    return out
+
+
+def compute_features(batch: pa.Table) -> pa.Table:
+    """Append feature + scrubbed-text columns to a transcript batch."""
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(batch)
+
+    n_chars = pc.fill_null(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False)
+    n_ws = pc.fill_null(
+        pc.count_substring_regex(text, pattern=WHITESPACE_PATTERN), 0
+    ).to_numpy(zero_copy_only=False)
+    n_sym = pc.fill_null(
+        pc.count_substring_regex(text, pattern=SYMBOL_PATTERN), 0
+    ).to_numpy(zero_copy_only=False)
+
+    words = pc.utf8_split_whitespace(text)
+    n_words_arr = pc.fill_null(pc.list_value_length(words), 0).to_numpy(zero_copy_only=False)
+    # split_whitespace emits empty tokens at padded edges; the spec counts
+    # str.split() words (no empties), so subtract them per row
+    flat = pc.list_flatten(words)
+    empty_mask = pc.equal(flat, "")
+    # per-row count of empty split tokens via parent indices
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    empties_per_row = np.zeros(n, dtype=np.int64)
+    em = empty_mask.to_numpy(zero_copy_only=False)
+    if len(parent):
+        np.add.at(empties_per_row, parent[em], 1)
+    n_words = n_words_arr - empties_per_row
+
+    lower = pc.utf8_lower(text)
+    n_stop = pc.fill_null(
+        pc.count_substring_regex(lower, pattern=STOPWORD_PATTERN), 0
+    ).to_numpy(zero_copy_only=False)
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sum_word_chars = n_chars - n_ws
+        mean_word_len = np.where(n_words > 0, sum_word_chars / np.maximum(n_words, 1), 0.0)
+        symbol_ratio = np.where(n_chars > 0, n_sym / np.maximum(n_chars, 1), 0.0)
+        stopword_ratio = np.where(n_words > 0, n_stop / np.maximum(n_words, 1), 0.0)
+
+    words_py = words.to_pylist()
+    dup2 = _dup_2gram_fraction(words_py)
+
+    has_toxic = pc.fill_null(
+        pc.match_substring_regex(lower, pattern=r"\b(?:%s)\b" % "|".join(spec.TOXIC_WORDS)),
+        False,
+    )
+
+    scrubbed = pa.array([scrub_text(t) for t in text.to_pylist()], type=pa.string())
+
+    return batch.append_column("n_chars", pa.array(n_chars, pa.int64())) \
+        .append_column("n_words", pa.array(n_words, pa.int64())) \
+        .append_column("mean_word_len", pa.array(mean_word_len, pa.float64())) \
+        .append_column("symbol_ratio", pa.array(symbol_ratio, pa.float64())) \
+        .append_column("stopword_ratio", pa.array(stopword_ratio, pa.float64())) \
+        .append_column("dup_2gram", pa.array(dup2, pa.float64())) \
+        .append_column("has_toxic", has_toxic) \
+        .append_column("text_scrubbed", scrubbed)

@@ -1,0 +1,108 @@
+"""Flagship pipeline vs the independent pandas+re oracle.
+
+north_rule gate: per-turn keep/drop F1 ≥ 0.99 (we assert exact agreement)
+and scrubbed text byte-equal under stable (conv_id, turn_idx) order."""
+
+import numpy as np
+import pytest
+
+from hooqu_ray.pipelines import transcripts as tp
+from hooqu_ray.pipelines.synth import generate_transcripts
+
+from reference_impl import OracleModels, oracle_pipeline, oracle_scrub
+
+
+@pytest.fixture(scope="module")
+def synth_table():
+    return generate_transcripts(n_convs=80, seed=7)
+
+
+@pytest.fixture(scope="module")
+def engine_output(ray_session, synth_table):
+    import ray.data as rd
+
+    ds = rd.from_arrow(synth_table).repartition(5)
+    out = tp.filter_and_scrub(ds)
+    return out.to_pandas().sort_values(["conv_id", "turn_idx"], ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def oracle_output(synth_table):
+    return oracle_pipeline(synth_table.to_pandas())
+
+
+def test_keep_labels_exact(engine_output, oracle_output):
+    assert len(engine_output) == len(oracle_output)
+    assert (
+        engine_output["conv_id"].tolist() == oracle_output["conv_id"].tolist()
+    ), "row alignment"
+    agree = engine_output["keep"].values == oracle_output["keep"].values
+    assert agree.all(), f"{(~agree).sum()} label mismatches"
+    # sanity: the filter actually does something in both directions
+    kept = oracle_output["keep"].mean()
+    assert 0.4 < kept < 0.95
+
+
+def test_keep_f1_meets_north_rule(engine_output, oracle_output):
+    e, o = engine_output["keep"].values, oracle_output["keep"].values
+    tp_ = (e & o).sum()
+    f1 = 2 * tp_ / (2 * tp_ + (e & ~o).sum() + (~e & o).sum())
+    assert f1 >= 0.99
+
+
+def test_scrubbed_text_byte_equal(engine_output, oracle_output):
+    e = engine_output["text_scrubbed"].fillna("\0").values
+    o = oracle_output["text_scrubbed"].fillna("\0").values
+    assert (e == o).all()
+
+
+def test_scrub_replaces_pii():
+    assert oracle_scrub("mail alice@example.org now") == "mail [EMAIL] now"
+    assert tp and oracle_scrub("card 4111 1111 1111 1111 ok") == "card [CC] ok"
+    assert oracle_scrub("you frakking robot") == "you [TOX] robot"
+    assert oracle_scrub(None) is None
+    # engine side must agree
+    from hooqu_ray.stages.heuristics import scrub_text
+
+    for t in ("mail alice@example.org now", "card 4111 1111 1111 1111 ok",
+              "you frakking robot", None):
+        assert scrub_text(t) == oracle_scrub(t)
+
+
+def test_models_match_oracle_math():
+    from hooqu_ray.stages.models import CharBigramLM, TrigramLangID
+
+    texts = [
+        "We reviewed the quarterly report and found the numbers were consistent.",
+        "Der schnelle braune Fuchs springt über den faulen Hund am Flussufer.",
+        "Nous avons examiné le rapport trimestriel hier soir.",
+        "bcdfgh jklmnp qrstvw",
+        "",
+        "ok",
+    ]
+    lm, lid = CharBigramLM(), TrigramLangID()
+    om = OracleModels()
+    ppl_eng = lm.perplexity(texts)
+    langs_eng, _ = lid.predict(texts)
+    for i, t in enumerate(texts):
+        np.testing.assert_allclose(ppl_eng[i], om.ppl(t), rtol=1e-9)
+        assert langs_eng[i] == om.lang(t), t
+
+
+def test_filtered_output_schema_and_order(ray_session, synth_table):
+    import ray.data as rd
+
+    out = tp.filtered_output(rd.from_arrow(synth_table).repartition(4))
+    pdf = out.to_pandas()
+    assert list(pdf.columns) == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    key = list(zip(pdf["conv_id"], pdf["turn_idx"]))
+    assert key == sorted(key)
+
+
+def test_quality_report_runs(ray_session, synth_table):
+    import ray.data as rd
+
+    result = tp.quality_report(rd.from_arrow(synth_table))
+    names = {m.instance for m in result.metrics.values()}
+    assert {"language", "perplexity", "toxicity"} <= names
+    assert all(m.value.isSuccess for m in result.metrics.values())
