@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship transcript quality-filter + scrub over transcripts
+derived deterministically from sf0.001 documents.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` / ``oracle_sql()`` — one entry per operator from SURVEY.md §2
+(analyzers, frequency family, quantiles, correlation) plus the
+training-data ops (dedup, similarity, text stats).  Aggregate values are
+rounded to 6 decimals on BOTH sides so float summation order cannot flip the
+driver's value hash; all columns are named identically in Ray and SQL.
+
+Ray is initialised by the driver before import; nothing here calls
+``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +18,431 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _metric(analyzer, name: str, sf_dir: str, table: str, columns) -> pa.Table:
+    """Run one analyzer distributed and return {name: round(value, 6)}."""
+    from hooqu_ray.runner import do_analysis_run
+
+    ds = _read(sf_dir, table, columns)
+    ctx = do_analysis_run(ds, [analyzer])
+    value = ctx.metric_map[analyzer].value.get()
+    return pa.table({name: pa.array([round(float(value), 6)], pa.float64())})
+
+
+def _q(fn):
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: documents → transcripts → quality-filter + scrub."""
+    from hooqu_ray.pipelines import transcripts as tp
 
+    docs = _read("/root/testdata/sf0.001", "documents", ["doc_id", "text"])
+    transcripts = tp.transcripts_from_documents(docs)
+    return tp.filter_and_scrub(transcripts)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import hooqu_ray as hq
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+
+    # -- scan analyzers over lineitem/events ------------------------------
+    analyzer_specs = {
+        "size_lineitem": (lambda: hq.Size(), "size", "lineitem", ["l_orderkey"]),
+        "size_lineitem_filtered": (
+            lambda: hq.Size(where="l_quantity > 25"), "size", "lineitem", ["l_quantity"]),
+        "completeness_orders_custkey": (
+            lambda: hq.Completeness("o_custkey"), "completeness", "orders", ["o_custkey"]),
+        "compliance_discount_range": (
+            lambda: hq.Compliance("disc", "l_discount >= 0.0 and l_discount <= 0.1"),
+            "compliance", "lineitem", ["l_discount"]),
+        "mean_quantity": (lambda: hq.Mean("l_quantity"), "mean_qty", "lineitem", ["l_quantity"]),
+        "mean_price_filtered": (
+            lambda: hq.Mean("l_extendedprice", where="l_quantity > 25"),
+            "mean_price", "lineitem", ["l_extendedprice", "l_quantity"]),
+        "min_extendedprice": (
+            lambda: hq.Minimum("l_extendedprice"), "min_price", "lineitem", ["l_extendedprice"]),
+        "max_extendedprice": (
+            lambda: hq.Maximum("l_extendedprice"), "max_price", "lineitem", ["l_extendedprice"]),
+        "sum_quantity": (lambda: hq.Sum("l_quantity"), "sum_qty", "lineitem", ["l_quantity"]),
+        "std_quantity": (
+            lambda: hq.StandardDeviation("l_quantity"), "std_qty", "lineitem", ["l_quantity"]),
+        "corr_quantity_price": (
+            lambda: hq.Correlation("l_quantity", "l_extendedprice"),
+            "corr_qp", "lineitem", ["l_quantity", "l_extendedprice"]),
+        "quantile50_extendedprice": (
+            lambda: hq.Quantile("l_extendedprice", 0.5), "q50", "lineitem", ["l_extendedprice"]),
+        "quantile90_extendedprice": (
+            lambda: hq.Quantile("l_extendedprice", 0.9), "q90", "lineitem", ["l_extendedprice"]),
+        "pattern_error_events": (
+            lambda: hq.PatternMatch("event_type", "^err"), "frac", "events", ["event_type"]),
+        "uniqueness_orders_custkey": (
+            lambda: hq.Uniqueness(["o_custkey"]), "uniq", "orders", ["o_custkey"]),
+        "uniqueness_lineitem_pk": (
+            lambda: hq.Uniqueness(["l_orderkey", "l_linenumber"]),
+            "uniq", "lineitem", ["l_orderkey", "l_linenumber"]),
+        "distinctness_event_type": (
+            lambda: hq.Distinctness(["event_type"]), "distinctness", "events", ["event_type"]),
+        "count_distinct_users": (
+            lambda: hq.CountDistinct(["user_id"]), "n_distinct", "events", ["user_id"]),
+        "entropy_returnflag": (
+            lambda: hq.Entropy(["l_returnflag"]), "entropy", "lineitem", ["l_returnflag"]),
+        "unique_value_ratio_custkey": (
+            lambda: hq.UniqueValueRatio(["o_custkey"]), "uvr", "orders", ["o_custkey"]),
+    }
+    for qname, (make, col, table, columns) in analyzer_specs.items():
+        out[qname] = _q(
+            lambda sf_dir, _m=make, _c=col, _t=table, _cols=columns: _metric(
+                _m(), _c, sf_dir, _t, _cols
+            )
+        )
+
+    # -- relational / pipeline ops ---------------------------------------
+    out["topk_events_by_value"] = _topk_events
+    out["groupby_event_type"] = _groupby_event_type
+    out["dedup_events_user_type"] = _dedup_events_user_type
+    out["exact_dedup_documents"] = _exact_dedup_documents
+    out["token_counts_documents"] = _token_counts_documents
+    out["symbol_ratio_documents"] = _symbol_ratio_documents
+    out["fingerprint_documents"] = _fingerprint_documents
+    out["lang_counts_documents"] = _lang_counts_documents
+    out["knn_embeddings"] = _knn_embeddings
+
+    # -- non-SQL-expressible (rows-only checks) ---------------------------
+    out["minhash_lsh_pairs_documents"] = _minhash_pairs
+    out["simhash_documents"] = _simhash_docs
+    out["langid_documents"] = _langid_docs
+    out["approx_count_distinct_users"] = _approx_distinct_users
+    out["approx_quantile_price"] = _approx_quantile_price
+    out["transcript_filter_stats"] = _transcript_filter_stats
+    out["knn_ivf_embeddings"] = _knn_ivf
+
+    return out
+
+
+# -- op implementations ----------------------------------------------------
+
+def _topk_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    top = ds.sort(["value", "event_id"], descending=[True, False]).limit(20)
+    t = pa.Table.from_pylist(top.take_all())
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {"event_id": t.column("event_id"), "value": pc.round(t.column("value"), 6)}
+    )
+
+
+def _groupby_event_type(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    res = ds.groupby("event_type").aggregate(Count(), Mean("value")).to_pandas()
+    res = res.rename(columns={"count()": "n", "mean(value)": "avg_value"})
+    res["avg_value"] = res["avg_value"].round(6)
+    res["n"] = res["n"].astype("int64")
+    return res
+
+
+def _dedup_events_user_type(sf_dir: str):
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    res = ds.groupby(["user_id", "event_type"]).aggregate(Min("event_id")).to_pandas()
+    return res.rename(columns={"min(event_id)": "event_id"})
+
+
+def _exact_dedup_documents(sf_dir: str):
+    from hooqu_ray.pipelines.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = exact_dedup(ds, "text", "doc_id")
+    return pa.Table.from_pylist(kept.take_all()).select(["doc_id"])
+
+
+def _token_counts_documents(sf_dir: str):
+    from hooqu_ray.pipelines.textstats import token_count_stage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = ds.map_batches(token_count_stage, batch_format="pyarrow")
+    return pa.Table.from_pylist(res.take_all()).select(["doc_id", "n_tokens"])
+
+
+def _symbol_ratio_documents(sf_dir: str):
+    from hooqu_ray.pipelines.textstats import quality_stage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = ds.map_batches(quality_stage, batch_format="pyarrow").to_pandas()
+    out = res[["doc_id"]].copy()
+    out["symbol_ratio"] = res["q_symbol_ratio"].round(6)
+    return out
+
+
+def _fingerprint_documents(sf_dir: str):
+    from hooqu_ray.pipelines.textstats import fingerprint_stage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = ds.map_batches(
+        lambda t: fingerprint_stage(t).select(["doc_id", "md5"]), batch_format="pyarrow"
+    )
+    return pa.Table.from_pylist(res.take_all())
+
+
+def _lang_counts_documents(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang"])
+    res = ds.groupby("lang").aggregate(Count()).to_pandas()
+    res = res.rename(columns={"count()": "n"})
+    res["n"] = res["n"].astype("int64")
+    return res
+
+
+_N_KNN_QUERIES = 3
+_KNN_K = 10
+
+
+def _knn_embeddings(sf_dir: str):
+    from hooqu_ray.pipelines.similarity import knn_brute_force
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in ds.take(32) if r["vec_id"] < _N_KNN_QUERIES),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.stack([r["embedding"] for r in qrows])
+    qids = [r["vec_id"] for r in qrows]
+    res = knn_brute_force(ds, queries, k=_KNN_K, query_ids=qids)
+    import pyarrow.compute as pc
+
+    qid_arr = pa.array([qids[i] for i in res.column("query_idx").to_pylist()], pa.int64())
+    return pa.table(
+        {
+            "query_id": qid_arr,
+            "vec_id": res.column("vec_id"),
+            "cosine": pc.round(res.column("cosine"), 6),
+        }
+    )
+
+
+def _knn_ivf(sf_dir: str):
+    from hooqu_ray.pipelines.similarity import knn_ivf
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in ds.take(32) if r["vec_id"] < _N_KNN_QUERIES),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.stack([r["embedding"] for r in qrows])
+    return knn_ivf(ds, queries, k=_KNN_K)
+
+
+def _minhash_pairs(sf_dir: str):
+    from hooqu_ray.pipelines.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.4)
+
+
+def _simhash_docs(sf_dir: str):
+    from hooqu_ray.pipelines.dedup import simhash_signatures
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = simhash_signatures(ds)
+    import pandas as pd
+
+    df = pd.DataFrame(res.take_all())
+    df["simhash"] = df["simhash"].astype("uint64").astype(str)  # stable as text
+    return df
+
+
+def _langid_docs(sf_dir: str):
+    from hooqu_ray.pipelines.textstats import LangIdStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+    return pa.Table.from_pylist(res.take_all()).select(["doc_id", "pred_lang"])
+
+
+def _approx_distinct_users(sf_dir: str):
+    import hooqu_ray as hq
+
+    return _metric(hq.ApproxCountDistinct("user_id"), "approx_users", sf_dir, "events", ["user_id"])
+
+
+def _approx_quantile_price(sf_dir: str):
+    import hooqu_ray as hq
+
+    return _metric(
+        hq.ApproxQuantile("l_extendedprice", 0.5), "approx_q50", sf_dir, "lineitem", ["l_extendedprice"]
+    )
+
+
+def _transcript_filter_stats(sf_dir: str):
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tp.filter_and_scrub(tp.transcripts_from_documents(docs))
+    import pyarrow.compute as pc
+
+    stats = out.map_batches(
+        lambda t: pa.table(
+            {
+                "kept": [pc.sum(pc.cast(t.column("keep"), pa.int64())).as_py() or 0],
+                "total": [len(t)],
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return pa.table(
+        {
+            "kept": pa.array([int(stats["kept"].sum())], pa.int64()),
+            "total": pa.array([int(stats["total"].sum())], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_NEAREST_Q_SQL = """
+WITH s AS (SELECT {col} AS v FROM {table} WHERE {col} IS NOT NULL),
+     n AS (SELECT count(*) AS c FROM s),
+     i AS (SELECT CAST(floor({q} * (c - 1)) AS BIGINT) AS k0,
+                  {q} * (c - 1) - floor({q} * (c - 1)) AS frac FROM n),
+     kk AS (SELECT k0 + (CASE WHEN frac > 0.5 THEN 1
+                              WHEN frac = 0.5 AND k0 % 2 = 1 THEN 1
+                              ELSE 0 END) AS k FROM i),
+     r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s)
+SELECT ROUND(v, 6) AS {name} FROM r, kk WHERE rn = k + 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    uniq_sql = (
+        "WITH f AS (SELECT {cols}, count(*) AS cnt FROM {table} "
+        "WHERE {notnull} GROUP BY {cols}) "
+        "SELECT ROUND(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ sum(cnt), 6) AS uniq FROM f"
+    )
+    return {
+        "size_lineitem": "SELECT ROUND(CAST(count(*) AS DOUBLE), 6) AS size FROM lineitem",
+        "size_lineitem_filtered": (
+            "SELECT ROUND(CAST(count(*) AS DOUBLE), 6) AS size FROM lineitem WHERE l_quantity > 25"
+        ),
+        "completeness_orders_custkey": (
+            "SELECT ROUND(CAST(count(o_custkey) AS DOUBLE) / count(*), 6) AS completeness FROM orders"
+        ),
+        "compliance_discount_range": (
+            "SELECT ROUND(avg(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1 "
+            "THEN 1.0 ELSE 0.0 END), 6) AS compliance FROM lineitem"
+        ),
+        "mean_quantity": "SELECT ROUND(avg(l_quantity), 6) AS mean_qty FROM lineitem",
+        "mean_price_filtered": (
+            "SELECT ROUND(avg(l_extendedprice), 6) AS mean_price FROM lineitem WHERE l_quantity > 25"
+        ),
+        "min_extendedprice": "SELECT ROUND(min(l_extendedprice), 6) AS min_price FROM lineitem",
+        "max_extendedprice": "SELECT ROUND(max(l_extendedprice), 6) AS max_price FROM lineitem",
+        "sum_quantity": "SELECT ROUND(sum(l_quantity), 6) AS sum_qty FROM lineitem",
+        "std_quantity": "SELECT ROUND(stddev_pop(l_quantity), 6) AS std_qty FROM lineitem",
+        "corr_quantity_price": (
+            "SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp FROM lineitem"
+        ),
+        "quantile50_extendedprice": _NEAREST_Q_SQL.format(
+            col="l_extendedprice", table="lineitem", q=0.5, name="q50"
+        ),
+        "quantile90_extendedprice": _NEAREST_Q_SQL.format(
+            col="l_extendedprice", table="lineitem", q=0.9, name="q90"
+        ),
+        "pattern_error_events": (
+            "SELECT ROUND(CAST(sum(CASE WHEN regexp_matches(event_type, '^err') "
+            "THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS frac FROM events"
+        ),
+        "uniqueness_orders_custkey": uniq_sql.format(
+            cols="o_custkey", table="orders", notnull="o_custkey IS NOT NULL"
+        ),
+        "uniqueness_lineitem_pk": uniq_sql.format(
+            cols="l_orderkey, l_linenumber",
+            table="lineitem",
+            notnull="l_orderkey IS NOT NULL OR l_linenumber IS NOT NULL",
+        ),
+        "distinctness_event_type": (
+            "SELECT ROUND(CAST(count(DISTINCT event_type) AS DOUBLE) / count(*), 6) "
+            "AS distinctness FROM events WHERE event_type IS NOT NULL"
+        ),
+        "count_distinct_users": (
+            "SELECT ROUND(CAST(count(DISTINCT user_id) AS DOUBLE), 6) AS n_distinct "
+            "FROM events WHERE user_id IS NOT NULL"
+        ),
+        "entropy_returnflag": (
+            "WITH f AS (SELECT l_returnflag, count(*) AS cnt FROM lineitem "
+            "WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag), "
+            "t AS (SELECT sum(cnt) AS n FROM f) "
+            "SELECT ROUND(ln(n) - sum(cnt * ln(cnt)) / n, 6) AS entropy FROM f, t GROUP BY n"
+        ),
+        "unique_value_ratio_custkey": (
+            "WITH f AS (SELECT o_custkey, count(*) AS cnt FROM orders "
+            "WHERE o_custkey IS NOT NULL GROUP BY o_custkey) "
+            "SELECT ROUND(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ count(*), 6) AS uvr FROM f"
+        ),
+        "topk_events_by_value": (
+            "SELECT event_id, ROUND(value, 6) AS value FROM events "
+            "ORDER BY value DESC, event_id LIMIT 20"
+        ),
+        "groupby_event_type": (
+            "SELECT event_type, count(*) AS n, ROUND(avg(value), 6) AS avg_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "dedup_events_user_type": (
+            "SELECT user_id, event_type, min(event_id) AS event_id FROM events "
+            "GROUP BY user_id, event_type"
+        ),
+        "exact_dedup_documents": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "token_counts_documents": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents"
+        ),
+        "symbol_ratio_documents": (
+            "SELECT doc_id, ROUND(CASE WHEN length(text) > 0 THEN "
+            "CAST(len(regexp_extract_all(text, '[^0-9A-Za-z_\\s]')) AS DOUBLE) "
+            "/ length(text) ELSE 0 END, 6) AS symbol_ratio FROM documents"
+        ),
+        "fingerprint_documents": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "lang_counts_documents": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "knn_embeddings": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            f"WHERE vec_id < {_N_KNN_QUERIES}), "
+            "sims AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos "
+            "FROM q, embeddings e WHERE e.vec_id != q.query_id), "
+            "ranked AS (SELECT query_id, vec_id, cos, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM sims) "
+            f"SELECT query_id, vec_id, ROUND(cos, 6) AS cosine FROM ranked WHERE rn <= {_KNN_K}"
+        ),
+    }

@@ -1,0 +1,320 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All shapes follow the standard web-scale recipe (exact-hash partitioning,
+MinHash+LSH banding, SimHash) expressed Ray-Data-first:
+
+- ``exact_dedup``       content hash per batch → ``groupby(hash)`` shuffle →
+                        first row per group (deterministic: min id).
+- ``minhash_signatures``/``minhash_lsh_pairs``
+                        shingle → minhash (vectorized universal hashing) →
+                        explode to (band, band_hash) rows → groupby bands →
+                        candidate pairs + signature-estimated Jaccard.
+- ``simhash``           64-bit SimHash per doc; near-dups collide on rotated
+                        16-bit bands.
+- ``ngram_jaccard``     exact word-n-gram Jaccard for a candidate pair
+                        (verification kernel).
+- ``embedding_cosine_pairs``
+                        near-duplicate vectors via random-hyperplane LSH
+                        buckets → within-bucket pairwise cosine.
+
+Only the candidate/verify machinery shuffles; signatures are a few hundred
+bytes per doc, so the LSH band shuffle moves ~1% of the text volume.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_text_hash64(texts: List[Optional[str]]) -> np.ndarray:
+    """Deterministic 64-bit content hash (blake2b), None → 0."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        if t is None:
+            out[i] = 0
+        else:
+            out[i] = int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+    return out
+
+
+def _shingle_hashes(text: str, w: int = 3) -> np.ndarray:
+    """Hashes of word w-shingles (w consecutive words)."""
+    words = text.split()
+    if len(words) < w:
+        shingles = [" ".join(words)] if words else []
+    else:
+        shingles = [" ".join(words[i : i + w]) for i in range(len(words) - w + 1)]
+    if not shingles:
+        return np.zeros(1, dtype=np.uint64)
+    return _stable_text_hash64(shingles)
+
+
+class _AddContentHash:
+    def __init__(self, text_col: str):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = _stable_text_hash64(batch.column(self.text_col).to_pylist())
+        return batch.append_column("__content_hash", pa.array(h, pa.uint64()))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep one row per distinct text (deterministic representative: min id).
+    Hash-partition shuffle on a 64-bit content hash, never on the raw text."""
+    hashed = ds.map_batches(_AddContentHash(text_col), batch_format="pyarrow")
+    deduped = hashed.groupby("__content_hash").map_groups(
+        lambda g, _id=id_col: g.nsmallest(1, _id), batch_format="pandas"
+    )
+    return deduped.drop_columns(["__content_hash"])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+class MinHasher:
+    """num_perm universal hash functions over shingle hashes; deterministic
+    coefficients from a seeded PCG64.  Actor-pool stage: coefficients built
+    once per actor."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 num_perm: int = 128, shingle_w: int = 3, seed: int = 1234):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.shingle_w = shingle_w
+
+    def signature(self, text: Optional[str]) -> np.ndarray:
+        if not text:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        sh = _shingle_hashes(text, self.shingle_w)  # (n_shingles,)
+        # (num_perm, n_shingles) universal hashes, min per row
+        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t).tobytes() for t in batch.column(self.text_col).to_pylist()]
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "signature": pa.array(sigs, pa.binary()),
+            }
+        )
+
+
+class _ExplodeBands:
+    def __init__(self, num_perm: int, bands: int, id_col: str):
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        sig_bytes = batch.column("signature").to_pylist()
+        out_band, out_hash, out_id, out_sig = [], [], [], []
+        for i, sb in enumerate(sig_bytes):
+            sig = np.frombuffer(sb, dtype=np.uint64)
+            for b in range(self.bands):
+                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                out_band.append(b)
+                out_hash.append(int.from_bytes(h, "little"))
+                out_id.append(ids[i])
+                out_sig.append(sb)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.uint64()),
+                self.id_col: pa.array(out_id),
+                "signature": pa.array(out_sig, pa.binary()),
+            }
+        )
+
+
+class _BucketPairs:
+    """Within one (band, band_hash) bucket: all candidate pairs with
+    signature-estimated Jaccard."""
+
+    def __init__(self, id_col: str, threshold: float):
+        self.id_col = id_col
+        self.threshold = threshold
+
+    def __call__(self, group):
+        import pandas as pd
+
+        n = len(group)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        ids = group[self.id_col].tolist()
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in group["signature"]]
+        rows = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= self.threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    rows.append((a, b, est))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
+
+
+def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 128, bands: int = 32,
+                      threshold: float = 0.5, concurrency=(1, 8)):
+    """Near-duplicate candidate pairs via MinHash+LSH.
+
+    shingle→minhash (actor pool) → band explode → groupby(band, band_hash)
+    → within-bucket pairs → dedupe pairs across bands (groupby id pair)."""
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "num_perm": num_perm},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    bands_ds = sigs.map_batches(
+        _ExplodeBands(num_perm, bands, id_col), batch_format="pyarrow"
+    )
+    bucket_pairs = _BucketPairs(id_col, threshold)
+    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(
+        lambda g, _bp=bucket_pairs: _bp(g), batch_format="pandas"
+    )
+    # a pair can surface from several bands → keep one
+    from ray.data.aggregate import Max
+
+    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard"))
+    return uniq.map_batches(_RenameMax, batch_format="pyarrow")
+
+
+def _RenameMax(batch: pa.Table) -> pa.Table:
+    names = [("est_jaccard" if c == "max(est_jaccard)" else c) for c in batch.column_names]
+    return batch.rename_columns(names)
+
+
+def ngram_jaccard(text_a: str, text_b: str, w: int = 3) -> float:
+    """Exact word-w-gram Jaccard (candidate verification kernel)."""
+    a = set(map(tuple, zip(*[text_a.split()[i:] for i in range(w)])))
+    b = set(map(tuple, zip(*[text_b.split()[i:] for i in range(w)])))
+    if not a and not b:
+        return 1.0
+    return len(a & b) / max(len(a | b), 1)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit SimHash over word hashes (vectorized sign-sum)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def simhash(self, text: Optional[str]) -> int:
+        if not text:
+            return 0
+        h = _stable_text_hash64(text.split())
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [self.simhash(t) for t in batch.column(self.text_col).to_pylist()]
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "simhash": pa.array(np.array(hs, dtype=np.uint64), pa.uint64()),
+            }
+        )
+
+
+def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
+                       concurrency=(1, 8)):
+    return ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+class _HyperplaneBucket:
+    """Random-hyperplane LSH bucket id for each embedding."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 99,
+                 emb_col: str = "embedding", id_col: str = "vec_id"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch.column(self.emb_col).to_pylist()).astype(np.float64)
+        signs = (emb @ self.planes) > 0
+        bucket = (signs.astype(np.uint64) << np.arange(signs.shape[1], dtype=np.uint64)).sum(axis=1)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "bucket": pa.array(bucket, pa.uint64()),
+                self.emb_col: batch.column(self.emb_col),
+            }
+        )
+
+
+class _BucketCosinePairs:
+    def __init__(self, threshold: float, emb_col: str, id_col: str):
+        self.threshold = threshold
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, group):
+        import pandas as pd
+
+        n = len(group)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = group[self.id_col].tolist()
+        emb = np.stack(group[self.emb_col].tolist()).astype(np.float64)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.maximum(norm, 1e-12)
+        sims = emb @ emb.T
+        rows = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= self.threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    rows.append((a, b, float(sims[i, j])))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+
+
+def embedding_cosine_pairs(ds, threshold: float = 0.9, dim: int = 64,
+                           emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Near-duplicate embeddings: hyperplane-LSH buckets → within-bucket
+    cosine ≥ threshold.  Recall is per-bucket (standard LSH tradeoff); run
+    with several seeds and union for higher recall."""
+    bucketed = ds.map_batches(
+        _HyperplaneBucket(dim, emb_col=emb_col, id_col=id_col), batch_format="pyarrow"
+    )
+    bucket_pairs = _BucketCosinePairs(threshold, emb_col, id_col)
+    return bucketed.groupby("bucket").map_groups(
+        lambda g, _bp=bucket_pairs: _bp(g), batch_format="pandas"
+    )

@@ -1,0 +1,173 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_brute_force``: exact top-k cosine.  The query matrix is broadcast
+  once (``ray.put``); each block computes a float64 matmul against it and
+  emits only its LOCAL top-k per query (tiny), which the driver merges.
+  Data volume returned: O(num_blocks · q · k), independent of dataset size.
+- ``knn_ivf``: scale path — k-means-style coarse quantizer (deterministic
+  seeded init, trained on a sample), vectors bucketed by nearest centroid
+  via ``groupby``; queries probe the ``nprobe`` nearest centroids only.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class _BlockTopK:
+    """Per-block partial top-k: (query_idx, vec_id, cosine) rows."""
+
+    def __init__(self, queries_ref, k: int, emb_col: str, id_col: str,
+                 exclude_ids: Optional[frozenset] = None):
+        self.queries_ref = queries_ref
+        self.k = k
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.exclude_ids = exclude_ids or frozenset()
+        self._q: Optional[np.ndarray] = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._q is None:
+            import ray
+
+            q = self.queries_ref
+            self._q = q if isinstance(q, np.ndarray) else ray.get(q)
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        emb = np.stack(batch.column(self.emb_col).to_pylist()).astype(np.float64)
+        emb = _normalize(emb)
+        sims = self._q @ emb.T  # (n_queries, n_block)
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            for col in idx[qi]:
+                if ids[col] in self.exclude_ids:
+                    continue
+                out_q.append(qi)
+                out_id.append(ids[col])
+                out_s.append(sims[qi, col])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int64()),
+                self.id_col: pa.array(out_id),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
+                    emb_col: str = "embedding", id_col: str = "vec_id",
+                    query_ids=None) -> pa.Table:
+    """Exact top-k cosine neighbors for each query row.
+
+    ``queries``: (q, dim) float array (unnormalized ok).  Returns an Arrow
+    table (query_idx, id_col, cosine) with exactly k rows per query (ties
+    broken by ascending id for determinism).  ``query_ids``: ids to exclude
+    from their own result (self-matches)."""
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    ref = ray.put(qn)
+    exclude = frozenset(query_ids or ())
+    partials = ds.map_batches(
+        _BlockTopK(ref, k, emb_col, id_col, None), batch_format="pyarrow"
+    )
+    # driver merge of tiny partials
+    best: List[List[Tuple[float, object]]] = [[] for _ in range(qn.shape[0])]
+    self_of = dict(zip(range(len(query_ids)), query_ids)) if query_ids is not None else {}
+    for row in partials.take_all():
+        qi = row["query_idx"]
+        if query_ids is not None and row[id_col] == self_of.get(qi):
+            continue
+        heapq.heappush(best[qi], (row["cosine"], -_order_key(row[id_col]), row[id_col]))
+        if len(best[qi]) > k:
+            heapq.heappop(best[qi])
+    out_q, out_id, out_s = [], [], []
+    for qi, heap in enumerate(best):
+        for cos, _negid, vid in sorted(heap, key=lambda t: (-t[0], t[2])):
+            out_q.append(qi)
+            out_id.append(vid)
+            out_s.append(cos)
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_id),
+            "cosine": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+def _order_key(v):
+    return v if isinstance(v, (int, float)) else hash(v)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style scale path
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                    seed: int = 5) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (normalized)."""
+    rng = np.random.default_rng(seed)
+    s = _normalize(np.asarray(sample, dtype=np.float64))
+    cent = s[rng.choice(len(s), size=min(n_centroids, len(s)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(s @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = s[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class _AssignCentroid:
+    def __init__(self, centroids_ref, emb_col: str):
+        self.centroids_ref = centroids_ref
+        self.emb_col = emb_col
+        self._c = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._c is None:
+            import ray
+
+            c = self.centroids_ref
+            self._c = c if isinstance(c, np.ndarray) else ray.get(c)
+        emb = _normalize(np.stack(batch.column(self.emb_col).to_pylist()).astype(np.float64))
+        assign = np.argmax(emb @ self._c.T, axis=1)
+        return batch.append_column("centroid", pa.array(assign, pa.int32()))
+
+
+def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+            nprobe: int = 4, emb_col: str = "embedding", id_col: str = "vec_id",
+            sample_size: int = 2048) -> pa.Table:
+    """Approximate top-k: probe only the ``nprobe`` closest centroid
+    partitions per query.  At 100 TB the bucketed dataset is written
+    partitioned by centroid so a query touches nprobe/n_centroids of it."""
+    import ray
+
+    sample = np.stack(
+        [r[emb_col] for r in ds.take(sample_size)]
+    ).astype(np.float64)
+    cent = train_centroids(sample, n_centroids)
+    ref = ray.put(cent)
+    bucketed = ds.map_batches(_AssignCentroid(ref, emb_col), batch_format="pyarrow")
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    wanted = sorted({int(c) for row in probe for c in row})
+    import pyarrow.compute as _pc
+
+    sub = bucketed.map_batches(
+        lambda t: t.filter(_pc.is_in(t.column("centroid"), value_set=pa.array(wanted))),
+        batch_format="pyarrow",
+    )
+    return knn_brute_force(sub, queries, k, emb_col, id_col)

@@ -1,0 +1,88 @@
+"""Text analysis operators over a documents table.
+
+Vectorized per-batch stages: token counting (``\\S+`` runs), quality scoring
+(length/symbol/stopword heuristics reused from the transcript stage),
+language-ID (actor-pool char-trigram model), and document fingerprinting
+(md5 + 64-bit rolling hash)."""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.heuristics import SYMBOL_PATTERN, STOPWORD_PATTERN
+from ..stages.models import TrigramLangID
+
+TOKEN_PATTERN = r"\S+"
+
+
+def token_count_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    text = batch.column(text_col)
+    n_tok = pc.fill_null(pc.count_substring_regex(text, pattern=TOKEN_PATTERN), 0)
+    return batch.append_column("n_tokens", pc.cast(n_tok, pa.int64()))
+
+
+def quality_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc quality features: n_chars, symbol_ratio, stopword_ratio."""
+    text = batch.column(text_col)
+    n_chars = pc.fill_null(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False)
+    n_sym = pc.fill_null(
+        pc.count_substring_regex(text, pattern=SYMBOL_PATTERN), 0
+    ).to_numpy(zero_copy_only=False)
+    n_tok = pc.fill_null(
+        pc.count_substring_regex(text, pattern=TOKEN_PATTERN), 0
+    ).to_numpy(zero_copy_only=False)
+    n_stop = pc.fill_null(
+        pc.count_substring_regex(pc.utf8_lower(text), pattern=STOPWORD_PATTERN), 0
+    ).to_numpy(zero_copy_only=False)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        symbol_ratio = np.where(n_chars > 0, n_sym / np.maximum(n_chars, 1), 0.0)
+        stopword_ratio = np.where(n_tok > 0, n_stop / np.maximum(n_tok, 1), 0.0)
+    return (
+        batch.append_column("q_n_chars", pa.array(n_chars, pa.int64()))
+        .append_column("q_symbol_ratio", pa.array(symbol_ratio, pa.float64()))
+        .append_column("q_stopword_ratio", pa.array(stopword_ratio, pa.float64()))
+    )
+
+
+class LangIdStage:
+    """Actor-pool language ID (model built once per actor)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.model = TrigramLangID()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs, margin = self.model.predict(batch.column(self.text_col).to_pylist())
+        return batch.append_column("pred_lang", pa.array(langs, pa.string())).append_column(
+            "pred_lang_margin", pa.array(margin, pa.float64())
+        )
+
+
+_FNV_PRIME = 1099511628211
+_FNV_OFFSET = 14695981039346656037
+_MASK64 = (1 << 64) - 1
+
+
+def rolling_hash64(text: Optional[str]) -> int:
+    """FNV-1a rolling hash over utf-8 bytes (document fingerprint)."""
+    if text is None:
+        return 0
+    h = _FNV_OFFSET
+    for b in text.encode("utf-8"):
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h
+
+
+def fingerprint_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """md5 (hex) + rolling-hash fingerprints per document."""
+    texts = batch.column(text_col).to_pylist()
+    md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    rolls = np.array([rolling_hash64(t) for t in texts], dtype=np.uint64)
+    return batch.append_column("md5", pa.array(md5s, pa.string())).append_column(
+        "fingerprint", pa.array(rolls, pa.uint64())
+    )

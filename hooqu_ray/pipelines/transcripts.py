@@ -199,6 +199,43 @@ class _SelectKept:
         return out.rename_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
 
 
+def _DocsToTranscripts(batch: pa.Table) -> pa.Table:
+    """Deterministically explode a documents batch into transcript turns:
+    each doc becomes one conversation; its text is chunked into ~12-word
+    turns with alternating user/assistant roles.  Pure function of the
+    input, so every scale factor yields a reproducible transcript table."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    conv, tidx, role, text, tool, ts = [], [], [], [], [], []
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    for doc_id, doc_text in zip(doc_ids, texts):
+        words = (doc_text or "").split()
+        chunks = [" ".join(words[i : i + 12]) for i in range(0, len(words), 12)] or [""]
+        t0 = base + np.timedelta64(int(doc_id) * 60, "s")
+        for i, chunk in enumerate(chunks):
+            conv.append(f"conv-{doc_id:08d}")
+            tidx.append(i)
+            role.append("user" if i % 2 == 0 else "assistant")
+            text.append(chunk)
+            tool.append(None)
+            ts.append(t0 + np.timedelta64(i * 30, "s"))
+    return pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(tidx, pa.int32()),
+            "role": pa.array(role, pa.string()),
+            "text": pa.array(text, pa.string()),
+            "tool": pa.array(tool, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+
+
+def transcripts_from_documents(docs_ds):
+    """documents table → deterministic transcript table (flagship input)."""
+    return docs_ds.map_batches(_DocsToTranscripts, batch_format="pyarrow")
+
+
 def quality_report(ds):
     """hooqu VerificationSuite over the scored turns: every rule as a
     Compliance constraint (fraction of turns passing), plus dataset-level

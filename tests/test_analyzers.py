@@ -77,15 +77,24 @@ class TestMeanSumStd:
     def test_mean_matches_pandas(self, data):
         m = metric(data, hq.Mean("att2"), chunk_rows=3)
         assert isinstance(m.value, Success)
-        # chunked partial sums differ from the single pass in the last ulp
-        np.testing.assert_allclose(m.value.get(), data["att2"].mean(), rtol=1e-9, equal_nan=True)
+        # reordered summation error scales with mean(|x|), not the result
+        scale = np.nanmean(np.abs(data["att2"])) if data["att2"].count() else 0.0
+        atol = 1e-9 * float(scale) if np.isfinite(scale) else 0.0
+        np.testing.assert_allclose(
+            m.value.get(), data["att2"].mean(), rtol=1e-9, atol=atol, equal_nan=True
+        )
 
     @HYPO
     @given(df_strategy())
     def test_sum_matches_pandas(self, data):
         m = metric(data, hq.Sum("att2"), chunk_rows=3)
         assert isinstance(m.value, Success)
-        np.testing.assert_allclose(m.value.get(), data["att2"].sum(), rtol=1e-9, equal_nan=True)
+        # reordered summation error scales with sum(|x|), not the result
+        scale = np.nansum(np.abs(data["att2"])) if len(data) else 0.0
+        atol = 1e-9 * float(scale) if np.isfinite(scale) else 0.0
+        np.testing.assert_allclose(
+            m.value.get(), data["att2"].sum(), rtol=1e-9, atol=atol, equal_nan=True
+        )
 
     @HYPO
     @given(df_strategy())

@@ -1,0 +1,160 @@
+"""Dedup / similarity / textstats operator tests with pandas-level oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+
+class TestExactDedup:
+    def test_unique_texts_all_kept(self, docs_ds, docs_pdf):
+        from hooqu_ray.pipelines.dedup import exact_dedup
+
+        kept = exact_dedup(docs_ds).to_pandas()
+        expected = docs_pdf.groupby("text")["doc_id"].min()
+        assert sorted(kept["doc_id"]) == sorted(expected)
+
+    def test_planted_duplicates_removed(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import exact_dedup
+
+        df = pd.DataFrame(
+            {"doc_id": [5, 1, 2, 3, 4], "text": ["a b c", "a b c", "x y", "x y", "z"]}
+        )
+        kept = exact_dedup(rd.from_pandas(df).repartition(3)).to_pandas()
+        assert sorted(kept["doc_id"]) == [1, 2, 4]
+
+
+class TestMinHash:
+    def test_near_duplicates_found(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import minhash_lsh_pairs, ngram_jaccard
+
+        base = ("the quick brown fox jumps over the lazy dog and runs far away "
+                "into the deep green forest looking for food and water")
+        near = base.replace("green", "dark")  # one word differs
+        far = "completely different text about databases and query planning engines"
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+        pairs = minhash_lsh_pairs(rd.from_pandas(df), threshold=0.3).to_pandas()
+        assert (1, 2) in set(zip(pairs.id_a, pairs.id_b))
+        assert (1, 3) not in set(zip(pairs.id_a, pairs.id_b))
+        # signature estimate should track exact jaccard
+        est = pairs.set_index(["id_a", "id_b"]).loc[(1, 2), "est_jaccard"]
+        exact = ngram_jaccard(base, near)
+        assert abs(est - exact) < 0.25
+
+    def test_signature_determinism(self):
+        from hooqu_ray.pipelines.dedup import MinHasher
+
+        a = MinHasher().signature("some text about things and stuff")
+        b = MinHasher().signature("some text about things and stuff")
+        assert (a == b).all()
+
+
+class TestSimHash:
+    def test_similar_texts_close_hamming(self):
+        from hooqu_ray.pipelines.dedup import SimHasher
+
+        sh = SimHasher()
+        base = "the quick brown fox jumps over the lazy dog near the river bank today"
+        near = base.replace("today", "tonight")
+        far = "entirely unrelated words concerning galaxies and spectral telescopes"
+        d_near = bin(sh.simhash(base) ^ sh.simhash(near)).count("1")
+        d_far = bin(sh.simhash(base) ^ sh.simhash(far)).count("1")
+        assert d_near < d_far
+        assert d_near <= 16
+
+
+class TestKnn:
+    @pytest.fixture(scope="class")
+    def emb(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        return ds, pdf
+
+    def test_brute_force_matches_numpy(self, emb):
+        from hooqu_ray.pipelines.similarity import knn_brute_force
+
+        ds, pdf = emb
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        q = mat[:2]
+        res = knn_brute_force(ds.repartition(4), q, k=5, query_ids=[0, 1])
+        res_df = res.to_pandas()
+        for qi in (0, 1):
+            sims = q[qi] @ mat.T
+            sims[qi] = -np.inf  # self excluded
+            expected = set(np.argsort(-sims)[:5])
+            got = set(res_df[res_df.query_idx == qi]["vec_id"])
+            assert got == expected
+
+    def test_ivf_recall(self, emb):
+        from hooqu_ray.pipelines.similarity import knn_brute_force, knn_ivf
+
+        ds, pdf = emb
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        q = mat[:3]
+        exact = knn_brute_force(ds, q, k=10).to_pandas()
+        approx = knn_ivf(ds, q, k=10, n_centroids=8, nprobe=4).to_pandas()
+        recalls = []
+        for qi in range(3):
+            e = set(exact[exact.query_idx == qi]["vec_id"])
+            a = set(approx[approx.query_idx == qi]["vec_id"])
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.5  # nprobe=4 of 8 centroids
+
+
+class TestTextStats:
+    def test_token_count_matches_split(self, docs_ds, docs_pdf):
+        from hooqu_ray.pipelines.textstats import token_count_stage
+
+        res = (
+            docs_ds.map_batches(token_count_stage, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        expected = res["text"].str.split().str.len()
+        assert (res["n_tokens"].values == expected.values).all()
+
+    def test_fingerprint_md5(self):
+        import hashlib
+
+        from hooqu_ray.pipelines.textstats import fingerprint_stage
+        import pyarrow as pa
+
+        t = pa.table({"doc_id": [1], "text": ["hello world"]})
+        out = fingerprint_stage(t)
+        assert out.column("md5")[0].as_py() == hashlib.md5(b"hello world").hexdigest()
+
+
+class TestEmbeddingDedup:
+    def test_finds_planted_near_dup(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import embedding_cosine_pairs
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal(64)
+        near = base + rng.standard_normal(64) * 0.01
+        far = rng.standard_normal(64)
+        df = pd.DataFrame(
+            {"vec_id": [1, 2, 3], "embedding": [base.astype(np.float32),
+                                                near.astype(np.float32),
+                                                far.astype(np.float32)]}
+        )
+        pairs = embedding_cosine_pairs(rd.from_pandas(df), threshold=0.95).to_pandas()
+        assert (1, 2) in set(zip(pairs.id_a, pairs.id_b))
