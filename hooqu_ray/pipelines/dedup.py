@@ -145,6 +145,17 @@ class _ExplodeBands:
         )
 
 
+class _FilterBandHash:
+    def __init__(self, hashes: frozenset):
+        self.hashes = hashes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        value_set = pa.array(list(self.hashes), pa.uint64())
+        return batch.filter(pc2.is_in(batch.column("band_hash"), value_set=value_set))
+
+
 class _BucketPairs:
     """Within one (band, band_hash) bucket: all candidate pairs with
     signature-estimated Jaccard."""
@@ -173,22 +184,44 @@ class _BucketPairs:
 
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 128, bands: int = 32,
-                      threshold: float = 0.5, concurrency=(1, 8)):
+                      threshold: float = 0.5, concurrency=None):
     """Near-duplicate candidate pairs via MinHash+LSH.
 
     shingle→minhash (actor pool) → band explode → groupby(band, band_hash)
     → within-bucket pairs → dedupe pairs across bands (groupby id pair)."""
+    from ..util import actor_pool_size
+
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "num_perm": num_perm},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=concurrency or actor_pool_size(cap=16),
     )
     bands_ds = sigs.map_batches(
         _ExplodeBands(num_perm, bands, id_col), batch_format="pyarrow"
+    ).materialize()
+    # Most buckets are singletons; a vectorized count pass finds the few
+    # colliding band hashes first so the per-group Python UDF only ever runs
+    # on actual candidates (map_groups over all buckets is O(#docs·bands)
+    # Python-group overhead otherwise).
+    counts = bands_ds.groupby(["band", "band_hash"]).count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("count()"), 1)).select(["band_hash"]),
+        batch_format="pyarrow",
+    )
+    hot_hashes = {r["band_hash"] for r in hot.take_all()}
+    if not hot_hashes:
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        import ray.data as rd
+
+        return rd.from_pandas(empty)
+    hot_ds = bands_ds.map_batches(
+        _FilterBandHash(frozenset(hot_hashes)), batch_format="pyarrow"
     )
     bucket_pairs = _BucketPairs(id_col, threshold)
-    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(
+    pairs = hot_ds.groupby(["band", "band_hash"]).map_groups(
         lambda g, _bp=bucket_pairs: _bp(g), batch_format="pandas"
     )
     # a pair can surface from several bands → keep one
@@ -243,12 +276,14 @@ class SimHasher:
 
 
 def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
-                       concurrency=(1, 8)):
+                       concurrency=None):
+    from ..util import actor_pool_size
+
     return ds.map_batches(
         SimHasher,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=concurrency or actor_pool_size(cap=16),
     )
 
 

@@ -68,12 +68,14 @@ TURN_RULES: Tuple[Tuple[str, str], ...] = (
 )
 
 
-def _default_scorer_concurrency() -> Tuple[int, int]:
-    """Autoscaling actor pool sized to the cluster: min 1, max ≈ CPUs."""
-    import ray
+def _default_scorer_concurrency() -> int:
+    """Fixed actor pool sized to cluster CPUs minus headroom (see
+    util.actor_pool_size): all actors spawn — and build their model tables —
+    in parallel up front instead of autoscaling ramp-up, without claiming
+    every CPU (that starves the upstream read and deadlocks)."""
+    from ..util import actor_pool_size
 
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return (1, max(2, cpus))
+    return actor_pool_size()
 
 
 class QualityScorer:
@@ -114,24 +116,25 @@ class _PolicyStage:
 
 
 class _ConvVerdictLookup:
-    """Per-batch lookup of the broadcast conversation verdicts."""
+    """Per-batch vectorized lookup of the broadcast DROPPED-conversation set
+    (an Arrow array shipped once via ``ray.put``; ``pc.is_in`` is a C hash
+    probe, no Python-per-row work)."""
 
-    def __init__(self, verdicts_ref):
-        self.verdicts_ref = verdicts_ref
-        self._verdicts: Optional[Dict[str, bool]] = None
+    def __init__(self, dropped_ref):
+        self.dropped_ref = dropped_ref
+        self._dropped: Optional[pa.Array] = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._verdicts is None:
+        if self._dropped is None:
             import ray
 
-            obj = self.verdicts_ref
-            self._verdicts = ray.get(obj) if not isinstance(obj, dict) else obj
-        conv = batch.column("conv_id").to_pylist()
-        keep_turn = batch.column("keep_turn").to_numpy(zero_copy_only=False)
-        conv_ok = np.fromiter(
-            (self._verdicts.get(c, False) for c in conv), dtype=bool, count=len(conv)
+            obj = self.dropped_ref
+            self._dropped = obj if isinstance(obj, pa.Array) else ray.get(obj)
+        conv_dropped = pc.is_in(batch.column("conv_id"), value_set=self._dropped)
+        keep = pc.and_(
+            batch.column("keep_turn"), pc.invert(conv_dropped)
         )
-        return batch.append_column("keep", pa.array(keep_turn & conv_ok, pa.bool_()))
+        return batch.append_column("keep", keep)
 
 
 def conv_verdicts_from_counts(conv_ids, kept, total) -> Dict[str, bool]:
@@ -161,19 +164,37 @@ def filter_and_scrub(ds, scorer_concurrency: Optional[Tuple[int, int]] = None):
     import ray
 
     turns = score_turns(ds, scorer_concurrency)
-    # conversation-level: shuffle ONLY (conv_id, keep_turn); text stays put
+    # Two consumers follow (conv stats + final verdict pass); materialize so
+    # the feature/scoring stages run ONCE.  Blocks live in the object store
+    # and spill under pressure; at extreme scale prefer writing the scored
+    # turns to partitioned parquet and reading them back for both consumers.
+    turns = turns.materialize()
+    # Conversation-level pass.  _ProjectConvKeep pre-aggregates per block, so
+    # what flows here is one row per (block, conv) — tiny vs the turn table.
     proj = turns.map_batches(_ProjectConvKeep, batch_format="pyarrow")
-    from ray.data.aggregate import Count, Sum
+    n_turns = turns.count()  # metadata read on a materialized dataset
+    if n_turns <= 20_000_000:
+        # partials fit comfortably on the driver: one pandas groupby beats a
+        # distributed shuffle's fixed cost by an order of magnitude here
+        sp = proj.to_pandas()
+        agg = sp.groupby("conv_id", sort=False).sum()
+        conv_ids = agg.index.tolist()
+        kept = agg["kept_partial"].tolist()
+        total = agg["total_partial"].tolist()
+    else:
+        # scale path: distributed groupby; #convs rows come back (at 10^12
+        # turns, swap the broadcast below for a partitioned join on conv_id)
+        from ray.data.aggregate import Sum
 
-    stats = proj.groupby("conv_id").aggregate(Sum("keep_turn"), Count())
-    sp = stats.to_pandas()
-    kept_col = "sum(keep_turn)"
-    count_col = "count()"
-    verdicts = conv_verdicts_from_counts(
-        sp["conv_id"].tolist(), sp[kept_col].tolist(), sp[count_col].tolist()
-    )
-    verdicts_ref = ray.put(verdicts)
-    return turns.map_batches(_ConvVerdictLookup(verdicts_ref), batch_format="pyarrow")
+        stats = proj.groupby("conv_id").aggregate(Sum("kept_partial"), Sum("total_partial"))
+        sp = stats.to_pandas()
+        conv_ids = sp["conv_id"].tolist()
+        kept = sp["sum(kept_partial)"].tolist()
+        total = sp["sum(total_partial)"].tolist()
+    verdicts = conv_verdicts_from_counts(conv_ids, kept, total)
+    dropped = pa.array([c for c, ok in verdicts.items() if not ok], pa.string())
+    dropped_ref = ray.put(dropped)
+    return turns.map_batches(_ConvVerdictLookup(dropped_ref), batch_format="pyarrow")
 
 
 def filtered_output(ds, scorer_concurrency=None):
@@ -184,11 +205,18 @@ def filtered_output(ds, scorer_concurrency=None):
 
 
 def _ProjectConvKeep(batch: pa.Table) -> pa.Table:
-    return pa.table(
+    """Per-block partial aggregation (combiner): the conv-stats shuffle then
+    moves one row per (block, conv) instead of one per turn."""
+    t = pa.table(
         {
             "conv_id": batch.column("conv_id"),
             "keep_turn": pc.cast(batch.column("keep_turn"), pa.int64()),
         }
+    )
+    return (
+        t.group_by("conv_id", use_threads=False)
+        .aggregate([("keep_turn", "sum"), ("keep_turn", "count")])
+        .rename_columns(["conv_id", "kept_partial", "total_partial"])
     )
 
 
@@ -197,6 +225,24 @@ class _SelectKept:
         kept = batch.filter(batch.column("keep"))
         out = kept.select(["conv_id", "turn_idx", "role", "text_scrubbed", "tool", "ts"])
         return out.rename_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
+class _DocsToTranscriptsN:
+    """Replicated variant: each doc yields ``replicate`` conversations (the
+    bench uses this to scale turn volume deterministically)."""
+
+    def __init__(self, replicate: int = 1):
+        self.replicate = replicate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        base = _DocsToTranscripts(batch)  # chunk once; replicas only re-key
+        tables = [base]
+        for r in range(1, self.replicate):
+            conv = pc.binary_join_element_wise(
+                base.column("conv_id"), pa.scalar(f"r{r}"), "-"
+            )
+            tables.append(base.set_column(0, "conv_id", conv))
+        return pa.concat_tables(tables)
 
 
 def _DocsToTranscripts(batch: pa.Table) -> pa.Table:
@@ -231,9 +277,11 @@ def _DocsToTranscripts(batch: pa.Table) -> pa.Table:
     )
 
 
-def transcripts_from_documents(docs_ds):
+def transcripts_from_documents(docs_ds, replicate: int = 1):
     """documents table → deterministic transcript table (flagship input)."""
-    return docs_ds.map_batches(_DocsToTranscripts, batch_format="pyarrow")
+    if replicate <= 1:
+        return docs_ds.map_batches(_DocsToTranscripts, batch_format="pyarrow")
+    return docs_ds.map_batches(_DocsToTranscriptsN(replicate), batch_format="pyarrow")
 
 
 def quality_report(ds):

@@ -113,7 +113,23 @@ def compute_features(batch: pa.Table) -> pa.Table:
         False,
     )
 
-    scrubbed = pa.array([scrub_text(t) for t in text.to_pylist()], type=pa.string())
+    # Scrub with vectorized RE2 prefilters: Python `re` substitution only
+    # runs on rows that can possibly match (EMAIL needs '@'; every CREDITCARD
+    # match contains 4 consecutive digits; toxicity prefilter is the match
+    # itself).  Typical corpora: ~90% of rows skip the Python path entirely.
+    may_email = pc.match_substring(text, "@")
+    may_cc = pc.match_substring_regex(text, pattern=r"[0-9]{4}")
+    needs = pc.fill_null(
+        pc.or_(pc.or_(may_email, may_cc), has_toxic), False
+    ).to_numpy(zero_copy_only=False)
+    if needs.any():
+        idx = np.flatnonzero(needs)
+        fixed = [scrub_text(t) for t in text.take(pa.array(idx)).to_pylist()]
+        scrubbed_np = np.asarray(text.to_pylist(), dtype=object)
+        scrubbed_np[idx] = fixed
+        scrubbed = pa.array(scrubbed_np, type=pa.string())
+    else:
+        scrubbed = text  # no row can match: zero-copy passthrough
 
     return batch.append_column("n_chars", pa.array(n_chars, pa.int64())) \
         .append_column("n_words", pa.array(n_words, pa.int64())) \

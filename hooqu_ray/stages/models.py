@@ -50,11 +50,16 @@ def _segment_means(values: np.ndarray, offsets: np.ndarray, min_len: int) -> np.
     do not cross text boundaries.  Segments shorter than min_len get 0."""
     n = len(offsets) - 1
     k = min_len - 1
-    starts = offsets[:-1]
-    ends = np.maximum(offsets[1:] - k, starts)
-    counts = ends - starts
-    if len(values) == 0:
+    n_values = len(values)
+    if n_values == 0:
         return np.zeros(n)
+    # n-gram value at position p belongs to segment i iff p+k stays inside the
+    # segment; clip because trailing empty texts put start offsets past the
+    # last valid n-gram position
+    starts = np.clip(offsets[:-1], 0, n_values)
+    ends = np.clip(np.maximum(offsets[1:] - k, starts), 0, n_values)
+    ends = np.maximum(ends, starts)
+    counts = ends - starts
     cum = np.concatenate([[0.0], np.cumsum(values)])
     sums = cum[ends] - cum[starts]
     with np.errstate(invalid="ignore", divide="ignore"):

@@ -1,0 +1,168 @@
+"""Checkpointed, resumable partitioned runs with per-partition lineage.
+
+Realizes the reference's planned ``aggregate_with`` / ``save_states_with``
+state-persistence hooks (``hooqu/analyzers/analyzer.py:107-108``,
+``verification_suite.py:121-124``) the way a 100 TB batch job needs them:
+
+- the input is a list of FRAGMENTS (parquet files / key ranges); each
+  fragment is one unit of work and one output partition
+  ``out_dir/part=<idx>/``;
+- a partition commit is atomic: outputs + the pickled analyzer-state vector
+  + a lineage manifest (run id, fragment path, config hash) are written to a
+  temp dir, then ``os.replace``-renamed into place and marked ``_SUCCESS``;
+- a rerun SKIPS committed partitions (verified against the fragment +
+  config hash) and only processes the rest;
+- global metrics come from merging the saved per-partition states — the
+  commutative-monoid property (``states.merge_states``) makes the merge
+  independent of which run produced which partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import pickle
+import shutil
+import time
+import uuid
+from typing import Callable, Dict, List, Optional, Sequence
+
+from ..analyzers.base import ScanShareableAnalyzer
+from ..metrics import DoubleMetric
+from ..runner import AnalyzerContext, ScanPlan, _build_scan_plan, _make_runner
+from ..states import FailedState, merge_states
+
+
+def _config_hash(analyzers: Sequence[ScanShareableAnalyzer], extra: str = "") -> str:
+    payload = repr(sorted(repr(a) for a in analyzers)) + extra
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+class CheckpointedRun:
+    """Drive a fragment-partitioned pipeline with resume.
+
+    Parameters
+    ----------
+    out_dir:
+        Output root; one ``part=<i>`` directory per fragment.
+    analyzers:
+        Scan-shareable analyzers whose states are checkpointed per partition
+        and merged on finalize.
+    transform:
+        Optional ``Dataset -> Dataset`` applied to each fragment before the
+        write (e.g. the transcript filter+scrub); its output is what lands in
+        the partition's parquet.
+    """
+
+    def __init__(
+        self,
+        out_dir: str,
+        analyzers: Sequence[ScanShareableAnalyzer] = (),
+        transform: Optional[Callable] = None,
+        config_tag: str = "",
+    ):
+        self.out_dir = out_dir
+        self.analyzers = list(analyzers)
+        self.transform = transform
+        self.run_id = uuid.uuid4().hex[:12]
+        self.config_hash = _config_hash(self.analyzers, config_tag)
+        os.makedirs(out_dir, exist_ok=True)
+
+    # -- partition bookkeeping -------------------------------------------
+
+    def _part_dir(self, idx: int) -> str:
+        return os.path.join(self.out_dir, f"part={idx:05d}")
+
+    def is_committed(self, idx: int, fragment: str) -> bool:
+        marker = os.path.join(self._part_dir(idx), "_SUCCESS")
+        if not os.path.exists(marker):
+            return False
+        with open(marker) as f:
+            manifest = json.load(f)
+        return (
+            manifest.get("fragment") == fragment
+            and manifest.get("config_hash") == self.config_hash
+        )
+
+    # -- execution --------------------------------------------------------
+
+    def run(self, fragments: Sequence[str]) -> Dict[str, int]:
+        """Process every uncommitted fragment; returns counters."""
+        import ray.data as rd
+
+        done = skipped = 0
+        for idx, fragment in enumerate(fragments):
+            if self.is_committed(idx, fragment):
+                skipped += 1
+                continue
+            self._run_partition(idx, fragment, rd)
+            done += 1
+        return {"processed": done, "skipped": skipped, "total": len(fragments)}
+
+    def _run_partition(self, idx: int, fragment: str, rd) -> None:
+        part_dir = self._part_dir(idx)
+        tmp_dir = part_dir + f".tmp-{self.run_id}"
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir)
+
+        ds = rd.read_parquet(fragment)
+        out = self.transform(ds) if self.transform is not None else ds
+
+        states: List = []
+        if self.analyzers:
+            runner = _make_runner(out)
+            schema = runner.schema()
+            entries = [(a.where, (lambda _a=a, _s=schema: _a.bind(_s))) for a in self.analyzers]
+            plan, bind_errors = _build_scan_plan(entries, schema)
+            states = runner.run_scan(plan)
+            for slot, err in bind_errors.items():
+                states[slot] = FailedState.from_exception(err)
+            # NOTE: the state scan + the write below each execute the
+            # fragment lineage once; for heavy transforms either pass
+            # analyzers=() and measure the written parquet afterwards, or
+            # materialize `out` first (fragment-sized, so it fits).
+
+        out.write_parquet(os.path.join(tmp_dir, "data"))
+        with open(os.path.join(tmp_dir, "states.pkl"), "wb") as f:
+            pickle.dump({"analyzers": self.analyzers, "states": states}, f)
+        manifest = {
+            "run_id": self.run_id,
+            "fragment": fragment,
+            "partition": idx,
+            "config_hash": self.config_hash,
+            "committed_at": time.time(),
+        }
+        with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
+            json.dump(manifest, f)
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)
+        os.replace(tmp_dir, part_dir)  # atomic publish
+
+    # -- state recovery ---------------------------------------------------
+
+    def merged_metrics(self) -> AnalyzerContext:
+        """Merge every committed partition's states → metrics (this is the
+        reference's ``aggregate_with`` loader, distributed-style)."""
+        acc: List = [None] * len(self.analyzers)
+        for name in sorted(os.listdir(self.out_dir)):
+            if not name.startswith("part="):
+                continue
+            states_path = os.path.join(self.out_dir, name, "states.pkl")
+            if not os.path.exists(states_path):
+                continue
+            with open(states_path, "rb") as f:
+                saved = pickle.load(f)
+            for i, s in enumerate(saved["states"]):
+                acc[i] = merge_states(acc[i], s)
+        metrics: Dict = {}
+        for a, s in zip(self.analyzers, acc):
+            if isinstance(s, FailedState):
+                metrics[a] = a.to_failure_metric(s.to_exception())
+            else:
+                try:
+                    metrics[a] = a.metric_from_state(s)
+                except Exception as ex:  # noqa: BLE001
+                    metrics[a] = a.to_failure_metric(ex)
+        return AnalyzerContext(metrics)
