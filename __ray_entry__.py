@@ -130,7 +130,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["lang_counts_documents"] = _lang_counts_documents
     out["knn_embeddings"] = _knn_embeddings
 
+    out["windowed_events_hourly"] = _windowed_events_hourly
+    out["histogram_quantity"] = _histogram_quantity
+    out["salted_group_sum_events"] = _salted_group_sum_events
+
     # -- non-SQL-expressible (rows-only checks) ---------------------------
+    out["conversation_features"] = _conversation_features
     out["minhash_lsh_pairs_documents"] = _minhash_pairs
     out["simhash_documents"] = _simhash_docs
     out["langid_documents"] = _langid_docs
@@ -324,6 +329,85 @@ def _transcript_filter_stats(sf_dir: str):
     )
 
 
+def _windowed_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: (event_type, hour) → count + avg value.
+    Hour truncation per batch (vectorized Arrow), then one grouped
+    aggregate — the streaming-shaped workload pattern for a batch engine."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": pc.cast(
+                    pc.floor_temporal(t.column("ts"), unit="hour"), pa.timestamp("us")
+                ),
+                "value": t.column("value"),
+            }
+        )
+
+    res = (
+        ds.map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(), Mean("value"))
+        .to_pandas()
+    )
+    res = res.rename(columns={"count()": "n", "mean(value)": "avg_value"})
+    res["avg_value"] = res["avg_value"].round(6)
+    res["n"] = res["n"].astype("int64")
+    # Ray's groupby round-trips the timestamp at seconds resolution; pin the
+    # dtype to µs so it hash-compares equal to DuckDB's
+    res["hour"] = res["hour"].astype("datetime64[us]")
+    return res
+
+
+def _histogram_quantity(sf_dir: str):
+    """Equi-width histogram of l_quantity (10 buckets of width 5 from 1)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.floor(pc.divide(pc.subtract(t.column("l_quantity"), 1.0), 5.0)),
+            pa.int64(),
+        )
+        return pa.table({"bucket": b})
+
+    res = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count())
+        .to_pandas()
+        .rename(columns={"count()": "n"})
+    )
+    res["n"] = res["n"].astype("int64")
+    return res
+
+
+def _salted_group_sum_events(sf_dir: str):
+    """Skew-safe grouped sum via salted two-phase aggregation
+    (functions.shuffle.salted_group_aggregate)."""
+    from hooqu_ray.functions.shuffle import salted_group_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    res = salted_group_aggregate(ds, "user_id", ["value"], buckets=8).to_pandas()
+    res = res.rename(columns={"sum(value)": "sum_value"})
+    res["sum_value"] = res["sum_value"].round(6)
+    return res
+
+
+def _conversation_features(sf_dir: str):
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tp.conversation_features(tp.transcripts_from_documents(docs))
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -435,6 +519,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprint_documents": "SELECT doc_id, md5(text) AS md5 FROM documents",
         "lang_counts_documents": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "windowed_events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
+            "ROUND(avg(value), 6) AS avg_value FROM events GROUP BY event_type, hour"
+        ),
+        "histogram_quantity": (
+            "SELECT CAST(floor((l_quantity - 1.0) / 5.0) AS BIGINT) AS bucket, "
+            "count(*) AS n FROM lineitem GROUP BY bucket"
+        ),
+        "salted_group_sum_events": (
+            "SELECT user_id, ROUND(sum(value), 6) AS sum_value FROM events GROUP BY user_id"
+        ),
         "knn_embeddings": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
             f"WHERE vec_id < {_N_KNN_QUERIES}), "

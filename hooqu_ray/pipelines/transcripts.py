@@ -284,6 +284,40 @@ def transcripts_from_documents(docs_ds, replicate: int = 1):
     return docs_ds.map_batches(_DocsToTranscriptsN(replicate), batch_format="pyarrow")
 
 
+def conversation_features(ds, max_group_rows: int = 1_000_000):
+    """Per-conversation sequence features that genuinely need every turn of
+    a conversation together, in turn order: role-alternation validity and
+    timestamp monotonicity.  Runs as a guarded ``groupby(conv_id)`` sequence
+    apply (see functions.shuffle): turn order restored inside each group,
+    pathological mega-conversations flagged instead of materialized."""
+    from ..functions.shuffle import grouped_sequence_apply
+
+    def per_conv(group):
+        import pandas as pd
+
+        roles = group["role"].tolist()
+        core = [r for r in roles if r in ("user", "assistant")]
+        alternates = all(a != b for a, b in zip(core, core[1:]))
+        ts = group["ts"]
+        return pd.DataFrame(
+            {
+                "conv_id": [group["conv_id"].iloc[0]],
+                "n_turns": [len(group)],
+                "role_alternates": [alternates],
+                "ts_monotone": [bool(ts.is_monotonic_increasing)],
+                "first_role": [roles[0] if roles else None],
+            }
+        )
+
+    proj = ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "role", "ts"]),
+        batch_format="pyarrow",
+    )
+    return grouped_sequence_apply(
+        proj, "conv_id", per_conv, order_by="turn_idx", max_group_rows=max_group_rows
+    )
+
+
 def quality_report(ds):
     """hooqu VerificationSuite over the scored turns: every rule as a
     Compliance constraint (fraction of turns passing), plus dataset-level
