@@ -76,9 +76,8 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
 
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     ref = ray.put(qn)
-    exclude = frozenset(query_ids or ())
     partials = ds.map_batches(
-        _BlockTopK(ref, k, emb_col, id_col, None), batch_format="pyarrow"
+        _BlockTopK(ref, k, emb_col, id_col), batch_format="pyarrow"
     )
     # driver merge of tiny partials
     best: List[List[Tuple[float, object]]] = [[] for _ in range(qn.shape[0])]

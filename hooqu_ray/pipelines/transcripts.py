@@ -318,6 +318,35 @@ def conversation_features(ds, max_group_rows: int = 1_000_000):
     )
 
 
+def quality_metrics_analyzers():
+    """Analyzers checkpointed per partition by the resumable job: keep rate,
+    per-rule pass fractions, mean perplexity — all over the scored output."""
+    from ..analyzers.scan import Compliance, Mean, Size
+
+    analyzers = [Size(), Compliance("keep_rate", "keep"), Mean("ppl")]
+    analyzers += [Compliance(f"pass_{name}", f"rule_{name}") for name, _ in TURN_RULES]
+    return analyzers
+
+
+def checkpointed_filter_scrub(fragments, out_dir: str):
+    """The flagship as a RESUMABLE job: one output partition per input
+    fragment, atomic commits, per-partition quality-metric states with
+    lineage (spec fingerprint — a threshold change invalidates partitions).
+
+    Returns (run, counters); corpus-level metrics via ``run.merged_metrics()``
+    merge the saved per-partition states without touching the data again."""
+    from ..state.checkpoint import CheckpointedRun
+
+    run = CheckpointedRun(
+        out_dir,
+        analyzers=quality_metrics_analyzers(),
+        transform=filter_and_scrub,
+        config_tag=spec.spec_fingerprint(),
+    )
+    counters = run.run(fragments)
+    return run, counters
+
+
 def quality_report(ds):
     """hooqu VerificationSuite over the scored turns: every rule as a
     Compliance constraint (fraction of turns passing), plus dataset-level

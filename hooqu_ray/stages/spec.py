@@ -120,6 +120,24 @@ BIGRAM_SMOOTHING = 0.5
 TRIGRAM_SMOOTHING = 0.5
 
 
+def spec_fingerprint() -> str:
+    """Hash of every rule threshold + model corpus: checkpoint lineage uses
+    it so a spec change invalidates committed partitions."""
+    import hashlib
+
+    payload = repr(
+        (
+            MIN_CHARS, MIN_WORDS, MAX_WORDS, MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN,
+            MAX_SYMBOL_RATIO, MAX_DUP_2GRAM_FRACTION, MIN_STOPWORD_RATIO,
+            STOPWORD_MIN_WORDS, MAX_PERPLEXITY, CONV_MIN_KEPT_TURNS,
+            CONV_MIN_KEPT_FRACTION, sorted(STOPWORDS), TOXIC_WORDS, LANGS,
+            LM_CORPUS_EN, LM_CORPUS_DE, LM_CORPUS_FR,
+            N_CHAR_BUCKETS, TRIGRAM_BUCKETS, BIGRAM_SMOOTHING, TRIGRAM_SMOOTHING,
+        )
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
 def char_bucket(byte: int) -> int:
     return byte if byte < 128 else 127
 

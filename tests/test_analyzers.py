@@ -89,12 +89,15 @@ class TestMeanSumStd:
     def test_sum_matches_pandas(self, data):
         m = metric(data, hq.Sum("att2"), chunk_rows=3)
         assert isinstance(m.value, Success)
-        # reordered summation error scales with sum(|x|), not the result
+        got, expected = m.value.get(), data["att2"].sum()
+        # reordered summation error scales with sum(|x|), not the result;
+        # near DBL_MAX a partial sum may overflow to ±inf in one order and
+        # stay finite in another — accept either when overflow is plausible
         scale = np.nansum(np.abs(data["att2"])) if len(data) else 0.0
+        if np.isinf(got) != np.isinf(expected) and scale > 1e307:
+            return
         atol = 1e-9 * float(scale) if np.isfinite(scale) else 0.0
-        np.testing.assert_allclose(
-            m.value.get(), data["att2"].sum(), rtol=1e-9, atol=atol, equal_nan=True
-        )
+        np.testing.assert_allclose(got, expected, rtol=1e-9, atol=atol, equal_nan=True)
 
     @HYPO
     @given(df_strategy())
