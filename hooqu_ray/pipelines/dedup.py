@@ -236,6 +236,38 @@ def _RenameMax(batch: pa.Table) -> pa.Table:
     return batch.rename_columns(names)
 
 
+def verify_pairs(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
+                 shingle_w: int = 3, threshold: float = 0.0):
+    """Exact n-gram Jaccard verification of LSH candidate pairs.
+
+    Only the candidate docs' texts are fetched (a filtered scan over the
+    corpus — the candidate set is tiny relative to it) and broadcast; each
+    pair is then verified with the exact word-shingle Jaccard.  Returns the
+    pairs table + ``jaccard`` column, filtered to ``jaccard >= threshold``."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    pair_rows = pairs.take_all()
+    if not pair_rows:
+        return rd.from_pandas(pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}))
+    wanted = sorted({r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows})
+    wanted_arr = pa.array(wanted)
+    texts_ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column(id_col), value_set=wanted_arr)).select(
+            [id_col, text_col]
+        ),
+        batch_format="pyarrow",
+    )
+    lookup = {r[id_col]: r[text_col] for r in texts_ds.take_all()}
+    out = []
+    for r in pair_rows:
+        j = ngram_jaccard(lookup.get(r["id_a"], "") or "", lookup.get(r["id_b"], "") or "", shingle_w)
+        if j >= threshold:
+            out.append((r["id_a"], r["id_b"], j))
+    return rd.from_pandas(pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"]))
+
+
 def ngram_jaccard(text_a: str, text_b: str, w: int = 3) -> float:
     """Exact word-w-gram Jaccard (candidate verification kernel)."""
     a = set(map(tuple, zip(*[text_a.split()[i:] for i in range(w)])))

@@ -158,3 +158,24 @@ class TestEmbeddingDedup:
         )
         pairs = embedding_cosine_pairs(rd.from_pandas(df), threshold=0.95).to_pandas()
         assert (1, 2) in set(zip(pairs.id_a, pairs.id_b))
+
+
+class TestVerifyPairs:
+    def test_exact_jaccard_verification(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import minhash_lsh_pairs, verify_pairs, ngram_jaccard
+
+        base = ("the quick brown fox jumps over the lazy dog and runs far away "
+                "into the deep green forest looking for food and water")
+        near = base.replace("green", "dark")
+        far = "completely different text about databases and query planning engines"
+        df = __import__("pandas").DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+        ds = rd.from_pandas(df)
+        candidates = minhash_lsh_pairs(ds, threshold=0.3)
+        verified = verify_pairs(ds, candidates).to_pandas()
+        row = verified[(verified.id_a == 1) & (verified.id_b == 2)]
+        assert len(row) == 1
+        assert abs(row.jaccard.iloc[0] - ngram_jaccard(base, near)) < 1e-12
+        # threshold filter removes weak pairs
+        strict = verify_pairs(ds, candidates, threshold=0.99).to_pandas()
+        assert len(strict) == 0
