@@ -12,9 +12,10 @@ pool lang-ID/perplexity → policy → conv-level pass) over transcripts derived
 deterministically from the documents table, replicated ×BENCH_REPLICATE
 (default 16) for a stable measurement.
 
-``--scaling``: runs the plain bench twice in fresh interpreters at
-num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
-plus efficiency = (t8/t32)/4 (sandbox proxy for the N vs 4N-node criterion).
+``--scaling``: runs the plain bench twice in fresh interpreters at N and
+4N CPUs (default 4 vs 16; SCALING_LO/HI to override) on the same input and
+reports both throughputs plus efficiency = (t_lo/t_hi)/(hi/lo) — the sandbox
+proxy for the N vs 4N-node cluster criterion.
 """
 
 from __future__ import annotations
@@ -37,7 +38,7 @@ def _scaling() -> None:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        env.setdefault("BENCH_REPLICATE", os.environ.get("SCALING_REPLICATE", "512"))
+        env.setdefault("BENCH_REPLICATE", os.environ.get("SCALING_REPLICATE", "1024"))
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env, capture_output=True, text=True, check=True,

@@ -89,9 +89,12 @@ class QualityScorer:
         self.lid = TrigramLangID()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        langs, margin = self.lid.predict(texts)
-        ppl = self.lm.perplexity(texts)
+        from ..stages.models import _byte_codes_arrow
+
+        # one zero-copy pass over the Arrow string buffers feeds BOTH models
+        codes, offsets = _byte_codes_arrow(batch.column("text"))
+        langs, margin = self.lid.predict_codes(codes, offsets)
+        ppl = self.lm.perplexity_codes(codes, offsets)
         return (
             batch.append_column("lang", pa.array(langs, pa.string()))
             .append_column("lang_margin", pa.array(margin, pa.float64()))

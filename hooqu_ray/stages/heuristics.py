@@ -44,7 +44,9 @@ def scrub_text(text: Optional[str]) -> Optional[str]:
 
 
 def _dup_2gram_fraction(words_lists: List[Optional[List[str]]]) -> np.ndarray:
-    """Fraction of word-2grams that are repeats of an earlier 2gram."""
+    """Fraction of word-2grams that are repeats of an earlier 2gram.
+    (Reference implementation kept for tests; the hot path uses the
+    vectorized ``_dup_2gram_from_tokens``.)"""
     out = np.zeros(len(words_lists))
     for i, words in enumerate(words_lists):
         if words:
@@ -62,6 +64,50 @@ def _dup_2gram_fraction(words_lists: List[Optional[List[str]]]) -> np.ndarray:
                 seen.add(pair)
             prev = w
         out[i] = dups / (len(words) - 1)
+    return out
+
+
+try:
+    import polars as _pl
+
+    def _token_hashes(flat_tokens: pa.Array) -> np.ndarray:
+        return _pl.from_arrow(flat_tokens).hash(seed=0).to_numpy().astype(np.uint64)
+
+except ImportError:  # pragma: no cover
+    def _token_hashes(flat_tokens: pa.Array) -> np.ndarray:
+        return np.fromiter(
+            (hash(t) & 0xFFFFFFFFFFFFFFFF for t in flat_tokens.to_pylist()),
+            dtype=np.uint64,
+            count=len(flat_tokens),
+        )
+
+
+def _dup_2gram_from_tokens(
+    tok_hash: np.ndarray, tok_parent: np.ndarray, n_rows: int, n_words: np.ndarray
+) -> np.ndarray:
+    """Vectorized duplicate-2gram fraction: hash consecutive token pairs per
+    row, lexsort by (row, pair-hash); duplicates are adjacent equal entries.
+    Identical to the set-based loop up to 64-bit hash collisions (~1e-19 per
+    document)."""
+    out = np.zeros(n_rows)
+    if tok_hash.size < 2:
+        return out
+    same_row = tok_parent[:-1] == tok_parent[1:]
+    pair_hash = tok_hash[:-1] * np.uint64(0x9E3779B97F4A7C15) + tok_hash[1:]
+    pair_row = tok_parent[:-1][same_row]
+    pair_hash = pair_hash[same_row]
+    if pair_hash.size == 0:
+        return out
+    order = np.lexsort((pair_hash, pair_row))
+    sr, sh = pair_row[order], pair_hash[order]
+    dup_adj = (sr[1:] == sr[:-1]) & (sh[1:] == sh[:-1])
+    dups = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(dups, sr[1:][dup_adj], 1)
+    n_pairs = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(n_pairs, pair_row, 1)
+    valid = n_words >= 3
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out[valid] = dups[valid] / np.maximum(n_pairs[valid], 1)
     return out
 
 
@@ -105,8 +151,18 @@ def compute_features(batch: pa.Table) -> pa.Table:
         symbol_ratio = np.where(n_chars > 0, n_sym / np.maximum(n_chars, 1), 0.0)
         stopword_ratio = np.where(n_words > 0, n_stop / np.maximum(n_words, 1), 0.0)
 
-    words_py = words.to_pylist()
-    dup2 = _dup_2gram_fraction(words_py)
+    # vectorized dup-2gram: hash the flattened non-empty tokens, pair + sort
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    nonempty_mask = ~em
+    tok_parent = parent[nonempty_mask] if len(parent) else parent
+    if len(flat) and nonempty_mask.any():
+        flat_ne = flat.filter(pa.array(nonempty_mask))
+        tok_hash = _token_hashes(flat_ne)
+    else:
+        tok_hash = np.empty(0, dtype=np.uint64)
+        tok_parent = np.empty(0, dtype=np.int64)
+    dup2 = _dup_2gram_from_tokens(tok_hash, tok_parent, n, n_words)
 
     has_toxic = pc.fill_null(
         pc.match_substring_regex(lower, pattern=r"\b(?:%s)\b" % "|".join(spec.TOXIC_WORDS)),

@@ -33,7 +33,7 @@ from . import spec
 def _byte_codes(texts: Sequence[Optional[str]]) -> Tuple[np.ndarray, np.ndarray]:
     """Concatenate lowercased utf-8 bytes of all texts (None → empty).
 
-    Returns (codes uint16 folded to <128, offsets int64 of length n+1)."""
+    Returns (codes int64 folded to <128, offsets int64 of length n+1)."""
     encoded = [(t or "").lower().encode("utf-8") for t in texts]
     lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=len(encoded))
     buf = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.int64)
@@ -42,6 +42,33 @@ def _byte_codes(texts: Sequence[Optional[str]]) -> Tuple[np.ndarray, np.ndarray]
     offsets[0] = 0
     np.cumsum(lens, out=offsets[1:])
     return buf, offsets
+
+
+def _byte_codes_arrow(col) -> Tuple[np.ndarray, np.ndarray]:
+    """Zero-copy variant: byte codes + offsets straight from an Arrow string
+    array's buffers.  Lowercasing runs as the C kernel ``pc.utf8_lower``;
+    no Python-per-row encode.  Produces results identical to
+    ``_byte_codes(col.to_pylist())`` (utf-8 lower of the corpus languages is
+    byte-stable between Python str.lower and utf8_lower)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = pc.utf8_lower(pc.fill_null(col, ""))
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    raw_offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    codes = data[raw_offsets[0] : raw_offsets[-1]].astype(np.int64)
+    np.minimum(codes, 127, out=codes)
+    return codes, raw_offsets - raw_offsets[0]
 
 
 def _segment_means(values: np.ndarray, offsets: np.ndarray, min_len: int) -> np.ndarray:
@@ -80,7 +107,9 @@ class CharBigramLM:
         self.neg_logp = -np.log(probs)
 
     def perplexity(self, texts: Sequence[Optional[str]]) -> np.ndarray:
-        codes, offsets = _byte_codes(texts)
+        return self.perplexity_codes(*_byte_codes(texts))
+
+    def perplexity_codes(self, codes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         if len(codes) >= 2:
             nlp = self.neg_logp[codes[:-1], codes[1:]]
         else:
@@ -110,14 +139,17 @@ class TrigramLangID:
     def predict(self, texts: Sequence[Optional[str]]) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (lang strings, score margin best−second).  Empty/short
         texts predict the first language with margin 0."""
-        codes, offsets = _byte_codes(texts)
+        return self.predict_codes(*_byte_codes(texts))
+
+    def predict_codes(self, codes: np.ndarray, offsets: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        n_texts = len(offsets) - 1
         if len(codes) >= 3:
             buckets = ((codes[:-2] * 31 + codes[1:-1]) * 31 + codes[2:]) % spec.TRIGRAM_BUCKETS
             scores = np.stack(
                 [_segment_means(tbl[buckets], offsets, min_len=3) for tbl in self.tables]
             )  # (n_langs, n_texts)
         else:
-            scores = np.zeros((len(self.langs), len(texts)))
+            scores = np.zeros((len(self.langs), n_texts))
         best = np.argmax(scores, axis=0)  # ties → first language ("en")
         cols = np.arange(scores.shape[1])
         best_scores = scores[best, cols]
