@@ -98,6 +98,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda: hq.Quantile("l_extendedprice", 0.9), "q90", "lineitem", ["l_extendedprice"]),
         "pattern_error_events": (
             lambda: hq.PatternMatch("event_type", "^err"), "frac", "events", ["event_type"]),
+        "min_length_text": (
+            lambda: hq.MinLength("text"), "min_len", "documents", ["text"]),
+        "max_length_text": (
+            lambda: hq.MaxLength("text"), "max_len", "documents", ["text"]),
         "uniqueness_orders_custkey": (
             lambda: hq.Uniqueness(["o_custkey"]), "uniq", "orders", ["o_custkey"]),
         "uniqueness_lineitem_pk": (
@@ -460,6 +464,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quantile90_extendedprice": _NEAREST_Q_SQL.format(
             col="l_extendedprice", table="lineitem", q=0.9, name="q90"
+        ),
+        "min_length_text": (
+            "SELECT ROUND(CAST(min(length(text)) AS DOUBLE), 6) AS min_len FROM documents"
+        ),
+        "max_length_text": (
+            "SELECT ROUND(CAST(max(length(text)) AS DOUBLE), 6) AS max_len FROM documents"
         ),
         "pattern_error_events": (
             "SELECT ROUND(CAST(sum(CASE WHEN regexp_matches(event_type, '^err') "

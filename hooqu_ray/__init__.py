@@ -22,8 +22,10 @@ from .analyzers.scan import (
     Compliance,
     Correlation,
     Maximum,
+    MaxLength,
     Mean,
     Minimum,
+    MinLength,
     PatternMatch,
     Size,
     StandardDeviation,
@@ -59,8 +61,10 @@ __all__ = [
     "Failure",
     "GroupingAnalyzer",
     "Maximum",
+    "MaxLength",
     "Mean",
     "Minimum",
+    "MinLength",
     "PatternMatch",
     "Quantile",
     "ScanShareableAnalyzer",

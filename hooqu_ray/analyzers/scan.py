@@ -455,6 +455,70 @@ class _StdBound(BoundScan):
 
 
 @dataclass(frozen=True, repr=False)
+class MinLength(ScanShareableAnalyzer):
+    """Minimum string length of a column (extension; Deequ operator)."""
+
+    column: str = ""
+    where: Optional[str] = None
+
+    name = "MinLength"
+
+    @property
+    def instance(self) -> str:
+        return self.column
+
+    def _preconditions(self, schema):
+        has_column(schema, self.column)
+        is_string(schema, self.column)
+
+    def bind(self, schema):
+        return _LengthBound(self.column, is_min=True)
+
+    def metric_from_state(self, state):
+        v = state.metric_value() if state is not None else NAN
+        return metric_from_value(v, self.name, self.instance, self.entity)
+
+
+@dataclass(frozen=True, repr=False)
+class MaxLength(ScanShareableAnalyzer):
+    """Maximum string length of a column (extension; Deequ operator)."""
+
+    column: str = ""
+    where: Optional[str] = None
+
+    name = "MaxLength"
+
+    @property
+    def instance(self) -> str:
+        return self.column
+
+    def _preconditions(self, schema):
+        has_column(schema, self.column)
+        is_string(schema, self.column)
+
+    def bind(self, schema):
+        return _LengthBound(self.column, is_min=False)
+
+    def metric_from_state(self, state):
+        v = state.metric_value() if state is not None else NAN
+        return metric_from_value(v, self.name, self.instance, self.entity)
+
+
+class _LengthBound(BoundScan):
+    def __init__(self, column: str, is_min: bool):
+        self.column = column
+        self.is_min = is_min
+
+    def update(self, table: pa.Table):
+        lengths = pc.utf8_length(table.column(self.column))
+        agg = pc.min(lengths) if self.is_min else pc.max(lengths)
+        v = agg.as_py()
+        if v is None:
+            return None
+        return MinState(float(v)) if self.is_min else MaxState(float(v))
+
+
+@dataclass(frozen=True, repr=False)
 class Correlation(ScanShareableAnalyzer):
     """Pearson correlation of two numeric columns over rows where both are
     valid (extension beyond the reference; Deequ has the same operator).

@@ -28,8 +28,10 @@ from .analyzers.scan import (
     Compliance,
     Correlation,
     Maximum,
+    MaxLength,
     Mean,
     Minimum,
+    MinLength,
     PatternMatch,
     Size,
     StandardDeviation,
@@ -137,6 +139,18 @@ class Check:
             lambda f: named_analysis_constraint(
                 "Completeness", Completeness(column, f), assertion, hint
             )
+        )
+
+    def has_min_length(self, column: str, assertion: Assertion, hint: Optional[str] = None):
+        """Extension: minimum string length."""
+        return self._add_filterable(
+            lambda f: named_analysis_constraint("MinLength", MinLength(column, f), assertion, hint)
+        )
+
+    def has_max_length(self, column: str, assertion: Assertion, hint: Optional[str] = None):
+        """Extension: maximum string length."""
+        return self._add_filterable(
+            lambda f: named_analysis_constraint("MaxLength", MaxLength(column, f), assertion, hint)
         )
 
     def has_mean(self, column: str, assertion: Assertion, hint: Optional[str] = None):

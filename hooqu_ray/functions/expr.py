@@ -186,8 +186,6 @@ class _Compiler(ast.NodeVisitor):
         if isinstance(node.op, ast.Not):
             return _Node(lambda t: pc.invert(operand(t)))
         if isinstance(node.op, ast.USub):
-            if not operand.is_column and not callable(getattr(operand, "fn", None)):
-                pass
             def neg(t, _op=operand):
                 v = _op(t)
                 if isinstance(v, (int, float)):

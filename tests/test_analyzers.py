@@ -336,3 +336,20 @@ class TestAnalyzerIdentity:
         assert len(ctx.metric_map) == 2
         assert ctx.metric_map[a1].value == Success(3.5)
         assert ctx.metric_map[a2].value == Success(3.0)
+
+
+class TestLengthAnalyzers:
+    def test_min_max_length(self):
+        df = pd.DataFrame({"s": ["ab", "abcd", "", None, "xyzxyz"]})
+        m1 = metric(df, hq.MinLength("s"), chunk_rows=2)
+        m2 = metric(df, hq.MaxLength("s"), chunk_rows=2)
+        assert m1.value == Success(0.0)
+        assert m2.value == Success(6.0)
+
+    def test_non_string_fails(self, df_with_numeric_values):
+        assert metric(df_with_numeric_values, hq.MinLength("att1")).value.isFailure
+
+    def test_all_null(self):
+        df = pd.DataFrame({"s": pd.array([None, None], dtype="string")})
+        m = metric(df, hq.MinLength("s"))
+        assert math.isnan(m.value.get())
