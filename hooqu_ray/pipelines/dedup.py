@@ -319,6 +319,98 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+class _SimhashBands:
+    """Explode each simhash into 4×16-bit band rows (pigeonhole: any pair
+    within Hamming distance ≤ 3 of the full 64 bits shares at least one
+    exact 16-bit band)."""
+
+    def __init__(self, id_col: str):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        hashes = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(ids)
+        out_id, out_band, out_val, out_hash = [], [], [], []
+        for b in range(4):
+            vals = (hashes >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            out_id.extend(ids)
+            out_band.extend([b] * n)
+            out_val.extend(int(v) for v in vals)
+            out_hash.extend(int(h) for h in hashes)
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id),
+                "band": pa.array(out_band, pa.int32()),
+                "band_val": pa.array(out_val, pa.int32()),
+                "simhash": pa.array(np.array(out_hash, dtype=np.uint64), pa.uint64()),
+            }
+        )
+
+
+class _SimhashBucketPairs:
+    def __init__(self, id_col: str, max_hamming: int):
+        self.id_col = id_col
+        self.max_hamming = max_hamming
+
+    def __call__(self, group):
+        import pandas as pd
+
+        n = len(group)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        ids = group[self.id_col].tolist()
+        hs = [int(h) for h in group["simhash"]]
+        rows = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = bin(hs[i] ^ hs[j]).count("1")
+                if d <= self.max_hamming:
+                    a, b = sorted((ids[i], ids[j]))
+                    rows.append((a, b, d))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+
+def simhash_near_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3, concurrency=None):
+    """SimHash near-duplicate pairs: signatures → 16-bit band explode →
+    groupby(band, band_val) buckets (hot-bucket prefilter like MinHash) →
+    within-bucket Hamming verification ≤ max_hamming → pair dedup."""
+    from ray.data.aggregate import Min
+
+    sigs = simhash_signatures(ds, text_col, id_col, concurrency).materialize()
+    bands = sigs.map_batches(_SimhashBands(id_col), batch_format="pyarrow").materialize()
+    counts = bands.groupby(["band", "band_val"]).count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("count()"), 1)).select(["band", "band_val"]),
+        batch_format="pyarrow",
+    ).take_all()
+    if not hot:
+        import pandas as pd
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}))
+    hot_keys = pa.array([r["band"] * 65536 + r["band_val"] for r in hot], pa.int64())
+
+    def filter_hot(t: pa.Table) -> pa.Table:
+        key = pc.add(pc.multiply(pc.cast(t.column("band"), pa.int64()), 65536),
+                     pc.cast(t.column("band_val"), pa.int64()))
+        return t.filter(pc.is_in(key, value_set=hot_keys))
+
+    hot_ds = bands.map_batches(filter_hot, batch_format="pyarrow")
+    bp = _SimhashBucketPairs(id_col, max_hamming)
+    pairs = hot_ds.groupby(["band", "band_val"]).map_groups(
+        lambda g, _bp=bp: _bp(g), batch_format="pandas"
+    )
+    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming"))
+    return uniq.map_batches(
+        lambda t: t.rename_columns(
+            [("hamming" if c == "min(hamming)" else c) for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup
 # ---------------------------------------------------------------------------

@@ -179,3 +179,19 @@ class TestVerifyPairs:
         # threshold filter removes weak pairs
         strict = verify_pairs(ds, candidates, threshold=0.99).to_pandas()
         assert len(strict) == 0
+
+
+class TestSimhashNearPairs:
+    def test_finds_small_hamming_pairs(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import simhash_near_pairs
+
+        base = ("the quick brown fox jumps over the lazy dog near the river "
+                "bank today while the sun shines on the calm green water")
+        near = base.replace("today", "tonight")
+        far = "entirely unrelated words concerning galaxies and spectral telescopes"
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+        pairs = simhash_near_pairs(rd.from_pandas(df), max_hamming=8).to_pandas()
+        got = set(zip(pairs.id_a, pairs.id_b))
+        assert (1, 2) in got
+        assert (1, 3) not in got and (2, 3) not in got
