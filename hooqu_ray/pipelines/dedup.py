@@ -72,7 +72,8 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     Hash-partition shuffle on a 64-bit content hash, never on the raw text."""
     hashed = ds.map_batches(_AddContentHash(text_col), batch_format="pyarrow")
     deduped = hashed.groupby("__content_hash").map_groups(
-        lambda g, _id=id_col: g.nsmallest(1, _id), batch_format="pandas"
+        # sort_values works for any ordered id dtype (nsmallest rejects strings)
+        lambda g, _id=id_col: g.sort_values(_id).head(1), batch_format="pandas"
     )
     return deduped.drop_columns(["__content_hash"])
 
@@ -269,11 +270,24 @@ def verify_pairs(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
 
 
 def ngram_jaccard(text_a: str, text_b: str, w: int = 3) -> float:
-    """Exact word-w-gram Jaccard (candidate verification kernel)."""
-    a = set(map(tuple, zip(*[text_a.split()[i:] for i in range(w)])))
-    b = set(map(tuple, zip(*[text_b.split()[i:] for i in range(w)])))
+    """Exact word-w-gram Jaccard (candidate verification kernel).
+
+    Texts shorter than w words contribute their full word tuple as the single
+    shingle (mirroring ``_shingle_hashes``) — otherwise two completely
+    different short texts would both have empty shingle sets and 'verify' as
+    perfect duplicates."""
+
+    def shingles(text: str):
+        words = text.split()
+        if not words:
+            return set()
+        if len(words) < w:
+            return {tuple(words)}
+        return set(zip(*[words[i:] for i in range(w)]))
+
+    a, b = shingles(text_a), shingles(text_b)
     if not a and not b:
-        return 1.0
+        return 1.0  # both genuinely empty
     return len(a & b) / max(len(a | b), 1)
 
 
@@ -427,6 +441,14 @@ class _HyperplaneBucket:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    self.id_col: batch.column(self.id_col),
+                    "bucket": pa.array([], pa.uint64()),
+                    self.emb_col: batch.column(self.emb_col),
+                }
+            )
         emb = np.stack(batch.column(self.emb_col).to_pylist()).astype(np.float64)
         signs = (emb @ self.planes) > 0
         bucket = (signs.astype(np.uint64) << np.arange(signs.shape[1], dtype=np.uint64)).sum(axis=1)

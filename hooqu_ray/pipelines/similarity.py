@@ -35,6 +35,14 @@ class _BlockTopK:
         self._q: Optional[np.ndarray] = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # e.g. IVF centroid filter emptied this block
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int64()),
+                    self.id_col: batch.column(self.id_col),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         if self._q is None:
             import ray
 
@@ -76,8 +84,12 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
 
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     ref = ray.put(qn)
+    # fetch one extra local candidate per block when self-matches get
+    # excluded later: the self row may displace the true k-th neighbor
+    # inside its own block
+    k_local = k + 1 if query_ids is not None else k
     partials = ds.map_batches(
-        _BlockTopK(ref, k, emb_col, id_col), batch_format="pyarrow"
+        _BlockTopK(ref, k_local, emb_col, id_col), batch_format="pyarrow"
     )
     # driver merge of tiny partials
     best: List[List[Tuple[float, object]]] = [[] for _ in range(qn.shape[0])]
@@ -136,6 +148,8 @@ class _AssignCentroid:
         self._c = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("centroid", pa.array([], pa.int32()))
         if self._c is None:
             import ray
 

@@ -77,7 +77,6 @@ def generate_transcripts(n_convs: int = 200, seed: int = 42) -> pa.Table:
         n_turns = int(conv_lengths[ci])
         t0 = base_ts + np.timedelta64(int(rng.integers(0, 10_000_000)), "s")
         for ti in range(n_turns):
-            role = ROLES[int(rng.integers(0, 2))] if ti % 2 == 0 else ROLES[1 - ti % 2]
             role = ROLES[ti % 2]  # strict user/assistant alternation baseline
             r = rng.random()
             tool = None

@@ -119,9 +119,6 @@ def compute_features(batch: pa.Table) -> pa.Table:
     n = len(batch)
 
     n_chars = pc.fill_null(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False)
-    n_ws = pc.fill_null(
-        pc.count_substring_regex(text, pattern=WHITESPACE_PATTERN), 0
-    ).to_numpy(zero_copy_only=False)
     n_sym = pc.fill_null(
         pc.count_substring_regex(text, pattern=SYMBOL_PATTERN), 0
     ).to_numpy(zero_copy_only=False)
@@ -145,13 +142,7 @@ def compute_features(batch: pa.Table) -> pa.Table:
         pc.count_substring_regex(lower, pattern=STOPWORD_PATTERN), 0
     ).to_numpy(zero_copy_only=False)
 
-    with np.errstate(invalid="ignore", divide="ignore"):
-        sum_word_chars = n_chars - n_ws
-        mean_word_len = np.where(n_words > 0, sum_word_chars / np.maximum(n_words, 1), 0.0)
-        symbol_ratio = np.where(n_chars > 0, n_sym / np.maximum(n_chars, 1), 0.0)
-        stopword_ratio = np.where(n_words > 0, n_stop / np.maximum(n_words, 1), 0.0)
-
-    # vectorized dup-2gram: hash the flattened non-empty tokens, pair + sort
+    # token views (shared by mean_word_len + dup-2gram)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
     nonempty_mask = ~em
@@ -159,9 +150,24 @@ def compute_features(batch: pa.Table) -> pa.Table:
     if len(flat) and nonempty_mask.any():
         flat_ne = flat.filter(pa.array(nonempty_mask))
         tok_hash = _token_hashes(flat_ne)
+        tok_lens = pc.utf8_length(flat_ne).to_numpy(zero_copy_only=False)
     else:
+        flat_ne = None
         tok_hash = np.empty(0, dtype=np.uint64)
         tok_parent = np.empty(0, dtype=np.int64)
+        tok_lens = np.empty(0, dtype=np.int64)
+    # sum of token lengths per row — byte-identical to the oracle's
+    # sum(len(w) for w in text.split()); (n_chars − ascii-\s count) would
+    # diverge on non-ASCII whitespace like U+00A0
+    sum_word_chars = np.zeros(n, dtype=np.int64)
+    if len(tok_parent):
+        np.add.at(sum_word_chars, tok_parent, tok_lens)
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_word_len = np.where(n_words > 0, sum_word_chars / np.maximum(n_words, 1), 0.0)
+        symbol_ratio = np.where(n_chars > 0, n_sym / np.maximum(n_chars, 1), 0.0)
+        stopword_ratio = np.where(n_words > 0, n_stop / np.maximum(n_words, 1), 0.0)
+
     dup2 = _dup_2gram_from_tokens(tok_hash, tok_parent, n, n_words)
 
     has_toxic = pc.fill_null(

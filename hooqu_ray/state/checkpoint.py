@@ -34,8 +34,23 @@ from ..runner import AnalyzerContext, ScanPlan, _build_scan_plan, _make_runner
 from ..states import FailedState, merge_states
 
 
+def _analyzer_identity(a) -> str:
+    """Full identity including where-filters/predicates/params (repr() alone
+    is just Name(instance) and would let a changed predicate reuse stale
+    partitions)."""
+    import dataclasses
+
+    parts = [type(a).__name__]
+    if dataclasses.is_dataclass(a):
+        for f in dataclasses.fields(a):
+            parts.append(f"{f.name}={getattr(a, f.name)!r}")
+    else:  # non-dataclass analyzers: fall back to the instance dict
+        parts.append(repr(sorted(vars(a).items())))
+    return "|".join(parts)
+
+
 def _config_hash(analyzers: Sequence[ScanShareableAnalyzer], extra: str = "") -> str:
-    payload = repr(sorted(repr(a) for a in analyzers)) + extra
+    payload = repr(sorted(_analyzer_identity(a) for a in analyzers)) + extra
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
@@ -147,11 +162,17 @@ class CheckpointedRun:
         reference's ``aggregate_with`` loader, distributed-style)."""
         acc: List = [None] * len(self.analyzers)
         for name in sorted(os.listdir(self.out_dir)):
-            if not name.startswith("part="):
+            if not name.startswith("part=") or ".tmp-" in name:
                 continue
-            states_path = os.path.join(self.out_dir, name, "states.pkl")
-            if not os.path.exists(states_path):
+            part_dir = os.path.join(self.out_dir, name)
+            states_path = os.path.join(part_dir, "states.pkl")
+            marker = os.path.join(part_dir, "_SUCCESS")
+            if not (os.path.exists(states_path) and os.path.exists(marker)):
                 continue
+            with open(marker) as f:
+                manifest = json.load(f)
+            if manifest.get("config_hash") != self.config_hash:
+                continue  # stale partition from a different analyzer config
             with open(states_path, "rb") as f:
                 saved = pickle.load(f)
             for i, s in enumerate(saved["states"]):

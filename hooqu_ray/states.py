@@ -34,11 +34,17 @@ class State:
 
 
 def merge_states(a: Optional[S], b: Optional[S]) -> Optional[S]:
-    """Fold helper treating None as the monoid identity."""
+    """Fold helper: None is the identity; a FailedState on EITHER side
+    poisons the merge (left-side-only poisoning would crash the typed
+    ``sum`` of the other operand)."""
     if a is None:
         return b
     if b is None:
         return a
+    if isinstance(a, FailedState):
+        return a
+    if isinstance(b, FailedState):
+        return b
     return a.sum(b)
 
 
