@@ -263,7 +263,11 @@ def verify_pairs(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
     lookup = {r[id_col]: r[text_col] for r in texts_ds.take_all()}
     out = []
     for r in pair_rows:
-        j = ngram_jaccard(lookup.get(r["id_a"], "") or "", lookup.get(r["id_b"], "") or "", shingle_w)
+        ta = lookup.get(r["id_a"])
+        tb = lookup.get(r["id_b"])
+        if ta is None or tb is None:
+            continue  # unresolvable text must NOT "verify" as a duplicate
+        j = ngram_jaccard(ta, tb, shingle_w)
         if j >= threshold:
             out.append((r["id_a"], r["id_b"], j))
     return rd.from_pandas(pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"]))
@@ -334,30 +338,41 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 class _SimhashBands:
-    """Explode each simhash into 4×16-bit band rows (pigeonhole: any pair
-    within Hamming distance ≤ 3 of the full 64 bits shares at least one
-    exact 16-bit band)."""
+    """Explode each simhash into ``n_bands`` band rows (pigeonhole: any pair
+    within Hamming distance ≤ n_bands − 1 of the full 64 bits shares at
+    least one exact band).  Fully vectorized (np.repeat/tile)."""
 
-    def __init__(self, id_col: str):
+    def __init__(self, id_col: str, n_bands: int = 4):
+        assert 2 <= n_bands <= 16
         self.id_col = id_col
+        self.n_bands = n_bands
+        width = 64 // n_bands
+        self.shifts = [np.uint64(width * b) for b in range(n_bands)]
+        self.masks = [
+            np.uint64((1 << (64 - width * (n_bands - 1))) - 1)
+            if b == n_bands - 1
+            else np.uint64((1 << width) - 1)
+            for b in range(n_bands)
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
+        ids = batch.column(self.id_col)
         hashes = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        n = len(ids)
-        out_id, out_band, out_val, out_hash = [], [], [], []
-        for b in range(4):
-            vals = (hashes >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-            out_id.extend(ids)
-            out_band.extend([b] * n)
-            out_val.extend(int(v) for v in vals)
-            out_hash.extend(int(h) for h in hashes)
+        n = len(batch)
+        vals = np.concatenate(
+            [((hashes >> s) & m).astype(np.int64) for s, m in zip(self.shifts, self.masks)]
+        )
+        bands = np.repeat(np.arange(self.n_bands, dtype=np.int32), n)
+        rep_ids = pa.concat_arrays(
+            [ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids]
+            * self.n_bands
+        )
         return pa.table(
             {
-                self.id_col: pa.array(out_id),
-                "band": pa.array(out_band, pa.int32()),
-                "band_val": pa.array(out_val, pa.int32()),
-                "simhash": pa.array(np.array(out_hash, dtype=np.uint64), pa.uint64()),
+                self.id_col: rep_ids,
+                "band": pa.array(bands, pa.int32()),
+                "band_val": pa.array(vals, pa.int64()),
+                "simhash": pa.array(np.tile(hashes, self.n_bands), pa.uint64()),
             }
         )
 
@@ -387,13 +402,22 @@ class _SimhashBucketPairs:
 
 def simhash_near_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                        max_hamming: int = 3, concurrency=None):
-    """SimHash near-duplicate pairs: signatures → 16-bit band explode →
+    """SimHash near-duplicate pairs: signatures → band explode →
     groupby(band, band_val) buckets (hot-bucket prefilter like MinHash) →
-    within-bucket Hamming verification ≤ max_hamming → pair dedup."""
+    within-bucket Hamming verification ≤ max_hamming → pair dedup.
+
+    Band count = max_hamming + 1 (pigeonhole guarantee: every pair within
+    the requested distance shares ≥ 1 exact band); supports
+    max_hamming ≤ 15 (16 bands of 4 bits)."""
+    if not 0 <= max_hamming <= 15:
+        raise ValueError("max_hamming must be in [0, 15] for 64-bit banding")
     from ray.data.aggregate import Min
 
-    sigs = simhash_signatures(ds, text_col, id_col, concurrency).materialize()
-    bands = sigs.map_batches(_SimhashBands(id_col), batch_format="pyarrow").materialize()
+    n_bands = max(2, max_hamming + 1)
+    sigs = simhash_signatures(ds, text_col, id_col, concurrency)
+    bands = sigs.map_batches(
+        _SimhashBands(id_col, n_bands), batch_format="pyarrow"
+    ).materialize()
     counts = bands.groupby(["band", "band_val"]).count()
     hot = counts.map_batches(
         lambda t: t.filter(pc.greater(t.column("count()"), 1)).select(["band", "band_val"]),
@@ -404,11 +428,12 @@ def simhash_near_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         import ray.data as rd
 
         return rd.from_pandas(pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}))
-    hot_keys = pa.array([r["band"] * 65536 + r["band_val"] for r in hot], pa.int64())
+    # combined key: band occupies the low 4 bits (band < 16, band_val < 2^60)
+    hot_keys = pa.array([r["band_val"] * 16 + r["band"] for r in hot], pa.int64())
 
     def filter_hot(t: pa.Table) -> pa.Table:
-        key = pc.add(pc.multiply(pc.cast(t.column("band"), pa.int64()), 65536),
-                     pc.cast(t.column("band_val"), pa.int64()))
+        key = pc.add(pc.multiply(pc.cast(t.column("band_val"), pa.int64()), 16),
+                     pc.cast(t.column("band"), pa.int64()))
         return t.filter(pc.is_in(key, value_set=hot_keys))
 
     hot_ds = bands.map_batches(filter_hot, batch_format="pyarrow")

@@ -268,6 +268,9 @@ class RayRunner:
         # the hash shuffle, which then moves #blocks × #distinct rows instead
         # of every row (7× on a 5-value key at sf0.1).  Near-unique keys →
         # plain count() shuffle (local pre-agg can't shrink anything).
+        # NOTE: head-of-dataset probe — a key-sorted/clustered input can
+        # misclassify cardinality, costing at most one wasted local group_by
+        # pass (never correctness); a uniform sample would itself cost a scan
         try:
             sample = pa.Table.from_pylist(ds.limit(4096).take_all())
             sample = sample.select(cols) if len(sample) else None

@@ -137,7 +137,7 @@ def compute_features(batch: pa.Table) -> pa.Table:
         np.add.at(empties_per_row, parent[em], 1)
     n_words = n_words_arr - empties_per_row
 
-    lower = pc.utf8_lower(text)
+    lower = pc.ascii_lower(text)  # ASCII-only by spec (matches oracle translate table)
     n_stop = pc.fill_null(
         pc.count_substring_regex(lower, pattern=STOPWORD_PATTERN), 0
     ).to_numpy(zero_copy_only=False)

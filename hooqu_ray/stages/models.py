@@ -34,9 +34,10 @@ def _byte_codes(texts: Sequence[Optional[str]]) -> Tuple[np.ndarray, np.ndarray]
     """Concatenate lowercased utf-8 bytes of all texts (None → empty).
 
     Returns (codes int64 folded to <128, offsets int64 of length n+1)."""
-    encoded = [(t or "").lower().encode("utf-8") for t in texts]
+    encoded = [(t or "").encode("utf-8") for t in texts]
     lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=len(encoded))
     buf = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.int64)
+    _ascii_lower_codes(buf)
     np.minimum(buf, 127, out=buf)
     offsets = np.empty(len(encoded) + 1, dtype=np.int64)
     offsets[0] = 0
@@ -44,18 +45,22 @@ def _byte_codes(texts: Sequence[Optional[str]]) -> Tuple[np.ndarray, np.ndarray]
     return buf, offsets
 
 
+def _ascii_lower_codes(codes: np.ndarray) -> None:
+    """In-place ASCII lowercase of an int64 byte-code array."""
+    upper = (codes >= 65) & (codes <= 90)
+    codes[upper] += 32
+
+
 def _byte_codes_arrow(col) -> Tuple[np.ndarray, np.ndarray]:
     """Zero-copy variant: byte codes + offsets straight from an Arrow string
-    array's buffers.  Lowercasing runs as the C kernel ``pc.utf8_lower``;
-    no Python-per-row encode.  Produces results identical to
-    ``_byte_codes(col.to_pylist())`` (utf-8 lower of the corpus languages is
-    byte-stable between Python str.lower and utf8_lower)."""
+    array's buffers; ASCII-only lowercase applied on the code array (see
+    ``_byte_codes`` — by spec, and bit-identical to the list path)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    arr = pc.utf8_lower(pc.fill_null(col, ""))
+    arr = pc.fill_null(col, "")
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_large_string(arr.type):
@@ -67,6 +72,7 @@ def _byte_codes_arrow(col) -> Tuple[np.ndarray, np.ndarray]:
     ].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     codes = data[raw_offsets[0] : raw_offsets[-1]].astype(np.int64)
+    _ascii_lower_codes(codes)
     np.minimum(codes, 127, out=codes)
     return codes, raw_offsets - raw_offsets[0]
 

@@ -106,6 +106,7 @@ class CheckpointedRun:
         """Process every uncommitted fragment; returns counters."""
         import ray.data as rd
 
+        self._fragments = list(fragments)
         done = skipped = 0
         for idx, fragment in enumerate(fragments):
             if self.is_committed(idx, fragment):
@@ -173,6 +174,12 @@ class CheckpointedRun:
                 manifest = json.load(f)
             if manifest.get("config_hash") != self.config_hash:
                 continue  # stale partition from a different analyzer config
+            fragments = getattr(self, "_fragments", None)
+            if fragments is not None and (
+                manifest.get("partition", -1) >= len(fragments)
+                or manifest.get("fragment") != fragments[manifest.get("partition", -1)]
+            ):
+                continue  # partition not part of the current fragment list
             with open(states_path, "rb") as f:
                 saved = pickle.load(f)
             for i, s in enumerate(saved["states"]):

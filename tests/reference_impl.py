@@ -20,13 +20,21 @@ import pandas as pd
 from hooqu_ray.stages import spec
 
 _SYMBOL_RE = re.compile(r"[^0-9A-Za-z_\s]", re.ASCII)
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def _ascii_lower(text: str) -> str:
+    return text.translate(_ASCII_LOWER)
 _WS_RE = re.compile(r"\s", re.ASCII)
 _STOP_RE = re.compile(r"\b(?:%s)\b" % "|".join(sorted(spec.STOPWORDS)))
 _TOX_SEARCH = re.compile(r"\b(?:%s)\b" % "|".join(spec.TOXIC_WORDS))
 
 
 def _codes(text: str):
-    return [b if b < 128 else 127 for b in text.lower().encode("utf-8")]
+    # ASCII-only lowercase by spec (see hooqu_ray.stages.models._byte_codes)
+    return [b if b < 128 else 127 for b in _ascii_lower(text).encode("utf-8")]
 
 
 class OracleModels:
@@ -123,14 +131,14 @@ def oracle_turn_keep(text, models: OracleModels) -> bool:
         if dups / len(pairs) > spec.MAX_DUP_2GRAM_FRACTION:
             return False
     if n_words >= spec.STOPWORD_MIN_WORDS:
-        n_stop = len(_STOP_RE.findall(text.lower()))
+        n_stop = len(_STOP_RE.findall(_ascii_lower(text)))
         if n_stop / n_words < spec.MIN_STOPWORD_RATIO:
             return False
     if models.lang(text) != "en":
         return False
     if models.ppl(text) > spec.MAX_PERPLEXITY:
         return False
-    if _TOX_SEARCH.search(text.lower()):
+    if _TOX_SEARCH.search(_ascii_lower(text)):
         return False
     return True
 

@@ -119,3 +119,67 @@ def test_stale_partition_states_excluded_from_merge(ray_session, tmp_path):
     ctx = run_b.merged_metrics()
     vals = [m.value.get() for m in ctx.all_metrics()]
     assert vals == [4.5]  # mean over both committed partitions, no Sum state mixed in
+
+
+# --- round-2 review findings ---------------------------------------------
+
+
+def test_ascii_lower_parity_on_special_casing():
+    import sys
+
+    sys.path.insert(0, "tests")
+    from hooqu_ray.stages.models import CharBigramLM, TrigramLangID
+    from reference_impl import OracleModels
+
+    texts = ["İstanbul STRASSE ﬁne ÄÖÜ mixed CASE text", "ǅungla Ǆ title-case"]
+    lm, lid, om = CharBigramLM(), TrigramLangID(), OracleModels()
+    ppl = lm.perplexity(texts)
+    langs, _ = lid.predict(texts)
+    for i, t in enumerate(texts):
+        assert abs(ppl[i] - om.ppl(t)) < 1e-12, t
+        assert langs[i] == om.lang(t), t
+
+
+def test_simhash_larger_hamming_uses_enough_bands(ray_session):
+    import ray.data as rd
+    from hooqu_ray.pipelines.dedup import SimHasher, simhash_near_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank today while the sun shines on the calm green water")
+    near = base.replace("today", "tomorrow").replace("calm", "wild")
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [base, near]})
+    sh = SimHasher()
+    d = bin(sh.simhash(base) ^ sh.simhash(near)).count("1")
+    if d == 0 or d > 12:
+        pytest.skip(f"texts ended up at hamming {d}; test needs 1..12")
+    pairs = simhash_near_pairs(rd.from_pandas(df), max_hamming=d).to_pandas()
+    assert (1, 2) in set(zip(pairs.id_a, pairs.id_b))
+    assert pairs.set_index(["id_a", "id_b"]).loc[(1, 2), "hamming"] == d
+
+    with pytest.raises(ValueError):
+        simhash_near_pairs(rd.from_pandas(df), max_hamming=20)
+
+
+def test_verify_pairs_skips_unresolvable_texts(ray_session):
+    import ray.data as rd
+    from hooqu_ray.pipelines.dedup import verify_pairs
+
+    corpus = pd.DataFrame({"doc_id": [1], "text": ["only this document exists"]})
+    stale_pairs = rd.from_pandas(pd.DataFrame(
+        {"id_a": [98], "id_b": [99], "est_jaccard": [1.0]}
+    ))
+    out = verify_pairs(rd.from_pandas(corpus), stale_pairs).to_pandas()
+    assert len(out) == 0  # never "confirms" pairs whose texts can't be fetched
+
+
+def test_merged_metrics_scoped_to_current_fragments(ray_session, tmp_path):
+    from hooqu_ray.state.checkpoint import CheckpointedRun
+
+    f1, f2, f3 = [str(tmp_path / f"f{i}.parquet") for i in range(3)]
+    for i, p in enumerate((f1, f2, f3)):
+        pd.DataFrame({"x": range(i * 10, i * 10 + 10)}).to_parquet(p)
+    out = str(tmp_path / "out")
+    CheckpointedRun(out, [hq.Size()]).run([f1, f2, f3])
+    shorter = CheckpointedRun(out, [hq.Size()])
+    shorter.run([f1, f2])  # f3's partition remains on disk but is out of scope
+    assert shorter.merged_metrics().all_metrics()[0].value.get() == 20.0
