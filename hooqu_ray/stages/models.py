@@ -18,7 +18,8 @@ Math (shared with the test oracle via ``spec``):
   P Laplace-smoothed per ``spec.BIGRAM_SMOOTHING``.  Texts with < 2 bytes
   get ppl = 1.0.
 
-Both lowercase the text and fold bytes ≥ 128 into bucket 127.
+Both ASCII-lowercase the raw utf-8 bytes and fold bytes ≥ 128 into bucket
+127 (ASCII-only case by spec — see ``_byte_codes``).
 """
 
 from __future__ import annotations
@@ -31,9 +32,13 @@ from . import spec
 
 
 def _byte_codes(texts: Sequence[Optional[str]]) -> Tuple[np.ndarray, np.ndarray]:
-    """Concatenate lowercased utf-8 bytes of all texts (None → empty).
+    """Concatenate ASCII-lowercased utf-8 bytes of all texts (None → empty).
 
-    Returns (codes int64 folded to <128, offsets int64 of length n+1)."""
+    Returns (codes int64 folded to <128, offsets int64 of length n+1).
+    Lowercasing is ASCII-only BY SPEC: bytes ≥128 fold into one bucket, so
+    non-ASCII case is invisible to the models anyway, and ASCII-only lowering
+    is bit-identical across the engine byte path, pc.ascii_lower, and the
+    oracle's translate table (full Unicode lowering is not — e.g. U+0130)."""
     encoded = [(t or "").encode("utf-8") for t in texts]
     lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=len(encoded))
     buf = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.int64)

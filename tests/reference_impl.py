@@ -27,7 +27,6 @@ _ASCII_LOWER = str.maketrans(
 
 def _ascii_lower(text: str) -> str:
     return text.translate(_ASCII_LOWER)
-_WS_RE = re.compile(r"\s", re.ASCII)
 _STOP_RE = re.compile(r"\b(?:%s)\b" % "|".join(sorted(spec.STOPWORDS)))
 _TOX_SEARCH = re.compile(r"\b(?:%s)\b" % "|".join(spec.TOXIC_WORDS))
 
