@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda: hq.Entropy(["l_returnflag"]), "entropy", "lineitem", ["l_returnflag"]),
         "unique_value_ratio_custkey": (
             lambda: hq.UniqueValueRatio(["o_custkey"]), "uvr", "orders", ["o_custkey"]),
+        "mutual_info_flag_status": (
+            lambda: hq.MutualInformation(["l_returnflag", "l_linestatus"]),
+            "mi", "lineitem", ["l_returnflag", "l_linestatus"]),
     }
     for qname, (make, col, table, columns) in analyzer_specs.items():
         out[qname] = _q(
@@ -496,6 +499,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag), "
             "t AS (SELECT sum(cnt) AS n FROM f) "
             "SELECT ROUND(ln(n) - sum(cnt * ln(cnt)) / n, 6) AS entropy FROM f, t GROUP BY n"
+        ),
+        "mutual_info_flag_status": (
+            "WITH j AS (SELECT l_returnflag AS x, l_linestatus AS y, count(*) AS c "
+            "FROM lineitem WHERE l_returnflag IS NOT NULL OR l_linestatus IS NOT NULL "
+            "GROUP BY x, y), n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM j), "
+            "mx AS (SELECT x, CAST(sum(c) AS DOUBLE) AS cx FROM j GROUP BY x), "
+            "my AS (SELECT y, CAST(sum(c) AS DOUBLE) AS cy FROM j GROUP BY y) "
+            "SELECT ROUND(sum((j.c / n.n) * ln((j.c * n.n) / (mx.cx * my.cy))), 6) AS mi "
+            "FROM j JOIN mx ON j.x = mx.x JOIN my ON j.y = my.y CROSS JOIN n"
         ),
         "unique_value_ratio_custkey": (
             "WITH f AS (SELECT o_custkey, count(*) AS cnt FROM orders "

@@ -13,6 +13,7 @@ from .analyzers.grouping import (
     CountDistinct,
     Distinctness,
     Entropy,
+    MutualInformation,
     UniqueValueRatio,
     Uniqueness,
 )
@@ -65,6 +66,7 @@ __all__ = [
     "Mean",
     "Minimum",
     "MinLength",
+    "MutualInformation",
     "PatternMatch",
     "Quantile",
     "ScanShareableAnalyzer",

@@ -96,6 +96,46 @@ class CountDistinct(_FrequencyAnalyzer):
         return float(freq.num_groups)
 
 
+class MutualInformation(_FrequencyAnalyzer):
+    """Mutual information (nats) between two columns (extension; Deequ
+    operator): I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))).
+
+    Runs on the JOINT frequency shuffle (groupby both columns); the runner
+    hands this analyzer the joint frequency table reduction via
+    ``metric_from_joint_frequencies`` — marginals derive from the joint
+    counts, so one shuffle suffices.  Requires exactly two grouping columns
+    and materializes #distinct-pairs rows on the driver (low-cardinality
+    assumption, same as Deequ's)."""
+
+    name = "MutualInformation"
+
+    def _preconditions(self, schema):
+        super()._preconditions(schema)
+        if len(self.columns) != 2:
+            raise ValueError("MutualInformation requires exactly two columns")
+
+    def _value(self, freq: FrequenciesAndNumRows) -> float:
+        raise NotImplementedError("computed from the joint frequency table")
+
+    def metric_from_joint_frequencies(self, pairs) -> "DoubleMetric":
+        """pairs: list of ((x, y), count) over the joint groups."""
+        from collections import defaultdict
+
+        n = sum(c for _, c in pairs)
+        if n == 0:
+            return metric_from_value(float("nan"), self.name, self.instance, self.entity)
+        px = defaultdict(int)
+        py = defaultdict(int)
+        for (x, y), c in pairs:
+            px[x] += c
+            py[y] += c
+        mi = 0.0
+        for (x, y), c in pairs:
+            pxy = c / n
+            mi += pxy * math.log(pxy * n * n / (px[x] * py[y]))
+        return metric_from_value(mi, self.name, self.instance, self.entity)
+
+
 class Entropy(_FrequencyAnalyzer):
     """Shannon entropy (nats) of the value distribution (extension; Deequ
     operator).  H = ln(N) − Σ cnt·ln(cnt) / N, computed from mergeable

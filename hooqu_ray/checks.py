@@ -19,6 +19,7 @@ from .analyzers.grouping import (
     CountDistinct,
     Distinctness,
     Entropy,
+    MutualInformation,
     UniqueValueRatio,
     Uniqueness,
 )
@@ -324,6 +325,16 @@ class Check:
         """Extension: Shannon entropy of the value distribution."""
         return self._add_filterable(
             lambda f: named_analysis_constraint("Entropy", Entropy([column], f), assertion, hint)
+        )
+
+    def has_mutual_information(
+        self, column_a: str, column_b: str, assertion: Assertion, hint: Optional[str] = None
+    ):
+        """Extension: mutual information (nats) between two columns."""
+        return self._add_filterable(
+            lambda f: named_analysis_constraint(
+                "MutualInformation", MutualInformation([column_a, column_b], f), assertion, hint
+            )
         )
 
     def has_correlation(

@@ -189,6 +189,18 @@ class LocalRunner:
             acc = plan.accumulate(acc, chunk)
         return acc
 
+    def joint_frequencies(self, columns: Sequence[str], predicate):
+        table = self.table
+        if predicate is not None:
+            table = predicate.filter(table)
+        table = _drop_all_null_keys(table.select(list(columns)), columns)
+        if len(table) == 0:
+            return []
+        freq = table.group_by(list(columns), use_threads=False).aggregate([([], "count_all")])
+        cols = [freq.column(c).to_pylist() for c in columns]
+        counts = freq.column("count_all").to_pylist()
+        return [(tuple(vals), c) for *vals, c in zip(*cols, counts)]
+
     def frequencies(
         self, columns: Sequence[str], predicate
     ) -> Optional[FrequenciesAndNumRows]:
@@ -257,6 +269,15 @@ class RayRunner:
                     _FilterBatches(predicate), batch_format="pyarrow"
                 )
         return self._filtered_cache[where]
+
+    def joint_frequencies(self, columns: Sequence[str], predicate, where: Optional[str] = None):
+        """Joint frequency table collected to the driver (low-cardinality
+        key assumption — used by MutualInformation only)."""
+        cols = list(columns)
+        ds = self._filtered(where, predicate)
+        keys = ds.map_batches(_ProjectRawKeys(cols), batch_format="pyarrow")
+        rows = keys.groupby(cols).count().take_all()
+        return [(tuple(r[c] for c in cols), r["count()"]) for r in rows]
 
     def frequencies(
         self, columns: Sequence[str], predicate, where: Optional[str] = None
@@ -476,8 +497,21 @@ def do_analysis_run(
             metrics[a] = a.to_failure_metric(ex)
 
     # -- frequency-based analyzers ------------------------------------------
+    from .analyzers.grouping import MutualInformation
+
     freq_cache: Dict[Tuple[Tuple[str, ...], Optional[str]], Any] = {}
     for a in grouping_analyzers:
+        if isinstance(a, MutualInformation):
+            try:
+                pred = compile_predicate(a.where, schema) if a.where is not None else None
+                if isinstance(runner, RayRunner):
+                    pairs = runner.joint_frequencies(a.grouping_columns, pred, a.where)
+                else:
+                    pairs = runner.joint_frequencies(a.grouping_columns, pred)
+                metrics[a] = a.metric_from_joint_frequencies(pairs)
+            except Exception as ex:  # noqa: BLE001
+                metrics[a] = a.to_failure_metric(ex)
+            continue
         key = a.frequency_key()
         try:
             if key not in freq_cache:

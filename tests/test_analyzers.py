@@ -77,11 +77,17 @@ class TestMeanSumStd:
     def test_mean_matches_pandas(self, data):
         m = metric(data, hq.Mean("att2"), chunk_rows=3)
         assert isinstance(m.value, Success)
-        # reordered summation error scales with mean(|x|), not the result
-        scale = np.nanmean(np.abs(data["att2"])) if data["att2"].count() else 0.0
-        atol = 1e-9 * float(scale) if np.isfinite(scale) else 0.0
+        got, expected = m.value.get(), data["att2"].mean()
+        # reordered summation error scales with mean(|x|); near DBL_MAX a
+        # chunked partial sum may overflow to ±inf where the single pass
+        # stays finite — accept either in that pathological zone
+        absvals = np.abs(data["att2"][np.isfinite(data["att2"])])
+        big = len(absvals) > 0 and absvals.sum() > 1e307
+        if np.isinf(got) != np.isinf(expected) and big:
+            return
+        scale = float(absvals.mean()) if len(absvals) else 0.0
         np.testing.assert_allclose(
-            m.value.get(), data["att2"].mean(), rtol=1e-9, atol=atol, equal_nan=True
+            got, expected, rtol=4e-9, atol=1e-9 * scale, equal_nan=True
         )
 
     @HYPO
@@ -360,3 +366,33 @@ class TestLengthAnalyzers:
         df = pd.DataFrame({"s": pd.array([None, None], dtype="string")})
         m = metric(df, hq.MinLength("s"))
         assert math.isnan(m.value.get())
+
+
+class TestMutualInformation:
+    def test_matches_direct_computation(self):
+        from collections import Counter
+
+        df = pd.DataFrame(
+            {"x": ["a", "a", "b", "b", "a", "b", "c"], "y": ["p", "p", "q", "q", "p", "p", "q"]}
+        )
+        a = hq.MutualInformation(["x", "y"])
+        got = metric(df, a, chunk_rows=3).value.get()
+        n = len(df)
+        joint, px, py = Counter(zip(df.x, df.y)), Counter(df.x), Counter(df.y)
+        expected = sum(
+            (c / n) * math.log((c / n) / ((px[x] / n) * (py[y] / n)))
+            for (x, y), c in joint.items()
+        )
+        assert abs(got - expected) < 1e-12
+
+    def test_independent_columns_near_zero(self):
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({"x": rng.integers(0, 2, 4000).astype(str),
+                           "y": rng.integers(0, 2, 4000).astype(str)})
+        got = metric(df, hq.MutualInformation(["x", "y"])).value.get()
+        assert got < 0.01
+
+    def test_requires_two_columns(self):
+        df = pd.DataFrame({"x": ["a"]})
+        m = metric(df, hq.MutualInformation(["x"]))
+        assert m.value.isFailure
