@@ -396,3 +396,23 @@ class TestMutualInformation:
         df = pd.DataFrame({"x": ["a"]})
         m = metric(df, hq.MutualInformation(["x"]))
         assert m.value.isFailure
+
+
+class TestQuantileInfinities:
+    @HYPO
+    @given(
+        st.lists(
+            st.one_of(
+                st.floats(allow_nan=False, allow_infinity=False, width=32),
+                st.sampled_from([float("inf"), float("-inf")]),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        st.floats(min_value=0.0, max_value=1.0),
+    )
+    def test_matches_pandas_with_infs(self, values, q):
+        df = pd.DataFrame({"v": values})
+        m = metric(df, hq.Quantile("v", q), chunk_rows=5)
+        expected = df["v"].quantile(q, interpolation="nearest")
+        np.testing.assert_equal(m.value.get(), expected)
