@@ -237,11 +237,16 @@ class RayRunner:
         base = getattr(schema, "base_schema", None)
         if isinstance(base, pa.Schema):
             return base
-        # ray.data.Schema over a non-Arrow block type: rebuild from names/types
+        # ray.data.Schema over a non-Arrow block type (e.g. pandas blocks from
+        # ray.data.from_pandas): rebuild from names/types.  numpy object dtype
+        # (pandas string/mixed columns) has no direct Arrow mapping —
+        # pa.from_numpy_dtype raises — so map it to string, which is what the
+        # per-block pandas→Arrow conversion in ScanPlan.accumulate produces.
         fields = []
         for name, typ in zip(schema.names, schema.types):
             if not isinstance(typ, pa.DataType):
-                typ = pa.from_numpy_dtype(typ)
+                np_typ = typ if isinstance(typ, np.dtype) else np.dtype(typ)
+                typ = pa.string() if np_typ.kind == "O" else pa.from_numpy_dtype(np_typ)
             fields.append(pa.field(name, typ))
         return pa.schema(fields)
 
@@ -561,11 +566,17 @@ def _empty_context(analyzers: Sequence[Analyzer]) -> AnalyzerContext:
     """Metrics for a dataset with no blocks at all: same outcomes the
     reference produces on an empty frame (Size 0, Mean/Min/Max NaN, Sum 0,
     Std Failure, ratios NaN)."""
+    from .analyzers.grouping import MutualInformation
+
     metrics: Dict[Analyzer, DoubleMetric] = {}
     for a in analyzers:
         try:
             if isinstance(a, ScanShareableAnalyzer):
                 metrics[a] = a.metric_from_state(None)
+            elif isinstance(a, MutualInformation):
+                # same NaN a zero-ROW dataset yields (metric_from_frequencies
+                # would raise NotImplementedError for MI)
+                metrics[a] = a.metric_from_joint_frequencies([])
             elif isinstance(a, GroupingAnalyzer):
                 metrics[a] = a.metric_from_frequencies(FrequenciesAndNumRows(0, 0, 0, 0.0))
             elif isinstance(a, Quantile):

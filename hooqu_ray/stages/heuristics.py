@@ -33,6 +33,17 @@ _SCRUB_RULES = (
     (spec.TOXIC_RE, spec.TOX_TOKEN),
 )
 
+# Conservative RE2 prefilter for the TOXIC_RE scrub (which runs with Python
+# re.IGNORECASE = full Unicode case folding, unlike RE2's (?i) simple ASCII
+# folding).  Leg 1: RE2 (?i) word match.  Leg 2: any character Python's
+# IGNORECASE folds into the pattern's letters but RE2 does not — exhaustively
+# enumerated over all of Unicode for TOXIC_WORDS' alphabet: İ (U+0130),
+# ı (U+0131), K (U+212A Kelvin), ſ (U+017F long s).  Union is a strict
+# superset of every Python-re match, so the prefilter can never skip a row
+# the scrub would rewrite.
+_TOX_PREFILTER_RE2 = r"(?i)\b(?:%s)\b" % "|".join(spec.TOXIC_WORDS)
+_TOX_FOLD_TRICKY = "[İıKſ]"
+
 
 def scrub_text(text: Optional[str]) -> Optional[str]:
     """Fixed-order global substitution (EMAIL → CC → TOX); None passes through."""
@@ -177,12 +188,18 @@ def compute_features(batch: pa.Table) -> pa.Table:
 
     # Scrub with vectorized RE2 prefilters: Python `re` substitution only
     # runs on rows that can possibly match (EMAIL needs '@'; every CREDITCARD
-    # match contains 4 consecutive digits; toxicity prefilter is the match
-    # itself).  Typical corpora: ~90% of rows skip the Python path entirely.
+    # match contains 4 consecutive digits; toxicity prefilter is a
+    # conservative superset of TOXIC_RE's Unicode-folded matches — see
+    # _TOX_PREFILTER_RE2/_TOX_FOLD_TRICKY).  Typical corpora: ~90% of rows
+    # skip the Python path entirely.
     may_email = pc.match_substring(text, "@")
     may_cc = pc.match_substring_regex(text, pattern=r"[0-9]{4}")
+    may_tox = pc.or_(
+        pc.match_substring_regex(text, pattern=_TOX_PREFILTER_RE2),
+        pc.match_substring_regex(text, pattern=_TOX_FOLD_TRICKY),
+    )
     needs = pc.fill_null(
-        pc.or_(pc.or_(may_email, may_cc), has_toxic), False
+        pc.or_(pc.or_(may_email, may_cc), may_tox), False
     ).to_numpy(zero_copy_only=False)
     if needs.any():
         idx = np.flatnonzero(needs)

@@ -1,0 +1,65 @@
+"""Regression tests for the round-1 ADVICE findings."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import hooqu_ray as hq
+
+
+def test_from_pandas_object_column_schema(ray_session):
+    """ADVICE (medium): RayRunner.schema() over pandas blocks with an
+    object-dtype (string) column must not blow up in pa.from_numpy_dtype —
+    analyzers over such datasets must compute real metrics, not Failures."""
+    import ray.data as rd
+    from hooqu_ray.runner import do_analysis_run
+
+    df = pd.DataFrame({"s": ["a", "b", None, "b"], "x": [1.0, 2.0, 3.0, 4.0]})
+    ds = rd.from_pandas(df)
+    comp = hq.Completeness("s")
+    mean = hq.Mean("x")
+    ctx = do_analysis_run(ds, [comp, mean])
+    assert ctx.metric_map[comp].value.get() == 0.75
+    assert ctx.metric_map[mean].value.get() == 2.5
+
+
+def test_mutual_information_empty_dataset_consistency(ray_session):
+    """ADVICE (low): a ZERO-BLOCK dataset and a zero-ROW dataset must yield
+    the same MutualInformation result (NaN), not a Failure for one shape."""
+    import ray.data as rd
+    from hooqu_ray.runner import do_analysis_run
+
+    mi = hq.MutualInformation(["a", "b"])
+
+    zero_rows = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+    ctx_rows = do_analysis_run(zero_rows, [mi])
+    assert math.isnan(ctx_rows.metric_map[mi].value.get())
+
+    zero_blocks = rd.from_items([]) if hasattr(rd, "from_items") else None
+    ctx_blocks = do_analysis_run(zero_blocks, [mi]) if zero_blocks is not None else None
+    if ctx_blocks is not None:
+        assert math.isnan(ctx_blocks.metric_map[mi].value.get())
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "ok ſcuzzbucket here",        # U+017F long s folds to 's' under Python re.I
+        "bad scuzzbucKet indeed",     # U+212A Kelvin sign folds to 'k'
+        "FRAKKING loud",              # plain ASCII case
+        "nothing toxic at all",
+    ],
+)
+def test_scrub_prefilter_matches_unicode_folds(text):
+    """ADVICE (low): the RE2 scrub prefilter must be a superset of the
+    Python re.IGNORECASE TOXIC_RE matches, so the engine scrub output stays
+    byte-equal to the oracle on Unicode-case-folded toxic words."""
+    from hooqu_ray.stages.heuristics import compute_features
+    from tests.reference_impl import oracle_scrub
+
+    batch = pa.table({"text": pa.array([text], pa.string())})
+    out = compute_features(batch)
+    assert out.column("text_scrubbed").to_pylist()[0] == oracle_scrub(text)

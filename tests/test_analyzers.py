@@ -415,4 +415,8 @@ class TestQuantileInfinities:
         df = pd.DataFrame({"v": values})
         m = metric(df, hq.Quantile("v", q), chunk_rows=5)
         expected = df["v"].quantile(q, interpolation="nearest")
-        np.testing.assert_equal(m.value.get(), expected)
+        # `+ 0.0` canonicalizes -0.0 to 0.0 on BOTH sides: pandas' own tie
+        # choice among bit-distinct equal zeros comes from np.partition order
+        # and is implementation-arbitrary, so the differential is numeric
+        # equality, not the zero's sign bit (NaN/inf still compared exactly).
+        np.testing.assert_equal(m.value.get() + 0.0, expected + 0.0)
