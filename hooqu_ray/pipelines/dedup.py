@@ -46,6 +46,22 @@ def _stable_text_hash64(texts: List[Optional[str]]) -> np.ndarray:
     return out
 
 
+def _text_hash63(texts) -> np.ndarray:
+    """Vectorized deterministic 63-bit content hash: polars' 64-bit string
+    hash (process-stable for a fixed seed/version) masked into the int64
+    range, so Ray/Arrow shuffles keep a native integer column instead of
+    falling back to pickled-object extension arrays.  Nulls hash to a single
+    shared value (they form one dedup group, like SQL ``GROUP BY text``)."""
+    import polars as pl
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if len(texts) == 0:
+        return np.empty(0, dtype=np.int64)
+    h = pl.from_arrow(texts).hash(seed=0).to_numpy().astype(np.uint64)
+    return (h & np.uint64((1 << 63) - 1)).astype(np.int64)
+
+
 def _shingle_hashes(text: str, w: int = 3) -> np.ndarray:
     """Hashes of word w-shingles (w consecutive words)."""
     words = text.split()
@@ -63,19 +79,114 @@ class _AddContentHash:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        h = _stable_text_hash64(batch.column(self.text_col).to_pylist())
-        return batch.append_column("__content_hash", pa.array(h, pa.uint64()))
+        h = _text_hash63(batch.column(self.text_col))
+        return batch.append_column("__content_hash", pa.array(h, pa.int64()))
+
+
+class _DedupFilter:
+    """Per-batch semi-join against the broadcast duplicate-winner table:
+    a row survives unless its content hash belongs to a duplicate group AND
+    the row is not that group's min-id winner.  The in-batch join is Arrow
+    Acero (vectorized C++); the winner table ships ONCE via ``ray.put`` and
+    is O(#duplicate groups) — singleton hashes (the vast majority) never
+    appear in it."""
+
+    def __init__(self, winners_ref, id_col: str):
+        self.winners_ref = winners_ref
+        self.id_col = id_col
+        self._w: Optional[pa.Table] = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._w is None:
+            import ray
+
+            w = self.winners_ref
+            self._w = w if isinstance(w, pa.Table) else ray.get(w)
+        out_cols = [c for c in batch.column_names if c != "__content_hash"]
+        if len(self._w) == 0 or len(batch) == 0:
+            return batch.select(out_cols)
+        probe = pa.table(
+            {
+                "__content_hash": batch.column("__content_hash"),
+                "__row": pa.array(np.arange(len(batch)), pa.int64()),
+                "__id": batch.column(self.id_col),
+            }
+        )
+        j = probe.join(self._w, keys="__content_hash", join_type="left outer")
+        j = j.sort_by("__row")
+        winner = j.column("__winner_id")
+        # or_kleene: TRUE | NULL = TRUE (no-match rows have a null winner, so
+        # the equality leg is null; plain or_ would null-propagate and drop them)
+        keep = pc.or_kleene(pc.is_null(winner), pc.equal(j.column("__id"), winner))
+        return batch.filter(pc.fill_null(keep, False)).select(out_cols)
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep one row per distinct text (deterministic representative: min id).
-    Hash-partition shuffle on a 64-bit content hash, never on the raw text."""
+
+    Fully vectorized — no per-group Python (the round-1 ``map_groups`` paid
+    ~100 µs of pandas per distinct document):
+
+    1. 63-bit content hash per batch (vectorized polars, int64 column).
+    2. One ``groupby(hash).aggregate(Min, Sum)`` over per-block pre-aggregated
+       (hash, min_id, count) partials — the only all-to-all shuffle moves one
+       row per (block, hash), never the text.
+    3. Winners of duplicate groups only (count > 1) are collected as a
+       compact Arrow table and broadcast once via ``ray.put``; a second
+       streaming pass keeps each row unless it lost its duplicate group
+       (per-batch Acero left join — vectorized semi-join, no driver loop).
+
+    The broadcast is O(#duplicate groups), not O(#rows); at extreme
+    duplicate cardinality shard the winner table by hash range and run the
+    filter pass per shard.  The input is read twice (hash is recomputed for
+    the filter pass) — both reads stream and prune to the needed columns.
+    """
+    import ray
+    from ray.data.aggregate import Min, Sum
+
     hashed = ds.map_batches(_AddContentHash(text_col), batch_format="pyarrow")
-    deduped = hashed.groupby("__content_hash").map_groups(
-        # sort_values works for any ordered id dtype (nsmallest rejects strings)
-        lambda g, _id=id_col: g.sort_values(_id).head(1), batch_format="pandas"
+
+    def proj_combine(t: pa.Table, _id=id_col) -> pa.Table:
+        # per-block combiner: the shuffle moves one row per (block, hash),
+        # not one per document
+        g = (
+            t.select(["__content_hash", _id])
+            .group_by("__content_hash", use_threads=False)
+            .aggregate([(_id, "min"), ([], "count_all")])
+        )
+        return g.rename_columns(["__content_hash", "__winner_id", "__pcount"])
+
+    partials = hashed.map_batches(proj_combine, batch_format="pyarrow")
+    groups = partials.groupby("__content_hash").aggregate(
+        Min("__winner_id"), Sum("__pcount")
     )
-    return deduped.drop_columns(["__content_hash"])
+    # placeholder for the no-duplicates case only: the filter pass
+    # short-circuits on an empty winner table, so __winner_id's type is
+    # never consulted there
+    empty_winners = pa.table(
+        {
+            "__content_hash": pa.array([], pa.int64()),
+            "__winner_id": pa.array([], pa.int64()),
+        }
+    )
+
+    def dup_only(t: pa.Table, _empty=empty_winners) -> pa.Table:
+        if "sum(__pcount)" not in t.column_names:  # schema-less empty agg block
+            return _empty
+        kept = t.filter(pc.greater(t.column("sum(__pcount)"), 1))
+        return kept.select(["__content_hash", "min(__winner_id)"]).rename_columns(
+            ["__content_hash", "__winner_id"]
+        )
+
+    dup = groups.map_batches(dup_only, batch_format="pyarrow")
+    winner_parts = [
+        t for t in ray.get(dup.to_arrow_refs()) if t.num_columns and len(t)
+    ]
+    winner_tbl = (
+        pa.concat_tables(winner_parts) if winner_parts else empty_winners
+    )
+    winners_ref = ray.put(winner_tbl.combine_chunks())
+    return hashed.map_batches(_DedupFilter(winners_ref, id_col), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

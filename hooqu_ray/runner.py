@@ -229,26 +229,11 @@ class RayRunner:
         self._filtered_cache: Dict[Optional[str], Any] = {}
 
     def schema(self) -> Optional[pa.Schema]:
-        schema = self.ds.schema()
-        if schema is None:  # dataset with no blocks
-            return None
-        if isinstance(schema, pa.Schema):
-            return schema
-        base = getattr(schema, "base_schema", None)
-        if isinstance(base, pa.Schema):
-            return base
-        # ray.data.Schema over a non-Arrow block type (e.g. pandas blocks from
-        # ray.data.from_pandas): rebuild from names/types.  numpy object dtype
-        # (pandas string/mixed columns) has no direct Arrow mapping —
-        # pa.from_numpy_dtype raises — so map it to string, which is what the
-        # per-block pandas→Arrow conversion in ScanPlan.accumulate produces.
-        fields = []
-        for name, typ in zip(schema.names, schema.types):
-            if not isinstance(typ, pa.DataType):
-                np_typ = typ if isinstance(typ, np.dtype) else np.dtype(typ)
-                typ = pa.string() if np_typ.kind == "O" else pa.from_numpy_dtype(np_typ)
-            fields.append(pa.field(name, typ))
-        return pa.schema(fields)
+        # normalized across Arrow / pandas block types (object dtype → string,
+        # matching the per-block pandas→Arrow conversion in accumulate)
+        from .util import dataset_arrow_schema
+
+        return dataset_arrow_schema(self.ds)
 
     def _fold(self, ds, plan: ScanPlan) -> List[Any]:
         states = ds.map_batches(_BlockStates(plan), batch_format="pyarrow")

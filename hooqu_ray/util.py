@@ -5,6 +5,33 @@ from __future__ import annotations
 from typing import Optional
 
 
+def dataset_arrow_schema(ds) -> "Optional[object]":
+    """Arrow schema of a ray.data.Dataset, normalized across block types.
+
+    Handles: plain pa.Schema, ray.data.Schema wrapping an Arrow base schema,
+    and PandasBlockSchema (numpy dtypes; object dtype → pa.string(), matching
+    the per-block pandas→Arrow conversion).  Returns None for a dataset with
+    no blocks at all."""
+    import numpy as np
+    import pyarrow as pa
+
+    schema = ds.schema()
+    if schema is None:
+        return None
+    if isinstance(schema, pa.Schema):
+        return schema
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, typ in zip(schema.names, schema.types):
+        if not isinstance(typ, pa.DataType):
+            np_typ = typ if isinstance(typ, np.dtype) else np.dtype(typ)
+            typ = pa.string() if np_typ.kind == "O" else pa.from_numpy_dtype(np_typ)
+        fields.append(pa.field(name, typ))
+    return pa.schema(fields)
+
+
 def actor_pool_size(cap: Optional[int] = None, headroom: int = 2) -> int:
     """Fixed actor-pool size for a map_batches stage: cluster CPUs minus
     ``headroom`` (the upstream read / sibling task stages need slots — a
