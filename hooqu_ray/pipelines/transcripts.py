@@ -33,6 +33,7 @@ The independent single-process oracle for F1/byte-equality lives in
 
 from __future__ import annotations
 
+import tempfile
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -161,35 +162,72 @@ def score_turns(ds, scorer_concurrency: Optional[Tuple[int, int]] = None):
     return scored.map_batches(_PolicyStage(), batch_format="pyarrow")
 
 
-def filter_and_scrub(ds, scorer_concurrency: Optional[Tuple[int, int]] = None):
+# Above this many turns the conversation-stat partials stop being folded on
+# the driver and go through the (salted, skew-safe) distributed groupby.
+_CONV_STATS_DRIVER_MAX = 20_000_000
+
+
+def filter_and_scrub(ds, scorer_concurrency: Optional[Tuple[int, int]] = None,
+                     scratch_dir: Optional[str] = None):
     """Full pipeline: returns the dataset with per-turn ``keep`` + scrubbed
-    text columns (all turns retained so metrics/oracles can inspect drops)."""
+    text columns (all turns retained so metrics/oracles can inspect drops).
+
+    Two consumers need the scored turns (conversation stats + the final
+    verdict stamp), so the feature/scoring stages must run once.  Instead of
+    pinning the whole scored table in the object store (the round-1
+    ``materialize()`` — a 100-TB scale-killer), the scored turns stream to
+    partitioned parquet under ``scratch_dir`` and BOTH consumers re-read
+    from disk: the conv-stats pass prunes its read to two columns
+    (``conv_id``, ``keep_turn``), and the verdict pass streams the full
+    partitions through the broadcast-verdict lookup.  Nothing is ever held
+    in memory beyond the in-flight blocks."""
+    import os
+
     import ray
+    import ray.data as rd
 
     turns = score_turns(ds, scorer_concurrency)
-    # Two consumers follow (conv stats + final verdict pass); materialize so
-    # the feature/scoring stages run ONCE.  Blocks live in the object store
-    # and spill under pressure; at extreme scale prefer writing the scored
-    # turns to partitioned parquet and reading them back for both consumers.
-    turns = turns.materialize()
-    # Conversation-level pass.  _ProjectConvKeep pre-aggregates per block, so
-    # what flows here is one row per (block, conv) — tiny vs the turn table.
-    proj = turns.map_batches(_ProjectConvKeep, batch_format="pyarrow")
-    n_turns = turns.count()  # metadata read on a materialized dataset
-    if n_turns <= 20_000_000:
-        # partials fit comfortably on the driver: one pandas groupby beats a
-        # distributed shuffle's fixed cost by an order of magnitude here
-        sp = proj.to_pandas()
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="hooqu_scored_", dir="/tmp")
+    data_dir = os.path.join(scratch, "data")
+    partials_dir = os.path.join(scratch, "partials")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(partials_dir, exist_ok=True)
+    # ONE streaming pass: each block's conv-stat partials land as an
+    # idempotent sidecar file while the scored turns spill to parquet.
+    turns.map_batches(
+        _SidecarPartials(partials_dir), batch_format="pyarrow", batch_size=None
+    ).write_parquet(data_dir)
+
+    if not any(f.endswith(".parquet") for f in os.listdir(data_dir)):
+        # zero-block input: nothing was written; the (empty) lazy pipeline
+        # itself is the cheapest thing to hand back
+        return turns
+    scored = rd.read_parquet(data_dir)
+    import pyarrow.dataset as pads
+
+    # local parquet-footer metadata read — no Ray execution
+    n_turns = pads.dataset(data_dir, format="parquet").count_rows()
+    if n_turns <= _CONV_STATS_DRIVER_MAX:
+        # the partial files are tiny (one row per block × conv): a local read
+        # + pandas groupby beats a distributed shuffle's fixed cost by an
+        # order of magnitude here
+        sp = pads.dataset(partials_dir, format="parquet").to_table().to_pandas()
         agg = sp.groupby("conv_id", sort=False).sum()
         conv_ids = agg.index.tolist()
         kept = agg["kept_partial"].tolist()
         total = agg["total_partial"].tolist()
     else:
-        # scale path: distributed groupby; #convs rows come back (at 10^12
-        # turns, swap the broadcast below for a partitioned join on conv_id)
-        from ray.data.aggregate import Sum
+        # scale path: distributed read of the partials + salted two-phase
+        # groupby — a mega-conversation's partials (one per input block) fan
+        # out over salt buckets instead of landing on a single reducer.
+        # #convs rows come back (at 10^12 turns, swap the broadcast below
+        # for a partitioned join on conv_id)
+        from ..functions.shuffle import salted_group_aggregate
 
-        stats = proj.groupby("conv_id").aggregate(Sum("kept_partial"), Sum("total_partial"))
+        proj = rd.read_parquet(partials_dir)
+        stats = salted_group_aggregate(
+            proj, "conv_id", ["kept_partial", "total_partial"]
+        )
         sp = stats.to_pandas()
         conv_ids = sp["conv_id"].tolist()
         kept = sp["sum(kept_partial)"].tolist()
@@ -197,7 +235,7 @@ def filter_and_scrub(ds, scorer_concurrency: Optional[Tuple[int, int]] = None):
     verdicts = conv_verdicts_from_counts(conv_ids, kept, total)
     dropped = pa.array([c for c, ok in verdicts.items() if not ok], pa.string())
     dropped_ref = ray.put(dropped)
-    return turns.map_batches(_ConvVerdictLookup(dropped_ref), batch_format="pyarrow")
+    return scored.map_batches(_ConvVerdictLookup(dropped_ref), batch_format="pyarrow")
 
 
 def filtered_output(ds, scorer_concurrency=None):
@@ -205,6 +243,44 @@ def filtered_output(ds, scorer_concurrency=None):
     full = filter_and_scrub(ds, scorer_concurrency)
     kept = full.map_batches(_SelectKept(), batch_format="pyarrow")
     return kept.sort(["conv_id", "turn_idx"])
+
+
+class _SidecarPartials:
+    """Pass-through stage that also writes each block's conv-stat partials
+    (``_ProjectConvKeep``) to a sidecar parquet file in the same streaming
+    pass that spills the scored turns — no second scoring pass, no separate
+    Ray execution for the conv stats.
+
+    The file name derives from the block's first (conv_id, turn_idx) key and
+    row count — blocks are disjoint, so the name is unique per block and
+    STABLE across task retries: a re-executed block atomically overwrites
+    its own partial instead of double-counting (write-temp-then-rename, the
+    checkpoint commit pattern).  On a multi-node cluster the sidecar dir
+    lives on the same shared storage as the scored-turn partitions."""
+
+    def __init__(self, partials_dir: str):
+        self.partials_dir = partials_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch):
+            import hashlib
+            import os
+
+            import pyarrow.parquet as pq
+
+            part = _ProjectConvKeep(batch)
+            key = "|".join(
+                (
+                    str(batch.column("conv_id")[0].as_py()),
+                    str(batch.column("turn_idx")[0].as_py()),
+                    str(len(batch)),
+                )
+            )
+            name = hashlib.blake2b(key.encode(), digest_size=12).hexdigest()
+            tmp = os.path.join(self.partials_dir, f".{name}.tmp")
+            pq.write_table(part, tmp)
+            os.replace(tmp, os.path.join(self.partials_dir, f"{name}.parquet"))
+        return batch
 
 
 def _ProjectConvKeep(batch: pa.Table) -> pa.Table:

@@ -106,3 +106,77 @@ def test_quality_report_runs(ray_session, synth_table):
     names = {m.instance for m in result.metrics.values()}
     assert {"language", "perplexity", "toxicity"} <= names
     assert all(m.value.isSuccess for m in result.metrics.values())
+
+
+def test_no_full_materialize_in_flagship():
+    """VERDICT r1 item 1: the flagship must stream through partitioned
+    parquet, never pin the scored turn table in the object store."""
+    import inspect
+
+    src = inspect.getsource(tp.filter_and_scrub)
+    assert ".materialize()" not in src
+
+
+def test_mega_conversation_salted_branch(ray_session, monkeypatch):
+    """VERDICT r1 item 8: a single 1M-turn conversation must flow through
+    the salted distributed conv-stats branch without landing every partial
+    on one reducer (and produce the right verdicts)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    monkeypatch.setattr(tp, "_CONV_STATS_DRIVER_MAX", 1_000)
+
+    n_mega = 1_000_000
+
+    def make_turns(batch):
+        idx = batch["id"]
+        n = len(idx)
+        good = "the quick brown fox jumps over the lazy dog again"
+        base = np.datetime64("2025-01-01T00:00:00", "us")
+        return pa.table(
+            {
+                "conv_id": pa.array(["conv-mega"] * n, pa.string()),
+                "turn_idx": pa.array(idx.astype("int32"), pa.int32()),
+                "role": pa.array(
+                    np.where(idx % 2 == 0, "user", "assistant"), pa.string()
+                ),
+                "text": pa.array([good] * n, pa.string()),
+                "tool": pa.array([None] * n, pa.string()),
+                "ts": pa.array(base + idx.astype("timedelta64[s]"), pa.timestamp("us")),
+            }
+        )
+
+    mega = rd.range(n_mega).map_batches(
+        make_turns, batch_format="numpy", batch_size=50_000
+    )
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    junk = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array(["conv-junk"] * 3, pa.string()),
+                "turn_idx": pa.array([0, 1, 2], pa.int32()),
+                "role": pa.array(["user", "assistant", "user"], pa.string()),
+                "text": pa.array(["zzzz", "qqqq", "xxxx"], pa.string()),
+                "tool": pa.array([None] * 3, pa.string()),
+                "ts": pa.array([base] * 3, pa.timestamp("us")),
+            }
+        )
+    )
+    out = tp.filter_and_scrub(mega.union(junk))
+    agg = (
+        out.map_batches(
+            lambda t: pa.table(
+                {
+                    "conv_id": t.column("conv_id"),
+                    "keep": pa.compute.cast(t.column("keep"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("conv_id")
+        .sum("keep")
+        .to_pandas()
+        .set_index("conv_id")["sum(keep)"]
+    )
+    assert agg["conv-mega"] == n_mega  # every turn kept, conv kept
+    assert agg["conv-junk"] == 0       # junk turns dropped -> conv dropped
