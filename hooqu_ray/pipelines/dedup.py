@@ -62,16 +62,80 @@ def _text_hash63(texts) -> np.ndarray:
     return (h & np.uint64((1 << 63) - 1)).astype(np.int64)
 
 
-def _shingle_hashes(text: str, w: int = 3) -> np.ndarray:
-    """Hashes of word w-shingles (w consecutive words)."""
-    words = text.split()
-    if len(words) < w:
-        shingles = [" ".join(words)] if words else []
+_MASK63 = np.uint64((1 << 63) - 1)
+# odd 64-bit mixing constants for the rolling shingle polynomial
+_SHINGLE_C = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63], dtype=np.uint64
+)
+
+
+def _batch_shingles(texts, w: int = 3):
+    """Vectorized word-w-shingle hashes for a whole string array.
+
+    Returns ``(shingle_hashes uint64, parent_row int64, n_rows)`` with
+    shingles grouped in ascending row order.  Tokens come from ONE Arrow
+    ``utf8_split_whitespace`` pass, token hashes from polars' 64-bit hash,
+    and a shingle's hash is a fixed polynomial over its w consecutive token
+    hashes — collision-equivalent to hashing the joined string, with zero
+    per-shingle Python.  Rows with 1..w-1 words contribute their full word
+    tuple as a single shingle (mirroring ``ngram_jaccard``); rows with no
+    words contribute nothing (their signature stays all-zero)."""
+    from ..stages.heuristics import _token_hashes
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    words = pc.utf8_split_whitespace(texts)
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    if len(flat):
+        keep = pc.invert(pc.equal(flat, "")).to_numpy(zero_copy_only=False)
+        toks = flat.filter(pa.array(keep))
+        tp = parent[keep].astype(np.int64)
+        h = _token_hashes(toks)
     else:
-        shingles = [" ".join(words[i : i + w]) for i in range(len(words) - w + 1)]
-    if not shingles:
-        return np.zeros(1, dtype=np.uint64)
-    return _stable_text_hash64(shingles)
+        tp = np.empty(0, dtype=np.int64)
+        h = np.empty(0, dtype=np.uint64)
+    nw = np.zeros(n, dtype=np.int64)
+    if tp.size:
+        np.add.at(nw, tp, 1)
+
+    sh_parts, sp_parts = [], []
+    # full w-shingles: positions whose first and last token share a row
+    if h.size >= w:
+        pos = np.flatnonzero(tp[: h.size - w + 1] == tp[w - 1 :])
+        if pos.size:
+            acc = np.zeros(pos.size, dtype=np.uint64)
+            for k in range(w):
+                acc = acc * _SHINGLE_C[0] + h[pos + k] * _SHINGLE_C[k % len(_SHINGLE_C)]
+            sh_parts.append(acc)
+            sp_parts.append(tp[pos])
+    # short rows (0 < words < w): one shingle over all their tokens
+    short = (nw > 0) & (nw < w)
+    if short.any():
+        smask = short[tp]
+        sh_, sp_ = h[smask], tp[smask]
+        # token slot within its row (tokens arrive in row order)
+        starts = np.r_[0, np.flatnonzero(sp_[1:] != sp_[:-1]) + 1]
+        lens = np.diff(np.r_[starts, sp_.size])
+        slot = np.arange(sp_.size) - np.repeat(starts, lens)
+        acc_rows = np.zeros(n, dtype=np.uint64)
+        # same polynomial shape: acc = ((0*C0 + h0*C0)*C0 + h1*C1) ... for the
+        # available slots — any deterministic injective-ish combine works
+        np.add.at(acc_rows, sp_, sh_ * _SHINGLE_C[slot % len(_SHINGLE_C)])
+        rows = np.flatnonzero(short)
+        sh_parts.append(acc_rows[rows])
+        sp_parts.append(rows.astype(np.int64))
+
+    if not sh_parts:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), n
+    S = np.concatenate(sh_parts)
+    P = np.concatenate(sp_parts)
+    order = np.argsort(P, kind="stable")
+    return S[order], P[order], n
 
 
 class _AddContentHash:
@@ -197,7 +261,13 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 class MinHasher:
     """num_perm universal hash functions over shingle hashes; deterministic
     coefficients from a seeded PCG64.  Actor-pool stage: coefficients built
-    once per actor."""
+    once per actor.
+
+    Fully vectorized per batch: one shingle-hash pass (``_batch_shingles``)
+    then, per permutation, one numpy multiply-mod sweep over the flattened
+    shingle array with ``np.minimum.reduceat`` segment minima — no Python
+    per document or per shingle (round 1 paid one hashlib.blake2b call per
+    shingle and was the slowest bench query)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  num_perm: int = 128, shingle_w: int = 3, seed: int = 1234):
@@ -209,89 +279,188 @@ class MinHasher:
         self.num_perm = num_perm
         self.shingle_w = shingle_w
 
+    def signatures(self, texts) -> np.ndarray:
+        """(n_rows, num_perm) uint64 signature matrix; wordless rows are
+        all-zero."""
+        S, P, n = _batch_shingles(texts, self.shingle_w)
+        sig = np.zeros((n, self.num_perm), dtype=np.uint64)
+        if S.size == 0:
+            return sig
+        starts = np.r_[0, np.flatnonzero(P[1:] != P[:-1]) + 1]
+        rows = P[starts]
+        m = np.uint64(_MERSENNE)
+        for k in range(self.num_perm):
+            v = (self.a[k] * S + self.b[k]) % m
+            sig[rows, k] = np.minimum.reduceat(v, starts)
+        return sig
+
     def signature(self, text: Optional[str]) -> np.ndarray:
-        if not text:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        sh = _shingle_hashes(text, self.shingle_w)  # (n_shingles,)
-        # (num_perm, n_shingles) universal hashes, min per row
-        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
-        return vals.min(axis=1)
+        return self.signatures(pa.array([text], pa.string()))[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t).tobytes() for t in batch.column(self.text_col).to_pylist()]
+        sig = self.signatures(batch.column(self.text_col))
+        n = len(batch)
+        width = self.num_perm * 8
+        buf = pa.py_buffer(np.ascontiguousarray(sig).tobytes())
+        sig_arr = pa.FixedSizeBinaryArray.from_buffers(pa.binary(width), n, [None, buf])
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "signature": pa.array(sigs, pa.binary()),
+                "signature": sig_arr,
             }
         )
 
 
-class _ExplodeBands:
+def _sig_matrix(sigcol, num_perm: int) -> np.ndarray:
+    """Zero-copy view of a fixed-size-binary signature column as a
+    (n, num_perm) uint64 matrix (offset-aware)."""
+    if isinstance(sigcol, pa.ChunkedArray):
+        sigcol = sigcol.combine_chunks()
+    data = np.frombuffer(sigcol.buffers()[1], dtype=np.uint64)
+    start = sigcol.offset * num_perm
+    return data[start : start + len(sigcol) * num_perm].reshape(-1, num_perm)
+
+
+class _BandKeys:
+    """signature → one int64 bucket key per band: a band-salted polynomial
+    over the band's signature chunk, masked to 63 bits (native int64 through
+    the shuffle — uint64 > 2^63 round-trips as pickled-object columns).
+    Each output row is just ``(band_key, id)``: the signature itself never
+    enters the shuffle (round 1 duplicated the full 1 KB signature into all
+    32 band rows).  The band index is folded into the key, so buckets are
+    per-(band, chunk-value) — a hash hot in band 0 does not drag its other
+    bands' singletons through the shuffle."""
+
     def __init__(self, num_perm: int, bands: int, id_col: str):
+        assert num_perm % bands == 0
         self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        sig_bytes = batch.column("signature").to_pylist()
-        out_band, out_hash, out_id, out_sig = [], [], [], []
-        for i, sb in enumerate(sig_bytes):
-            sig = np.frombuffer(sb, dtype=np.uint64)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                out_band.append(b)
-                out_hash.append(int.from_bytes(h, "little"))
-                out_id.append(ids[i])
-                out_sig.append(sb)
+        n = len(batch)
+        ids = batch.column(self.id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if n == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "band_key": pa.array([], pa.int64()),
+                    self.id_col: ids,
+                }
+            )
+        sig = _sig_matrix(batch.column("signature"), self.num_perm)
+        r = self.rows_per_band
+        keys = np.empty((self.bands, n), dtype=np.uint64)
+        for b in range(self.bands):
+            acc = np.full(n, np.uint64(2654435761 * (b + 1) + 1), dtype=np.uint64)
+            for k in range(r):
+                acc = acc * np.uint64(0x100000001B3) + sig[:, b * r + k]
+            keys[b] = acc
+        band_key = (keys.ravel() & _MASK63).astype(np.int64)
+        band = np.repeat(np.arange(self.bands, dtype=np.int32), n)
+        rep_ids = pa.concat_arrays([ids] * self.bands)
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.uint64()),
-                self.id_col: pa.array(out_id),
-                "signature": pa.array(out_sig, pa.binary()),
+                "band": pa.array(band, pa.int32()),
+                "band_key": pa.array(band_key, pa.int64()),
+                self.id_col: rep_ids,
             }
         )
 
 
-class _FilterBandHash:
-    def __init__(self, hashes: frozenset):
-        self.hashes = hashes
+class _BucketPairsBlock:
+    """Candidate pairs for ALL buckets inside one bucket-aligned survivor
+    block (the block is sorted by band_key and never splits a bucket, so no
+    groupby shuffle is needed — plain ``map_batches``).
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc2
+    Pair estimate = fraction of equal signature components (vectorized over
+    the broadcast survivor-signature matrix).  A near-dup pair collides in
+    SEVERAL bands; instead of a global dedupe shuffle afterwards (round 1's
+    ``groupby(id_a, id_b).aggregate(Max)``), a bucket emits a pair only if
+    its band is the pair's FIRST colliding band — checkable locally from the
+    two signatures — so the union of all buckets' outputs is exactly the
+    deduplicated pair set."""
 
-        value_set = pa.array(list(self.hashes), pa.uint64())
-        return batch.filter(pc2.is_in(batch.column("band_hash"), value_set=value_set))
-
-
-class _BucketPairs:
-    """Within one (band, band_hash) bucket: all candidate pairs with
-    signature-estimated Jaccard."""
-
-    def __init__(self, id_col: str, threshold: float):
+    def __init__(self, id_col: str, threshold: float, sig_lookup_ref,
+                 num_perm: int, bands: int):
         self.id_col = id_col
         self.threshold = threshold
+        self.sig_lookup_ref = sig_lookup_ref
+        self.num_perm = num_perm
+        self.bands = bands
+        self._lookup = None
 
-    def __call__(self, group):
-        import pandas as pd
+    def __call__(self, t: pa.Table) -> pa.Table:
+        id_type = t.column(self.id_col).type
 
-        n = len(group)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        ids = group[self.id_col].tolist()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in group["signature"]]
-        rows = []
-        for i in range(n):
-            for j in range(i + 1, n):
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= self.threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    rows.append((a, b, est))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
+        def result(a, b, e):
+            return pa.table(
+                {
+                    "id_a": pa.array(a, id_type),
+                    "id_b": pa.array(b, id_type),
+                    "est_jaccard": pa.array(e, pa.float64()),
+                }
+            )
+
+        if len(t) < 2:
+            return result([], [], [])
+        if self._lookup is None:
+            import ray
+
+            obj = self.sig_lookup_ref
+            self._lookup = obj if isinstance(obj, tuple) else ray.get(obj)
+        index, matrix = self._lookup
+        keys = t.column("band_key").to_numpy(zero_copy_only=False)
+        bands_arr = t.column("band").to_numpy(zero_copy_only=False)
+        all_ids = t.column(self.id_col).to_pylist()
+        starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        ends = np.r_[starts[1:], len(keys)]
+        r = self.num_perm // self.bands
+        out_a, out_b, out_e = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids = all_ids[s:e]
+            rows_idx = [index.get(i) for i in ids]
+            present = [k for k, ri in enumerate(rows_idx) if ri is not None]
+            if len(present) < 2:
+                continue
+            ids = [ids[k] for k in present]
+            m = matrix[[rows_idx[k] for k in present]]
+            eq = (m[:, None, :] == m[None, :, :]).mean(axis=2)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            est = eq[iu, ju]
+            keep = est >= self.threshold
+            if not keep.any():
+                continue
+            band = int(bands_arr[s])
+            mb = m.reshape(len(ids), self.bands, r)
+            for i, j, ev in zip(iu[keep], ju[keep], est[keep]):
+                agree = (mb[i] == mb[j]).all(axis=1)
+                if int(np.argmax(agree)) != band:
+                    continue
+                a, b = sorted((ids[i], ids[j]))
+                out_a.append(a)
+                out_b.append(b)
+                out_e.append(float(ev))
+        return result(out_a, out_b, out_e)
+
+
+def _collect_arrow(ds) -> Optional[pa.Table]:
+    """Materialize a (small) dataset as one local Arrow table, skipping the
+    schema-less empty blocks Ray's aggregate can emit."""
+    import ray
+
+    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns and len(t)]
+    return pa.concat_tables(parts).combine_chunks() if parts else None
+
+
+# Above this many (doc × band) rows the hot-bucket scan switches from a
+# driver-side numpy pass to a distributed count shuffle.
+_DRIVER_BANDS_MAX = 5_000_000
 
 
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -299,89 +468,259 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.5, concurrency=None):
     """Near-duplicate candidate pairs via MinHash+LSH.
 
-    shingle→minhash (actor pool) → band explode → groupby(band, band_hash)
-    → within-bucket pairs → dedupe pairs across bands (groupby id pair)."""
+    shingle→minhash (actor pool, fully vectorized) → slim (band, band_key,
+    id) rows — the signature itself never enters a shuffle — → hot-bucket
+    scan (driver numpy below _DRIVER_BANDS_MAX rows, distributed count
+    shuffle above) → only the hot-bucket survivors (tiny, by LSH design) get
+    signatures re-attached from a broadcast lookup → within-bucket pair
+    estimation.  Each pair is emitted ONLY by its first colliding band
+    (checked locally from the signatures), so no cross-band dedupe shuffle
+    is needed.  Driver/broadcast state is O(#hot buckets + #survivors),
+    never O(#docs).  Broadcast ``is_in`` replaces a Dataset join throughout:
+    Ray 2.49's hash-join partitioner is a per-row Python loop and breaks on
+    empty partitions."""
+    import ray
+    import ray.data as rd
+    import pandas as pd
+
     from ..util import actor_pool_size
 
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+    n_parts = actor_pool_size()
+    # repartition before materialize: a single-file read yields one block,
+    # and every downstream groupby/map_groups inherits that serial layout
+    # (one task does ALL the per-group work) unless the signatures are
+    # spread first.  ~1% of text volume; consumed by two passes below.
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "num_perm": num_perm},
         batch_format="pyarrow",
         concurrency=concurrency or actor_pool_size(cap=16),
+    ).repartition(n_parts).materialize()
+    band_stage = _BandKeys(num_perm, bands, id_col)
+    n_docs = sigs.count()  # metadata on a materialized dataset — free
+
+    # Most buckets are singletons; one vectorized pass finds the few
+    # colliding band keys so the per-bucket pair stage only ever sees actual
+    # candidates (map_groups over all buckets is O(#docs·bands) Python
+    # overhead otherwise).
+    if n_docs * bands <= _DRIVER_BANDS_MAX:
+        # slim band table fits the driver: one collect + numpy dup-run scan
+        # beats two distributed shuffles' fixed costs by an order of magnitude
+        band_tbl = _collect_arrow(sigs.map_batches(band_stage, batch_format="pyarrow"))
+        if band_tbl is None:
+            return rd.from_pandas(empty)
+        keys = band_tbl.column("band_key").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        dup_adj = np.r_[False, ks[1:] == ks[:-1]]
+        dup_run = dup_adj | np.r_[dup_adj[1:], False]  # any member of a run
+        survivors = band_tbl.take(pa.array(np.sort(order[dup_run])))
+    else:
+        # scale path: distributed count shuffle over the slim projection,
+        # hot keys broadcast back as a filter
+        counts = sigs.map_batches(band_stage, batch_format="pyarrow").map_batches(
+            lambda t: t.select(["band_key"]), batch_format="pyarrow"
+        ).groupby("band_key").count()
+        hot_tbl = _collect_arrow(
+            counts.map_batches(
+                lambda t: (
+                    t.filter(pc.greater(t.column("count()"), 1)).select(["band_key"])
+                    if "count()" in t.column_names
+                    else pa.table({"band_key": pa.array([], pa.int64())})
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        if hot_tbl is None or len(hot_tbl) == 0:
+            return rd.from_pandas(empty)
+        hot_keys_ref = ray.put(hot_tbl.column("band_key").combine_chunks())
+
+        class _FilterHot:
+            def __init__(self, ref):
+                self.ref = ref
+                self._keys = None
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if self._keys is None:
+                    obj = self.ref
+                    self._keys = obj if isinstance(obj, pa.Array) else ray.get(obj)
+                return t.filter(pc.is_in(t.column("band_key"), value_set=self._keys))
+
+        survivors = _collect_arrow(
+            sigs.map_batches(band_stage, batch_format="pyarrow").map_batches(
+                _FilterHot(hot_keys_ref), batch_format="pyarrow"
+            )
+        )
+    if survivors is None or len(survivors) == 0:
+        return rd.from_pandas(empty)
+    survivor_ids = pc.unique(survivors.column(id_col))
+    # re-attach signatures to the (tiny) survivor set only
+    sig_tbl = _collect_arrow(
+        sigs.map_batches(
+            lambda t, _v=survivor_ids: t.filter(
+                pc.is_in(t.column(id_col), value_set=_v)
+            ),
+            batch_format="pyarrow",
+        )
     )
-    bands_ds = sigs.map_batches(
-        _ExplodeBands(num_perm, bands, id_col), batch_format="pyarrow"
-    ).materialize()
-    # Most buckets are singletons; a vectorized count pass finds the few
-    # colliding band hashes first so the per-group Python UDF only ever runs
-    # on actual candidates (map_groups over all buckets is O(#docs·bands)
-    # Python-group overhead otherwise).
-    counts = bands_ds.groupby(["band", "band_hash"]).count()
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t.column("count()"), 1)).select(["band_hash"]),
-        batch_format="pyarrow",
+    index = {v: i for i, v in enumerate(sig_tbl.column(id_col).to_pylist())}
+    matrix = _sig_matrix(sig_tbl.column("signature"), num_perm).copy()
+    sig_lookup_ref = ray.put((index, matrix))
+    bucket_pairs = _BucketPairsBlock(id_col, threshold, sig_lookup_ref, num_perm, bands)
+    # sort by bucket on the driver and split into bucket-ALIGNED blocks:
+    # the pair stage is then a plain parallel map_batches — no groupby
+    # shuffle, no per-group pandas machinery
+    skeys = survivors.column("band_key").to_numpy(zero_copy_only=False)
+    order = np.argsort(skeys, kind="stable")
+    sorted_surv = survivors.take(pa.array(order))
+    skeys = skeys[order]
+    bounds = np.r_[0, np.flatnonzero(skeys[1:] != skeys[:-1]) + 1, len(skeys)]
+    step = max(1, len(skeys) // n_parts + 1)
+    cut_idx = bounds[np.unique(np.searchsorted(bounds, np.arange(0, len(skeys), step)))]
+    cuts = np.r_[cut_idx, len(skeys)]
+    surv_blocks = [
+        sorted_surv.slice(int(s), int(e - s))
+        for s, e in zip(cuts[:-1], cuts[1:])
+        if e > s
+    ]
+    return rd.from_arrow(surv_blocks).map_batches(
+        lambda t, _bp=bucket_pairs: _bp(t), batch_format="pyarrow", batch_size=None
     )
-    hot_hashes = {r["band_hash"] for r in hot.take_all()}
-    if not hot_hashes:
+
+
+class _VerifyAttachText:
+    """groupby(join_id) stage: fan this doc's text out to its pair slots."""
+
+    def __call__(self, group):
         import pandas as pd
 
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        import ray.data as rd
-
-        return rd.from_pandas(empty)
-    hot_ds = bands_ds.map_batches(
-        _FilterBandHash(frozenset(hot_hashes)), batch_format="pyarrow"
-    )
-    bucket_pairs = _BucketPairs(id_col, threshold)
-    pairs = hot_ds.groupby(["band", "band_hash"]).map_groups(
-        lambda g, _bp=bucket_pairs: _bp(g), batch_format="pandas"
-    )
-    # a pair can surface from several bands → keep one
-    from ray.data.aggregate import Max
-
-    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard"))
-    return uniq.map_batches(_RenameMax, batch_format="pyarrow")
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "slot": [], "text": []})
+        doc = group[group["slot"] < 0]
+        if len(doc) == 0:
+            return empty  # unresolvable text: its pairs must not verify
+        text = doc["text"].iloc[0]
+        slots = group[group["slot"] >= 0]
+        if len(slots) == 0:
+            return empty
+        out = slots[["id_a", "id_b", "slot"]].copy()
+        out["text"] = text
+        return out[["id_a", "id_b", "slot", "text"]]
 
 
-def _RenameMax(batch: pa.Table) -> pa.Table:
-    names = [("est_jaccard" if c == "max(est_jaccard)" else c) for c in batch.column_names]
-    return batch.rename_columns(names)
+class _VerifyJaccard:
+    """groupby(id_a, id_b) stage: both texts of a pair together → exact
+    word-shingle Jaccard."""
+
+    def __init__(self, shingle_w: int, threshold: float):
+        self.shingle_w = shingle_w
+        self.threshold = threshold
+
+    def __call__(self, group):
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        if len(group) != 2:  # one side's text was unresolvable
+            return empty
+        g = group.sort_values("slot")
+        j = ngram_jaccard(g["text"].iloc[0], g["text"].iloc[1], self.shingle_w)
+        if j < self.threshold:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": [g["id_a"].iloc[0]],
+                "id_b": [g["id_b"].iloc[0]],
+                "jaccard": [j],
+            }
+        )
 
 
 def verify_pairs(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
                  shingle_w: int = 3, threshold: float = 0.0):
-    """Exact n-gram Jaccard verification of LSH candidate pairs.
+    """Exact n-gram Jaccard verification of LSH candidate pairs — fully
+    distributed; candidate TEXTS never touch the driver (round 1 collected a
+    driver dict of every candidate text and looped pairs in Python).
 
-    Only the candidate docs' texts are fetched (a filtered scan over the
-    corpus — the candidate set is tiny relative to it) and broadcast; each
-    pair is then verified with the exact word-shingle Jaccard.  Returns the
-    pairs table + ``jaccard`` column, filtered to ``jaccard >= threshold``."""
+    1. Only the candidate-id SET (compact Arrow ints/strings) is collected
+       and broadcast; the corpus is semi-filtered to candidate rows in one
+       streaming pruned scan.
+    2. A union + ``groupby(join_id)`` join attaches each candidate text to
+       its pair slots — the shuffle moves candidate-sized data only.
+    3. ``groupby(id_a, id_b)`` brings a pair's two texts together and the
+       Jaccard kernel runs inside the group fn.
+
+    At extreme candidate cardinality, shard the broadcast id set by hash
+    range and run pass 1 per shard.  Returns (id_a, id_b, jaccard) filtered
+    to ``jaccard >= threshold``."""
     import pandas as pd
     import ray
     import ray.data as rd
 
-    pair_rows = pairs.take_all()
-    if not pair_rows:
-        return rd.from_pandas(pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}))
-    wanted = sorted({r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows})
-    wanted_arr = pa.array(wanted)
-    texts_ds = ds.map_batches(
-        lambda t: t.filter(pc.is_in(t.column(id_col), value_set=wanted_arr)).select(
-            [id_col, text_col]
-        ),
-        batch_format="pyarrow",
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    pair_tbl = _collect_arrow(
+        pairs.map_batches(
+            lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+        )
     )
-    lookup = {r[id_col]: r[text_col] for r in texts_ds.take_all()}
-    out = []
-    for r in pair_rows:
-        ta = lookup.get(r["id_a"])
-        tb = lookup.get(r["id_b"])
-        if ta is None or tb is None:
-            continue  # unresolvable text must NOT "verify" as a duplicate
-        j = ngram_jaccard(ta, tb, shingle_w)
-        if j >= threshold:
-            out.append((r["id_a"], r["id_b"], j))
-    return rd.from_pandas(pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"]))
+    if pair_tbl is None or len(pair_tbl) == 0:
+        return rd.from_pandas(empty)
+    wanted = pc.unique(
+        pa.concat_arrays(
+            [
+                pair_tbl.column("id_a").combine_chunks(),
+                pair_tbl.column("id_b").combine_chunks(),
+            ]
+        )
+    )
+    wanted_ref = ray.put(wanted)
+    id_type = wanted.type
+
+    class _TextsSide:
+        def __init__(self, ref):
+            self.ref = ref
+            self._w = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._w is None:
+                obj = self.ref
+                self._w = obj if isinstance(obj, pa.Array) else ray.get(obj)
+            kept = t.filter(pc.is_in(t.column(id_col), value_set=self._w))
+            n = len(kept)
+            return pa.table(
+                {
+                    "join_id": kept.column(id_col),
+                    "id_a": pa.nulls(n, id_type),
+                    "id_b": pa.nulls(n, id_type),
+                    "slot": pa.array([-1] * n, pa.int32()),
+                    "text": kept.column(text_col),
+                }
+            )
+
+    def explode_slots(t: pa.Table) -> pa.Table:
+        a, b = t.column("id_a"), t.column("id_b")
+        n = len(t)
+        return pa.table(
+            {
+                "join_id": pa.concat_arrays(
+                    [a.combine_chunks(), b.combine_chunks()]
+                ),
+                "id_a": pa.concat_arrays([a.combine_chunks()] * 2),
+                "id_b": pa.concat_arrays([b.combine_chunks()] * 2),
+                "slot": pa.array([0] * n + [1] * n, pa.int32()),
+                "text": pa.nulls(2 * n, pa.string()),
+            }
+        )
+
+    texts_side = ds.map_batches(_TextsSide(wanted_ref), batch_format="pyarrow")
+    slots_side = pairs.map_batches(explode_slots, batch_format="pyarrow")
+    att = _VerifyAttachText()
+    attached = texts_side.union(slots_side).groupby("join_id").map_groups(
+        lambda g, _a=att: _a(g), batch_format="pandas"
+    )
+    vj = _VerifyJaccard(shingle_w, threshold)
+    return attached.groupby(["id_a", "id_b"]).map_groups(
+        lambda g, _vj=vj: _vj(g), batch_format="pandas"
+    )
 
 
 def ngram_jaccard(text_a: str, text_b: str, w: int = 3) -> float:

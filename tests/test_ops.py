@@ -195,3 +195,35 @@ class TestSimhashNearPairs:
         got = set(zip(pairs.id_a, pairs.id_b))
         assert (1, 2) in got
         assert (1, 3) not in got and (2, 3) not in got
+
+
+class TestVerifyPairsDistributed:
+    def test_multiblock_pairs_no_driver_texts(self, ray_session):
+        """VERDICT r1 item 4: verify_pairs must stay correct when the pair
+        set spans multiple blocks (the round-1 version collected all pairs
+        and texts to the driver)."""
+        import pandas as pd
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import ngram_jaccard, verify_pairs
+
+        words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                 "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+        docs, pairs = [], []
+        for i in range(20):
+            base = " ".join(words[j % len(words)] for j in range(i, i + 12))
+            near = base.replace(words[i % len(words)], "changed", 1)
+            docs.append({"doc_id": 2 * i, "text": base})
+            docs.append({"doc_id": 2 * i + 1, "text": near})
+            pairs.append({"id_a": 2 * i, "id_b": 2 * i + 1})
+        # a pair with an id absent from the corpus must not verify
+        pairs.append({"id_a": 0, "id_b": 9999})
+        corpus = rd.from_pandas(pd.DataFrame(docs)).repartition(4)
+        pair_ds = rd.from_pandas(pd.DataFrame(pairs)).repartition(5)
+        out = verify_pairs(corpus, pair_ds).to_pandas()
+        assert len(out) == 20  # the stale pair is dropped
+        got = {(int(r.id_a), int(r.id_b)): r.jaccard for r in out.itertuples()}
+        for i in range(20):
+            expect = ngram_jaccard(docs[2 * i]["text"], docs[2 * i + 1]["text"])
+            assert abs(got[(2 * i, 2 * i + 1)] - expect) < 1e-12
+        strict = verify_pairs(corpus, pair_ds, threshold=0.999).to_pandas()
+        assert len(strict) == 0
