@@ -906,7 +906,8 @@ def simhash_near_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 class _HyperplaneBucket:
-    """Random-hyperplane LSH bucket id for each embedding."""
+    """Random-hyperplane LSH bucket id for each embedding (int64 so the
+    shuffle keeps a native integer column)."""
 
     def __init__(self, dim: int, n_planes: int = 12, seed: int = 99,
                  emb_col: str = "embedding", id_col: str = "vec_id"):
@@ -920,32 +921,44 @@ class _HyperplaneBucket:
             return pa.table(
                 {
                     self.id_col: batch.column(self.id_col),
-                    "bucket": pa.array([], pa.uint64()),
+                    "bucket": pa.array([], pa.int64()),
                     self.emb_col: batch.column(self.emb_col),
                 }
             )
         emb = np.stack(batch.column(self.emb_col).to_pylist()).astype(np.float64)
         signs = (emb @ self.planes) > 0
-        bucket = (signs.astype(np.uint64) << np.arange(signs.shape[1], dtype=np.uint64)).sum(axis=1)
+        bucket = (signs.astype(np.int64) << np.arange(signs.shape[1], dtype=np.int64)).sum(axis=1)
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "bucket": pa.array(bucket, pa.uint64()),
+                "bucket": pa.array(bucket, pa.int64()),
                 self.emb_col: batch.column(self.emb_col),
             }
         )
 
 
 class _BucketCosinePairs:
-    def __init__(self, threshold: float, emb_col: str, id_col: str):
+    def __init__(self, threshold: float, emb_col: str, id_col: str,
+                 max_bucket_rows: int):
         self.threshold = threshold
         self.emb_col = emb_col
         self.id_col = id_col
+        self.max_bucket_rows = max_bucket_rows
 
     def __call__(self, group):
         import pandas as pd
 
         n = len(group)
+        if n > self.max_bucket_rows:
+            # one dense bucket would do O(n²) work in a single reducer —
+            # refuse to materialize it and surface a flag row instead
+            # (functions.shuffle._BoundedGroupApply pattern)
+            return pd.DataFrame(
+                {
+                    "__oversized_bucket": [int(group["bucket"].iloc[0])],
+                    "__bucket_rows": [n],
+                }
+            )
         if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         ids = group[self.id_col].tolist()
@@ -963,14 +976,57 @@ class _BucketCosinePairs:
 
 
 def embedding_cosine_pairs(ds, threshold: float = 0.9, dim: int = 64,
-                           emb_col: str = "embedding", id_col: str = "vec_id"):
+                           emb_col: str = "embedding", id_col: str = "vec_id",
+                           max_bucket_rows: int = 4096):
     """Near-duplicate embeddings: hyperplane-LSH buckets → within-bucket
     cosine ≥ threshold.  Recall is per-bucket (standard LSH tradeoff); run
-    with several seeds and union for higher recall."""
+    with several seeds and union for higher recall.
+
+    Scale guards (VERDICT r1 item 6): a hot-bucket prefilter — one count
+    shuffle over the (bucket) projection finds the buckets with ≥ 2 members,
+    so the embedding-carrying shuffle and the per-bucket UDF only ever see
+    actual candidates — and a bucket-size cap: a bucket larger than
+    ``max_bucket_rows`` yields a flag row (``__oversized_bucket``,
+    ``__bucket_rows``) instead of O(n²) work in one reducer; downstream
+    decides (resplit with more planes, sample, or drop)."""
+    import ray
+
     bucketed = ds.map_batches(
         _HyperplaneBucket(dim, emb_col=emb_col, id_col=id_col), batch_format="pyarrow"
     )
-    bucket_pairs = _BucketCosinePairs(threshold, emb_col, id_col)
-    return bucketed.groupby("bucket").map_groups(
+    counts = bucketed.map_batches(
+        lambda t: t.select(["bucket"]), batch_format="pyarrow"
+    ).groupby("bucket").count()
+    hot_tbl = _collect_arrow(
+        counts.map_batches(
+            lambda t: (
+                t.filter(pc.greater(t.column("count()"), 1)).select(["bucket"])
+                if "count()" in t.column_names
+                else pa.table({"bucket": pa.array([], pa.int64())})
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    if hot_tbl is None or len(hot_tbl) == 0:
+        import pandas as pd
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}))
+    hot_ref = ray.put(hot_tbl.column("bucket").combine_chunks())
+
+    class _FilterHotBucket:
+        def __init__(self, ref):
+            self.ref = ref
+            self._keys = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._keys is None:
+                obj = self.ref
+                self._keys = obj if isinstance(obj, pa.Array) else ray.get(obj)
+            return t.filter(pc.is_in(t.column("bucket"), value_set=self._keys))
+
+    hot = bucketed.map_batches(_FilterHotBucket(hot_ref), batch_format="pyarrow")
+    bucket_pairs = _BucketCosinePairs(threshold, emb_col, id_col, max_bucket_rows)
+    return hot.groupby("bucket").map_groups(
         lambda g, _bp=bucket_pairs: _bp(g), batch_format="pandas"
     )

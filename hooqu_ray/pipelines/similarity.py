@@ -11,8 +11,7 @@
 
 from __future__ import annotations
 
-import heapq
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import pyarrow as pa
@@ -91,33 +90,26 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
     partials = ds.map_batches(
         _BlockTopK(ref, k_local, emb_col, id_col), batch_format="pyarrow"
     )
-    # driver merge of tiny partials
-    best: List[List[Tuple[float, object]]] = [[] for _ in range(qn.shape[0])]
-    self_of = dict(zip(range(len(query_ids)), query_ids)) if query_ids is not None else {}
-    for row in partials.take_all():
-        qi = row["query_idx"]
-        if query_ids is not None and row[id_col] == self_of.get(qi):
-            continue
-        heapq.heappush(best[qi], (row["cosine"], -_order_key(row[id_col]), row[id_col]))
-        if len(best[qi]) > k:
-            heapq.heappop(best[qi])
-    out_q, out_id, out_s = [], [], []
-    for qi, heap in enumerate(best):
-        for cos, _negid, vid in sorted(heap, key=lambda t: (-t[0], t[2])):
-            out_q.append(qi)
-            out_id.append(vid)
-            out_s.append(cos)
-    return pa.table(
-        {
-            "query_idx": pa.array(out_q, pa.int64()),
-            id_col: pa.array(out_id),
-            "cosine": pa.array(out_s, pa.float64()),
-        }
+    # Driver merge of tiny partials — one vectorized stable sort + grouped
+    # head(k) instead of a per-row Python heap.  Ties break by ascending id
+    # for ANY id dtype (the round-1 heap keyed string ids by hash(), which
+    # depends on PYTHONHASHSEED across processes).
+    import pandas as pd
+
+    df = partials.to_pandas()
+    if query_ids is not None and len(df):
+        self_of = pd.Series(dict(enumerate(query_ids)))
+        df = df[df[id_col] != df["query_idx"].map(self_of)]
+    df = df.sort_values(
+        ["query_idx", "cosine", id_col],
+        ascending=[True, False, True],
+        kind="mergesort",
+        ignore_index=True,
     )
-
-
-def _order_key(v):
-    return v if isinstance(v, (int, float)) else hash(v)
+    top = df.groupby("query_idx", sort=True, as_index=False).head(k)
+    return pa.Table.from_pandas(top, preserve_index=False).select(
+        ["query_idx", id_col, "cosine"]
+    )
 
 
 # ---------------------------------------------------------------------------

