@@ -141,13 +141,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["histogram_quantity"] = _histogram_quantity
     out["salted_group_sum_events"] = _salted_group_sum_events
 
-    # -- non-SQL-expressible (rows-only checks) ---------------------------
+    # -- oracled via SQL derivation / bound predicates --------------------
     out["conversation_features"] = _conversation_features
+    out["near_dup_pairs_documents"] = _near_dup_pairs
+    out["approx_count_distinct_users"] = _approx_distinct_users
+    out["approx_quantile_price"] = _approx_quantile_price
+
+    # -- non-SQL-expressible (rows-only checks) ---------------------------
     out["minhash_lsh_pairs_documents"] = _minhash_pairs
     out["simhash_documents"] = _simhash_docs
     out["langid_documents"] = _langid_docs
-    out["approx_count_distinct_users"] = _approx_distinct_users
-    out["approx_quantile_price"] = _approx_quantile_price
     out["transcript_filter_stats"] = _transcript_filter_stats
     out["knn_ivf_embeddings"] = _knn_ivf
 
@@ -299,17 +302,60 @@ def _langid_docs(sf_dir: str):
 
 
 def _approx_distinct_users(sf_dir: str):
+    """Bound-style oracle: the EXACT distributed distinct count hash-matches
+    the SQL, and the HLL estimate is asserted within 5% of it (standard
+    error for the sketch's precision is ~1%)."""
     import hooqu_ray as hq
+    from hooqu_ray.runner import do_analysis_run
 
-    return _metric(hq.ApproxCountDistinct("user_id"), "approx_users", sf_dir, "events", ["user_id"])
+    exact_a = hq.CountDistinct(["user_id"])
+    approx_a = hq.ApproxCountDistinct("user_id")
+    ds = _read(sf_dir, "events", ["user_id"])
+    ctx = do_analysis_run(ds, [exact_a, approx_a])  # one shared pass
+    exact = float(ctx.metric_map[exact_a].value.get())
+    est = float(ctx.metric_map[approx_a].value.get())
+    return pa.table(
+        {
+            "n_exact": pa.array([round(exact, 6)], pa.float64()),
+            "within_tol": pa.array([abs(est - exact) / max(exact, 1.0) <= 0.05], pa.bool_()),
+        }
+    )
 
 
 def _approx_quantile_price(sf_dir: str):
+    """Bound-style oracle: the EXACT distributed nearest-quantile
+    hash-matches the SQL, and the t-digest estimate is asserted within 1%."""
     import hooqu_ray as hq
+    from hooqu_ray.runner import do_analysis_run
 
-    return _metric(
-        hq.ApproxQuantile("l_extendedprice", 0.5), "approx_q50", sf_dir, "lineitem", ["l_extendedprice"]
+    exact_a = hq.Quantile("l_extendedprice", 0.5)
+    approx_a = hq.ApproxQuantile("l_extendedprice", 0.5)
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    ctx = do_analysis_run(ds, [exact_a, approx_a])
+    exact = float(ctx.metric_map[exact_a].value.get())
+    est = float(ctx.metric_map[approx_a].value.get())
+    return pa.table(
+        {
+            "q50_exact": pa.array([round(exact, 6)], pa.float64()),
+            "within_tol": pa.array([abs(est - exact) / abs(exact) <= 0.01], pa.bool_()),
+        }
     )
+
+
+def _near_dup_pairs(sf_dir: str):
+    """LSH candidates at high recall (r=2, 64 bands: a true Jaccard-0.5 pair
+    escapes with probability (1-0.25)^64 ≈ 1e-8) verified with the exact
+    word-3-gram Jaccard — equal to the SQL all-pairs self-join at the 0.5
+    threshold."""
+    from hooqu_ray.pipelines.dedup import minhash_lsh_pairs, verify_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = minhash_lsh_pairs(ds, num_perm=128, bands=64, threshold=0.0)
+    ver = verify_pairs(ds, cands, threshold=0.5).to_pandas()
+    ver["jaccard"] = ver["jaccard"].round(6)
+    ver["id_a"] = ver["id_a"].astype("int64")
+    ver["id_b"] = ver["id_b"].astype("int64")
+    return ver.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
 def _transcript_filter_stats(sf_dir: str):
@@ -551,6 +597,57 @@ def oracle_sql() -> dict[str, str]:
         ),
         "salted_group_sum_events": (
             "SELECT user_id, ROUND(sum(value), 6) AS sum_value FROM events GROUP BY user_id"
+        ),
+        "conversation_features": (
+            # re-derive the deterministic documents→transcripts explosion in
+            # SQL (12-word chunks, alternating roles, 30s turn spacing) and
+            # check the per-conversation sequence features with window fns
+            "WITH w AS (SELECT doc_id, COALESCE(len(regexp_extract_all("
+            "COALESCE(text, ''), '\\S+')), 0) AS nw FROM documents), "
+            "c AS (SELECT doc_id, GREATEST(CAST(CEIL(nw / 12.0) AS BIGINT), 1) "
+            "AS n_turns FROM w), "
+            "t AS (SELECT doc_id, n_turns, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, i AS turn_idx, "
+            "CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+            "TIMESTAMP '2025-01-01 00:00:00' + to_microseconds(doc_id * 60000000 "
+            "+ i * 30000000) AS ts FROM t), "
+            "f AS (SELECT conv_id, turn_idx, role, ts, "
+            "lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role, "
+            "lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts FROM turn) "
+            "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+            "COALESCE(bool_and(prev_role IS NULL OR role <> prev_role), TRUE) AS role_alternates, "
+            "COALESCE(bool_and(prev_ts IS NULL OR ts >= prev_ts), TRUE) AS ts_monotone, "
+            "min(CASE WHEN turn_idx = 0 THEN role END) AS first_role "
+            "FROM f GROUP BY conv_id"
+        ),
+        "near_dup_pairs_documents": (
+            # exact all-pairs word-3-gram Jaccard self-join (the engine gets
+            # the same set via high-recall LSH + exact verification)
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), "
+            "'\\S+') AS ws FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN []::VARCHAR[] "
+            "WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+            "ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+            "for i in range(1, len(ws) - 1)] END AS s FROM w), "
+            "d AS (SELECT doc_id, list_distinct(s) AS s FROM sh), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0 "
+            "ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1) END AS jaccard "
+            "FROM d a JOIN d b ON a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM p "
+            "WHERE jaccard >= 0.5"
+        ),
+        "approx_count_distinct_users": (
+            "SELECT ROUND(CAST(count(DISTINCT user_id) AS DOUBLE), 6) AS n_exact, "
+            "TRUE AS within_tol FROM events WHERE user_id IS NOT NULL"
+        ),
+        "approx_quantile_price": (
+            "SELECT q50_exact, TRUE AS within_tol FROM ("
+            + _NEAREST_Q_SQL.format(
+                col="l_extendedprice", table="lineitem", q=0.5, name="q50_exact"
+            )
+            + ")"
         ),
         "knn_embeddings": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
