@@ -3,22 +3,29 @@
 All shapes follow the standard web-scale recipe (exact-hash partitioning,
 MinHash+LSH banding, SimHash) expressed Ray-Data-first:
 
-- ``exact_dedup``       content hash per batch → ``groupby(hash)`` shuffle →
-                        first row per group (deterministic: min id).
+- ``exact_dedup``       vectorized content hash → tiny (hash, min_id, count)
+                        combiner shuffle → broadcast duplicate-winner
+                        semi-join filter (deterministic representative:
+                        min id).
 - ``minhash_signatures``/``minhash_lsh_pairs``
-                        shingle → minhash (vectorized universal hashing) →
-                        explode to (band, band_hash) rows → groupby bands →
-                        candidate pairs + signature-estimated Jaccard.
+                        vectorized shingle → minhash signatures → slim
+                        (band, band_key, id) rows → hot-bucket scan →
+                        per-bucket candidate pairs with signature-estimated
+                        Jaccard (each pair emitted by its first colliding
+                        band only).
+- ``verify_pairs``      distributed exact-Jaccard verification: broadcast
+                        candidate-id semi-filter + union-groupby text join.
 - ``simhash``           64-bit SimHash per doc; near-dups collide on rotated
                         16-bit bands.
 - ``ngram_jaccard``     exact word-n-gram Jaccard for a candidate pair
                         (verification kernel).
 - ``embedding_cosine_pairs``
                         near-duplicate vectors via random-hyperplane LSH
-                        buckets → within-bucket pairwise cosine.
+                        buckets (hot-bucket prefilter + size cap) →
+                        within-bucket pairwise cosine.
 
-Only the candidate/verify machinery shuffles; signatures are a few hundred
-bytes per doc, so the LSH band shuffle moves ~1% of the text volume.
+Only candidate-sized data ever shuffles; signatures are a few hundred bytes
+per doc (~1% of text volume) and never enter a shuffle at all.
 """
 
 from __future__ import annotations
@@ -52,13 +59,16 @@ def _text_hash63(texts) -> np.ndarray:
     range, so Ray/Arrow shuffles keep a native integer column instead of
     falling back to pickled-object extension arrays.  Nulls hash to a single
     shared value (they form one dedup group, like SQL ``GROUP BY text``)."""
-    import polars as pl
-
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     if len(texts) == 0:
         return np.empty(0, dtype=np.int64)
-    h = pl.from_arrow(texts).hash(seed=0).to_numpy().astype(np.uint64)
+    try:
+        import polars as pl
+
+        h = pl.from_arrow(texts).hash(seed=0).to_numpy().astype(np.uint64)
+    except ImportError:  # pragma: no cover - process-stable slow path
+        h = _stable_text_hash64(texts.to_pylist())
     return (h & np.uint64((1 << 63) - 1)).astype(np.int64)
 
 
@@ -483,7 +493,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     import ray.data as rd
     import pandas as pd
 
-    from ..util import actor_pool_size
+    from ..util import BroadcastIsInFilter, actor_pool_size
 
     empty = pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
     n_parts = actor_pool_size()
@@ -515,7 +525,10 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         ks = keys[order]
         dup_adj = np.r_[False, ks[1:] == ks[:-1]]
         dup_run = dup_adj | np.r_[dup_adj[1:], False]  # any member of a run
-        survivors = band_tbl.take(pa.array(np.sort(order[dup_run])))
+        # order[dup_run] keeps the stable key sort → survivors arrive
+        # bucket-sorted and the final sort below is skipped
+        survivors = band_tbl.take(pa.array(order[dup_run]))
+        presorted = True
     else:
         # scale path: distributed count shuffle over the slim projection,
         # hot keys broadcast back as a filter
@@ -535,33 +548,20 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         if hot_tbl is None or len(hot_tbl) == 0:
             return rd.from_pandas(empty)
         hot_keys_ref = ray.put(hot_tbl.column("band_key").combine_chunks())
-
-        class _FilterHot:
-            def __init__(self, ref):
-                self.ref = ref
-                self._keys = None
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                if self._keys is None:
-                    obj = self.ref
-                    self._keys = obj if isinstance(obj, pa.Array) else ray.get(obj)
-                return t.filter(pc.is_in(t.column("band_key"), value_set=self._keys))
-
         survivors = _collect_arrow(
             sigs.map_batches(band_stage, batch_format="pyarrow").map_batches(
-                _FilterHot(hot_keys_ref), batch_format="pyarrow"
+                BroadcastIsInFilter(hot_keys_ref, "band_key"),
+                batch_format="pyarrow",
             )
         )
+        presorted = False
     if survivors is None or len(survivors) == 0:
         return rd.from_pandas(empty)
-    survivor_ids = pc.unique(survivors.column(id_col))
+    survivor_ids_ref = ray.put(pc.unique(survivors.column(id_col)))
     # re-attach signatures to the (tiny) survivor set only
     sig_tbl = _collect_arrow(
         sigs.map_batches(
-            lambda t, _v=survivor_ids: t.filter(
-                pc.is_in(t.column(id_col), value_set=_v)
-            ),
-            batch_format="pyarrow",
+            BroadcastIsInFilter(survivor_ids_ref, id_col), batch_format="pyarrow"
         )
     )
     index = {v: i for i, v in enumerate(sig_tbl.column(id_col).to_pylist())}
@@ -572,9 +572,11 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # the pair stage is then a plain parallel map_batches — no groupby
     # shuffle, no per-group pandas machinery
     skeys = survivors.column("band_key").to_numpy(zero_copy_only=False)
-    order = np.argsort(skeys, kind="stable")
-    sorted_surv = survivors.take(pa.array(order))
-    skeys = skeys[order]
+    if not presorted:
+        order = np.argsort(skeys, kind="stable")
+        survivors = survivors.take(pa.array(order))
+        skeys = skeys[order]
+    sorted_surv = survivors
     bounds = np.r_[0, np.flatnonzero(skeys[1:] != skeys[:-1]) + 1, len(skeys)]
     step = max(1, len(skeys) // n_parts + 1)
     cut_idx = bounds[np.unique(np.searchsorted(bounds, np.arange(0, len(skeys), step)))]
@@ -598,8 +600,13 @@ class _VerifyAttachText:
         empty = pd.DataFrame({"id_a": [], "id_b": [], "slot": [], "text": []})
         doc = group[group["slot"] < 0]
         if len(doc) == 0:
-            return empty  # unresolvable text: its pairs must not verify
+            return empty  # unresolvable id (not in the corpus): must not verify
         text = doc["text"].iloc[0]
+        if not isinstance(text, str):
+            # null text on a PRESENT doc counts as the empty string (the SQL
+            # oracle's COALESCE(text, '') semantics) — only a missing doc row
+            # disqualifies a pair
+            text = ""
         slots = group[group["slot"] >= 0]
         if len(slots) == 0:
             return empty
@@ -620,16 +627,20 @@ class _VerifyJaccard:
         import pandas as pd
 
         empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        if len(group) != 2:  # one side's text was unresolvable
+        # the same pair may arrive several times (e.g. a union of candidate
+        # sets from several LSH seeds) — verify the DISTINCT pair once; a
+        # pair missing either side's doc row does not verify
+        g0 = group[group["slot"] == 0]
+        g1 = group[group["slot"] == 1]
+        if len(g0) == 0 or len(g1) == 0:
             return empty
-        g = group.sort_values("slot")
-        j = ngram_jaccard(g["text"].iloc[0], g["text"].iloc[1], self.shingle_w)
+        j = ngram_jaccard(g0["text"].iloc[0], g1["text"].iloc[0], self.shingle_w)
         if j < self.threshold:
             return empty
         return pd.DataFrame(
             {
-                "id_a": [g["id_a"].iloc[0]],
-                "id_b": [g["id_b"].iloc[0]],
+                "id_a": [g0["id_a"].iloc[0]],
+                "id_b": [g0["id_b"].iloc[0]],
                 "jaccard": [j],
             }
         )
@@ -731,8 +742,8 @@ def ngram_jaccard(text_a: str, text_b: str, w: int = 3) -> float:
     different short texts would both have empty shingle sets and 'verify' as
     perfect duplicates."""
 
-    def shingles(text: str):
-        words = text.split()
+    def shingles(text: Optional[str]):
+        words = text.split() if isinstance(text, str) else []
         if not words:
             return set()
         if len(words) < w:
@@ -1013,19 +1024,11 @@ def embedding_cosine_pairs(ds, threshold: float = 0.9, dim: int = 64,
 
         return rd.from_pandas(pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}))
     hot_ref = ray.put(hot_tbl.column("bucket").combine_chunks())
+    from ..util import BroadcastIsInFilter
 
-    class _FilterHotBucket:
-        def __init__(self, ref):
-            self.ref = ref
-            self._keys = None
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self._keys is None:
-                obj = self.ref
-                self._keys = obj if isinstance(obj, pa.Array) else ray.get(obj)
-            return t.filter(pc.is_in(t.column("bucket"), value_set=self._keys))
-
-    hot = bucketed.map_batches(_FilterHotBucket(hot_ref), batch_format="pyarrow")
+    hot = bucketed.map_batches(
+        BroadcastIsInFilter(hot_ref, "bucket"), batch_format="pyarrow"
+    )
     bucket_pairs = _BucketCosinePairs(threshold, emb_col, id_col, max_bucket_rows)
     return hot.groupby("bucket").map_groups(
         lambda g, _bp=bucket_pairs: _bp(g), batch_format="pandas"

@@ -187,7 +187,29 @@ def filter_and_scrub(ds, scorer_concurrency: Optional[Tuple[int, int]] = None,
     import ray.data as rd
 
     turns = score_turns(ds, scorer_concurrency)
-    scratch = scratch_dir or tempfile.mkdtemp(prefix="hooqu_scored_", dir="/tmp")
+    if scratch_dir is None:
+        root = os.environ.get("HOOQU_SCRATCH_DIR")
+        if root is None and len(ray.nodes()) > 1:
+            # node-local /tmp is NOT visible to the driver on a multi-node
+            # cluster: the conv-stat partials and scored partitions written
+            # by remote workers would be silently missed
+            raise ValueError(
+                "filter_and_scrub on a multi-node cluster needs shared "
+                "storage: pass scratch_dir= or set HOOQU_SCRATCH_DIR to a "
+                "path visible from every node"
+            )
+        if root is not None:
+            os.makedirs(root, exist_ok=True)
+        scratch = tempfile.mkdtemp(prefix="hooqu_scored_", dir=root or "/tmp")
+        # default scratch is transient: reclaim it when this process exits
+        # (the returned dataset lazily re-reads it until then); a
+        # caller-provided scratch_dir is the caller's to manage
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    else:
+        scratch = scratch_dir
     data_dir = os.path.join(scratch, "data")
     partials_dir = os.path.join(scratch, "partials")
     os.makedirs(data_dir, exist_ok=True)
@@ -238,9 +260,9 @@ def filter_and_scrub(ds, scorer_concurrency: Optional[Tuple[int, int]] = None,
     return scored.map_batches(_ConvVerdictLookup(dropped_ref), batch_format="pyarrow")
 
 
-def filtered_output(ds, scorer_concurrency=None):
+def filtered_output(ds, scorer_concurrency=None, scratch_dir=None):
     """Kept turns only, scrubbed text as ``text``, stable order."""
-    full = filter_and_scrub(ds, scorer_concurrency)
+    full = filter_and_scrub(ds, scorer_concurrency, scratch_dir)
     kept = full.map_batches(_SelectKept(), batch_format="pyarrow")
     return kept.sort(["conv_id", "turn_idx"])
 
@@ -251,12 +273,17 @@ class _SidecarPartials:
     pass that spills the scored turns — no second scoring pass, no separate
     Ray execution for the conv stats.
 
-    The file name derives from the block's first (conv_id, turn_idx) key and
-    row count — blocks are disjoint, so the name is unique per block and
+    The file name derives from block content — first and last (conv_id,
+    turn_idx) keys, row count, and the partial's kept/total sums — so it is
     STABLE across task retries: a re-executed block atomically overwrites
     its own partial instead of double-counting (write-temp-then-rename, the
-    checkpoint commit pattern).  On a multi-node cluster the sidecar dir
-    lives on the same shared storage as the scored-turn partitions."""
+    checkpoint commit pattern).  Content-derived naming is deliberately
+    chosen over a per-task unique id: a retried task gets a NEW task id and
+    would double-count, while content collisions require two distinct
+    blocks agreeing on every component — only possible when whole input
+    blocks are byte-identical duplicates.  On a multi-node cluster the
+    sidecar dir lives on the same shared storage as the scored-turn
+    partitions (enforced by filter_and_scrub's scratch check)."""
 
     def __init__(self, partials_dir: str):
         self.partials_dir = partials_dir
@@ -269,11 +296,16 @@ class _SidecarPartials:
             import pyarrow.parquet as pq
 
             part = _ProjectConvKeep(batch)
+            n = len(batch)
             key = "|".join(
                 (
                     str(batch.column("conv_id")[0].as_py()),
                     str(batch.column("turn_idx")[0].as_py()),
-                    str(len(batch)),
+                    str(batch.column("conv_id")[n - 1].as_py()),
+                    str(batch.column("turn_idx")[n - 1].as_py()),
+                    str(n),
+                    str(pc.sum(part.column("kept_partial")).as_py()),
+                    str(pc.sum(part.column("total_partial")).as_py()),
                 )
             )
             name = hashlib.blake2b(key.encode(), digest_size=12).hexdigest()

@@ -86,8 +86,20 @@ try:
 
 except ImportError:  # pragma: no cover
     def _token_hashes(flat_tokens: pa.Array) -> np.ndarray:
+        # PROCESS-STABLE fallback: these hashes are compared ACROSS Ray
+        # workers (minhash signatures, content dedup), so builtin hash() —
+        # randomized per process by PYTHONHASHSEED — would silently break
+        # cross-block equality.  blake2b is slow but deterministic.
+        import hashlib
+
         return np.fromiter(
-            (hash(t) & 0xFFFFFFFFFFFFFFFF for t in flat_tokens.to_pylist()),
+            (
+                int.from_bytes(
+                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+                    "little",
+                )
+                for t in flat_tokens.to_pylist()
+            ),
             dtype=np.uint64,
             count=len(flat_tokens),
         )

@@ -32,6 +32,29 @@ def dataset_arrow_schema(ds) -> "Optional[object]":
     return pa.schema(fields)
 
 
+class BroadcastIsInFilter:
+    """``map_batches`` stage: keep rows whose ``col`` value is in a broadcast
+    Arrow value set.  The set ships ONCE via ``ray.put`` (zero-copy plasma
+    read per worker, not re-serialized per task) and ``pc.is_in`` is a C
+    hash probe — no Python per row."""
+
+    def __init__(self, values_ref, col: str):
+        self.values_ref = values_ref
+        self.col = col
+        self._values = None
+
+    def __call__(self, t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if self._values is None:
+            import ray
+
+            obj = self.values_ref
+            self._values = obj if isinstance(obj, pa.Array) else ray.get(obj)
+        return t.filter(pc.is_in(t.column(self.col), value_set=self._values))
+
+
 def actor_pool_size(cap: Optional[int] = None, headroom: int = 2) -> int:
     """Fixed actor-pool size for a map_batches stage: cluster CPUs minus
     ``headroom`` (the upstream read / sibling task stages need slots — a

@@ -273,3 +273,34 @@ class TestEmbeddingDedupSkew:
         )
         out = embedding_cosine_pairs(rd.from_pandas(df), threshold=0.95).to_pandas()
         assert len(out) == 15  # all 6-choose-2 near-dup pairs
+
+
+class TestVerifyPairsEdgeCases:
+    def test_null_text_pair_matches_sql_coalesce(self, ray_session):
+        """Code-review r2: two PRESENT docs with null text must verify like
+        the SQL oracle's COALESCE(text,'') — jaccard 1.0 — not crash."""
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import verify_pairs
+
+        corpus = pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": [None, None, "real text here today"]}
+        )
+        pairs = pd.DataFrame({"id_a": [1], "id_b": [2]})
+        out = verify_pairs(rd.from_pandas(corpus), rd.from_pandas(pairs)).to_pandas()
+        assert len(out) == 1
+        assert out.jaccard.iloc[0] == 1.0
+
+    def test_duplicate_candidate_pairs_verified_once(self, ray_session):
+        """Code-review r2: a pair present twice in the candidate set (e.g. a
+        union of two LSH seeds) must be verified, once — not silently
+        dropped."""
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import ngram_jaccard, verify_pairs
+
+        a = "the quick brown fox jumps over the lazy dog near the river"
+        b = a.replace("river", "creek")
+        corpus = pd.DataFrame({"doc_id": [1, 2], "text": [a, b]})
+        pairs = pd.DataFrame({"id_a": [1, 1], "id_b": [2, 2]})
+        out = verify_pairs(rd.from_pandas(corpus), rd.from_pandas(pairs)).to_pandas()
+        assert len(out) == 1
+        assert abs(out.jaccard.iloc[0] - ngram_jaccard(a, b)) < 1e-12
