@@ -80,17 +80,11 @@ _SHINGLE_C = np.array(
 )
 
 
-def _batch_shingles(texts, w: int = 3):
-    """Vectorized word-w-shingle hashes for a whole string array.
-
-    Returns ``(shingle_hashes uint64, parent_row int64, n_rows)`` with
-    shingles grouped in ascending row order.  Tokens come from ONE Arrow
-    ``utf8_split_whitespace`` pass, token hashes from polars' 64-bit hash,
-    and a shingle's hash is a fixed polynomial over its w consecutive token
-    hashes — collision-equivalent to hashing the joined string, with zero
-    per-shingle Python.  Rows with 1..w-1 words contribute their full word
-    tuple as a single shingle (mirroring ``ngram_jaccard``); rows with no
-    words contribute nothing (their signature stays all-zero)."""
+def _batch_token_hashes(texts):
+    """Tokenize a whole string array in ONE Arrow pass and hash every token
+    (polars 64-bit).  Returns ``(token_hashes uint64, parent_row int64,
+    n_rows)`` with tokens in row order; empty split tokens are dropped to
+    match ``str.split()`` word semantics."""
     from ..stages.heuristics import _token_hashes
 
     if isinstance(texts, pa.ChunkedArray):
@@ -109,6 +103,21 @@ def _batch_shingles(texts, w: int = 3):
     else:
         tp = np.empty(0, dtype=np.int64)
         h = np.empty(0, dtype=np.uint64)
+    return h, tp, n
+
+
+def _batch_shingles(texts, w: int = 3):
+    """Vectorized word-w-shingle hashes for a whole string array.
+
+    Returns ``(shingle_hashes uint64, parent_row int64, n_rows)`` with
+    shingles grouped in ascending row order.  Tokens come from ONE Arrow
+    ``utf8_split_whitespace`` pass, token hashes from polars' 64-bit hash,
+    and a shingle's hash is a fixed polynomial over its w consecutive token
+    hashes — collision-equivalent to hashing the joined string, with zero
+    per-shingle Python.  Rows with 1..w-1 words contribute their full word
+    tuple as a single shingle (mirroring ``ngram_jaccard``); rows with no
+    words contribute nothing (their signature stays all-zero)."""
+    h, tp, n = _batch_token_hashes(texts)
     nw = np.zeros(n, dtype=np.int64)
     if tp.size:
         np.add.at(nw, tp, 1)
@@ -762,26 +771,43 @@ def ngram_jaccard(text_a: str, text_b: str, w: int = 3) -> float:
 
 
 class SimHasher:
-    """64-bit SimHash over word hashes (vectorized sign-sum)."""
+    """64-bit SimHash over word hashes.
+
+    Fully vectorized per batch: one tokenize+hash pass for the whole string
+    array, per-token ±1 bit contributions, and per-document bit sums via
+    ``np.add.reduceat`` segment reduction — no Python per document or per
+    word (round 1 ran a per-word blake2b loop per document)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
 
+    def simhashes(self, texts) -> np.ndarray:
+        """(n_rows,) uint64 simhash per document; wordless rows are 0."""
+        h, tp, n = _batch_token_hashes(texts)
+        out = np.zeros(n, dtype=np.uint64)
+        if h.size == 0:
+            return out
+        # (T, 64) ±1 contributions, segment-summed per row (tokens arrive in
+        # row order, so reduceat over row starts is exact)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int8)
+        contrib = (2 * bits - 1).astype(np.int32)
+        starts = np.r_[0, np.flatnonzero(tp[1:] != tp[:-1]) + 1]
+        rows = tp[starts]
+        v = np.add.reduceat(contrib, starts, axis=0)  # (#nonempty rows, 64)
+        packed = ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
+        out[rows] = packed
+        return out
+
     def simhash(self, text: Optional[str]) -> int:
-        if not text:
-            return 0
-        h = _stable_text_hash64(text.split())
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        return int(self.simhashes(pa.array([text], pa.string()))[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = [self.simhash(t) for t in batch.column(self.text_col).to_pylist()]
+        hs = self.simhashes(batch.column(self.text_col))
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "simhash": pa.array(np.array(hs, dtype=np.uint64), pa.uint64()),
+                "simhash": pa.array(hs, pa.uint64()),
             }
         )
 

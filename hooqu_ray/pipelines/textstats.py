@@ -63,26 +63,72 @@ class LangIdStage:
         )
 
 
-_FNV_PRIME = 1099511628211
-_FNV_OFFSET = 14695981039346656037
+_RK_PRIME = 1099511628211  # odd 64-bit multiplier (the FNV prime)
 _MASK64 = (1 << 64) - 1
 
 
 def rolling_hash64(text: Optional[str]) -> int:
-    """FNV-1a rolling hash over utf-8 bytes (document fingerprint)."""
+    """Rabin-Karp polynomial rolling hash over utf-8 bytes (document
+    fingerprint): ``h = h * P + b`` per byte, mod 2^64.  Scalar REFERENCE
+    implementation — the hot path is the byte-exact vectorized
+    ``rolling_hash64_batch``."""
     if text is None:
         return 0
-    h = _FNV_OFFSET
+    h = 0
     for b in text.encode("utf-8"):
-        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+        h = (h * _RK_PRIME + b) & _MASK64
     return h
+
+
+def rolling_hash64_batch(texts) -> np.ndarray:
+    """Vectorized Rabin-Karp over a whole string array, byte-identical to
+    ``rolling_hash64``: ``h = Σ b_j · P^(L-1-j) mod 2^64`` computed with a
+    power table + one ``np.add.reduceat`` segment sum — no Python per byte
+    (the round-1 FNV-1a loop paid ~60 ns/byte of interpreter time)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    binary = pc.cast(texts, pa.large_binary())
+    if isinstance(binary, pa.ChunkedArray):
+        binary = binary.combine_chunks()
+    offs = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
+        binary.offset : binary.offset + n + 1
+    ]
+    data = np.frombuffer(binary.buffers()[2], dtype=np.uint8)
+    lens = np.diff(offs)
+    valid = pc.is_valid(binary).to_numpy(zero_copy_only=False)
+    total = int(offs[-1] - offs[0])
+    if total == 0:
+        return out
+    maxlen = int(lens.max())
+    pw = np.empty(maxlen, dtype=np.uint64)
+    pw[0] = 1
+    if maxlen > 1:
+        np.multiply.accumulate(
+            np.full(maxlen - 1, _RK_PRIME, dtype=np.uint64), out=pw[1:]
+        )
+    # exponent of each byte = (its row's end offset - 1) - global position
+    pos = np.arange(offs[0], offs[-1], dtype=np.int64)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    exp = (offs[1:][row_of] - 1 - pos).astype(np.int64)
+    contrib = data[offs[0] : offs[-1]].astype(np.uint64) * pw[exp]
+    nonempty = lens > 0
+    starts = (offs[:-1] - offs[0])[nonempty]
+    sums = np.add.reduceat(contrib, starts)
+    out[np.flatnonzero(nonempty)] = sums
+    out[~valid] = 0  # null text → 0, like the scalar
+    return out
 
 
 def fingerprint_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """md5 (hex) + rolling-hash fingerprints per document."""
     texts = batch.column(text_col).to_pylist()
     md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
-    rolls = np.array([rolling_hash64(t) for t in texts], dtype=np.uint64)
+    col = batch.column(text_col)
+    rolls = rolling_hash64_batch(col)
     return batch.append_column("md5", pa.array(md5s, pa.string())).append_column(
         "fingerprint", pa.array(rolls, pa.uint64())
     )

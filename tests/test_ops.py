@@ -304,3 +304,39 @@ class TestVerifyPairsEdgeCases:
         out = verify_pairs(rd.from_pandas(corpus), rd.from_pandas(pairs)).to_pandas()
         assert len(out) == 1
         assert abs(out.jaccard.iloc[0] - ngram_jaccard(a, b)) < 1e-12
+
+
+class TestVectorizedKernels:
+    def test_rolling_hash_batch_matches_scalar(self):
+        import pyarrow as pa
+        from hooqu_ray.pipelines.textstats import rolling_hash64, rolling_hash64_batch
+
+        texts = [
+            "hello world", "", None, "a", "ünïcödé ßtring — emoji 🦊",
+            "x" * 5000, "the quick brown fox", " ", "\n\t", "0" * 63,
+        ]
+        arr = pa.chunked_array([pa.array(texts[:4], pa.string()),
+                                pa.array(texts[4:], pa.string())])
+        batch = rolling_hash64_batch(arr)
+        for i, t in enumerate(texts):
+            assert int(batch[i]) == rolling_hash64(t), (i, t)
+
+    def test_rolling_hash_batch_sliced_array(self):
+        import pyarrow as pa
+        from hooqu_ray.pipelines.textstats import rolling_hash64, rolling_hash64_batch
+
+        arr = pa.array(["pad", "alpha", "beta gamma", "pad2"]).slice(1, 2)
+        batch = rolling_hash64_batch(arr)
+        assert int(batch[0]) == rolling_hash64("alpha")
+        assert int(batch[1]) == rolling_hash64("beta gamma")
+
+    def test_simhash_batch_matches_scalar(self):
+        import pyarrow as pa
+        from hooqu_ray.pipelines.dedup import SimHasher
+
+        sh = SimHasher()
+        texts = ["one two three", "", None, "single", "many words in this one here",
+                 "  spaced   out  "]
+        batch = sh.simhashes(pa.array(texts, pa.string()))
+        for i, t in enumerate(texts):
+            assert int(batch[i]) == sh.simhash(t), (i, t)
