@@ -747,7 +747,7 @@ def ngram_jaccard(text_a: str, text_b: str, w: int = 3) -> float:
     """Exact word-w-gram Jaccard (candidate verification kernel).
 
     Texts shorter than w words contribute their full word tuple as the single
-    shingle (mirroring ``_shingle_hashes``) — otherwise two completely
+    shingle (mirroring ``_batch_shingles``) — otherwise two completely
     different short texts would both have empty shingle sets and 'verify' as
     perfect duplicates."""
 

@@ -124,7 +124,7 @@ def test_mega_conversation_salted_branch(ray_session, monkeypatch):
     import pyarrow as pa
     import ray.data as rd
 
-    monkeypatch.setattr(tp, "_CONV_STATS_DRIVER_MAX", 1_000)
+    monkeypatch.setattr(tp, "_CONV_STATS_DRIVER_MAX_BYTES", 0)
 
     n_mega = 1_000_000
 
