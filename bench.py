@@ -10,7 +10,9 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
 Headline = the flagship transcript filter+scrub pipeline (features → actor
 pool lang-ID/perplexity → policy → conv-level pass) over transcripts derived
 deterministically from the documents table, replicated ×BENCH_REPLICATE
-(default 16) for a stable measurement.
+(default 128 ≈ 3.2M turns: at replicate=16 the measurement is dominated by
+fixed costs — actor spawn, read floor — and this box's ±1.5s run-to-run
+noise; 3.2M turns puts the signal an order of magnitude above both).
 
 ``--scaling``: runs the plain bench twice in fresh interpreters at N and
 4N CPUs (default 4 vs 16; SCALING_LO/HI to override) on the same input and
@@ -67,7 +69,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    replicate = int(os.environ.get("BENCH_REPLICATE", "16"))
+    replicate = int(os.environ.get("BENCH_REPLICATE", "128"))
 
     import ray
 
