@@ -140,6 +140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["windowed_events_hourly"] = _windowed_events_hourly
     out["histogram_quantity"] = _histogram_quantity
     out["salted_group_sum_events"] = _salted_group_sum_events
+    out["session_stats_events"] = _session_stats_events
+    out["top3_events_per_type"] = _top3_events_per_type
+    out["hash_sample_events"] = _hash_sample_events
+    out["semi_join_top_users"] = _semi_join_top_users
+    out["anti_join_top_users"] = _anti_join_top_users
 
     # -- oracled via SQL derivation / bound predicates --------------------
     out["conversation_features"] = _conversation_features
@@ -454,6 +459,76 @@ def _salted_group_sum_events(sf_dir: str):
     return res
 
 
+def _session_stats_events(sf_dir: str):
+    """Sessionization (1h gap) — the streaming-window-shaped operator."""
+    from hooqu_ray.pipelines.sessions import session_stats
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    res = session_stats(ds, "user_id", "ts", gap_seconds=3600).to_pandas()
+    res["user_id"] = res["user_id"].astype("int64")
+    res["session_idx"] = res["session_idx"].astype("int64")
+    res["n_events"] = res["n_events"].astype("int64")
+    res["t_start"] = res["t_start"].astype("datetime64[us]")
+    res["t_end"] = res["t_end"].astype("datetime64[us]")
+    return res
+
+
+def _top3_events_per_type(sf_dir: str):
+    from hooqu_ray.pipelines.relational import grouped_top_k
+
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+    t = grouped_top_k(ds, "event_type", "value", 3, "event_id")
+    return t.set_column(
+        t.column_names.index("value"), "value", pc.round(t.column("value"), 6)
+    )
+
+
+def _hash_sample_events(sf_dir: str):
+    from hooqu_ray.pipelines.relational import hash_sample
+
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    res = hash_sample(ds, "event_id", buckets=20, keep_bucket=0)
+    return res.map_batches(
+        lambda t: pa.table(
+            {"event_id": t.column("event_id"), "value": pc.round(t.column("value"), 6)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _top50_user_ids(sf_dir: str):
+    """Top-50 users by total value (ties by ascending user_id) via the
+    salted skew-safe sum."""
+    from hooqu_ray.functions.shuffle import salted_group_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    sums = salted_group_aggregate(ds, "user_id", ["value"], buckets=8).to_pandas()
+    sums = sums.sort_values(
+        ["sum(value)", "user_id"], ascending=[False, True], kind="mergesort"
+    )
+    return sums["user_id"].head(50).to_numpy()
+
+
+def _semi_join_top_users(sf_dir: str):
+    from hooqu_ray.functions.joins import semi_join
+
+    top = pa.array(_top50_user_ids(sf_dir), pa.int64())
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    return semi_join(ds, top, "user_id")
+
+
+def _anti_join_top_users(sf_dir: str):
+    from hooqu_ray.functions.joins import anti_join
+
+    top = pa.array(_top50_user_ids(sf_dir), pa.int64())
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    return anti_join(ds, top, "user_id")
+
+
 def _conversation_features(sf_dir: str):
     from hooqu_ray.pipelines import transcripts as tp
 
@@ -597,6 +672,39 @@ def oracle_sql() -> dict[str, str]:
         ),
         "salted_group_sum_events": (
             "SELECT user_id, ROUND(sum(value), 6) AS sum_value FROM events GROUP BY user_id"
+        ),
+        "session_stats_events": (
+            "WITH o AS (SELECT user_id, ts, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS prev FROM events), "
+            "m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR "
+            "date_diff('microsecond', prev, ts) > 3600000000 THEN 1 ELSE 0 END "
+            "AS brk FROM o), "
+            "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx FROM m) "
+            "SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events, "
+            "min(ts) AS t_start, max(ts) AS t_end FROM s GROUP BY user_id, session_idx"
+        ),
+        "top3_events_per_type": (
+            "WITH r AS (SELECT event_type, event_id, value, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY value DESC, event_id) AS rn FROM events) "
+            "SELECT event_type, event_id, ROUND(value, 6) AS value FROM r WHERE rn <= 3"
+        ),
+        "hash_sample_events": (
+            "SELECT event_id, ROUND(value, 6) AS value FROM events "
+            "WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) % 20 = 0"
+        ),
+        "semi_join_top_users": (
+            "WITH s AS (SELECT user_id, sum(value) AS v FROM events GROUP BY user_id), "
+            "r AS (SELECT user_id, row_number() OVER (ORDER BY v DESC, user_id) AS rn FROM s) "
+            "SELECT e.event_id, e.user_id FROM events e "
+            "JOIN (SELECT user_id FROM r WHERE rn <= 50) t ON e.user_id = t.user_id"
+        ),
+        "anti_join_top_users": (
+            "WITH s AS (SELECT user_id, sum(value) AS v FROM events GROUP BY user_id), "
+            "r AS (SELECT user_id, row_number() OVER (ORDER BY v DESC, user_id) AS rn FROM s) "
+            "SELECT e.event_id, e.user_id FROM events e "
+            "WHERE e.user_id NOT IN (SELECT user_id FROM r WHERE rn <= 50)"
         ),
         "conversation_features": (
             # re-derive the deterministic documents→transcripts explosion in

@@ -1,0 +1,68 @@
+"""Broadcast semi/anti joins.
+
+The reference has no join surface at all (SURVEY §2.3 "Joins / lookups:
+none"); a large-scale pipeline needs at least the filter-joins.  Ray 2.49's
+``Dataset.join`` is unusable in hot paths (its hash partitioner is a per-row
+Python loop and it crashes on empty partitions — see CLAUDE.md), so the
+small-side joins are expressed as a broadcast key set + a streaming
+``pc.is_in`` filter: the set ships once via ``ray.put`` and every batch is
+probed by a vectorized C hash lookup.
+
+The small side must fit in a worker's heap; at larger key cardinality shard
+the set by hash range and union the per-shard passes (or fall back to a
+bucketed groupby join).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import BroadcastIsInFilter
+
+
+def _key_array(keys, key_col: Optional[str]) -> pa.Array:
+    """Normalize the small side to a deduplicated Arrow array of keys."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if isinstance(keys, pa.Array):
+        return pc.unique(keys)
+    if isinstance(keys, pa.Table):
+        if key_col is None:
+            raise ValueError("key_col is required when keys is a Table")
+        return pc.unique(keys.column(key_col).combine_chunks())
+    if hasattr(keys, "to_arrow_refs"):  # ray.data.Dataset small side
+        import ray
+
+        parts = [
+            t for t in ray.get(keys.to_arrow_refs()) if t.num_columns and len(t)
+        ]
+        if not parts:
+            return pa.array([])
+        tbl = pa.concat_tables(parts)
+        col = key_col or tbl.column_names[0]
+        return pc.unique(tbl.column(col).combine_chunks())
+    return pc.unique(pa.array(list(keys)))
+
+
+def semi_join(ds, keys, col: str, key_col: Optional[str] = None):
+    """Rows of ``ds`` whose ``col`` appears in the (small) key side.
+
+    ``keys``: an Arrow array/table, a Python iterable, or a small
+    ``ray.data.Dataset`` (collected to a compact key array)."""
+    import ray
+
+    ref = ray.put(_key_array(keys, key_col))
+    return ds.map_batches(BroadcastIsInFilter(ref, col), batch_format="pyarrow")
+
+
+def anti_join(ds, keys, col: str, key_col: Optional[str] = None):
+    """Rows of ``ds`` whose ``col`` does NOT appear in the (small) key side."""
+    import ray
+
+    ref = ray.put(_key_array(keys, key_col))
+    return ds.map_batches(
+        BroadcastIsInFilter(ref, col, invert=True), batch_format="pyarrow"
+    )

@@ -34,13 +34,15 @@ def dataset_arrow_schema(ds) -> "Optional[object]":
 
 class BroadcastIsInFilter:
     """``map_batches`` stage: keep rows whose ``col`` value is in a broadcast
-    Arrow value set.  The set ships ONCE via ``ray.put`` (zero-copy plasma
-    read per worker, not re-serialized per task) and ``pc.is_in`` is a C
-    hash probe — no Python per row."""
+    Arrow value set (``invert=True`` keeps the complement — an anti-join).
+    The set ships ONCE via ``ray.put`` (zero-copy plasma read per worker,
+    not re-serialized per task) and ``pc.is_in`` is a C hash probe — no
+    Python per row."""
 
-    def __init__(self, values_ref, col: str):
+    def __init__(self, values_ref, col: str, invert: bool = False):
         self.values_ref = values_ref
         self.col = col
+        self.invert = invert
         self._values = None
 
     def __call__(self, t):
@@ -52,7 +54,10 @@ class BroadcastIsInFilter:
 
             obj = self.values_ref
             self._values = obj if isinstance(obj, pa.Array) else ray.get(obj)
-        return t.filter(pc.is_in(t.column(self.col), value_set=self._values))
+        mask = pc.is_in(t.column(self.col), value_set=self._values)
+        if self.invert:
+            mask = pc.invert(mask)
+        return t.filter(mask)
 
 
 def actor_pool_size(cap: Optional[int] = None, headroom: int = 2) -> int:

@@ -1,0 +1,117 @@
+"""Unit tests for the round-2 relational operators: sessionization,
+grouped top-k, deterministic hash sampling, broadcast semi/anti joins."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events_frame():
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    # user 1: three events in one session, then a 2h gap, then two more
+    for i, off in enumerate([0, 60, 120, 7800, 7860]):
+        rows.append((100 + i, base + np.timedelta64(off, "s"), 1, "click", float(i)))
+    # user 2: single event
+    rows.append((200, base, 2, "view", 9.0))
+    return pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+
+def test_session_stats_gap_semantics(ray_session):
+    import ray.data as rd
+    from hooqu_ray.pipelines.sessions import session_stats
+
+    out = (
+        session_stats(rd.from_pandas(_events_frame()), gap_seconds=3600)
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"], ignore_index=True)
+    )
+    assert out[["user_id", "session_idx", "n_events"]].values.tolist() == [
+        [1, 0, 3],
+        [1, 1, 2],
+        [2, 0, 1],
+    ]
+    s0 = out.iloc[0]
+    assert (s0.t_end - s0.t_start) == pd.Timedelta(seconds=120)
+
+
+def test_session_boundary_is_strict(ray_session):
+    import ray.data as rd
+    from hooqu_ray.pipelines.sessions import session_stats
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [base, base + np.timedelta64(3600, "s"),
+                   base + np.timedelta64(3600 * 2 + 1, "s")],
+            "user_id": [7, 7, 7],
+        }
+    )
+    out = session_stats(rd.from_pandas(df), gap_seconds=3600).to_pandas()
+    # gap == 3600s does NOT break; gap == 3601s does
+    assert sorted(out["n_events"].tolist()) == [1, 2]
+
+
+def test_grouped_top_k_matches_pandas(ray_session):
+    import ray.data as rd
+    from hooqu_ray.pipelines.relational import grouped_top_k
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 500),
+            "v": rng.standard_normal(500).round(3),
+            "id": np.arange(500),
+        }
+    )
+    got = grouped_top_k(
+        rd.from_pandas(df).repartition(7), "g", "v", 4, "id"
+    ).to_pandas()
+    expect = (
+        df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .groupby("g", sort=False)
+        .head(4)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), expect)
+
+
+def test_hash_sample_deterministic_and_sql_compatible(ray_session):
+    import duckdb
+    import ray.data as rd
+    from hooqu_ray.pipelines.relational import hash_sample
+
+    df = pd.DataFrame({"event_id": np.arange(1000), "value": np.arange(1000) * 0.5})
+    got = sorted(
+        hash_sample(rd.from_pandas(df), "event_id", buckets=10, keep_bucket=3)
+        .to_pandas()["event_id"]
+        .tolist()
+    )
+    expect = sorted(
+        r[0]
+        for r in duckdb.sql(
+            "SELECT event_id FROM df WHERE CAST(concat('0x', "
+            "substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 3"
+        ).fetchall()
+    )
+    assert got == expect
+    assert 50 < len(got) < 200  # roughly 10%
+
+
+def test_semi_and_anti_join_partition_rows(ray_session):
+    import ray.data as rd
+    from hooqu_ray.functions.joins import anti_join, semi_join
+
+    df = pd.DataFrame({"id": np.arange(100), "k": np.arange(100) % 10})
+    ds = rd.from_pandas(df).repartition(3)
+    keys = pa.array([2, 5], pa.int64())
+    semi = semi_join(ds, keys, "k").to_pandas()
+    anti = anti_join(ds, keys, "k").to_pandas()
+    assert set(semi["k"]) == {2, 5} and len(semi) == 20
+    assert set(anti["k"]) == set(range(10)) - {2, 5} and len(anti) == 80
+    # small side as a Dataset with key_col
+    keys_ds = rd.from_pandas(pd.DataFrame({"k": [2, 5, 5]}))
+    semi2 = semi_join(ds, keys_ds, "k", key_col="k").to_pandas()
+    assert sorted(semi2["id"]) == sorted(semi["id"])
