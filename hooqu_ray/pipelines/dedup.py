@@ -482,6 +482,78 @@ def _collect_arrow(ds) -> Optional[pa.Table]:
 _DRIVER_BANDS_MAX = 5_000_000
 
 
+
+def _hot_survivors(sigs_ds, band_stage, est_band_rows: int, key_col: str = "band_key"):
+    """Band rows belonging to buckets with >= 2 members, collected to the
+    driver SORTED by bucket key.
+
+    Adaptive like ``runner.frequencies``: below ``_DRIVER_BANDS_MAX`` rows
+    the whole slim band table is collected and scanned with one numpy
+    dup-run pass (an order of magnitude cheaper than two distributed
+    shuffles' fixed costs); above it, a distributed count shuffle finds the
+    hot keys and a broadcast filter collects only the survivors.  Returns
+    ``(survivors_table, keys_np)`` or ``(None, None)``."""
+    import ray
+
+    from ..util import BroadcastIsInFilter
+
+    if est_band_rows <= _DRIVER_BANDS_MAX:
+        band_tbl = _collect_arrow(sigs_ds.map_batches(band_stage, batch_format="pyarrow"))
+        if band_tbl is None:
+            return None, None
+        keys = band_tbl.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        dup_adj = np.r_[False, ks[1:] == ks[:-1]]
+        dup_run = dup_adj | np.r_[dup_adj[1:], False]  # any member of a run
+        # order[dup_run] keeps the stable key sort: survivors arrive
+        # bucket-sorted, no second sort needed
+        survivors = band_tbl.take(pa.array(order[dup_run]))
+        return (survivors, ks[dup_run]) if len(survivors) else (None, None)
+    counts = sigs_ds.map_batches(band_stage, batch_format="pyarrow").map_batches(
+        lambda t, _k=key_col: t.select([_k]), batch_format="pyarrow"
+    ).groupby(key_col).count()
+    hot_tbl = _collect_arrow(
+        counts.map_batches(
+            lambda t, _k=key_col: (
+                t.filter(pc.greater(t.column("count()"), 1)).select([_k])
+                if "count()" in t.column_names
+                else pa.table({_k: pa.array([], pa.int64())})
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    if hot_tbl is None or len(hot_tbl) == 0:
+        return None, None
+    hot_keys_ref = ray.put(hot_tbl.column(key_col).combine_chunks())
+    survivors = _collect_arrow(
+        sigs_ds.map_batches(band_stage, batch_format="pyarrow").map_batches(
+            BroadcastIsInFilter(hot_keys_ref, key_col), batch_format="pyarrow"
+        )
+    )
+    if survivors is None or len(survivors) == 0:
+        return None, None
+    keys = survivors.column(key_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    return survivors.take(pa.array(order)), keys[order]
+
+
+def _bucket_aligned_blocks(sorted_surv: pa.Table, skeys: np.ndarray, n_parts: int):
+    """Split a bucket-sorted survivor table into ~n_parts Arrow blocks that
+    never split a bucket, so the per-bucket pair stage runs as a plain
+    parallel ``map_batches`` — no groupby shuffle (a single-block input
+    would run every bucket in ONE task)."""
+    bounds = np.r_[0, np.flatnonzero(skeys[1:] != skeys[:-1]) + 1, len(skeys)]
+    step = max(1, len(skeys) // n_parts + 1)
+    cut_idx = bounds[np.unique(np.searchsorted(bounds, np.arange(0, len(skeys), step)))]
+    cuts = np.r_[cut_idx, len(skeys)]
+    return [
+        sorted_surv.slice(int(a), int(b - a))
+        for a, b in zip(cuts[:-1], cuts[1:])
+        if b > a
+    ]
+
+
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 128, bands: int = 32,
                       threshold: float = 0.5, concurrency=None):
@@ -523,50 +595,10 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # colliding band keys so the per-bucket pair stage only ever sees actual
     # candidates (map_groups over all buckets is O(#docs·bands) Python
     # overhead otherwise).
-    if n_docs * bands <= _DRIVER_BANDS_MAX:
-        # slim band table fits the driver: one collect + numpy dup-run scan
-        # beats two distributed shuffles' fixed costs by an order of magnitude
-        band_tbl = _collect_arrow(sigs.map_batches(band_stage, batch_format="pyarrow"))
-        if band_tbl is None:
-            return rd.from_pandas(empty)
-        keys = band_tbl.column("band_key").to_numpy(zero_copy_only=False)
-        order = np.argsort(keys, kind="stable")
-        ks = keys[order]
-        dup_adj = np.r_[False, ks[1:] == ks[:-1]]
-        dup_run = dup_adj | np.r_[dup_adj[1:], False]  # any member of a run
-        # order[dup_run] keeps the stable key sort → survivors arrive
-        # bucket-sorted and the final sort below is skipped
-        survivors = band_tbl.take(pa.array(order[dup_run]))
-        presorted = True
-    else:
-        # scale path: distributed count shuffle over the slim projection,
-        # hot keys broadcast back as a filter
-        counts = sigs.map_batches(band_stage, batch_format="pyarrow").map_batches(
-            lambda t: t.select(["band_key"]), batch_format="pyarrow"
-        ).groupby("band_key").count()
-        hot_tbl = _collect_arrow(
-            counts.map_batches(
-                lambda t: (
-                    t.filter(pc.greater(t.column("count()"), 1)).select(["band_key"])
-                    if "count()" in t.column_names
-                    else pa.table({"band_key": pa.array([], pa.int64())})
-                ),
-                batch_format="pyarrow",
-            )
-        )
-        if hot_tbl is None or len(hot_tbl) == 0:
-            return rd.from_pandas(empty)
-        hot_keys_ref = ray.put(hot_tbl.column("band_key").combine_chunks())
-        survivors = _collect_arrow(
-            sigs.map_batches(band_stage, batch_format="pyarrow").map_batches(
-                BroadcastIsInFilter(hot_keys_ref, "band_key"),
-                batch_format="pyarrow",
-            )
-        )
-        presorted = False
-    if survivors is None or len(survivors) == 0:
+    sorted_surv, skeys = _hot_survivors(sigs, band_stage, n_docs * bands)
+    if sorted_surv is None:
         return rd.from_pandas(empty)
-    survivor_ids_ref = ray.put(pc.unique(survivors.column(id_col)))
+    survivor_ids_ref = ray.put(pc.unique(sorted_surv.column(id_col)))
     # re-attach signatures to the (tiny) survivor set only
     sig_tbl = _collect_arrow(
         sigs.map_batches(
@@ -577,24 +609,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     matrix = _sig_matrix(sig_tbl.column("signature"), num_perm).copy()
     sig_lookup_ref = ray.put((index, matrix))
     bucket_pairs = _BucketPairsBlock(id_col, threshold, sig_lookup_ref, num_perm, bands)
-    # sort by bucket on the driver and split into bucket-ALIGNED blocks:
-    # the pair stage is then a plain parallel map_batches — no groupby
-    # shuffle, no per-group pandas machinery
-    skeys = survivors.column("band_key").to_numpy(zero_copy_only=False)
-    if not presorted:
-        order = np.argsort(skeys, kind="stable")
-        survivors = survivors.take(pa.array(order))
-        skeys = skeys[order]
-    sorted_surv = survivors
-    bounds = np.r_[0, np.flatnonzero(skeys[1:] != skeys[:-1]) + 1, len(skeys)]
-    step = max(1, len(skeys) // n_parts + 1)
-    cut_idx = bounds[np.unique(np.searchsorted(bounds, np.arange(0, len(skeys), step)))]
-    cuts = np.r_[cut_idx, len(skeys)]
-    surv_blocks = [
-        sorted_surv.slice(int(s), int(e - s))
-        for s, e in zip(cuts[:-1], cuts[1:])
-        if e > s
-    ]
+    surv_blocks = _bucket_aligned_blocks(sorted_surv, skeys, n_parts)
     return rd.from_arrow(surv_blocks).map_batches(
         lambda t, _bp=bucket_pairs: _bp(t), batch_format="pyarrow", batch_size=None
     )
@@ -824,116 +839,169 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def _simhash_band_specs(n_bands: int):
+    """(shifts, masks) for 64-bit simhash banding; the last band absorbs the
+    remainder bits."""
+    width = 64 // n_bands
+    shifts = [np.uint64(width * b) for b in range(n_bands)]
+    masks = [
+        np.uint64((1 << (64 - width * (n_bands - 1))) - 1)
+        if b == n_bands - 1
+        else np.uint64((1 << width) - 1)
+        for b in range(n_bands)
+    ]
+    return shifts, masks
+
+
 class _SimhashBands:
     """Explode each simhash into ``n_bands`` band rows (pigeonhole: any pair
     within Hamming distance ≤ n_bands − 1 of the full 64 bits shares at
-    least one exact band).  Fully vectorized (np.repeat/tile)."""
+    least one exact band).  Fully vectorized; the band value folds with the
+    band index into ONE int64 ``band_key`` (band occupies the low 4 bits),
+    and the 8-byte simhash rides along so the pair stage needs no
+    re-attach join."""
 
     def __init__(self, id_col: str, n_bands: int = 4):
         assert 2 <= n_bands <= 16
         self.id_col = id_col
         self.n_bands = n_bands
-        width = 64 // n_bands
-        self.shifts = [np.uint64(width * b) for b in range(n_bands)]
-        self.masks = [
-            np.uint64((1 << (64 - width * (n_bands - 1))) - 1)
-            if b == n_bands - 1
-            else np.uint64((1 << width) - 1)
-            for b in range(n_bands)
-        ]
+        self.shifts, self.masks = _simhash_band_specs(n_bands)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col)
-        hashes = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         n = len(batch)
-        vals = np.concatenate(
-            [((hashes >> s) & m).astype(np.int64) for s, m in zip(self.shifts, self.masks)]
+        if n == 0:
+            return pa.table(
+                {
+                    self.id_col: ids,
+                    "band": pa.array([], pa.int32()),
+                    "band_key": pa.array([], pa.int64()),
+                    "simhash": pa.array([], pa.uint64()),
+                }
+            )
+        hashes = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        keys = np.concatenate(
+            [
+                ((hashes >> sh) & m).astype(np.int64) * 16 + b
+                for b, (sh, m) in enumerate(zip(self.shifts, self.masks))
+            ]
         )
         bands = np.repeat(np.arange(self.n_bands, dtype=np.int32), n)
-        rep_ids = pa.concat_arrays(
-            [ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids]
-            * self.n_bands
-        )
+        rep_ids = pa.concat_arrays([ids] * self.n_bands)
         return pa.table(
             {
                 self.id_col: rep_ids,
                 "band": pa.array(bands, pa.int32()),
-                "band_val": pa.array(vals, pa.int64()),
+                "band_key": pa.array(keys, pa.int64()),
                 "simhash": pa.array(np.tile(hashes, self.n_bands), pa.uint64()),
             }
         )
 
 
-class _SimhashBucketPairs:
-    def __init__(self, id_col: str, max_hamming: int):
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+class _SimhashBucketPairsBlock:
+    """Hamming-verified pairs for ALL buckets inside one bucket-aligned
+    survivor block (plain ``map_batches`` — no groupby shuffle).
+
+    Vectorized per bucket: XOR matrix + byte-LUT popcount.  A pair within
+    distance collides in several bands; a bucket emits it only if its band
+    is the pair's FIRST colliding band (recomputed locally from the two
+    simhashes), so the union of buckets is the deduplicated pair set and no
+    ``groupby(id_a, id_b).aggregate(Min)`` shuffle is needed."""
+
+    def __init__(self, id_col: str, max_hamming: int, n_bands: int):
         self.id_col = id_col
         self.max_hamming = max_hamming
+        self.n_bands = n_bands
+        self.shifts, self.masks = _simhash_band_specs(n_bands)
 
-    def __call__(self, group):
-        import pandas as pd
+    def _first_band(self, ha: np.uint64, hb: np.uint64) -> int:
+        for b, (sh, m) in enumerate(zip(self.shifts, self.masks)):
+            if (ha >> sh) & m == (hb >> sh) & m:
+                return b
+        return -1
 
-        n = len(group)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        ids = group[self.id_col].tolist()
-        hs = [int(h) for h in group["simhash"]]
-        rows = []
-        for i in range(n):
-            for j in range(i + 1, n):
-                d = bin(hs[i] ^ hs[j]).count("1")
-                if d <= self.max_hamming:
-                    a, b = sorted((ids[i], ids[j]))
-                    rows.append((a, b, d))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+    def __call__(self, t: pa.Table) -> pa.Table:
+        id_type = t.column(self.id_col).type
+
+        def result(a, b, d):
+            return pa.table(
+                {
+                    "id_a": pa.array(a, id_type),
+                    "id_b": pa.array(b, id_type),
+                    "hamming": pa.array(d, pa.int64()),
+                }
+            )
+
+        if len(t) < 2:
+            return result([], [], [])
+        keys = t.column("band_key").to_numpy(zero_copy_only=False)
+        bands_arr = t.column("band").to_numpy(zero_copy_only=False)
+        hashes = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        all_ids = t.column(self.id_col).to_pylist()
+        starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        ends = np.r_[starts[1:], len(keys)]
+        out_a, out_b, out_d = [], [], []
+        for s_, e_ in zip(starts, ends):
+            m = e_ - s_
+            if m < 2:
+                continue
+            hs = hashes[s_:e_]
+            xor = hs[:, None] ^ hs[None, :]
+            dist = _POPCNT8[xor.view(np.uint8).reshape(m, m, 8)].sum(axis=2)
+            iu, ju = np.triu_indices(m, k=1)
+            keep = dist[iu, ju] <= self.max_hamming
+            if not keep.any():
+                continue
+            band = int(bands_arr[s_])
+            for i, j in zip(iu[keep], ju[keep]):
+                if self._first_band(hs[i], hs[j]) != band:
+                    continue
+                a, b = sorted((all_ids[s_ + i], all_ids[s_ + j]))
+                out_a.append(a)
+                out_b.append(b)
+                out_d.append(int(dist[i, j]))
+        return result(out_a, out_b, out_d)
 
 
 def simhash_near_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                        max_hamming: int = 3, concurrency=None):
-    """SimHash near-duplicate pairs: signatures → band explode →
-    groupby(band, band_val) buckets (hot-bucket prefilter like MinHash) →
-    within-bucket Hamming verification ≤ max_hamming → pair dedup.
+    """SimHash near-duplicate pairs: signatures → slim band_key rows →
+    adaptive hot-bucket scan (driver numpy / distributed count — shared
+    machinery with MinHash) → bucket-aligned Hamming verification ≤
+    max_hamming with first-colliding-band pair ownership (no dedupe
+    shuffle).
 
     Band count = max_hamming + 1 (pigeonhole guarantee: every pair within
     the requested distance shares ≥ 1 exact band); supports
     max_hamming ≤ 15 (16 bands of 4 bits)."""
     if not 0 <= max_hamming <= 15:
         raise ValueError("max_hamming must be in [0, 15] for 64-bit banding")
-    from ray.data.aggregate import Min
+    import pandas as pd
+    import ray.data as rd
 
+    from ..util import actor_pool_size
+
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    n_parts = actor_pool_size()
     n_bands = max(2, max_hamming + 1)
-    sigs = simhash_signatures(ds, text_col, id_col, concurrency)
-    bands = sigs.map_batches(
-        _SimhashBands(id_col, n_bands), batch_format="pyarrow"
-    ).materialize()
-    counts = bands.groupby(["band", "band_val"]).count()
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t.column("count()"), 1)).select(["band", "band_val"]),
-        batch_format="pyarrow",
-    ).take_all()
-    if not hot:
-        import pandas as pd
-        import ray.data as rd
-
-        return rd.from_pandas(pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}))
-    # combined key: band occupies the low 4 bits (band < 16, band_val < 2^60)
-    hot_keys = pa.array([r["band_val"] * 16 + r["band"] for r in hot], pa.int64())
-
-    def filter_hot(t: pa.Table) -> pa.Table:
-        key = pc.add(pc.multiply(pc.cast(t.column("band_val"), pa.int64()), 16),
-                     pc.cast(t.column("band"), pa.int64()))
-        return t.filter(pc.is_in(key, value_set=hot_keys))
-
-    hot_ds = bands.map_batches(filter_hot, batch_format="pyarrow")
-    bp = _SimhashBucketPairs(id_col, max_hamming)
-    pairs = hot_ds.groupby(["band", "band_val"]).map_groups(
-        lambda g, _bp=bp: _bp(g), batch_format="pandas"
+    sigs = simhash_signatures(ds, text_col, id_col, concurrency).repartition(
+        n_parts
+    ).materialize()  # 16 bytes per doc
+    n_docs = sigs.count()
+    sorted_surv, skeys = _hot_survivors(
+        sigs, _SimhashBands(id_col, n_bands), n_docs * n_bands
     )
-    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming"))
-    return uniq.map_batches(
-        lambda t: t.rename_columns(
-            [("hamming" if c == "min(hamming)" else c) for c in t.column_names]
-        ),
-        batch_format="pyarrow",
+    if sorted_surv is None:
+        return rd.from_pandas(empty)
+    bp = _SimhashBucketPairsBlock(id_col, max_hamming, n_bands)
+    surv_blocks = _bucket_aligned_blocks(sorted_surv, skeys, n_parts)
+    return rd.from_arrow(surv_blocks).map_batches(
+        lambda t, _bp=bp: _bp(t), batch_format="pyarrow", batch_size=None
     )
 
 
