@@ -502,11 +502,15 @@ def _hash_sample_events(sf_dir: str):
 
 def _top50_user_ids(sf_dir: str):
     """Top-50 users by total value (ties by ascending user_id) via the
-    salted skew-safe sum."""
+    salted skew-safe sum.  Sums are rounded to 6 decimals BEFORE ranking —
+    the engine folds per-salt partials while the oracle streams one sum, so
+    last-ulp float differences must not flip the rank-50 boundary (repo
+    convention: 6-decimal rounding on both sides of any compared aggregate)."""
     from hooqu_ray.functions.shuffle import salted_group_aggregate
 
     ds = _read(sf_dir, "events", ["user_id", "value"])
     sums = salted_group_aggregate(ds, "user_id", ["value"], buckets=8).to_pandas()
+    sums["sum(value)"] = sums["sum(value)"].round(6)
     sums = sums.sort_values(
         ["sum(value)", "user_id"], ascending=[False, True], kind="mergesort"
     )
@@ -695,13 +699,13 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) % 20 = 0"
         ),
         "semi_join_top_users": (
-            "WITH s AS (SELECT user_id, sum(value) AS v FROM events GROUP BY user_id), "
+            "WITH s AS (SELECT user_id, ROUND(sum(value), 6) AS v FROM events GROUP BY user_id), "
             "r AS (SELECT user_id, row_number() OVER (ORDER BY v DESC, user_id) AS rn FROM s) "
             "SELECT e.event_id, e.user_id FROM events e "
             "JOIN (SELECT user_id FROM r WHERE rn <= 50) t ON e.user_id = t.user_id"
         ),
         "anti_join_top_users": (
-            "WITH s AS (SELECT user_id, sum(value) AS v FROM events GROUP BY user_id), "
+            "WITH s AS (SELECT user_id, ROUND(sum(value), 6) AS v FROM events GROUP BY user_id), "
             "r AS (SELECT user_id, row_number() OVER (ORDER BY v DESC, user_id) AS rn FROM s) "
             "SELECT e.event_id, e.user_id FROM events e "
             "WHERE e.user_id NOT IN (SELECT user_id FROM r WHERE rn <= 50)"

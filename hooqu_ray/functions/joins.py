@@ -34,14 +34,11 @@ def _key_array(keys, key_col: Optional[str]) -> pa.Array:
             raise ValueError("key_col is required when keys is a Table")
         return pc.unique(keys.column(key_col).combine_chunks())
     if hasattr(keys, "to_arrow_refs"):  # ray.data.Dataset small side
-        import ray
+        from ..util import collect_arrow
 
-        parts = [
-            t for t in ray.get(keys.to_arrow_refs()) if t.num_columns and len(t)
-        ]
-        if not parts:
+        tbl = collect_arrow(keys)
+        if tbl is None:
             return pa.array([])
-        tbl = pa.concat_tables(parts)
         col = key_col or tbl.column_names[0]
         return pc.unique(tbl.column(col).combine_chunks())
     return pc.unique(pa.array(list(keys)))

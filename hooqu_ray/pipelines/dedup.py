@@ -396,31 +396,50 @@ class _BucketPairsBlock:
     groupby shuffle is needed — plain ``map_batches``).
 
     Pair estimate = fraction of equal signature components (vectorized over
-    the broadcast survivor-signature matrix).  A near-dup pair collides in
-    SEVERAL bands; instead of a global dedupe shuffle afterwards (round 1's
-    ``groupby(id_a, id_b).aggregate(Max)``), a bucket emits a pair only if
-    its band is the pair's FIRST colliding band — checkable locally from the
-    two signatures — so the union of all buckets' outputs is exactly the
-    deduplicated pair set."""
+    the broadcast survivor-signature matrix, strip-chunked so the pairwise
+    comparison never allocates more than ~strip × bucket × num_perm bytes).
+    A near-dup pair collides in SEVERAL bands; instead of a global dedupe
+    shuffle afterwards (round 1's ``groupby(id_a, id_b).aggregate(Max)``),
+    a bucket emits a pair only if its band is the pair's FIRST colliding
+    band — checkable locally from the two signatures — so the union of all
+    buckets' outputs is exactly the deduplicated pair set.
+
+    Degenerate hot buckets (e.g. every wordless doc shares the all-zero
+    signature) would do O(n²) work AND emit O(n²) pairs — buckets larger
+    than ``max_bucket_rows`` yield a flag row (``__oversized_bucket``,
+    ``__bucket_rows``; always-present nullable columns) instead, the
+    functions.shuffle guard pattern."""
+
+    _STRIP = 256
 
     def __init__(self, id_col: str, threshold: float, sig_lookup_ref,
-                 num_perm: int, bands: int):
+                 num_perm: int, bands: int, max_bucket_rows: int = 4096):
         self.id_col = id_col
         self.threshold = threshold
         self.sig_lookup_ref = sig_lookup_ref
         self.num_perm = num_perm
         self.bands = bands
+        self.max_bucket_rows = max_bucket_rows
         self._lookup = None
 
     def __call__(self, t: pa.Table) -> pa.Table:
         id_type = t.column(self.id_col).type
 
-        def result(a, b, e):
+        def result(a, b, e, flag_key=(), flag_rows=()):
+            n_pairs, n_flags = len(a), len(flag_key)
             return pa.table(
                 {
-                    "id_a": pa.array(a, id_type),
-                    "id_b": pa.array(b, id_type),
-                    "est_jaccard": pa.array(e, pa.float64()),
+                    "id_a": pa.array(list(a) + [None] * n_flags, id_type),
+                    "id_b": pa.array(list(b) + [None] * n_flags, id_type),
+                    "est_jaccard": pa.array(
+                        list(e) + [None] * n_flags, pa.float64()
+                    ),
+                    "__oversized_bucket": pa.array(
+                        [None] * n_pairs + list(flag_key), pa.int64()
+                    ),
+                    "__bucket_rows": pa.array(
+                        [None] * n_pairs + list(flag_rows), pa.int64()
+                    ),
                 }
             )
 
@@ -439,8 +458,13 @@ class _BucketPairsBlock:
         ends = np.r_[starts[1:], len(keys)]
         r = self.num_perm // self.bands
         out_a, out_b, out_e = [], [], []
+        flag_key, flag_rows = [], []
         for s, e in zip(starts, ends):
             if e - s < 2:
+                continue
+            if e - s > self.max_bucket_rows:
+                flag_key.append(int(keys[s]))
+                flag_rows.append(int(e - s))
                 continue
             ids = all_ids[s:e]
             rows_idx = [index.get(i) for i in ids]
@@ -449,32 +473,32 @@ class _BucketPairsBlock:
                 continue
             ids = [ids[k] for k in present]
             m = matrix[[rows_idx[k] for k in present]]
-            eq = (m[:, None, :] == m[None, :, :]).mean(axis=2)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            est = eq[iu, ju]
-            keep = est >= self.threshold
-            if not keep.any():
-                continue
+            n_b = len(ids)
             band = int(bands_arr[s])
-            mb = m.reshape(len(ids), self.bands, r)
-            for i, j, ev in zip(iu[keep], ju[keep], est[keep]):
-                agree = (mb[i] == mb[j]).all(axis=1)
-                if int(np.argmax(agree)) != band:
-                    continue
-                a, b = sorted((ids[i], ids[j]))
-                out_a.append(a)
-                out_b.append(b)
-                out_e.append(float(ev))
-        return result(out_a, out_b, out_e)
+            mb = m.reshape(n_b, self.bands, r)
+            # strip-chunked pairwise equality: rows [lo, hi) vs all rows
+            for lo in range(0, n_b, self._STRIP):
+                hi = min(lo + self._STRIP, n_b)
+                eq = (m[lo:hi, None, :] == m[None, :, :]).mean(axis=2)
+                ii, jj = np.nonzero(eq >= self.threshold)
+                for i_, j in zip(ii, jj):
+                    i = lo + i_
+                    if j <= i:  # upper triangle only
+                        continue
+                    agree = (mb[i] == mb[j]).all(axis=1)
+                    if int(np.argmax(agree)) != band:
+                        continue
+                    a, b = sorted((ids[i], ids[j]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_e.append(float(eq[i_, j]))
+        return result(out_a, out_b, out_e, flag_key, flag_rows)
 
 
 def _collect_arrow(ds) -> Optional[pa.Table]:
-    """Materialize a (small) dataset as one local Arrow table, skipping the
-    schema-less empty blocks Ray's aggregate can emit."""
-    import ray
+    from ..util import collect_arrow
 
-    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns and len(t)]
-    return pa.concat_tables(parts).combine_chunks() if parts else None
+    return collect_arrow(ds)
 
 
 # Above this many (doc × band) rows the hot-bucket scan switches from a
@@ -556,7 +580,8 @@ def _bucket_aligned_blocks(sorted_surv: pa.Table, skeys: np.ndarray, n_parts: in
 
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 128, bands: int = 32,
-                      threshold: float = 0.5, concurrency=None):
+                      threshold: float = 0.5, concurrency=None,
+                      max_bucket_rows: int = 4096):
     """Near-duplicate candidate pairs via MinHash+LSH.
 
     shingle→minhash (actor pool, fully vectorized) → slim (band, band_key,
@@ -608,7 +633,9 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     index = {v: i for i, v in enumerate(sig_tbl.column(id_col).to_pylist())}
     matrix = _sig_matrix(sig_tbl.column("signature"), num_perm).copy()
     sig_lookup_ref = ray.put((index, matrix))
-    bucket_pairs = _BucketPairsBlock(id_col, threshold, sig_lookup_ref, num_perm, bands)
+    bucket_pairs = _BucketPairsBlock(
+        id_col, threshold, sig_lookup_ref, num_perm, bands, max_bucket_rows
+    )
     surv_blocks = _bucket_aligned_blocks(sorted_surv, skeys, n_parts)
     return rd.from_arrow(surv_blocks).map_batches(
         lambda t, _bp=bucket_pairs: _bp(t), batch_format="pyarrow", batch_size=None
@@ -913,10 +940,14 @@ class _SimhashBucketPairsBlock:
     simhashes), so the union of buckets is the deduplicated pair set and no
     ``groupby(id_a, id_b).aggregate(Min)`` shuffle is needed."""
 
-    def __init__(self, id_col: str, max_hamming: int, n_bands: int):
+    _STRIP = 1024
+
+    def __init__(self, id_col: str, max_hamming: int, n_bands: int,
+                 max_bucket_rows: int = 4096):
         self.id_col = id_col
         self.max_hamming = max_hamming
         self.n_bands = n_bands
+        self.max_bucket_rows = max_bucket_rows
         self.shifts, self.masks = _simhash_band_specs(n_bands)
 
     def _first_band(self, ha: np.uint64, hb: np.uint64) -> int:
@@ -928,12 +959,19 @@ class _SimhashBucketPairsBlock:
     def __call__(self, t: pa.Table) -> pa.Table:
         id_type = t.column(self.id_col).type
 
-        def result(a, b, d):
+        def result(a, b, d, flag_key=(), flag_rows=()):
+            n_pairs, n_flags = len(a), len(flag_key)
             return pa.table(
                 {
-                    "id_a": pa.array(a, id_type),
-                    "id_b": pa.array(b, id_type),
-                    "hamming": pa.array(d, pa.int64()),
+                    "id_a": pa.array(list(a) + [None] * n_flags, id_type),
+                    "id_b": pa.array(list(b) + [None] * n_flags, id_type),
+                    "hamming": pa.array(list(d) + [None] * n_flags, pa.int64()),
+                    "__oversized_bucket": pa.array(
+                        [None] * n_pairs + list(flag_key), pa.int64()
+                    ),
+                    "__bucket_rows": pa.array(
+                        [None] * n_pairs + list(flag_rows), pa.int64()
+                    ),
                 }
             )
 
@@ -946,30 +984,42 @@ class _SimhashBucketPairsBlock:
         starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
         ends = np.r_[starts[1:], len(keys)]
         out_a, out_b, out_d = [], [], []
+        flag_key, flag_rows = [], []
         for s_, e_ in zip(starts, ends):
             m = e_ - s_
             if m < 2:
                 continue
-            hs = hashes[s_:e_]
-            xor = hs[:, None] ^ hs[None, :]
-            dist = _POPCNT8[xor.view(np.uint8).reshape(m, m, 8)].sum(axis=2)
-            iu, ju = np.triu_indices(m, k=1)
-            keep = dist[iu, ju] <= self.max_hamming
-            if not keep.any():
+            if m > self.max_bucket_rows:
+                # one degenerate bucket (e.g. all-zero simhashes of wordless
+                # docs) would cost O(m²) memory and emit O(m²) pairs — flag
+                # it instead (functions.shuffle guard pattern)
+                flag_key.append(int(keys[s_]))
+                flag_rows.append(int(m))
                 continue
+            hs = hashes[s_:e_]
             band = int(bands_arr[s_])
-            for i, j in zip(iu[keep], ju[keep]):
-                if self._first_band(hs[i], hs[j]) != band:
-                    continue
-                a, b = sorted((all_ids[s_ + i], all_ids[s_ + j]))
-                out_a.append(a)
-                out_b.append(b)
-                out_d.append(int(dist[i, j]))
-        return result(out_a, out_b, out_d)
+            # strip-chunked XOR + byte-LUT popcount: rows [lo,hi) vs all
+            for lo in range(0, m, self._STRIP):
+                hi = min(lo + self._STRIP, m)
+                xor = hs[lo:hi, None] ^ hs[None, :]
+                dist = _POPCNT8[xor.view(np.uint8).reshape(hi - lo, m, 8)].sum(axis=2)
+                ii, jj = np.nonzero(dist <= self.max_hamming)
+                for i_, j in zip(ii, jj):
+                    i = lo + i_
+                    if j <= i:  # upper triangle only
+                        continue
+                    if self._first_band(hs[i], hs[j]) != band:
+                        continue
+                    a, b = sorted((all_ids[s_ + i], all_ids[s_ + j]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_d.append(int(dist[i_, j]))
+        return result(out_a, out_b, out_d, flag_key, flag_rows)
 
 
 def simhash_near_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                       max_hamming: int = 3, concurrency=None):
+                       max_hamming: int = 3, concurrency=None,
+                       max_bucket_rows: int = 4096):
     """SimHash near-duplicate pairs: signatures → slim band_key rows →
     adaptive hot-bucket scan (driver numpy / distributed count — shared
     machinery with MinHash) → bucket-aligned Hamming verification ≤
@@ -998,7 +1048,7 @@ def simhash_near_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     )
     if sorted_surv is None:
         return rd.from_pandas(empty)
-    bp = _SimhashBucketPairsBlock(id_col, max_hamming, n_bands)
+    bp = _SimhashBucketPairsBlock(id_col, max_hamming, n_bands, max_bucket_rows)
     surv_blocks = _bucket_aligned_blocks(sorted_surv, skeys, n_parts)
     return rd.from_arrow(surv_blocks).map_batches(
         lambda t, _bp=bp: _bp(t), batch_format="pyarrow", batch_size=None

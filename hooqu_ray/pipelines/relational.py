@@ -29,8 +29,6 @@ def grouped_top_k(ds, group_col: str, order_col: str, k: int,
     sorted by (group, rank order).  Assumes the group-count × k result fits
     the driver — for million-group tails use a groupby over the partials
     instead."""
-    import ray
-
     cols = [group_col, order_col, tie_col, *extra_cols]
     # dict keeps order, drops duplicates (e.g. tie_col listed in extra_cols)
     cols = list(dict.fromkeys(cols))
@@ -48,12 +46,12 @@ def grouped_top_k(ds, group_col: str, order_col: str, k: int,
         )
 
     partials = ds.map_batches(block_topk, batch_format="pyarrow", batch_size=None)
-    parts = [
-        t for t in ray.get(partials.to_arrow_refs()) if t.num_columns and len(t)
-    ]
-    if not parts:
+    from ..util import collect_arrow
+
+    collected = collect_arrow(partials)
+    if collected is None:
         return pa.table({c: pa.array([]) for c in cols})
-    merged = pa.concat_tables(parts).to_pandas()
+    merged = collected.to_pandas()
     merged = merged.sort_values(
         [group_col, order_col, tie_col],
         ascending=[True, False, True],

@@ -126,12 +126,10 @@ class _ConvVerdictLookup:
     ``pc.is_in`` rebuilds a hash set of its ``value_set`` on EVERY call, so
     probing batch rows directly against a multi-million-entry dropped set
     costs a full set build per block (measured: the whole verdict pass went
-    from 12s to 84s at 25M turns / 1.6M dropped convs).  For large sets the
-    test is INVERTED: hash the batch's few-thousand unique conv_ids (cheap
-    build), stream the dropped set through it once (vectorized probe), and
-    then filter the batch against the resulting tiny intersection."""
-
-    _DIRECT_MAX = 65_536  # below this, a direct is_in build is cheaper
+    from 12s to 84s at 25M turns / 1.6M dropped convs).  ``util.isin_mask``
+    inverts the probe for large sets: hash the batch's few-thousand unique
+    conv_ids (cheap build), stream the dropped set through it once, then
+    filter against the tiny intersection."""
 
     def __init__(self, dropped_ref):
         self.dropped_ref = dropped_ref
@@ -143,17 +141,9 @@ class _ConvVerdictLookup:
 
             obj = self.dropped_ref
             self._dropped = obj if isinstance(obj, pa.Array) else ray.get(obj)
-        conv = batch.column("conv_id")
-        if len(self._dropped) <= self._DIRECT_MAX:
-            conv_dropped = pc.is_in(conv, value_set=self._dropped)
-        else:
-            uniq = pc.unique(
-                conv.combine_chunks() if isinstance(conv, pa.ChunkedArray) else conv
-            )
-            present = self._dropped.filter(
-                pc.is_in(self._dropped, value_set=uniq)
-            )
-            conv_dropped = pc.is_in(conv, value_set=present)
+        from ..util import isin_mask
+
+        conv_dropped = isin_mask(batch.column("conv_id"), self._dropped)
         keep = pc.and_(
             batch.column("keep_turn"), pc.invert(conv_dropped)
         )

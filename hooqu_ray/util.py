@@ -32,12 +32,40 @@ def dataset_arrow_schema(ds) -> "Optional[object]":
     return pa.schema(fields)
 
 
+# Below this many values a direct pc.is_in hash-set build per call is
+# cheaper than the inverted probe.
+_DIRECT_ISIN_MAX = 65_536
+
+
+def isin_mask(col, values, direct_max: int = _DIRECT_ISIN_MAX):
+    """Membership mask of ``col`` against a (possibly huge) ``values`` array.
+
+    ``pc.is_in`` rebuilds a hash set of its value_set on EVERY call, so
+    probing batches directly against a multi-million-entry set pays a full
+    set build per block (measured on the flagship verdict pass: 12s → 84s
+    at 25M rows / 1.6M keys).  Above ``direct_max`` the test is INVERTED:
+    hash the column's few unique values (cheap build), stream the big set
+    through it once, then probe against the tiny intersection."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(values) <= direct_max:
+        return pc.is_in(col, value_set=values)
+    uniq = pc.unique(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    )
+    present = values.filter(pc.is_in(values, value_set=uniq))
+    return pc.is_in(col, value_set=present)
+
+
 class BroadcastIsInFilter:
     """``map_batches`` stage: keep rows whose ``col`` value is in a broadcast
-    Arrow value set (``invert=True`` keeps the complement — an anti-join).
-    The set ships ONCE via ``ray.put`` (zero-copy plasma read per worker,
-    not re-serialized per task) and ``pc.is_in`` is a C hash probe — no
-    Python per row."""
+    Arrow value set (``invert=True`` keeps the complement — an anti-join;
+    null keys are dropped either way, matching SQL ``IN`` / ``NOT IN``
+    three-valued semantics).  The set ships ONCE via ``ray.put`` (zero-copy
+    plasma read per worker, not re-serialized per task) and the membership
+    probe is ``isin_mask`` — vectorized C, with the inverted-probe path for
+    large sets."""
 
     def __init__(self, values_ref, col: str, invert: bool = False):
         self.values_ref = values_ref
@@ -54,10 +82,23 @@ class BroadcastIsInFilter:
 
             obj = self.values_ref
             self._values = obj if isinstance(obj, pa.Array) else ray.get(obj)
-        mask = pc.is_in(t.column(self.col), value_set=self._values)
+        col = t.column(self.col)
+        mask = isin_mask(col, self._values)
         if self.invert:
-            mask = pc.invert(mask)
+            # NOT IN: a null key is neither in nor not-in — drop it
+            mask = pc.and_(pc.invert(mask), pc.is_valid(col))
         return t.filter(mask)
+
+
+def collect_arrow(ds):
+    """Materialize a (small) dataset as one local Arrow table, skipping the
+    schema-less empty blocks Ray's aggregate can emit.  Returns None when
+    nothing survives."""
+    import pyarrow as pa
+    import ray
+
+    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns and len(t)]
+    return pa.concat_tables(parts).combine_chunks() if parts else None
 
 
 def actor_pool_size(cap: Optional[int] = None, headroom: int = 2) -> int:

@@ -340,3 +340,73 @@ class TestVectorizedKernels:
         batch = sh.simhashes(pa.array(texts, pa.string()))
         for i, t in enumerate(texts):
             assert int(batch[i]) == sh.simhash(t), (i, t)
+
+
+class TestLshBucketCaps:
+    def test_minhash_oversized_bucket_flagged(self, ray_session):
+        """Code-review r2b: a degenerate bucket (identical texts) larger than
+        the cap must yield a flag row, not O(n²) pairs."""
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import minhash_lsh_pairs
+
+        same = "exactly the same words in every single document here"
+        df = pd.DataFrame({"doc_id": range(12), "text": [same] * 12})
+        out = minhash_lsh_pairs(
+            rd.from_pandas(df), threshold=0.5, max_bucket_rows=5
+        ).to_pandas()
+        flags = out[out["__oversized_bucket"].notna()]
+        assert len(flags) >= 1 and (flags["__bucket_rows"] >= 12).any()
+        assert out["id_a"].notna().sum() == 0  # no pair explosion
+
+    def test_minhash_under_cap_unchanged(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import minhash_lsh_pairs
+
+        same = "exactly the same words in every single document here"
+        df = pd.DataFrame({"doc_id": range(6), "text": [same] * 6})
+        out = minhash_lsh_pairs(rd.from_pandas(df), threshold=0.5).to_pandas()
+        pairs = out[out["id_a"].notna()]
+        assert len(pairs) == 15  # all 6-choose-2, each emitted exactly once
+
+    def test_simhash_oversized_bucket_flagged(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import simhash_near_pairs
+
+        same = "identical words compose this entire document body text"
+        df = pd.DataFrame({"doc_id": range(10), "text": [same] * 10})
+        out = simhash_near_pairs(
+            rd.from_pandas(df), max_hamming=3, max_bucket_rows=4
+        ).to_pandas()
+        flags = out[out["__oversized_bucket"].notna()]
+        assert len(flags) >= 1 and (flags["__bucket_rows"] >= 10).any()
+        assert out["id_a"].notna().sum() == 0
+
+
+class TestJoinNullKeys:
+    def test_anti_join_drops_null_keys_like_not_in(self, ray_session):
+        """Code-review r2b: SQL NOT IN excludes null keys; anti_join must
+        agree (and semi_join already does via is_in's null semantics)."""
+        import ray.data as rd
+        from hooqu_ray.functions.joins import anti_join, semi_join
+
+        import pyarrow as pa
+
+        df = pd.DataFrame({"id": [1, 2, 3, 4], "k": [10.0, 20.0, None, 30.0]})
+        keys = pa.array([20.0], pa.float64())
+        semi = semi_join(rd.from_pandas(df), keys, "k").to_pandas()
+        anti = anti_join(rd.from_pandas(df), keys, "k").to_pandas()
+        assert sorted(semi["id"]) == [2]
+        assert sorted(anti["id"]) == [1, 4]  # null-key row excluded
+
+
+def test_isin_mask_inverted_probe_matches_direct():
+    import pyarrow as pa
+
+    from hooqu_ray.util import isin_mask
+
+    rng = np.random.default_rng(2)
+    col = pa.array(rng.integers(0, 1000, 5000))
+    values = pa.array(np.unique(rng.integers(0, 1000, 700)))
+    direct = isin_mask(col, values, direct_max=1 << 30).to_pylist()
+    inverted = isin_mask(col, values, direct_max=1).to_pylist()
+    assert direct == inverted
