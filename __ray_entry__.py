@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["hash_sample_events"] = _hash_sample_events
     out["semi_join_top_users"] = _semi_join_top_users
     out["anti_join_top_users"] = _anti_join_top_users
+    out["line_dedup_documents"] = _line_dedup_documents
 
     # -- oracled via SQL derivation / bound predicates --------------------
     out["conversation_features"] = _conversation_features
@@ -533,6 +534,17 @@ def _anti_join_top_users(sf_dir: str):
     return anti_join(ds, top, "user_id")
 
 
+def _line_dedup_documents(sf_dir: str):
+    """Corpus-wide first-occurrence line dedup.  The synthetic documents are
+    single-line, so the gate splits on spaces (delimiter=' ', min 4 chars)
+    to exercise the winner/rebuild machinery on real duplication; the
+    default operator splits on newlines (C4/CCNet style)."""
+    from hooqu_ray.pipelines.dedup import line_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return line_dedup(ds, min_line_chars=4, delimiter=" ")
+
+
 def _conversation_features(sf_dir: str):
     from hooqu_ray.pipelines import transcripts as tp
 
@@ -709,6 +721,20 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT user_id, row_number() OVER (ORDER BY v DESC, user_id) AS rn FROM s) "
             "SELECT e.event_id, e.user_id FROM events e "
             "WHERE e.user_id NOT IN (SELECT user_id FROM r WHERE rn <= 50)"
+        ),
+        "line_dedup_documents": (
+            "WITH t AS (SELECT doc_id, string_split(COALESCE(text, chr(1)), ' ') "
+            "AS ls, text IS NULL AS doc_null FROM documents), "
+            "l AS (SELECT doc_id, doc_null, UNNEST(ls) AS line, "
+            "generate_subscripts(ls, 1) AS line_idx FROM t), "
+            "m AS (SELECT doc_id, doc_null, line_idx, line, "
+            "CASE WHEN length(line) < 4 THEN TRUE ELSE "
+            "row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) = 1 "
+            "END AS keep FROM l) "
+            "SELECT doc_id, CASE WHEN bool_or(doc_null) THEN NULL "
+            "ELSE COALESCE(string_agg(CASE WHEN keep THEN line END, ' ' "
+            "ORDER BY line_idx), '') END AS text "
+            "FROM m GROUP BY doc_id"
         ),
         "conversation_features": (
             # re-derive the deterministic documents→transcripts explosion in

@@ -272,6 +272,206 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     return hashed.map_batches(_DedupFilter(winners_ref, id_col), batch_format="pyarrow")
 
 
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (C4/CCNet-style)
+# ---------------------------------------------------------------------------
+
+# line_idx must fit below this for the packed (doc_id, line_idx) position
+_LINE_IDX_BITS = 20
+_LINE_IDX_MAX = 1 << _LINE_IDX_BITS
+
+
+def _split_lines(texts, delimiter: str = "\n"):
+    """One Arrow pass: split every document on ``delimiter``.  Returns
+    ``(flat_lines Array, parent int64, line_idx int64, lists ListArray)``;
+    null documents contribute no lines."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern(texts, pattern=delimiter)
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    if parent.size:
+        starts = np.r_[0, np.flatnonzero(parent[1:] != parent[:-1]) + 1]
+        lens = np.diff(np.r_[starts, parent.size])
+        line_idx = np.arange(parent.size, dtype=np.int64) - np.repeat(starts, lens)
+        if line_idx.size and line_idx.max() >= _LINE_IDX_MAX:
+            raise ValueError(
+                f"document with >= {_LINE_IDX_MAX} lines: raise _LINE_IDX_BITS"
+            )
+    else:
+        line_idx = np.empty(0, dtype=np.int64)
+    return flat, parent, line_idx, lists
+
+
+class _LinePartials:
+    """Pass 1 combiner: per-block (line_hash, min position, count) partials
+    over the ELIGIBLE lines (length >= min_chars) only — short/boilerplate
+    lines are never dedup candidates and never enter the shuffle."""
+
+    def __init__(self, text_col: str, id_col: str, min_chars: int,
+                 delimiter: str = "\n"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.min_chars = min_chars
+        self.delimiter = delimiter
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "__line_hash": pa.array([], pa.int64()),
+                "__winner_pos": pa.array([], pa.int64()),
+                "__pcount": pa.array([], pa.int64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        flat, parent, line_idx, _ = _split_lines(
+            batch.column(self.text_col), self.delimiter
+        )
+        if len(flat) == 0:
+            return empty
+        doc_ids = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        eligible = (
+            pc.greater_equal(pc.utf8_length(flat), self.min_chars)
+            .to_numpy(zero_copy_only=False)
+        )
+        if not eligible.any():
+            return empty
+        h = _text_hash63(flat.filter(pa.array(eligible)))
+        pos = (doc_ids[parent[eligible]] << _LINE_IDX_BITS) + line_idx[eligible]
+        t = pa.table(
+            {
+                "__line_hash": pa.array(h, pa.int64()),
+                "__pos": pa.array(pos, pa.int64()),
+            }
+        )
+        g = t.group_by("__line_hash", use_threads=False).aggregate(
+            [("__pos", "min"), ([], "count_all")]
+        )
+        return g.rename_columns(["__line_hash", "__winner_pos", "__pcount"])
+
+
+class _LineRebuild:
+    """Pass 2: re-split each document, drop every eligible line that lost
+    its duplicate group (per-batch Acero left join against the broadcast
+    duplicate-winner table), and reassemble the survivors with one
+    vectorized ``binary_join`` — no Python per line."""
+
+    def __init__(self, winners_ref, text_col: str, id_col: str, min_chars: int,
+                 delimiter: str = "\n"):
+        self.winners_ref = winners_ref
+        self.text_col = text_col
+        self.id_col = id_col
+        self.min_chars = min_chars
+        self.delimiter = delimiter
+        self._w: Optional[pa.Table] = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._w is None:
+            import ray
+
+            w = self.winners_ref
+            self._w = w if isinstance(w, pa.Table) else ray.get(w)
+        n = len(batch)
+        texts = batch.column(self.text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if n == 0 or len(self._w) == 0:
+            return pa.table({self.id_col: batch.column(self.id_col), "text": texts})
+        flat, parent, line_idx, _ = _split_lines(texts, self.delimiter)
+        keep = np.ones(len(flat), dtype=bool)
+        if len(flat):
+            doc_ids = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            eligible = (
+                pc.greater_equal(pc.utf8_length(flat), self.min_chars)
+                .to_numpy(zero_copy_only=False)
+            )
+            if eligible.any():
+                h = _text_hash63(flat.filter(pa.array(eligible)))
+                pos = (doc_ids[parent[eligible]] << _LINE_IDX_BITS) + line_idx[eligible]
+                probe = pa.table(
+                    {
+                        "__line_hash": pa.array(h, pa.int64()),
+                        "__row": pa.array(np.arange(h.size), pa.int64()),
+                        "__pos": pa.array(pos, pa.int64()),
+                    }
+                )
+                j = probe.join(self._w, keys="__line_hash", join_type="left outer")
+                j = j.sort_by("__row")
+                winner = j.column("__winner_pos")
+                ok = pc.or_kleene(
+                    pc.is_null(winner), pc.equal(j.column("__pos"), winner)
+                )
+                keep[eligible] = pc.fill_null(ok, False).to_numpy(zero_copy_only=False)
+        # rebuild list offsets from per-doc kept counts; null docs stay null
+        valid = pc.is_valid(texts).to_numpy(zero_copy_only=False)
+        kept_counts = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            np.add.at(kept_counts, parent[keep], 1)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(kept_counts, out=offsets[1:])
+        kept_flat = flat.filter(pa.array(keep)) if len(flat) else flat
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            kept_flat.combine_chunks() if isinstance(kept_flat, pa.ChunkedArray) else kept_flat,
+        )
+        joined = pc.binary_join(lists, self.delimiter)
+        if not valid.all():
+            joined = pc.if_else(pa.array(valid), joined, pa.nulls(n, pa.string()))
+        return pa.table({self.id_col: batch.column(self.id_col), "text": joined})
+
+
+def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               min_line_chars: int = 10, delimiter: str = "\n"):
+    """C4/CCNet-style corpus-wide LINE dedup: every line of at least
+    ``min_line_chars`` characters is kept only at its FIRST occurrence in
+    (doc_id, line_idx) order; later exact copies anywhere in the corpus are
+    removed.  Short lines never participate (structural/boilerplate noise).
+
+    Same shape as ``exact_dedup``: a per-block (hash, min_pos, count)
+    combiner, ONE slim shuffle (line hashes + packed positions, never the
+    text), duplicate-group winners broadcast once, and a second streaming
+    pass that rebuilds each document with a vectorized split → filter →
+    ``binary_join`` — documents never shuffle and no Python-per-line runs.
+    Requires an integer ``id_col`` (positions pack as doc_id·2^20+line_idx)."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    partials = ds.map_batches(
+        _LinePartials(text_col, id_col, min_line_chars, delimiter),
+        batch_format="pyarrow",
+    )
+    groups = partials.groupby("__line_hash").aggregate(
+        Min("__winner_pos"), Sum("__pcount")
+    )
+    empty_winners = pa.table(
+        {
+            "__line_hash": pa.array([], pa.int64()),
+            "__winner_pos": pa.array([], pa.int64()),
+        }
+    )
+
+    def dup_only(t: pa.Table, _empty=empty_winners) -> pa.Table:
+        if "sum(__pcount)" not in t.column_names:
+            return _empty
+        kept = t.filter(pc.greater(t.column("sum(__pcount)"), 1))
+        return kept.select(["__line_hash", "min(__winner_pos)"]).rename_columns(
+            ["__line_hash", "__winner_pos"]
+        )
+
+    winner_tbl = _collect_arrow(groups.map_batches(dup_only, batch_format="pyarrow"))
+    if winner_tbl is None:
+        winner_tbl = empty_winners
+    winners_ref = ray.put(winner_tbl.combine_chunks())
+    return ds.map_batches(
+        _LineRebuild(winners_ref, text_col, id_col, min_line_chars, delimiter),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -410,3 +410,68 @@ def test_isin_mask_inverted_probe_matches_direct():
     direct = isin_mask(col, values, direct_max=1 << 30).to_pylist()
     inverted = isin_mask(col, values, direct_max=1).to_pylist()
     assert direct == inverted
+
+
+class TestLineDedup:
+    def test_first_occurrence_kept_corpus_wide(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import line_dedup
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "a unique first line here\nshort\nrepeated boilerplate line text",
+                    "repeated boilerplate line text\nanother unique line of text\nshort",
+                    None,
+                    "short\nrepeated boilerplate line text\na unique first line here",
+                ],
+            }
+        )
+        got = (
+            line_dedup(rd.from_pandas(df).repartition(3))
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        oracle = duckdb.sql(
+            "WITH t AS (SELECT doc_id, string_split(COALESCE(text, chr(1)), chr(10)) AS ls, "
+            "text IS NULL AS doc_null FROM df), "
+            "l AS (SELECT doc_id, doc_null, UNNEST(ls) AS line, "
+            "generate_subscripts(ls, 1) AS line_idx FROM t), "
+            "m AS (SELECT doc_id, doc_null, line_idx, line, "
+            "CASE WHEN length(line) < 10 THEN TRUE ELSE "
+            "row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) = 1 END AS keep FROM l) "
+            "SELECT doc_id, CASE WHEN bool_or(doc_null) THEN NULL "
+            "ELSE COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY line_idx), '') "
+            "END AS text FROM m GROUP BY doc_id ORDER BY doc_id"
+        ).df()
+        pd.testing.assert_frame_equal(got, oracle)
+        # dup line survives only at its first (doc 0) occurrence
+        assert "repeated boilerplate" in got.text[0]
+        assert "repeated boilerplate" not in got.text[1]
+        # short lines always survive
+        assert got.text[1].count("short") == 1
+
+    def test_within_document_repeats_removed(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import line_dedup
+
+        df = pd.DataFrame(
+            {"doc_id": [5], "text": ["the same long line repeated\nthe same long line repeated"]}
+        )
+        got = line_dedup(rd.from_pandas(df)).to_pandas()
+        # dropped lines leave no empty join slot (string_agg semantics)
+        assert got.text[0] == "the same long line repeated"
+
+    def test_custom_delimiter(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import line_dedup
+
+        df = pd.DataFrame({"doc_id": [0, 1], "text": ["alpha beta alpha", "beta gamma"]})
+        got = (
+            line_dedup(rd.from_pandas(df), min_line_chars=4, delimiter=" ")
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert got.text.tolist() == ["alpha beta", "gamma"]
