@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["semi_join_top_users"] = _semi_join_top_users
     out["anti_join_top_users"] = _anti_join_top_users
     out["line_dedup_documents"] = _line_dedup_documents
+    out["top_bigrams_documents"] = _top_bigrams_documents
 
     # -- oracled via SQL derivation / bound predicates --------------------
     out["conversation_features"] = _conversation_features
@@ -534,6 +535,13 @@ def _anti_join_top_users(sf_dir: str):
     return anti_join(ds, top, "user_id")
 
 
+def _top_bigrams_documents(sf_dir: str):
+    from hooqu_ray.pipelines.textstats import top_ngrams
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return top_ngrams(ds, n=2, k=20)
+
+
 def _line_dedup_documents(sf_dir: str):
     """Corpus-wide first-occurrence line dedup.  The synthetic documents are
     single-line, so the gate splits on spaces (delimiter=' ', min 4 chars)
@@ -721,6 +729,17 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT user_id, row_number() OVER (ORDER BY v DESC, user_id) AS rn FROM s) "
             "SELECT e.event_id, e.user_id FROM events e "
             "WHERE e.user_id NOT IN (SELECT user_id FROM r WHERE rn <= 50)"
+        ),
+        "top_bigrams_documents": (
+            "WITH t AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), "
+            "'\\S+') AS ws FROM documents), "
+            "w AS (SELECT doc_id, UNNEST(ws) AS tok, generate_subscripts(ws, 1) "
+            "AS i FROM t), "
+            "b AS (SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id "
+            "ORDER BY i) AS ngram FROM w), "
+            "c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM b "
+            "WHERE ngram IS NOT NULL GROUP BY ngram) "
+            "SELECT ngram, n FROM c ORDER BY n DESC, ngram LIMIT 20"
         ),
         "line_dedup_documents": (
             "WITH t AS (SELECT doc_id, string_split(COALESCE(text, chr(1)), ' ') "

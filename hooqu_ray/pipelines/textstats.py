@@ -132,3 +132,83 @@ def fingerprint_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("md5", pa.array(md5s, pa.string())).append_column(
         "fingerprint", pa.array(rolls, pa.uint64())
     )
+
+
+def _block_ngram_counts(t: pa.Table, text_col: str, n: int) -> pa.Table:
+    """Per-block combiner: (ngram, n) partial counts.  One Arrow
+    split/flatten pass; n-gram strings built with a single vectorized
+    ``binary_join_element_wise`` over position-shifted token views — no
+    Python per token."""
+    texts = t.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    empty = pa.table(
+        {"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+    if len(texts) == 0:
+        return empty
+    words = pc.utf8_split_whitespace(texts)
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return empty
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    keep = pc.invert(pc.equal(flat, "")).to_numpy(zero_copy_only=False)
+    toks = flat.filter(pa.array(keep))
+    tp = parent[keep]
+    if len(toks) < n:
+        return empty
+    # n-gram start positions whose first and last token share a document
+    pos = np.flatnonzero(tp[: len(toks) - n + 1] == tp[n - 1 :])
+    if pos.size == 0:
+        return empty
+    parts = [toks.take(pa.array(pos + d)) for d in range(n)]
+    ngrams = pc.binary_join_element_wise(*parts, " ")
+    g = (
+        pa.table({"ngram": ngrams})
+        .group_by("ngram", use_threads=False)
+        .aggregate([([], "count_all")])
+    )
+    return g.rename_columns(["ngram", "n"])
+
+
+def top_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 20):
+    """Global top-k word n-grams by corpus frequency (ties broken by the
+    n-gram string ascending).
+
+    Combiner-first: per-block partial counts shrink before the one
+    ``groupby(ngram)`` shuffle; after the aggregate each n-gram lives in
+    exactly one block, so a per-block local top-k plus a driver merge of
+    the #blocks × k partials yields the exact global answer without sorting
+    the full distinct-n-gram table.  Returns an Arrow table (ngram, n)."""
+    from ray.data.aggregate import Sum
+
+    from ..util import collect_arrow
+
+    partials = ds.map_batches(
+        lambda t, _c=text_col, _n=n: _block_ngram_counts(t, _c, _n),
+        batch_format="pyarrow",
+    )
+    totals = partials.groupby("ngram").aggregate(Sum("n"))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if "sum(n)" not in t.column_names:  # schema-less empty agg block
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        df = t.rename_columns(["ngram", "n"]).to_pandas()
+        df = df.sort_values(["n", "ngram"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    merged = collect_arrow(
+        totals.map_batches(local_topk, batch_format="pyarrow", batch_size=None)
+    )
+    if merged is None:
+        return pa.table(
+            {"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    df = merged.to_pandas().sort_values(
+        ["n", "ngram"], ascending=[False, True], kind="mergesort", ignore_index=True
+    )
+    return pa.Table.from_pandas(df.head(k), preserve_index=False)

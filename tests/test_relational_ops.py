@@ -115,3 +115,21 @@ def test_semi_and_anti_join_partition_rows(ray_session):
     keys_ds = rd.from_pandas(pd.DataFrame({"k": [2, 5, 5]}))
     semi2 = semi_join(ds, keys_ds, "k", key_col="k").to_pandas()
     assert sorted(semi2["id"]) == sorted(semi["id"])
+
+
+def test_top_ngrams_matches_pandas(ray_session):
+    import ray.data as rd
+    from collections import Counter
+    from hooqu_ray.pipelines.textstats import top_ngrams
+
+    rng = np.random.default_rng(9)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    docs = [" ".join(rng.choice(vocab, rng.integers(0, 12))) for _ in range(200)]
+    df = pd.DataFrame({"doc_id": range(200), "text": docs})
+    got = top_ngrams(rd.from_pandas(df).repartition(5), n=2, k=5).to_pandas()
+    cnt = Counter()
+    for d in docs:
+        ws = d.split()
+        cnt.update(" ".join(ws[i : i + 2]) for i in range(len(ws) - 1))
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got.ngram, got.n)) == expect

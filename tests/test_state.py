@@ -102,3 +102,85 @@ class TestMetricsRepository:
         hist = repo.history()
         assert len(hist) == 4
         assert set(hist["dataset_ts"]) == {1000, 2000}
+
+
+class TestAnomalyDetection:
+    """Deequ-style anomaly checks over the metrics repository (the
+    reference's planned-but-missing addAnomalyCheck surface)."""
+
+    def _seed_history(self, tmp_path, values):
+        import pandas as pd
+
+        import hooqu_ray as hq
+        from hooqu_ray.runner import do_analysis_run
+        from hooqu_ray.state.repository import FileSystemMetricsRepository, ResultKey
+
+        repo = FileSystemMetricsRepository(str(tmp_path / "metrics"))
+        size = hq.Size()
+        for ts, n in enumerate(values):
+            ctx = do_analysis_run(pd.DataFrame({"x": range(n)}), [size])
+            repo.save(ResultKey(dataset_ts=ts), ctx)
+        return repo, size
+
+    def _context_for(self, n):
+        import pandas as pd
+
+        import hooqu_ray as hq
+        from hooqu_ray.runner import do_analysis_run
+
+        size = hq.Size()
+        return size, do_analysis_run(pd.DataFrame({"x": range(n)}), [size])
+
+    def test_relative_rate_of_change(self, tmp_path):
+        from hooqu_ray.state.anomaly import RelativeRateOfChangeStrategy, check_anomaly
+
+        repo, _ = self._seed_history(tmp_path, [100, 110, 120])
+        strategy = RelativeRateOfChangeStrategy(min_rate=0.8, max_rate=1.25)
+        a, ok_ctx = self._context_for(130)
+        assert not check_anomaly(repo, a, ok_ctx, strategy).is_anomalous
+        a, bad_ctx = self._context_for(50)  # dropped to 42% of last run
+        res = check_anomaly(repo, a, bad_ctx, strategy)
+        assert res.is_anomalous and res.baseline == 120.0
+
+    def test_absolute_change(self, tmp_path):
+        from hooqu_ray.state.anomaly import AbsoluteChangeStrategy, check_anomaly
+
+        repo, _ = self._seed_history(tmp_path, [100])
+        strategy = AbsoluteChangeStrategy(max_decrease=10, max_increase=10)
+        a, ctx = self._context_for(95)
+        assert not check_anomaly(repo, a, ctx, strategy).is_anomalous
+        a, ctx = self._context_for(150)
+        assert check_anomaly(repo, a, ctx, strategy).is_anomalous
+
+    def test_online_normal(self, tmp_path):
+        from hooqu_ray.state.anomaly import OnlineNormalStrategy, check_anomaly
+
+        repo, _ = self._seed_history(tmp_path, [100, 102, 98, 101, 99])
+        strategy = OnlineNormalStrategy(n_sigmas=3.0)
+        a, ctx = self._context_for(101)
+        assert not check_anomaly(repo, a, ctx, strategy).is_anomalous
+        a, ctx = self._context_for(160)
+        assert check_anomaly(repo, a, ctx, strategy).is_anomalous
+
+    def test_no_history_not_anomalous(self, tmp_path):
+        from hooqu_ray.state.anomaly import RelativeRateOfChangeStrategy, check_anomaly
+        from hooqu_ray.state.repository import FileSystemMetricsRepository
+
+        repo = FileSystemMetricsRepository(str(tmp_path / "empty"))
+        strategy = RelativeRateOfChangeStrategy(min_rate=0.5)
+        a, ctx = self._context_for(10)
+        res = check_anomaly(repo, a, ctx, strategy)
+        assert not res.is_anomalous and res.baseline is None
+
+    def test_failed_metric_is_anomalous(self, tmp_path):
+        import pandas as pd
+
+        import hooqu_ray as hq
+        from hooqu_ray.runner import do_analysis_run
+        from hooqu_ray.state.anomaly import AbsoluteChangeStrategy, check_anomaly
+        from hooqu_ray.state.repository import FileSystemMetricsRepository
+
+        repo = FileSystemMetricsRepository(str(tmp_path / "m"))
+        bad = hq.Mean("missing_column")
+        ctx = do_analysis_run(pd.DataFrame({"x": [1.0]}), [bad])
+        assert check_anomaly(repo, bad, ctx, AbsoluteChangeStrategy(1, 1)).is_anomalous
