@@ -153,13 +153,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["near_dup_pairs_documents"] = _near_dup_pairs
     out["approx_count_distinct_users"] = _approx_distinct_users
     out["approx_quantile_price"] = _approx_quantile_price
+    out["knn_ivf_embeddings"] = _knn_ivf
 
     # -- non-SQL-expressible (rows-only checks) ---------------------------
     out["minhash_lsh_pairs_documents"] = _minhash_pairs
     out["simhash_documents"] = _simhash_docs
     out["langid_documents"] = _langid_docs
     out["transcript_filter_stats"] = _transcript_filter_stats
-    out["knn_ivf_embeddings"] = _knn_ivf
 
     return out
 
@@ -270,7 +270,11 @@ def _knn_embeddings(sf_dir: str):
 
 
 def _knn_ivf(sf_dir: str):
-    from hooqu_ray.pipelines.similarity import knn_ivf
+    """Bound-style oracle: the result cardinality hash-matches the SQL
+    (k rows per query) and the approximate search's recall against the
+    engine's own exact top-k — itself hash-verified by the knn_embeddings
+    gate — is asserted >= 0.7 (measured 0.83 at sf0.01)."""
+    from hooqu_ray.pipelines.similarity import knn_brute_force, knn_ivf
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qrows = sorted(
@@ -278,7 +282,24 @@ def _knn_ivf(sf_dir: str):
         key=lambda r: r["vec_id"],
     )
     queries = np.stack([r["embedding"] for r in qrows])
-    return knn_ivf(ds, queries, k=_KNN_K)
+    ivf = knn_ivf(ds, queries, k=_KNN_K)
+    exact = knn_brute_force(ds, queries, k=_KNN_K)
+
+    def by_query(tbl):
+        out: dict = {}
+        for q, v in zip(tbl.column("query_idx").to_pylist(), tbl.column("vec_id").to_pylist()):
+            out.setdefault(q, set()).add(v)
+        return out
+
+    ex, iv = by_query(exact), by_query(ivf)
+    recalls = [len(ex[q] & iv.get(q, set())) / len(ex[q]) for q in ex]
+    mean_recall = sum(recalls) / len(recalls)
+    return pa.table(
+        {
+            "n_results": pa.array([len(ivf)], pa.int64()),
+            "recall_ok": pa.array([mean_recall >= 0.7], pa.bool_()),
+        }
+    )
 
 
 def _minhash_pairs(sf_dir: str):
@@ -805,6 +826,17 @@ def oracle_sql() -> dict[str, str]:
                 col="l_extendedprice", table="lineitem", q=0.5, name="q50_exact"
             )
             + ")"
+        ),
+        "knn_ivf_embeddings": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            f"WHERE vec_id < {_N_KNN_QUERIES}), "
+            "sims AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos "
+            "FROM q, embeddings e WHERE e.vec_id != q.query_id), "
+            "ranked AS (SELECT query_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM sims) "
+            f"SELECT CAST(count(*) AS BIGINT) AS n_results, TRUE AS recall_ok "
+            f"FROM ranked WHERE rn <= {_KNN_K}"
         ),
         "knn_embeddings": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
