@@ -271,9 +271,11 @@ def _knn_embeddings(sf_dir: str):
 
 def _knn_ivf(sf_dir: str):
     """Bound-style oracle: the result cardinality hash-matches the SQL
-    (k rows per query) and the approximate search's recall against the
-    engine's own exact top-k — itself hash-verified by the knn_embeddings
-    gate — is asserted >= 0.7 (measured 0.83 at sf0.01)."""
+    (k non-self rows per query, matching the oracle's vec_id != query_id)
+    and the approximate search's recall against the engine's own exact
+    top-k — the same query_ids configuration the knn_embeddings gate
+    hash-verifies — is asserted >= 0.7 (measured 0.81 at sf0.01; without
+    self-exclusion every query would get a free 1/k of recall)."""
     from hooqu_ray.pipelines.similarity import knn_brute_force, knn_ivf
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -282,8 +284,9 @@ def _knn_ivf(sf_dir: str):
         key=lambda r: r["vec_id"],
     )
     queries = np.stack([r["embedding"] for r in qrows])
-    ivf = knn_ivf(ds, queries, k=_KNN_K)
-    exact = knn_brute_force(ds, queries, k=_KNN_K)
+    qids = [r["vec_id"] for r in qrows]
+    ivf = knn_ivf(ds, queries, k=_KNN_K, query_ids=qids)
+    exact = knn_brute_force(ds, queries, k=_KNN_K, query_ids=qids)
 
     def by_query(tbl):
         out: dict = {}

@@ -166,6 +166,32 @@ class _AddContentHash:
         return batch.append_column("__content_hash", pa.array(h, pa.int64()))
 
 
+def _broadcast_dup_winners(groups, key_col: str, min_col: str, out_col: str):
+    """Winners of duplicate groups (count > 1) from a
+    ``(key, min(...), sum(__pcount))`` Ray aggregate, collected and
+    broadcast ONCE via ``ray.put``.  Skips the schema-less empty blocks Ray
+    aggregates can emit; the int64-typed empty placeholder is only ever
+    consumed through the filter stages' ``len() == 0`` short-circuit, so
+    its winner type is never consulted.  At extreme duplicate cardinality
+    shard the winner table by key range and run the filter pass per shard."""
+    import ray
+
+    empty = pa.table(
+        {key_col: pa.array([], pa.int64()), out_col: pa.array([], pa.int64())}
+    )
+
+    def dup_only(t: pa.Table, _e=empty) -> pa.Table:
+        if "sum(__pcount)" not in t.column_names:
+            return _e
+        kept = t.filter(pc.greater(t.column("sum(__pcount)"), 1))
+        return kept.select([key_col, min_col]).rename_columns([key_col, out_col])
+
+    tbl = _collect_arrow(groups.map_batches(dup_only, batch_format="pyarrow"))
+    if tbl is None:
+        tbl = empty
+    return ray.put(tbl.combine_chunks())
+
+
 class _DedupFilter:
     """Per-batch semi-join against the broadcast duplicate-winner table:
     a row survives unless its content hash belongs to a duplicate group AND
@@ -224,7 +250,6 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     filter pass per shard.  The input is read twice (hash is recomputed for
     the filter pass) — both reads stream and prune to the needed columns.
     """
-    import ray
     from ray.data.aggregate import Min, Sum
 
     hashed = ds.map_batches(_AddContentHash(text_col), batch_format="pyarrow")
@@ -243,32 +268,9 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     groups = partials.groupby("__content_hash").aggregate(
         Min("__winner_id"), Sum("__pcount")
     )
-    # placeholder for the no-duplicates case only: the filter pass
-    # short-circuits on an empty winner table, so __winner_id's type is
-    # never consulted there
-    empty_winners = pa.table(
-        {
-            "__content_hash": pa.array([], pa.int64()),
-            "__winner_id": pa.array([], pa.int64()),
-        }
+    winners_ref = _broadcast_dup_winners(
+        groups, "__content_hash", "min(__winner_id)", "__winner_id"
     )
-
-    def dup_only(t: pa.Table, _empty=empty_winners) -> pa.Table:
-        if "sum(__pcount)" not in t.column_names:  # schema-less empty agg block
-            return _empty
-        kept = t.filter(pc.greater(t.column("sum(__pcount)"), 1))
-        return kept.select(["__content_hash", "min(__winner_id)"]).rename_columns(
-            ["__content_hash", "__winner_id"]
-        )
-
-    dup = groups.map_batches(dup_only, batch_format="pyarrow")
-    winner_parts = [
-        t for t in ray.get(dup.to_arrow_refs()) if t.num_columns and len(t)
-    ]
-    winner_tbl = (
-        pa.concat_tables(winner_parts) if winner_parts else empty_winners
-    )
-    winners_ref = ray.put(winner_tbl.combine_chunks())
     return hashed.map_batches(_DedupFilter(winners_ref, id_col), batch_format="pyarrow")
 
 
@@ -280,12 +282,26 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 # line_idx must fit below this for the packed (doc_id, line_idx) position
 _LINE_IDX_BITS = 20
 _LINE_IDX_MAX = 1 << _LINE_IDX_BITS
+# doc_id must fit in the remaining (signed) int64 bits
+_LINE_DOC_MAX = 1 << (63 - _LINE_IDX_BITS)
+
+
+def _pack_line_pos(doc_ids: np.ndarray, line_idx: np.ndarray) -> np.ndarray:
+    """Packed (doc_id, line_idx) order key.  Guards BOTH components: numpy
+    int64 shifts wrap silently ((1 << 50) << 20 == 0), which would corrupt
+    winner selection without any error."""
+    if doc_ids.size and (doc_ids.max() >= _LINE_DOC_MAX or doc_ids.min() < 0):
+        raise ValueError(
+            f"line_dedup requires 0 <= {_LINE_DOC_MAX} > doc_id (packed "
+            "position would overflow int64); remap ids or raise _LINE_IDX_BITS"
+        )
+    return (doc_ids << _LINE_IDX_BITS) + line_idx
 
 
 def _split_lines(texts, delimiter: str = "\n"):
     """One Arrow pass: split every document on ``delimiter``.  Returns
-    ``(flat_lines Array, parent int64, line_idx int64, lists ListArray)``;
-    null documents contribute no lines."""
+    ``(flat_lines Array, parent int64, line_idx int64)``; null documents
+    contribute no lines."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     lists = pc.split_pattern(texts, pattern=delimiter)
@@ -303,7 +319,7 @@ def _split_lines(texts, delimiter: str = "\n"):
             )
     else:
         line_idx = np.empty(0, dtype=np.int64)
-    return flat, parent, line_idx, lists
+    return flat, parent, line_idx
 
 
 class _LinePartials:
@@ -328,7 +344,7 @@ class _LinePartials:
         )
         if len(batch) == 0:
             return empty
-        flat, parent, line_idx, _ = _split_lines(
+        flat, parent, line_idx = _split_lines(
             batch.column(self.text_col), self.delimiter
         )
         if len(flat) == 0:
@@ -341,7 +357,7 @@ class _LinePartials:
         if not eligible.any():
             return empty
         h = _text_hash63(flat.filter(pa.array(eligible)))
-        pos = (doc_ids[parent[eligible]] << _LINE_IDX_BITS) + line_idx[eligible]
+        pos = _pack_line_pos(doc_ids[parent[eligible]], line_idx[eligible])
         t = pa.table(
             {
                 "__line_hash": pa.array(h, pa.int64()),
@@ -380,8 +396,8 @@ class _LineRebuild:
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         if n == 0 or len(self._w) == 0:
-            return pa.table({self.id_col: batch.column(self.id_col), "text": texts})
-        flat, parent, line_idx, _ = _split_lines(texts, self.delimiter)
+            return batch
+        flat, parent, line_idx = _split_lines(texts, self.delimiter)
         keep = np.ones(len(flat), dtype=bool)
         if len(flat):
             doc_ids = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -391,7 +407,7 @@ class _LineRebuild:
             )
             if eligible.any():
                 h = _text_hash63(flat.filter(pa.array(eligible)))
-                pos = (doc_ids[parent[eligible]] << _LINE_IDX_BITS) + line_idx[eligible]
+                pos = _pack_line_pos(doc_ids[parent[eligible]], line_idx[eligible])
                 probe = pa.table(
                     {
                         "__line_hash": pa.array(h, pa.int64()),
@@ -421,7 +437,9 @@ class _LineRebuild:
         joined = pc.binary_join(lists, self.delimiter)
         if not valid.all():
             joined = pc.if_else(pa.array(valid), joined, pa.nulls(n, pa.string()))
-        return pa.table({self.id_col: batch.column(self.id_col), "text": joined})
+        # replace the text column in place: every other column passes through
+        idx = batch.column_names.index(self.text_col)
+        return batch.set_column(idx, self.text_col, joined)
 
 
 def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -437,7 +455,6 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     pass that rebuilds each document with a vectorized split → filter →
     ``binary_join`` — documents never shuffle and no Python-per-line runs.
     Requires an integer ``id_col`` (positions pack as doc_id·2^20+line_idx)."""
-    import ray
     from ray.data.aggregate import Min, Sum
 
     partials = ds.map_batches(
@@ -447,25 +464,9 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     groups = partials.groupby("__line_hash").aggregate(
         Min("__winner_pos"), Sum("__pcount")
     )
-    empty_winners = pa.table(
-        {
-            "__line_hash": pa.array([], pa.int64()),
-            "__winner_pos": pa.array([], pa.int64()),
-        }
+    winners_ref = _broadcast_dup_winners(
+        groups, "__line_hash", "min(__winner_pos)", "__winner_pos"
     )
-
-    def dup_only(t: pa.Table, _empty=empty_winners) -> pa.Table:
-        if "sum(__pcount)" not in t.column_names:
-            return _empty
-        kept = t.filter(pc.greater(t.column("sum(__pcount)"), 1))
-        return kept.select(["__line_hash", "min(__winner_pos)"]).rename_columns(
-            ["__line_hash", "__winner_pos"]
-        )
-
-    winner_tbl = _collect_arrow(groups.map_batches(dup_only, batch_format="pyarrow"))
-    if winner_tbl is None:
-        winner_tbl = empty_winners
-    winners_ref = ray.put(winner_tbl.combine_chunks())
     return ds.map_batches(
         _LineRebuild(winners_ref, text_col, id_col, min_line_chars, delimiter),
         batch_format="pyarrow",

@@ -154,7 +154,7 @@ class _AssignCentroid:
 
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
             nprobe: int = 4, emb_col: str = "embedding", id_col: str = "vec_id",
-            sample_size: int = 2048) -> pa.Table:
+            sample_size: int = 2048, query_ids=None) -> pa.Table:
     """Approximate top-k: probe only the ``nprobe`` closest centroid
     partitions per query.  At 100 TB the bucketed dataset is written
     partitioned by centroid so a query touches nprobe/n_centroids of it."""
@@ -175,4 +175,4 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
         lambda t: t.filter(_pc.is_in(t.column("centroid"), value_set=pa.array(wanted))),
         batch_format="pyarrow",
     )
-    return knn_brute_force(sub, queries, k, emb_col, id_col)
+    return knn_brute_force(sub, queries, k, emb_col, id_col, query_ids=query_ids)

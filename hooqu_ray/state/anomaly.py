@@ -48,9 +48,14 @@ class AbsoluteChangeStrategy:
 
 @dataclass(frozen=True)
 class RelativeRateOfChangeStrategy:
-    """Anomalous when ``value / last`` leaves [min_rate, max_rate]
-    (None = unbounded; a zero baseline with a nonzero value is anomalous
-    whenever a bound is set)."""
+    """Anomalous when the DIRECTED relative change leaves
+    [min_rate, max_rate], with ``rate = 1 + (value - last) / |last|`` —
+    identical to ``value / last`` for a positive baseline, but keeping
+    increase/decrease semantics intact for a negative one (a plain ratio
+    flips direction there: last=-0.5 → value=-0.25 is an INCREASE, yet
+    value/last = 0.5 looks like a drop).  None = unbounded on that side;
+    a zero baseline with a nonzero value is anomalous whenever a bound is
+    set."""
 
     min_rate: Optional[float] = None
     max_rate: Optional[float] = None
@@ -62,7 +67,7 @@ class RelativeRateOfChangeStrategy:
         if last == 0:
             bad = value != 0 and (self.min_rate is not None or self.max_rate is not None)
             return AnomalyResult(bad, value, last, "zero baseline")
-        rate = value / last
+        rate = 1.0 + (value - last) / abs(last)
         bad = (self.min_rate is not None and rate < self.min_rate) or (
             self.max_rate is not None and rate > self.max_rate
         )
@@ -91,23 +96,33 @@ class OnlineNormalStrategy:
         )
 
 
-def metric_history(repository, name: str, instance: str) -> List[float]:
-    """Successful values of one metric across all stored runs, ordered by
-    ``dataset_ts`` ascending."""
+def metric_history(repository, name: str, instance: str,
+                   tags: Optional[dict] = None) -> List[float]:
+    """Successful values of one metric across stored runs, ordered by
+    ``dataset_ts`` ascending.  ``tags`` restricts the history to runs whose
+    ResultKey carried every given tag value — without it, runs of DIFFERENT
+    tagged datasets sharing one repository would merge into one series and
+    produce false (or masked) anomalies."""
     df = repository.history()
     if len(df) == 0:
         return []
     sel = df[(df["name"] == name) & (df["instance"] == instance) & df["success"]]
+    for k, v in (tags or {}).items():
+        if k not in sel.columns:
+            return []
+        sel = sel[sel[k] == v]
     return sel.sort_values("dataset_ts")["value"].astype(float).tolist()
 
 
-def check_anomaly(repository, analyzer, context, strategy) -> AnomalyResult:
+def check_anomaly(repository, analyzer, context, strategy,
+                  tags: Optional[dict] = None) -> AnomalyResult:
     """Judge the CURRENT run's metric for ``analyzer`` (taken from
-    ``context``) against its repository history.  The current run must not
-    be saved to the repository yet (or its value will judge itself)."""
+    ``context``) against its repository history (restricted to runs
+    matching ``tags``).  The current run must not be saved to the
+    repository yet (or its value will judge itself)."""
     metric = context.metric_map.get(analyzer)
     if metric is None or not metric.value.isSuccess:
         return AnomalyResult(True, float("nan"), None, "metric missing or failed")
     value = float(metric.value.get())
-    history = metric_history(repository, metric.name, metric.instance)
+    history = metric_history(repository, metric.name, metric.instance, tags)
     return strategy.evaluate(history, value)

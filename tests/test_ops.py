@@ -475,3 +475,36 @@ class TestLineDedup:
             .sort_values("doc_id", ignore_index=True)
         )
         assert got.text.tolist() == ["alpha beta", "gamma"]
+
+
+class TestLineDedupGuards:
+    def test_doc_id_overflow_raises(self, ray_session):
+        """Code-review r2c: int64 shift wrap on huge doc ids must raise,
+        not silently corrupt winner selection."""
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import line_dedup
+
+        df = pd.DataFrame({"doc_id": [1 << 50], "text": ["some line of text here"]})
+        with pytest.raises(Exception) as err:
+            line_dedup(rd.from_pandas(df)).to_pandas()
+        assert "overflow" in str(err.value) or "doc_id" in str(err.value)
+
+    def test_custom_text_col_and_extra_columns_preserved(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import line_dedup
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "content": ["a long repeated line here\nunique one", "a long repeated line here"],
+                "lang": ["en", "de"],
+            }
+        )
+        out = (
+            line_dedup(rd.from_pandas(df), text_col="content")
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert list(out.columns) == ["doc_id", "content", "lang"]
+        assert out.lang.tolist() == ["en", "de"]
+        assert out.content.tolist() == ["a long repeated line here\nunique one", ""]

@@ -184,3 +184,36 @@ class TestAnomalyDetection:
         bad = hq.Mean("missing_column")
         ctx = do_analysis_run(pd.DataFrame({"x": [1.0]}), [bad])
         assert check_anomaly(repo, bad, ctx, AbsoluteChangeStrategy(1, 1)).is_anomalous
+
+    def test_tags_isolate_histories(self, tmp_path):
+        """Code-review r2c: runs of different tagged datasets in one
+        repository must not merge into a single history series."""
+        import pandas as pd
+
+        import hooqu_ray as hq
+        from hooqu_ray.runner import do_analysis_run
+        from hooqu_ray.state.anomaly import RelativeRateOfChangeStrategy, check_anomaly
+        from hooqu_ray.state.repository import FileSystemMetricsRepository, ResultKey
+
+        repo = FileSystemMetricsRepository(str(tmp_path / "m"))
+        size = hq.Size()
+        for ts, (ds_tag, n) in enumerate([("a", 1000), ("b", 10), ("a", 1100)]):
+            ctx = do_analysis_run(pd.DataFrame({"x": range(n)}), [size])
+            repo.save(ResultKey(dataset_ts=ts, tags={"ds": ds_tag}), ctx)
+        strategy = RelativeRateOfChangeStrategy(min_rate=0.5, max_rate=2.0)
+        a, ctx = self._context_for(12)  # vs dataset b's last run (10): fine
+        res_b = check_anomaly(repo, a, ctx, strategy, tags={"ds": "b"})
+        assert not res_b.is_anomalous and res_b.baseline == 10.0
+        # untagged lookup would compare 12 against a's 1100 and false-alarm
+        assert check_anomaly(repo, a, ctx, strategy).is_anomalous
+
+    def test_negative_baseline_direction(self):
+        """Code-review r2c: an INCREASE from a negative baseline must not
+        register as a rate drop."""
+        from hooqu_ray.state.anomaly import RelativeRateOfChangeStrategy
+
+        s = RelativeRateOfChangeStrategy(min_rate=0.8, max_rate=1.6)
+        up = s.evaluate([-0.5], -0.25)  # moved up by 50% of |last|
+        assert not up.is_anomalous and "rate=1.5" in up.detail
+        down = s.evaluate([-0.5], -1.0)  # moved down by 100% of |last|
+        assert down.is_anomalous
