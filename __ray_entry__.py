@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["anti_join_top_users"] = _anti_join_top_users
     out["line_dedup_documents"] = _line_dedup_documents
     out["top_bigrams_documents"] = _top_bigrams_documents
+    out["referential_integrity_events_customer"] = _ref_integrity
 
     # -- oracled via SQL derivation / bound predicates --------------------
     out["conversation_features"] = _conversation_features
@@ -559,6 +560,18 @@ def _anti_join_top_users(sf_dir: str):
     return anti_join(ds, top, "user_id")
 
 
+def _ref_integrity(sf_dir: str):
+    """Fraction of events whose user_id exists in customer.c_custkey —
+    cross-table referential-integrity metric (broadcast key set, one
+    streaming counting pass, no shuffle)."""
+    from hooqu_ray.functions.joins import referential_integrity
+
+    child = _read(sf_dir, "events", ["user_id"])
+    parent = _read(sf_dir, "customer", ["c_custkey"])
+    frac = referential_integrity(child, parent, "user_id", "c_custkey")
+    return pa.table({"ref_ok": pa.array([round(frac, 6)], pa.float64())})
+
+
 def _top_bigrams_documents(sf_dir: str):
     from hooqu_ray.pipelines.textstats import top_ngrams
 
@@ -753,6 +766,11 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT user_id, row_number() OVER (ORDER BY v DESC, user_id) AS rn FROM s) "
             "SELECT e.event_id, e.user_id FROM events e "
             "WHERE e.user_id NOT IN (SELECT user_id FROM r WHERE rn <= 50)"
+        ),
+        "referential_integrity_events_customer": (
+            "SELECT ROUND(avg(CASE WHEN EXISTS (SELECT 1 FROM customer c "
+            "WHERE c.c_custkey = e.user_id) THEN 1.0 ELSE 0.0 END), 6) "
+            "AS ref_ok FROM events e"
         ),
         "top_bigrams_documents": (
             "WITH t AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), "

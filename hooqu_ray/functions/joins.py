@@ -63,3 +63,48 @@ def anti_join(ds, keys, col: str, key_col: Optional[str] = None):
     return ds.map_batches(
         BroadcastIsInFilter(ref, col, invert=True), batch_format="pyarrow"
     )
+
+
+def referential_integrity(child_ds, parent_ds, fk: str, pk: str) -> float:
+    """Fraction of child rows whose foreign key exists in the parent's key
+    set (a null foreign key is a violation, matching SQL ``EXISTS``).
+
+    The parent key set is collected once as a deduplicated Arrow array and
+    broadcast; the child streams through one counting pass (per-batch
+    ``isin_mask`` + two int partials summed on the driver) — no shuffle of
+    either table.  Returns NaN for an empty child."""
+    import ray
+
+    from ..util import collect_arrow, isin_mask
+
+    keys = _key_array(parent_ds, pk)
+    ref = ray.put(keys)
+
+    class _CountMatches:
+        def __init__(self, values_ref):
+            self.values_ref = values_ref
+            self._values = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._values is None:
+                obj = self.values_ref
+                self._values = obj if isinstance(obj, pa.Array) else ray.get(obj)
+            mask = isin_mask(t.column(fk), self._values)
+            matched = pc.sum(pc.cast(pc.fill_null(mask, False), pa.int64())).as_py() or 0
+            return pa.table(
+                {
+                    "matched": pa.array([matched], pa.int64()),
+                    "total": pa.array([len(t)], pa.int64()),
+                }
+            )
+
+    counts = collect_arrow(
+        child_ds.map_batches(_CountMatches(ref), batch_format="pyarrow")
+    )
+    if counts is None:
+        return float("nan")
+    total = pc.sum(counts.column("total")).as_py() or 0
+    if total == 0:
+        return float("nan")
+    matched = pc.sum(counts.column("matched")).as_py() or 0
+    return matched / total

@@ -133,3 +133,22 @@ def test_top_ngrams_matches_pandas(ray_session):
         cnt.update(" ".join(ws[i : i + 2]) for i in range(len(ws) - 1))
     expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert list(zip(got.ngram, got.n)) == expect
+
+
+def test_referential_integrity(ray_session):
+    import ray.data as rd
+    from hooqu_ray.functions.joins import referential_integrity
+
+    child = pd.DataFrame({"fk": [1, 2, 2, 9, None]})
+    parent = pd.DataFrame({"pk": [1, 2, 3]})
+    frac = referential_integrity(
+        rd.from_pandas(child).repartition(2), rd.from_pandas(parent), "fk", "pk"
+    )
+    assert frac == 3 / 5  # 9 and null are violations
+    import math
+
+    assert math.isnan(
+        referential_integrity(
+            rd.from_pandas(child.iloc[0:0]), rd.from_pandas(parent), "fk", "pk"
+        )
+    )
