@@ -38,7 +38,7 @@ def _scaling() -> None:
     defaults to a larger replicate so fixed costs (actor spawn, read floor,
     conv broadcast) amortize as they would on a real long-running job."""
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         env.setdefault("BENCH_REPLICATE", os.environ.get("SCALING_REPLICATE", "1024"))
         out = subprocess.run(
@@ -47,9 +47,21 @@ def _scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # best-of-N with INTERLEAVED legs: this box suffers host-level noise
+    # episodes that inflate parallel wall times ~2x for minutes at a time
+    # (single-core stays normal, see BASELINE.md).  Noise is strictly
+    # additive, so the per-leg minimum over repeats estimates the
+    # noise-free engine time; interleaving lo/hi decorrelates an episode
+    # from any single leg's repeats.
     lo = int(os.environ.get("SCALING_LO", "4"))
     hi = int(os.environ.get("SCALING_HI", "16"))
-    r_lo, r_hi = run(lo), run(hi)
+    repeats = int(os.environ.get("SCALING_REPEATS", "3"))
+    lo_runs, hi_runs = [], []
+    for _ in range(repeats):
+        lo_runs.append(run_once(lo))
+        hi_runs.append(run_once(hi))
+    r_lo = min(lo_runs, key=lambda r: r["value"])
+    r_hi = min(hi_runs, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(json.dumps({
         f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
