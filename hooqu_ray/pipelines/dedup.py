@@ -166,15 +166,28 @@ class _AddContentHash:
         return batch.append_column("__content_hash", pa.array(h, pa.int64()))
 
 
-def _broadcast_dup_winners(groups, key_col: str, min_col: str, out_col: str):
+# Above this many duplicate-winner rows (one per duplicate GROUP, two int64
+# columns ≈ 16 B/row → ~64 MB) the winner table is hash-range sharded: the
+# driver collects and broadcasts one shard at a time instead of the whole
+# table, so adversarial duplicate cardinality cannot OOM the driver or exceed
+# a single plasma object.
+_WINNER_SHARD_ROWS = 4_000_000
+
+
+def _broadcast_dup_winners(groups, key_col: str, min_col: str, out_col: str,
+                           rows_per_shard: int = _WINNER_SHARD_ROWS):
     """Winners of duplicate groups (count > 1) from a
-    ``(key, min(...), sum(__pcount))`` Ray aggregate, collected and
-    broadcast ONCE via ``ray.put``.  Skips the schema-less empty blocks Ray
-    aggregates can emit; the int64-typed empty placeholder is only ever
-    consumed through the filter stages' ``len() == 0`` short-circuit, so
-    its winner type is never consulted.  At extreme duplicate cardinality
-    shard the winner table by key range and run the filter pass per shard."""
+    ``(key, min(...), sum(__pcount))`` Ray aggregate, broadcast via
+    ``ray.put`` as a LIST of hash-range shards (one element when the table
+    fits ``rows_per_shard`` — the common case; filter stages AND the per-shard
+    keep masks, and a key lives in exactly one shard, so the union of shard
+    passes equals the unsharded semantics).  Skips the schema-less empty
+    blocks Ray aggregates can emit; the int64-typed empty placeholder is only
+    ever consumed through the filter stages' ``len() == 0`` short-circuit, so
+    its winner type is never consulted."""
     import ray
+
+    from ..util import ShardFilter
 
     empty = pa.table(
         {key_col: pa.array([], pa.int64()), out_col: pa.array([], pa.int64())}
@@ -186,33 +199,60 @@ def _broadcast_dup_winners(groups, key_col: str, min_col: str, out_col: str):
         kept = t.filter(pc.greater(t.column("sum(__pcount)"), 1))
         return kept.select([key_col, min_col]).rename_columns([key_col, out_col])
 
-    tbl = _collect_arrow(groups.map_batches(dup_only, batch_format="pyarrow"))
-    if tbl is None:
-        tbl = empty
-    return ray.put(tbl.combine_chunks())
+    dups = groups.map_batches(dup_only, batch_format="pyarrow").materialize()
+    n = dups.count()
+    if n <= rows_per_shard:
+        tbl = _collect_arrow(dups)
+        if tbl is None:
+            tbl = empty
+        return [ray.put(tbl.combine_chunks())]
+    n_shards = -(-n // rows_per_shard)
+    refs = []
+    for s in range(n_shards):
+        tbl = _collect_arrow(
+            dups.map_batches(
+                ShardFilter(key_col, n_shards, s), batch_format="pyarrow"
+            )
+        )
+        if tbl is not None and len(tbl):
+            refs.append(ray.put(tbl.combine_chunks()))
+    return refs or [ray.put(empty)]
 
 
 class _DedupFilter:
-    """Per-batch semi-join against the broadcast duplicate-winner table:
+    """Per-batch semi-join against the broadcast duplicate-winner shards:
     a row survives unless its content hash belongs to a duplicate group AND
     the row is not that group's min-id winner.  The in-batch join is Arrow
-    Acero (vectorized C++); the winner table ships ONCE via ``ray.put`` and
-    is O(#duplicate groups) — singleton hashes (the vast majority) never
-    appear in it."""
+    Acero (vectorized C++); each winner shard ships ONCE via ``ray.put``
+    (zero-copy plasma read per node) and the shards together are
+    O(#duplicate groups) — singleton hashes (the vast majority) never appear
+    in them.  A hash lives in exactly one shard, so ANDing the per-shard
+    keep masks reproduces the single-table semantics while each probe only
+    materializes one shard at a time."""
 
-    def __init__(self, winners_ref, id_col: str):
-        self.winners_ref = winners_ref
+    def __init__(self, winner_refs, id_col: str):
+        # accept a single ref/table for backward compatibility
+        if not isinstance(winner_refs, (list, tuple)):
+            winner_refs = [winner_refs]
+        self.winner_refs = list(winner_refs)
         self.id_col = id_col
-        self._w: Optional[pa.Table] = None
+        self._w: Optional[List[pa.Table]] = None
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _shards(self) -> List[pa.Table]:
         if self._w is None:
             import ray
 
-            w = self.winners_ref
-            self._w = w if isinstance(w, pa.Table) else ray.get(w)
+            self._w = [
+                w if isinstance(w, pa.Table) else ray.get(w)
+                for w in self.winner_refs
+            ]
+            self._w = [w for w in self._w if len(w)]
+        return self._w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        shards = self._shards()
         out_cols = [c for c in batch.column_names if c != "__content_hash"]
-        if len(self._w) == 0 or len(batch) == 0:
+        if not shards or len(batch) == 0:
             return batch.select(out_cols)
         probe = pa.table(
             {
@@ -221,16 +261,24 @@ class _DedupFilter:
                 "__id": batch.column(self.id_col),
             }
         )
-        j = probe.join(self._w, keys="__content_hash", join_type="left outer")
-        j = j.sort_by("__row")
-        winner = j.column("__winner_id")
-        # or_kleene: TRUE | NULL = TRUE (no-match rows have a null winner, so
-        # the equality leg is null; plain or_ would null-propagate and drop them)
-        keep = pc.or_kleene(pc.is_null(winner), pc.equal(j.column("__id"), winner))
-        return batch.filter(pc.fill_null(keep, False)).select(out_cols)
+        keep_all: Optional[np.ndarray] = None
+        for w in shards:
+            j = probe.join(w, keys="__content_hash", join_type="left outer")
+            j = j.sort_by("__row")
+            winner = j.column("__winner_id")
+            # or_kleene: TRUE | NULL = TRUE (no-match rows have a null winner,
+            # so the equality leg is null; plain or_ would null-propagate and
+            # drop them)
+            keep = pc.or_kleene(
+                pc.is_null(winner), pc.equal(j.column("__id"), winner)
+            )
+            keep_np = pc.fill_null(keep, False).to_numpy(zero_copy_only=False)
+            keep_all = keep_np if keep_all is None else (keep_all & keep_np)
+        return batch.filter(pa.array(keep_all)).select(out_cols)
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                winner_rows_per_shard: int = _WINNER_SHARD_ROWS):
     """Keep one row per distinct text (deterministic representative: min id).
 
     Fully vectorized — no per-group Python (the round-1 ``map_groups`` paid
@@ -240,15 +288,16 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     2. One ``groupby(hash).aggregate(Min, Sum)`` over per-block pre-aggregated
        (hash, min_id, count) partials — the only all-to-all shuffle moves one
        row per (block, hash), never the text.
-    3. Winners of duplicate groups only (count > 1) are collected as a
-       compact Arrow table and broadcast once via ``ray.put``; a second
-       streaming pass keeps each row unless it lost its duplicate group
-       (per-batch Acero left join — vectorized semi-join, no driver loop).
+    3. Winners of duplicate groups only (count > 1) are collected as compact
+       Arrow hash-range shards, each broadcast once via ``ray.put``
+       (``winner_rows_per_shard`` caps what the driver ever holds — one
+       shard); a second streaming pass keeps each row unless it lost its
+       duplicate group in ANY shard (per-batch Acero left join per shard —
+       vectorized semi-join, no driver loop).
 
-    The broadcast is O(#duplicate groups), not O(#rows); at extreme
-    duplicate cardinality shard the winner table by hash range and run the
-    filter pass per shard.  The input is read twice (hash is recomputed for
-    the filter pass) — both reads stream and prune to the needed columns.
+    Driver peak is O(min(#duplicate groups, winner_rows_per_shard)), not
+    O(#rows).  The input is read twice (hash is recomputed for the filter
+    pass) — both reads stream and prune to the needed columns.
     """
     from ray.data.aggregate import Min, Sum
 
@@ -268,10 +317,11 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     groups = partials.groupby("__content_hash").aggregate(
         Min("__winner_id"), Sum("__pcount")
     )
-    winners_ref = _broadcast_dup_winners(
-        groups, "__content_hash", "min(__winner_id)", "__winner_id"
+    winner_refs = _broadcast_dup_winners(
+        groups, "__content_hash", "min(__winner_id)", "__winner_id",
+        rows_per_shard=winner_rows_per_shard,
     )
-    return hashed.map_batches(_DedupFilter(winners_ref, id_col), batch_format="pyarrow")
+    return hashed.map_batches(_DedupFilter(winner_refs, id_col), batch_format="pyarrow")
 
 
 
@@ -373,29 +423,44 @@ class _LinePartials:
 class _LineRebuild:
     """Pass 2: re-split each document, drop every eligible line that lost
     its duplicate group (per-batch Acero left join against the broadcast
-    duplicate-winner table), and reassemble the survivors with one
-    vectorized ``binary_join`` — no Python per line."""
+    duplicate-winner shards), and reassemble the survivors with one
+    vectorized ``binary_join`` — no Python per line.
 
-    def __init__(self, winners_ref, text_col: str, id_col: str, min_chars: int,
+    All shards probe the SAME original (doc_id, line_idx) positions inside
+    one rebuild pass (chained rebuild passes would be WRONG: removing a line
+    shifts later line indices, invalidating the packed winner positions the
+    aggregate saw); a line hash lives in exactly one shard, so ANDing the
+    per-shard masks equals the single-table semantics."""
+
+    def __init__(self, winner_refs, text_col: str, id_col: str, min_chars: int,
                  delimiter: str = "\n"):
-        self.winners_ref = winners_ref
+        if not isinstance(winner_refs, (list, tuple)):
+            winner_refs = [winner_refs]
+        self.winner_refs = list(winner_refs)
         self.text_col = text_col
         self.id_col = id_col
         self.min_chars = min_chars
         self.delimiter = delimiter
-        self._w: Optional[pa.Table] = None
+        self._w: Optional[List[pa.Table]] = None
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _shards(self) -> List[pa.Table]:
         if self._w is None:
             import ray
 
-            w = self.winners_ref
-            self._w = w if isinstance(w, pa.Table) else ray.get(w)
+            self._w = [
+                w if isinstance(w, pa.Table) else ray.get(w)
+                for w in self.winner_refs
+            ]
+            self._w = [w for w in self._w if len(w)]
+        return self._w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        shards = self._shards()
         n = len(batch)
         texts = batch.column(self.text_col)
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        if n == 0 or len(self._w) == 0:
+        if n == 0 or not shards:
             return batch
         flat, parent, line_idx = _split_lines(texts, self.delimiter)
         keep = np.ones(len(flat), dtype=bool)
@@ -415,13 +480,17 @@ class _LineRebuild:
                         "__pos": pa.array(pos, pa.int64()),
                     }
                 )
-                j = probe.join(self._w, keys="__line_hash", join_type="left outer")
-                j = j.sort_by("__row")
-                winner = j.column("__winner_pos")
-                ok = pc.or_kleene(
-                    pc.is_null(winner), pc.equal(j.column("__pos"), winner)
-                )
-                keep[eligible] = pc.fill_null(ok, False).to_numpy(zero_copy_only=False)
+                ok_all: Optional[np.ndarray] = None
+                for w in shards:
+                    j = probe.join(w, keys="__line_hash", join_type="left outer")
+                    j = j.sort_by("__row")
+                    winner = j.column("__winner_pos")
+                    ok = pc.or_kleene(
+                        pc.is_null(winner), pc.equal(j.column("__pos"), winner)
+                    )
+                    ok_np = pc.fill_null(ok, False).to_numpy(zero_copy_only=False)
+                    ok_all = ok_np if ok_all is None else (ok_all & ok_np)
+                keep[eligible] = ok_all
         # rebuild list offsets from per-doc kept counts; null docs stay null
         valid = pc.is_valid(texts).to_numpy(zero_copy_only=False)
         kept_counts = np.zeros(n, dtype=np.int64)
@@ -443,7 +512,8 @@ class _LineRebuild:
 
 
 def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-               min_line_chars: int = 10, delimiter: str = "\n"):
+               min_line_chars: int = 10, delimiter: str = "\n",
+               winner_rows_per_shard: int = _WINNER_SHARD_ROWS):
     """C4/CCNet-style corpus-wide LINE dedup: every line of at least
     ``min_line_chars`` characters is kept only at its FIRST occurrence in
     (doc_id, line_idx) order; later exact copies anywhere in the corpus are
@@ -464,11 +534,12 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     groups = partials.groupby("__line_hash").aggregate(
         Min("__winner_pos"), Sum("__pcount")
     )
-    winners_ref = _broadcast_dup_winners(
-        groups, "__line_hash", "min(__winner_pos)", "__winner_pos"
+    winner_refs = _broadcast_dup_winners(
+        groups, "__line_hash", "min(__winner_pos)", "__winner_pos",
+        rows_per_shard=winner_rows_per_shard,
     )
     return ds.map_batches(
-        _LineRebuild(winners_ref, text_col, id_col, min_line_chars, delimiter),
+        _LineRebuild(winner_refs, text_col, id_col, min_line_chars, delimiter),
         batch_format="pyarrow",
     )
 
@@ -708,24 +779,36 @@ _DRIVER_BANDS_MAX = 5_000_000
 
 
 
-def _hot_survivors(sigs_ds, band_stage, est_band_rows: int, key_col: str = "band_key"):
-    """Band rows belonging to buckets with >= 2 members, collected to the
-    driver SORTED by bucket key.
+def _hot_survivor_shards(sigs_ds, band_stage, est_band_rows: int,
+                         key_col: str = "band_key",
+                         driver_bands_max: int = _DRIVER_BANDS_MAX,
+                         surv_rows_per_shard: int = _DRIVER_BANDS_MAX):
+    """Band rows belonging to buckets with >= 2 members, yielded to the
+    driver SORTED by bucket key, ONE hash-range shard of the bucket-key
+    space at a time: ``(survivors_table, keys_np)`` pairs.
 
-    Adaptive like ``runner.frequencies``: below ``_DRIVER_BANDS_MAX`` rows
+    Adaptive like ``runner.frequencies``: below ``driver_bands_max`` rows
     the whole slim band table is collected and scanned with one numpy
     dup-run pass (an order of magnitude cheaper than two distributed
-    shuffles' fixed costs); above it, a distributed count shuffle finds the
-    hot keys and a broadcast filter collects only the survivors.  Returns
-    ``(survivors_table, keys_np)`` or ``(None, None)``."""
+    shuffles' fixed costs — one shard).  Above it, a distributed count
+    shuffle finds the hot keys, and the key space is split into
+    ``ceil(total_hot_rows / surv_rows_per_shard)`` hash shards; each shard
+    collects only ITS hot keys and survivors, so the driver never holds more
+    than ~``surv_rows_per_shard`` band rows (the round-2 version collected
+    ALL hot survivors at once — O(#near-duplicates), unbounded on a
+    duplicate-heavy crawl).  A bucket key lives in exactly one shard and
+    pair ownership (first colliding band) is decided locally from the two
+    signatures, so the union of per-shard pair sets equals the unsharded
+    result.  Costs one extra ``band_stage`` pass over the (materialized,
+    ~1%-of-text) signature dataset per shard."""
     import ray
 
-    from ..util import BroadcastIsInFilter
+    from ..util import BroadcastIsInFilter, ShardFilter
 
-    if est_band_rows <= _DRIVER_BANDS_MAX:
+    if est_band_rows <= driver_bands_max:
         band_tbl = _collect_arrow(sigs_ds.map_batches(band_stage, batch_format="pyarrow"))
         if band_tbl is None:
-            return None, None
+            return
         keys = band_tbl.column(key_col).to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
         ks = keys[order]
@@ -734,33 +817,48 @@ def _hot_survivors(sigs_ds, band_stage, est_band_rows: int, key_col: str = "band
         # order[dup_run] keeps the stable key sort: survivors arrive
         # bucket-sorted, no second sort needed
         survivors = band_tbl.take(pa.array(order[dup_run]))
-        return (survivors, ks[dup_run]) if len(survivors) else (None, None)
+        if len(survivors):
+            yield survivors, ks[dup_run]
+        return
     counts = sigs_ds.map_batches(band_stage, batch_format="pyarrow").map_batches(
         lambda t, _k=key_col: t.select([_k]), batch_format="pyarrow"
     ).groupby(key_col).count()
-    hot_tbl = _collect_arrow(
-        counts.map_batches(
-            lambda t, _k=key_col: (
-                t.filter(pc.greater(t.column("count()"), 1)).select([_k])
-                if "count()" in t.column_names
-                else pa.table({_k: pa.array([], pa.int64())})
-            ),
-            batch_format="pyarrow",
+    hot = counts.map_batches(
+        lambda t, _k=key_col: (
+            t.filter(pc.greater(t.column("count()"), 1))
+            if "count()" in t.column_names
+            else pa.table(
+                {_k: pa.array([], pa.int64()), "count()": pa.array([], pa.int64())}
+            )
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # (key, count) of hot buckets only — reused per shard
+    total_hot_rows = hot.sum("count()") or 0
+    if total_hot_rows == 0:
+        return
+    n_shards = max(1, -(-int(total_hot_rows) // surv_rows_per_shard))
+    for s in range(n_shards):
+        hot_shard = hot if n_shards == 1 else hot.map_batches(
+            ShardFilter(key_col, n_shards, s), batch_format="pyarrow"
         )
-    )
-    if hot_tbl is None or len(hot_tbl) == 0:
-        return None, None
-    hot_keys_ref = ray.put(hot_tbl.column(key_col).combine_chunks())
-    survivors = _collect_arrow(
-        sigs_ds.map_batches(band_stage, batch_format="pyarrow").map_batches(
-            BroadcastIsInFilter(hot_keys_ref, key_col), batch_format="pyarrow"
+        hot_tbl = _collect_arrow(
+            hot_shard.map_batches(
+                lambda t, _k=key_col: t.select([_k]), batch_format="pyarrow"
+            )
         )
-    )
-    if survivors is None or len(survivors) == 0:
-        return None, None
-    keys = survivors.column(key_col).to_numpy(zero_copy_only=False)
-    order = np.argsort(keys, kind="stable")
-    return survivors.take(pa.array(order)), keys[order]
+        if hot_tbl is None or len(hot_tbl) == 0:
+            continue
+        hot_keys_ref = ray.put(hot_tbl.column(key_col).combine_chunks())
+        survivors = _collect_arrow(
+            sigs_ds.map_batches(band_stage, batch_format="pyarrow").map_batches(
+                BroadcastIsInFilter(hot_keys_ref, key_col), batch_format="pyarrow"
+            )
+        )
+        if survivors is None or len(survivors) == 0:
+            continue
+        keys = survivors.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        yield survivors.take(pa.array(order)), keys[order]
 
 
 def _bucket_aligned_blocks(sorted_surv: pa.Table, skeys: np.ndarray, n_parts: int):
@@ -782,20 +880,26 @@ def _bucket_aligned_blocks(sorted_surv: pa.Table, skeys: np.ndarray, n_parts: in
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 128, bands: int = 32,
                       threshold: float = 0.5, concurrency=None,
-                      max_bucket_rows: int = 4096):
+                      max_bucket_rows: int = 4096,
+                      driver_bands_max: int = _DRIVER_BANDS_MAX,
+                      surv_rows_per_shard: int = 1_000_000):
     """Near-duplicate candidate pairs via MinHash+LSH.
 
     shingle→minhash (actor pool, fully vectorized) → slim (band, band_key,
     id) rows — the signature itself never enters a shuffle — → hot-bucket
-    scan (driver numpy below _DRIVER_BANDS_MAX rows, distributed count
-    shuffle above) → only the hot-bucket survivors (tiny, by LSH design) get
-    signatures re-attached from a broadcast lookup → within-bucket pair
-    estimation.  Each pair is emitted ONLY by its first colliding band
-    (checked locally from the signatures), so no cross-band dedupe shuffle
-    is needed.  Driver/broadcast state is O(#hot buckets + #survivors),
-    never O(#docs).  Broadcast ``is_in`` replaces a Dataset join throughout:
-    Ray 2.49's hash-join partitioner is a per-row Python loop and breaks on
-    empty partitions."""
+    scan (driver numpy below ``driver_bands_max`` rows, distributed count
+    shuffle above, processed one bucket-key hash shard at a time: the driver
+    holds at most ~``surv_rows_per_shard`` survivor band rows plus that
+    shard's signature lookup at once, so a duplicate-heavy crawl cannot
+    materialize O(#near-duplicates) on the driver) → only each shard's
+    hot-bucket survivors get signatures re-attached from a broadcast lookup
+    (≤ ``surv_rows_per_shard`` × num_perm × 8 B per shard) → within-bucket
+    pair estimation.  Each pair is emitted ONLY by its first colliding band
+    (checked locally from the two signatures, independent of which buckets
+    the shard contains), so no cross-band dedupe shuffle is needed and the
+    union of per-shard outputs is exactly the global pair set.  Broadcast
+    ``is_in`` replaces a Dataset join throughout: Ray 2.49's hash-join
+    partitioner is a per-row Python loop and breaks on empty partitions."""
     import ray
     import ray.data as rd
     import pandas as pd
@@ -807,7 +911,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # repartition before materialize: a single-file read yields one block,
     # and every downstream groupby/map_groups inherits that serial layout
     # (one task does ALL the per-group work) unless the signatures are
-    # spread first.  ~1% of text volume; consumed by two passes below.
+    # spread first.  ~1% of text volume; consumed by the per-shard passes.
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "num_perm": num_perm},
@@ -817,30 +921,43 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     band_stage = _BandKeys(num_perm, bands, id_col)
     n_docs = sigs.count()  # metadata on a materialized dataset — free
 
-    # Most buckets are singletons; one vectorized pass finds the few
+    # Most buckets are singletons; the hot-bucket scan finds the few
     # colliding band keys so the per-bucket pair stage only ever sees actual
     # candidates (map_groups over all buckets is O(#docs·bands) Python
     # overhead otherwise).
-    sorted_surv, skeys = _hot_survivors(sigs, band_stage, n_docs * bands)
-    if sorted_surv is None:
-        return rd.from_pandas(empty)
-    survivor_ids_ref = ray.put(pc.unique(sorted_surv.column(id_col)))
-    # re-attach signatures to the (tiny) survivor set only
-    sig_tbl = _collect_arrow(
-        sigs.map_batches(
-            BroadcastIsInFilter(survivor_ids_ref, id_col), batch_format="pyarrow"
+    shard_outputs = []
+    for sorted_surv, skeys in _hot_survivor_shards(
+        sigs, band_stage, n_docs * bands,
+        driver_bands_max=driver_bands_max,
+        surv_rows_per_shard=surv_rows_per_shard,
+    ):
+        survivor_ids_ref = ray.put(pc.unique(sorted_surv.column(id_col)))
+        # re-attach signatures to this shard's (tiny) survivor set only
+        sig_tbl = _collect_arrow(
+            sigs.map_batches(
+                BroadcastIsInFilter(survivor_ids_ref, id_col), batch_format="pyarrow"
+            )
         )
-    )
-    index = {v: i for i, v in enumerate(sig_tbl.column(id_col).to_pylist())}
-    matrix = _sig_matrix(sig_tbl.column("signature"), num_perm).copy()
-    sig_lookup_ref = ray.put((index, matrix))
-    bucket_pairs = _BucketPairsBlock(
-        id_col, threshold, sig_lookup_ref, num_perm, bands, max_bucket_rows
-    )
-    surv_blocks = _bucket_aligned_blocks(sorted_surv, skeys, n_parts)
-    return rd.from_arrow(surv_blocks).map_batches(
-        lambda t, _bp=bucket_pairs: _bp(t), batch_format="pyarrow", batch_size=None
-    )
+        index = {v: i for i, v in enumerate(sig_tbl.column(id_col).to_pylist())}
+        matrix = _sig_matrix(sig_tbl.column("signature"), num_perm).copy()
+        sig_lookup_ref = ray.put((index, matrix))
+        bucket_pairs = _BucketPairsBlock(
+            id_col, threshold, sig_lookup_ref, num_perm, bands, max_bucket_rows
+        )
+        surv_blocks = _bucket_aligned_blocks(sorted_surv, skeys, n_parts)
+        shard_outputs.append(
+            rd.from_arrow(surv_blocks).map_batches(
+                lambda t, _bp=bucket_pairs: _bp(t),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        )
+    if not shard_outputs:
+        return rd.from_pandas(empty)
+    out = shard_outputs[0]
+    for extra in shard_outputs[1:]:
+        out = out.union(extra)
+    return out
 
 
 class _VerifyAttachText:
@@ -899,68 +1016,77 @@ class _VerifyJaccard:
 
 
 def verify_pairs(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
-                 shingle_w: int = 3, threshold: float = 0.0):
+                 shingle_w: int = 3, threshold: float = 0.0,
+                 pairs_per_shard: int = 2_000_000):
     """Exact n-gram Jaccard verification of LSH candidate pairs — fully
-    distributed; candidate TEXTS never touch the driver (round 1 collected a
-    driver dict of every candidate text and looped pairs in Python).
+    distributed; neither candidate TEXTS nor the candidate-pair table ever
+    touch the driver (round 1 collected a driver dict of every candidate
+    text; round 2 still collected the full pair table to build the id set).
 
-    1. Only the candidate-id SET (compact Arrow ints/strings) is collected
-       and broadcast; the corpus is semi-filtered to candidate rows in one
-       streaming pruned scan.
+    Oversized-bucket FLAG rows (null id_a/id_b with ``__oversized_bucket``
+    set — emitted by the pair stages instead of O(n²) work on a degenerate
+    bucket) are dropped explicitly with a ``UserWarning`` carrying the count:
+    their pairs were never enumerated, so recall over those buckets is lost
+    and the caller should resplit (more bands/planes) or raise
+    ``max_bucket_rows`` rather than silently proceed.
+
+    The pair set is processed one ``id_a`` hash shard at a time
+    (``pairs_per_shard`` pairs per shard), per shard:
+
+    1. Only that shard's candidate-id SET (compact Arrow ints/strings,
+       deduplicated distributively per block) is collected and broadcast;
+       the corpus is semi-filtered to candidate rows in one streaming pruned
+       scan (one corpus scan per shard — the price of a bounded driver).
     2. A union + ``groupby(join_id)`` join attaches each candidate text to
        its pair slots — the shuffle moves candidate-sized data only.
     3. ``groupby(id_a, id_b)`` brings a pair's two texts together and the
        Jaccard kernel runs inside the group fn.
 
-    At extreme candidate cardinality, shard the broadcast id set by hash
-    range and run pass 1 per shard.  Returns (id_a, id_b, jaccard) filtered
-    to ``jaccard >= threshold``."""
+    Returns (id_a, id_b, jaccard) filtered to ``jaccard >= threshold``."""
+    import warnings
+
     import pandas as pd
     import ray
     import ray.data as rd
 
+    from ..util import ShardFilter
+
     empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    pair_tbl = _collect_arrow(
-        pairs.map_batches(
-            lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
-        )
-    )
-    if pair_tbl is None or len(pair_tbl) == 0:
+    pairs_mat = pairs.materialize()
+    if pairs_mat.count() == 0:
         return rd.from_pandas(empty)
-    wanted = pc.unique(
-        pa.concat_arrays(
-            [
-                pair_tbl.column("id_a").combine_chunks(),
-                pair_tbl.column("id_b").combine_chunks(),
-            ]
-        )
-    )
-    wanted_ref = ray.put(wanted)
-    id_type = wanted.type
-
-    class _TextsSide:
-        def __init__(self, ref):
-            self.ref = ref
-            self._w = None
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self._w is None:
-                obj = self.ref
-                self._w = obj if isinstance(obj, pa.Array) else ray.get(obj)
-            kept = t.filter(pc.is_in(t.column(id_col), value_set=self._w))
-            n = len(kept)
-            return pa.table(
-                {
-                    "join_id": kept.column(id_col),
-                    "id_a": pa.nulls(n, id_type),
-                    "id_b": pa.nulls(n, id_type),
-                    "slot": pa.array([-1] * n, pa.int32()),
-                    "text": kept.column(text_col),
-                }
+    col_names = pairs_mat.schema().names
+    if "__oversized_bucket" in col_names:
+        n_flag = pairs_mat.map_batches(
+            lambda t: t.filter(
+                pc.is_valid(t.column("__oversized_bucket"))
+            ).select(["__oversized_bucket"]),
+            batch_format="pyarrow",
+        ).count()
+        if n_flag:
+            warnings.warn(
+                f"verify_pairs: dropping {n_flag} oversized-bucket flag rows —"
+                " pairs in those buckets were never enumerated (recall loss);"
+                " resplit with more bands or raise max_bucket_rows",
+                UserWarning,
+                stacklevel=2,
             )
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.select(["id_a", "id_b"])
+        return t.filter(
+            pc.and_(pc.is_valid(t.column("id_a")), pc.is_valid(t.column("id_b")))
+        )
+
+    clean_pairs = pairs_mat.map_batches(clean, batch_format="pyarrow")
+    n_pairs = clean_pairs.count()
+    if n_pairs == 0:
+        return rd.from_pandas(empty)
+    n_shards = max(1, -(-n_pairs // pairs_per_shard))
 
     def explode_slots(t: pa.Table) -> pa.Table:
         a, b = t.column("id_a"), t.column("id_b")
+        id_type = a.type
         n = len(t)
         return pa.table(
             {
@@ -974,16 +1100,68 @@ def verify_pairs(ds, pairs, text_col: str = "text", id_col: str = "doc_id",
             }
         )
 
-    texts_side = ds.map_batches(_TextsSide(wanted_ref), batch_format="pyarrow")
-    slots_side = pairs.map_batches(explode_slots, batch_format="pyarrow")
+    def uniq_ids(t: pa.Table) -> pa.Table:
+        u = pc.unique(
+            pa.concat_arrays(
+                [t.column("id_a").combine_chunks(), t.column("id_b").combine_chunks()]
+            )
+        )
+        return pa.table({"join_id": u})
+
+    class _TextsSide:
+        def __init__(self, ref, id_type):
+            self.ref = ref
+            self.id_type = id_type
+            self._w = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._w is None:
+                obj = self.ref
+                self._w = obj if isinstance(obj, pa.Array) else ray.get(obj)
+            kept = t.filter(pc.is_in(t.column(id_col), value_set=self._w))
+            n = len(kept)
+            return pa.table(
+                {
+                    "join_id": kept.column(id_col),
+                    "id_a": pa.nulls(n, self.id_type),
+                    "id_b": pa.nulls(n, self.id_type),
+                    "slot": pa.array([-1] * n, pa.int32()),
+                    "text": kept.column(text_col),
+                }
+            )
+
     att = _VerifyAttachText()
-    attached = texts_side.union(slots_side).groupby("join_id").map_groups(
-        lambda g, _a=att: _a(g), batch_format="pandas"
-    )
     vj = _VerifyJaccard(shingle_w, threshold)
-    return attached.groupby(["id_a", "id_b"]).map_groups(
-        lambda g, _vj=vj: _vj(g), batch_format="pandas"
-    )
+    shard_outputs = []
+    for s in range(n_shards):
+        pairs_s = clean_pairs if n_shards == 1 else clean_pairs.map_batches(
+            ShardFilter("id_a", n_shards, s), batch_format="pyarrow"
+        )
+        wanted_tbl = _collect_arrow(
+            pairs_s.map_batches(uniq_ids, batch_format="pyarrow")
+        )
+        if wanted_tbl is None or len(wanted_tbl) == 0:
+            continue
+        wanted = pc.unique(wanted_tbl.column("join_id").combine_chunks())
+        wanted_ref = ray.put(wanted)
+        texts_side = ds.map_batches(
+            _TextsSide(wanted_ref, wanted.type), batch_format="pyarrow"
+        )
+        slots_side = pairs_s.map_batches(explode_slots, batch_format="pyarrow")
+        attached = texts_side.union(slots_side).groupby("join_id").map_groups(
+            lambda g, _a=att: _a(g), batch_format="pandas"
+        )
+        shard_outputs.append(
+            attached.groupby(["id_a", "id_b"]).map_groups(
+                lambda g, _vj=vj: _vj(g), batch_format="pandas"
+            )
+        )
+    if not shard_outputs:
+        return rd.from_pandas(empty)
+    out = shard_outputs[0]
+    for extra in shard_outputs[1:]:
+        out = out.union(extra)
+    return out
 
 
 def ngram_jaccard(text_a: str, text_b: str, w: int = 3) -> float:
@@ -1220,12 +1398,17 @@ class _SimhashBucketPairsBlock:
 
 def simhash_near_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                        max_hamming: int = 3, concurrency=None,
-                       max_bucket_rows: int = 4096):
+                       max_bucket_rows: int = 4096,
+                       driver_bands_max: int = _DRIVER_BANDS_MAX,
+                       surv_rows_per_shard: int = _DRIVER_BANDS_MAX):
     """SimHash near-duplicate pairs: signatures → slim band_key rows →
-    adaptive hot-bucket scan (driver numpy / distributed count — shared
-    machinery with MinHash) → bucket-aligned Hamming verification ≤
-    max_hamming with first-colliding-band pair ownership (no dedupe
-    shuffle).
+    adaptive hot-bucket scan (driver numpy / distributed count, one
+    bucket-key hash shard at a time — shared machinery with MinHash, so the
+    driver never holds more than ~``surv_rows_per_shard`` survivor rows) →
+    bucket-aligned Hamming verification ≤ max_hamming with
+    first-colliding-band pair ownership (decided locally from the two
+    simhashes, so the union of per-shard outputs is the global dedup'd pair
+    set — no dedupe shuffle).
 
     Band count = max_hamming + 1 (pigeonhole guarantee: every pair within
     the requested distance shares ≥ 1 exact band); supports
@@ -1244,16 +1427,25 @@ def simhash_near_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         n_parts
     ).materialize()  # 16 bytes per doc
     n_docs = sigs.count()
-    sorted_surv, skeys = _hot_survivors(
-        sigs, _SimhashBands(id_col, n_bands), n_docs * n_bands
-    )
-    if sorted_surv is None:
-        return rd.from_pandas(empty)
     bp = _SimhashBucketPairsBlock(id_col, max_hamming, n_bands, max_bucket_rows)
-    surv_blocks = _bucket_aligned_blocks(sorted_surv, skeys, n_parts)
-    return rd.from_arrow(surv_blocks).map_batches(
-        lambda t, _bp=bp: _bp(t), batch_format="pyarrow", batch_size=None
-    )
+    shard_outputs = []
+    for sorted_surv, skeys in _hot_survivor_shards(
+        sigs, _SimhashBands(id_col, n_bands), n_docs * n_bands,
+        driver_bands_max=driver_bands_max,
+        surv_rows_per_shard=surv_rows_per_shard,
+    ):
+        surv_blocks = _bucket_aligned_blocks(sorted_surv, skeys, n_parts)
+        shard_outputs.append(
+            rd.from_arrow(surv_blocks).map_batches(
+                lambda t, _bp=bp: _bp(t), batch_format="pyarrow", batch_size=None
+            )
+        )
+    if not shard_outputs:
+        return rd.from_pandas(empty)
+    out = shard_outputs[0]
+    for extra in shard_outputs[1:]:
+        out = out.union(extra)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1281,7 +1473,9 @@ class _HyperplaneBucket:
                     self.emb_col: batch.column(self.emb_col),
                 }
             )
-        emb = np.stack(batch.column(self.emb_col).to_pylist()).astype(np.float64)
+        from ..util import embedding_matrix
+
+        emb = embedding_matrix(batch.column(self.emb_col), np.float64)
         signs = (emb @ self.planes) > 0
         bucket = (signs.astype(np.int64) << np.arange(signs.shape[1], dtype=np.int64)).sum(axis=1)
         return pa.table(

@@ -47,9 +47,10 @@ class _BlockTopK:
 
             q = self.queries_ref
             self._q = q if isinstance(q, np.ndarray) else ray.get(q)
+        from ..util import embedding_matrix
+
         ids = np.asarray(batch.column(self.id_col).to_pylist())
-        emb = np.stack(batch.column(self.emb_col).to_pylist()).astype(np.float64)
-        emb = _normalize(emb)
+        emb = _normalize(embedding_matrix(batch.column(self.emb_col), np.float64))
         sims = self._q @ emb.T  # (n_queries, n_block)
         k = min(self.k, sims.shape[1])
         idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
@@ -147,7 +148,9 @@ class _AssignCentroid:
 
             c = self.centroids_ref
             self._c = c if isinstance(c, np.ndarray) else ray.get(c)
-        emb = _normalize(np.stack(batch.column(self.emb_col).to_pylist()).astype(np.float64))
+        from ..util import embedding_matrix
+
+        emb = _normalize(embedding_matrix(batch.column(self.emb_col), np.float64))
         assign = np.argmax(emb @ self._c.T, axis=1)
         return batch.append_column("centroid", pa.array(assign, pa.int32()))
 

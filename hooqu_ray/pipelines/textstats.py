@@ -50,14 +50,21 @@ def quality_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 class LangIdStage:
-    """Actor-pool language ID (model built once per actor)."""
+    """Actor-pool language ID (model built once per actor).  Scores via the
+    zero-copy Arrow byte-codes path (``_byte_codes_arrow``) — the same kernel
+    the flagship's QualityScorer uses — instead of ``to_pylist()`` +
+    per-row ``str.encode``."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.model = TrigramLangID()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs, margin = self.model.predict(batch.column(self.text_col).to_pylist())
+        from ..stages.models import _byte_codes_arrow
+
+        langs, margin = self.model.predict_codes(
+            *_byte_codes_arrow(batch.column(self.text_col))
+        )
         return batch.append_column("pred_lang", pa.array(langs, pa.string())).append_column(
             "pred_lang_margin", pa.array(margin, pa.float64())
         )

@@ -101,6 +101,120 @@ def collect_arrow(ds):
     return pa.concat_tables(parts).combine_chunks() if parts else None
 
 
+# splitmix64 finalizer constants — deterministic across processes (builtin
+# hash() is PYTHONHASHSEED-random per Ray worker and must never shard keys)
+_MIX_C1 = 0xBF58476D1CE4E5B9
+_MIX_C2 = 0x94D049BB133111EB
+
+
+def shard_codes(col, n_shards: int):
+    """Deterministic shard id in ``[0, n_shards)`` per value of an Arrow
+    array/column — identical on every worker and across runs.
+
+    Integer columns go through a splitmix64 finalizer (plain ``% n_shards``
+    would alias with any modulo already used upstream, e.g. LSH bucket keys);
+    string columns hash via polars (process-stable for a fixed seed).  Nulls
+    land deterministically in shard 0."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, dtype=np.int64)
+    if pa.types.is_integer(col.type):
+        x = (
+            pc.fill_null(col, 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+    else:
+        try:
+            import polars as pl
+
+            x = pl.from_arrow(pc.fill_null(col, "")).hash(seed=0).to_numpy().astype(np.uint64)
+        except ImportError:  # pragma: no cover - process-stable slow path
+            import hashlib
+
+            x = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(str(v).encode(), digest_size=8).digest(),
+                        "little",
+                    )
+                    for v in col.to_pylist()
+                ),
+                dtype=np.uint64,
+                count=len(col),
+            )
+    x = x.copy()
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(_MIX_C1)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(_MIX_C2)
+    x ^= x >> np.uint64(31)
+    return (x % np.uint64(n_shards)).astype(np.int64)
+
+
+class ShardFilter:
+    """``map_batches`` stage: keep only rows whose ``col`` value falls in hash
+    shard ``shard`` of ``n_shards`` (``shard_codes`` partitioning).  The loop
+    "collect → broadcast → filter one key-range shard at a time" is the
+    standard fix for any candidate/winner set that would otherwise
+    materialize unbounded on the driver."""
+
+    def __init__(self, col: str, n_shards: int, shard: int):
+        self.col = col
+        self.n_shards = n_shards
+        self.shard = shard
+
+    def __call__(self, t):
+        import pyarrow as pa
+
+        if len(t) == 0:
+            return t
+        mask = shard_codes(t.column(self.col), self.n_shards) == self.shard
+        return t.filter(pa.array(mask))
+
+
+def embedding_matrix(col, dtype=None):
+    """(n, dim) numpy matrix from an Arrow ``list<float>`` /
+    ``fixed_size_list<float>`` column WITHOUT the per-row Python of
+    ``np.stack(col.to_pylist())``: flatten the child values buffer and
+    reshape.  Falls back to the list path for ragged lists or lists with
+    null entries (misaligned flatten).  ``dtype=None`` keeps the storage
+    dtype; pass ``np.float64`` for matmul-precision work."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype or np.float64)
+    if col.null_count == 0:
+        if pa.types.is_fixed_size_list(col.type):
+            dim = col.type.list_size
+            flat = col.flatten()  # offset/slice-aware
+            if flat.null_count == 0:
+                m = flat.to_numpy(zero_copy_only=False).reshape(n, dim)
+                return m.astype(dtype, copy=False) if dtype is not None else m
+        elif pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            if lens.size and (lens == lens[0]).all() and lens[0] > 0:
+                flat = pc.list_flatten(col)
+                if isinstance(flat, pa.ChunkedArray):
+                    flat = flat.combine_chunks()
+                if flat.null_count == 0:
+                    m = flat.to_numpy(zero_copy_only=False).reshape(n, int(lens[0]))
+                    return (
+                        m.astype(dtype, copy=False) if dtype is not None else m
+                    )
+    return np.stack(col.to_pylist()).astype(dtype or np.float64)
+
+
 def actor_pool_size(cap: Optional[int] = None, headroom: int = 2) -> int:
     """Fixed actor-pool size for a map_batches stage: cluster CPUs minus
     ``headroom`` (the upstream read / sibling task stages need slots — a
