@@ -54,6 +54,66 @@ def test_session_boundary_is_strict(ray_session):
     assert sorted(out["n_events"].tolist()) == [1, 2]
 
 
+def test_session_stats_sort_matches_grouped(ray_session):
+    """Differential: the sort-based boundary-merge implementation must agree
+    with the per-key grouped shape on a many-block input where keys straddle
+    block boundaries."""
+    import ray.data as rd
+    from hooqu_ray.pipelines.sessions import session_stats, session_stats_grouped
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # 40 users, bursty timestamps: mostly small gaps with occasional >1h jumps
+    gaps = np.where(rng.random(n) < 0.05, rng.integers(3600, 20000, n),
+                    rng.integers(0, 1800, n))
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n),
+            "ts": base + np.cumsum(gaps).astype("timedelta64[s]"),
+            "event_id": np.arange(n),
+        }
+    )
+    # shuffle row order so the input is NOT pre-sorted
+    df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    ds = rd.from_pandas(df).repartition(13)
+    cols = ["user_id", "session_idx", "n_events", "t_start", "t_end"]
+    got = (
+        session_stats(ds, "user_id", "ts", gap_seconds=3600)
+        .to_pandas()[cols]
+        .sort_values(["user_id", "session_idx"], ignore_index=True)
+    )
+    expect = (
+        session_stats_grouped(ds, "user_id", "ts", gap_seconds=3600)
+        .to_pandas()[cols]
+        .sort_values(["user_id", "session_idx"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, expect)
+
+
+def test_session_stats_key_spanning_many_blocks(ray_session):
+    """A single hot key whose events span every block must still produce
+    correctly fused sessions (the boundary merge sees >2 partials)."""
+    import ray.data as rd
+    from hooqu_ray.pipelines.sessions import session_stats
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # one user, 1000 events, a >1h break every 250 events -> 4 sessions
+    secs = np.arange(1000) * 10
+    secs[250:] += 7200
+    secs[500:] += 7200
+    secs[750:] += 7200
+    df = pd.DataFrame({"user_id": np.full(1000, 5), "ts": base + secs.astype("timedelta64[s]"),
+                       "event_id": np.arange(1000)})
+    out = (
+        session_stats(rd.from_pandas(df).repartition(20), gap_seconds=3600)
+        .to_pandas()
+        .sort_values("session_idx", ignore_index=True)
+    )
+    assert out["session_idx"].tolist() == [0, 1, 2, 3]
+    assert out["n_events"].tolist() == [250, 250, 250, 250]
+
+
 def test_grouped_top_k_matches_pandas(ray_session):
     import ray.data as rd
     from hooqu_ray.pipelines.relational import grouped_top_k
