@@ -224,7 +224,12 @@ def filter_and_scrub(ds, scorer_concurrency: Optional[Tuple[int, int]] = None,
 
         atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     else:
-        scratch = scratch_dir
+        # a FRESH subdirectory per run: reusing a non-empty data/partials
+        # dir from a previous run would merge stale parquet with this run's
+        # output — duplicated scored turns and double-counted conv partials
+        # with no error. The parent stays the caller's to manage/clean.
+        os.makedirs(scratch_dir, exist_ok=True)
+        scratch = tempfile.mkdtemp(prefix="hooqu_scored_", dir=scratch_dir)
     data_dir = os.path.join(scratch, "data")
     partials_dir = os.path.join(scratch, "partials")
     os.makedirs(data_dir, exist_ok=True)
@@ -303,17 +308,22 @@ class _SidecarPartials:
     pass that spills the scored turns — no second scoring pass, no separate
     Ray execution for the conv stats.
 
-    The file name derives from block content — first and last (conv_id,
-    turn_idx) keys, row count, and the partial's kept/total sums — so it is
-    STABLE across task retries: a re-executed block atomically overwrites
-    its own partial instead of double-counting (write-temp-then-rename, the
+    The file name derives from block CONTENT — an order-dependent fold of
+    process-stable per-row hashes over the full (conv_id, turn_idx,
+    keep_turn) projection (polars ``hash_rows``; layout-independent, unlike
+    hashing Arrow buffers of possibly-sliced arrays) — so it is STABLE
+    across task retries: a re-executed block atomically overwrites its own
+    partial instead of double-counting (write-temp-then-rename, the
     checkpoint commit pattern).  Content-derived naming is deliberately
     chosen over a per-task unique id: a retried task gets a NEW task id and
-    would double-count, while content collisions require two distinct
-    blocks agreeing on every component — only possible when whole input
-    blocks are byte-identical duplicates.  On a multi-node cluster the
-    sidecar dir lives on the same shared storage as the scored-turn
-    partitions (enforced by filter_and_scrub's scratch check)."""
+    would double-count.  Collisions now require two distinct blocks with
+    identical full (conv_id, turn_idx, keep) row sequences — i.e. input
+    blocks that are duplicates row-for-row, the irreducible case (earlier
+    rounds keyed on boundary rows + aggregate sums, which dirty inputs with
+    duplicated (conv_id, turn_idx) rows could collide).  On a multi-node
+    cluster the sidecar dir lives on the same shared storage as the
+    scored-turn partitions (enforced by filter_and_scrub's scratch
+    check)."""
 
     def __init__(self, partials_dir: str):
         self.partials_dir = partials_dir
@@ -325,20 +335,17 @@ class _SidecarPartials:
 
             import pyarrow.parquet as pq
 
+            import polars as pl
+
             part = _ProjectConvKeep(batch)
-            n = len(batch)
-            key = "|".join(
-                (
-                    str(batch.column("conv_id")[0].as_py()),
-                    str(batch.column("turn_idx")[0].as_py()),
-                    str(batch.column("conv_id")[n - 1].as_py()),
-                    str(batch.column("turn_idx")[n - 1].as_py()),
-                    str(n),
-                    str(pc.sum(part.column("kept_partial")).as_py()),
-                    str(pc.sum(part.column("total_partial")).as_py()),
-                )
+            row_hashes = (
+                pl.from_arrow(batch.select(["conv_id", "turn_idx", "keep_turn"]))
+                .hash_rows(seed=0)
+                .to_numpy()
             )
-            name = hashlib.blake2b(key.encode(), digest_size=12).hexdigest()
+            name = hashlib.blake2b(
+                row_hashes.tobytes(), digest_size=12
+            ).hexdigest()
             tmp = os.path.join(self.partials_dir, f".{name}.tmp")
             pq.write_table(part, tmp)
             os.replace(tmp, os.path.join(self.partials_dir, f"{name}.parquet"))

@@ -117,6 +117,43 @@ def test_no_full_materialize_in_flagship():
     assert ".materialize()" not in src
 
 
+def test_sidecar_partial_names_distinguish_colliding_blocks(tmp_path):
+    """ADVICE r2: two DISTINCT blocks sharing boundary rows, row count, and
+    kept/total sums (dirty input with duplicated (conv_id, turn_idx) rows)
+    must NOT collide to one sidecar file; a retried identical block must."""
+    import os
+
+    import pyarrow as pa
+
+    def block(mid_turn):
+        return pa.table(
+            {
+                "conv_id": pa.array(["c1", "c1", "c1"], pa.string()),
+                "turn_idx": pa.array([0, mid_turn, 9], pa.int32()),
+                "keep_turn": pa.array([True, False, True], pa.bool_()),
+            }
+        )
+
+    d = str(tmp_path)
+    stage = tp._SidecarPartials(d)
+    stage(block(3))
+    stage(block(5))  # old boundary-keyed scheme: identical name -> overwrite
+    assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) == 2
+    stage(block(3))  # retry of an identical block overwrites, no new file
+    assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) == 2
+
+
+def test_caller_scratch_dir_safe_to_reuse(ray_session, synth_table, tmp_path):
+    """ADVICE r2: passing the same scratch_dir across runs must not merge
+    stale parquet from the previous run into the new one."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(synth_table).repartition(3)
+    n1 = tp.filter_and_scrub(ds, scratch_dir=str(tmp_path)).count()
+    n2 = tp.filter_and_scrub(ds, scratch_dir=str(tmp_path)).count()
+    assert n1 == n2 == synth_table.num_rows
+
+
 def test_mega_conversation_salted_branch(ray_session, monkeypatch):
     """VERDICT r1 item 8: a single 1M-turn conversation must flow through
     the salted distributed conv-stats branch without landing every partial
