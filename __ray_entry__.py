@@ -156,7 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["approx_quantile_price"] = _approx_quantile_price
     out["knn_ivf_embeddings"] = _knn_ivf
 
-    # -- non-SQL-expressible (rows-only checks) ---------------------------
+    # -- bound-style oracles for the non-SQL-expressible ops --------------
     out["minhash_lsh_pairs_documents"] = _minhash_pairs
     out["simhash_documents"] = _simhash_docs
     out["langid_documents"] = _langid_docs
@@ -307,30 +307,108 @@ def _knn_ivf(sf_dir: str):
 
 
 def _minhash_pairs(sf_dir: str):
-    from hooqu_ray.pipelines.dedup import minhash_lsh_pairs
+    """Bound-style oracle (IVF template): the LSH pairs at threshold 0.4 are
+    exact-Jaccard-verified; the count of emitted pairs with exact J >= 0.5
+    must hash-match the SQL all-pairs self-join count at the same threshold
+    (emitted∩truth == |truth| ⟺ recall 1.0 — measured exactly equal at
+    sf0.001 and sf0.01), and every emitted pair's exact Jaccard must clear a
+    0.3 precision floor (measured min 0.89; LSH false positives would sit
+    near the 0.4 estimate)."""
+    import pandas as pd
+
+    from hooqu_ray.pipelines.dedup import minhash_lsh_pairs, verify_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(ds, threshold=0.4)
+    cand = minhash_lsh_pairs(ds, threshold=0.4)
+    ver = verify_pairs(ds, cand, threshold=0.0).to_pandas()
+    n_true = int((ver["jaccard"] >= 0.5).sum()) if len(ver) else 0
+    prec_ok = bool((ver["jaccard"] >= 0.3).all()) if len(ver) else True
+    return pa.table(
+        {
+            "n_true_pairs": pa.array([n_true], pa.int64()),
+            "precision_ok": pa.array([prec_ok], pa.bool_()),
+        }
+    )
 
 
 def _simhash_docs(sf_dir: str):
-    from hooqu_ray.pipelines.dedup import simhash_signatures
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    res = simhash_signatures(ds)
+    """Bound-style oracle: (a) signature count hash-matches count(*); (b)
+    two independent distributed runs agree bit-for-bit (process-stable
+    hashing — builtin hash() would fail this across Ray workers); (c) every
+    true near-dup pair (exact word-3-gram J >= 0.5, the SQL-verified set)
+    has signature Hamming distance <= 12 of 64 bits (measured max 8; random
+    pairs average ~17)."""
     import pandas as pd
 
-    df = pd.DataFrame(res.take_all())
-    df["simhash"] = df["simhash"].astype("uint64").astype(str)  # stable as text
-    return df
+    from hooqu_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+        simhash_signatures,
+        verify_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sig1 = pd.DataFrame(simhash_signatures(ds).take_all()).sort_values(
+        "doc_id", ignore_index=True
+    )
+    sig2 = pd.DataFrame(simhash_signatures(ds).take_all()).sort_values(
+        "doc_id", ignore_index=True
+    )
+    deterministic = bool(
+        sig1["doc_id"].equals(sig2["doc_id"]) and sig1["simhash"].equals(sig2["simhash"])
+    )
+    truth = verify_pairs(
+        ds, minhash_lsh_pairs(ds, num_perm=128, bands=64, threshold=0.0), threshold=0.5
+    ).to_pandas()
+    sigmap = dict(zip(sig1["doc_id"], sig1["simhash"].astype("uint64")))
+    hams = [
+        bin(int(sigmap[a]) ^ int(sigmap[b])).count("1")
+        for a, b in zip(truth["id_a"].astype(int), truth["id_b"].astype(int))
+    ]
+    return pa.table(
+        {
+            "n_docs": pa.array([len(sig1)], pa.int64()),
+            "deterministic_ok": pa.array([deterministic], pa.bool_()),
+            "near_dup_hamming_ok": pa.array(
+                [max(hams, default=0) <= 12], pa.bool_()
+            ),
+        }
+    )
 
 
 def _langid_docs(sf_dir: str):
-    from hooqu_ray.pipelines.textstats import LangIdStage
+    """Bound-style oracle: one prediction per document (count hash-matches
+    count(*)), predictions drawn from the model's closed language set, and
+    accuracy against the ground-truth ``lang`` column >= 0.35 (the trigram
+    model measures ~0.43 on this synthetic corpus — the bound is a floor,
+    not a claim of quality)."""
+    import pyarrow.compute as pc
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from hooqu_ray.pipelines.textstats import LangIdStage
+    from hooqu_ray.stages.models import TrigramLangID
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     res = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
-    return pa.Table.from_pylist(res.take_all()).select(["doc_id", "pred_lang"])
+    t = _collect_arrow_entry(res)
+    langs = set(TrigramLangID().langs)
+    preds = t.column("pred_lang").to_pylist()
+    truth = t.column("lang").to_pylist()
+    acc = (
+        sum(p == g for p, g in zip(preds, truth)) / len(preds) if preds else 1.0
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([len(t)], pa.int64()),
+            "preds_valid": pa.array(
+                [all(p in langs for p in preds)], pa.bool_()
+            ),
+            "acc_ok": pa.array([acc >= 0.35], pa.bool_()),
+        }
+    )
+
+
+def _collect_arrow_entry(ds) -> pa.Table:
+    """take_all() → Arrow without a pandas round-trip (small results only)."""
+    return pa.Table.from_pylist(ds.take_all())
 
 
 def _approx_distinct_users(sf_dir: str):
@@ -391,6 +469,11 @@ def _near_dup_pairs(sf_dir: str):
 
 
 def _transcript_filter_stats(sf_dir: str):
+    """Bound-style oracle: the flagship's total turn count hash-matches the
+    SQL re-derivation of the deterministic documents→transcripts explosion
+    (ceil(words/12) turns per doc), and the kept fraction sits in a sanity
+    band (measured 0.44 at sf0.01 — the exact keep decision is pinned
+    byte-for-byte by tests/reference_impl.py, not by SQL)."""
     from hooqu_ray.pipelines import transcripts as tp
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -406,10 +489,12 @@ def _transcript_filter_stats(sf_dir: str):
         ),
         batch_format="pyarrow",
     ).to_pandas()
+    kept, total = int(stats["kept"].sum()), int(stats["total"].sum())
+    frac = kept / total if total else 0.0
     return pa.table(
         {
-            "kept": pa.array([int(stats["kept"].sum())], pa.int64()),
-            "total": pa.array([int(stats["total"].sum())], pa.int64()),
+            "total": pa.array([total], pa.int64()),
+            "kept_frac_ok": pa.array([0.1 <= frac <= 0.9], pa.bool_()),
         }
     )
 
@@ -836,6 +921,42 @@ def oracle_sql() -> dict[str, str]:
             "FROM d a JOIN d b ON a.doc_id < b.doc_id) "
             "SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM p "
             "WHERE jaccard >= 0.5"
+        ),
+        "minhash_lsh_pairs_documents": (
+            # truth count from the same all-pairs word-3-gram Jaccard
+            # self-join as near_dup_pairs_documents; the Ray side must find
+            # exactly this many exact-verified true pairs among its LSH
+            # candidates (recall 1.0) with a 0.3 precision floor
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), "
+            "'\\S+') AS ws FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN []::VARCHAR[] "
+            "WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+            "ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+            "for i in range(1, len(ws) - 1)] END AS s FROM w), "
+            "d AS (SELECT doc_id, list_distinct(s) AS s FROM sh), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0 "
+            "ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1) END AS jaccard "
+            "FROM d a JOIN d b ON a.doc_id < b.doc_id) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, TRUE AS precision_ok "
+            "FROM p WHERE jaccard >= 0.5"
+        ),
+        "simhash_documents": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS deterministic_ok, "
+            "TRUE AS near_dup_hamming_ok FROM documents"
+        ),
+        "langid_documents": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS preds_valid, "
+            "TRUE AS acc_ok FROM documents"
+        ),
+        "transcript_filter_stats": (
+            # total turns from the deterministic documents→transcripts
+            # explosion (ceil(words/12) turns per doc, min 1)
+            "WITH w AS (SELECT COALESCE(len(regexp_extract_all(COALESCE(text, ''), "
+            "'\\S+')), 0) AS nw FROM documents) "
+            "SELECT CAST(sum(GREATEST(CAST(CEIL(nw / 12.0) AS BIGINT), 1)) AS BIGINT) "
+            "AS total, TRUE AS kept_frac_ok FROM w"
         ),
         "approx_count_distinct_users": (
             "SELECT ROUND(CAST(count(DISTINCT user_id) AS DOUBLE), 6) AS n_exact, "
