@@ -17,49 +17,102 @@ import pyarrow.compute as pc
 
 
 def grouped_top_k(ds, group_col: str, order_col: str, k: int,
-                  tie_col: str, extra_cols=()):
+                  tie_col: str, extra_cols=(), driver_max_rows: int = 2_000_000):
     """Top-k rows per group by ``order_col`` DESC (ties broken by ascending
     ``tie_col``) — the ``row_number() OVER (PARTITION BY ... ORDER BY ...)``
     shape.
 
     Per-block combiner: each block reduces to its LOCAL top-k per group
     (vectorized pandas sort + grouped head), so at most
-    ``#blocks × #groups × k`` tiny rows leave the scan; the final merge is
-    one driver-side pandas pass over those partials.  Returns an Arrow table
-    sorted by (group, rank order).  Assumes the group-count × k result fits
-    the driver — for million-group tails use a groupby over the partials
-    instead."""
+    ``#blocks × #groups × k`` tiny rows leave the scan.  When the partials
+    fit under ``driver_max_rows`` the final merge is one driver-side pandas
+    pass (returns an Arrow table sorted by (group, rank order)).  Above the
+    gate — the million-group tail — the merge stays DISTRIBUTED: one range
+    sort of the partials + a vectorized per-block head-k for interior
+    groups + a tiny boundary merge touching at most the first/last group of
+    each block (the sessionization pattern), returning a Ray Dataset the
+    driver never materializes."""
     cols = [group_col, order_col, tie_col, *extra_cols]
     # dict keeps order, drops duplicates (e.g. tie_col listed in extra_cols)
     cols = list(dict.fromkeys(cols))
+    sort_cols = [group_col, order_col, tie_col]
+    ascending = [True, False, True]
 
     def block_topk(t: pa.Table) -> pa.Table:
         df = t.select(cols).to_pandas()
         df = df.sort_values(
-            [group_col, order_col, tie_col],
-            ascending=[True, False, True],
-            kind="mergesort",
-            ignore_index=True,
+            sort_cols, ascending=ascending, kind="mergesort", ignore_index=True
         )
         return pa.Table.from_pandas(
             df.groupby(group_col, sort=False).head(k), preserve_index=False
         )
 
-    partials = ds.map_batches(block_topk, batch_format="pyarrow", batch_size=None)
-    from ..util import collect_arrow
+    partials = ds.map_batches(
+        block_topk, batch_format="pyarrow", batch_size=None
+    ).materialize()  # partials are combiner-bounded; count() is then free
+    if partials.count() <= driver_max_rows:
+        from ..util import collect_arrow
 
-    collected = collect_arrow(partials)
-    if collected is None:
-        return pa.table({c: pa.array([]) for c in cols})
-    merged = collected.to_pandas()
-    merged = merged.sort_values(
-        [group_col, order_col, tie_col],
-        ascending=[True, False, True],
-        kind="mergesort",
-        ignore_index=True,
+        collected = collect_arrow(partials)
+        if collected is None:
+            return pa.table({c: pa.array([]) for c in cols})
+        merged = collected.to_pandas()
+        merged = merged.sort_values(
+            sort_cols, ascending=ascending, kind="mergesort", ignore_index=True
+        )
+        top = merged.groupby(group_col, sort=False).head(k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+    return _distributed_topk_merge(
+        partials, group_col, sort_cols, ascending, k, cols
     )
-    top = merged.groupby(group_col, sort=False).head(k)
-    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def _distributed_topk_merge(partials, group_col, sort_cols, ascending, k, cols):
+    """Range-sort the combiner partials, finish interior groups vectorized
+    per block, and repair only each block's first/last group through a
+    ≤ 2-groups-per-block ``groupby().map_groups`` — #groups × k result rows
+    stay distributed."""
+    import pandas as pd
+
+    def split_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("__pending", pa.array([], pa.bool_()))
+        df = t.to_pandas()  # block is already (group, order, tie)-sorted
+        g = df[group_col].to_numpy()
+        pending = (g == g[0]) | (g == g[-1])
+        keep = pending.copy()
+        interior_top = (
+            df[~pending].groupby(group_col, sort=False).head(k).index.to_numpy()
+        )
+        keep[interior_top] = True
+        out = df[keep]
+        return pa.Table.from_pandas(
+            out.assign(__pending=pending[keep]), preserve_index=False
+        )
+
+    marked = partials.sort(sort_cols, descending=[not a for a in ascending]) \
+        .map_batches(split_block, batch_format="pyarrow", batch_size=None) \
+        .materialize()  # consumed twice below; ≤ #groups×k + boundary rows
+
+    interior = marked.map_batches(
+        lambda t, _c=cols: t.filter(pc.invert(t.column("__pending"))).select(_c),
+        batch_format="pyarrow",
+    )
+
+    def merge_group(grp):
+        grp = grp.sort_values(
+            sort_cols, ascending=ascending, kind="mergesort", ignore_index=True
+        )
+        return grp.head(k)[cols]
+
+    boundary = marked.map_batches(
+        lambda t, _c=cols: t.filter(t.column("__pending")).select(_c),
+        batch_format="pyarrow",
+    )
+    merged = boundary.groupby(group_col).map_groups(
+        lambda g, _m=merge_group: _m(g), batch_format="pandas"
+    )
+    return interior.union(merged)
 
 
 _HEX_MAX8 = 8

@@ -138,6 +138,36 @@ def test_grouped_top_k_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), expect)
 
 
+def test_grouped_top_k_distributed_fallback(ray_session):
+    """Forcing the partials over the driver gate must route through the
+    distributed sort + boundary merge and produce the identical result."""
+    import ray.data as rd
+    from hooqu_ray.pipelines.relational import grouped_top_k
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice([f"g{i:03d}" for i in range(80)], 3000),
+            "v": rng.standard_normal(3000).round(3),
+            "id": np.arange(3000),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(9)
+    got = grouped_top_k(ds, "g", "v", 3, "id", driver_max_rows=0)
+    import ray.data
+
+    assert isinstance(got, ray.data.Dataset)  # scale path stays distributed
+    got = got.to_pandas().sort_values(["g", "v", "id"], ascending=[True, False, True],
+                                      ignore_index=True)
+    expect = (
+        df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .groupby("g", sort=False)
+        .head(3)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect)
+
+
 def test_hash_sample_deterministic_and_sql_compatible(ray_session):
     import duckdb
     import ray.data as rd
