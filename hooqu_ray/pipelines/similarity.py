@@ -155,27 +155,117 @@ class _AssignCentroid:
         return batch.append_column("centroid", pa.array(assign, pa.int32()))
 
 
-def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
-            nprobe: int = 4, emb_col: str = "embedding", id_col: str = "vec_id",
-            sample_size: int = 2048, query_ids=None) -> pa.Table:
-    """Approximate top-k: probe only the ``nprobe`` closest centroid
-    partitions per query.  At 100 TB the bucketed dataset is written
-    partitioned by centroid so a query touches nprobe/n_centroids of it."""
+class IvfIndex:
+    """A centroid-partitioned on-disk IVF index.
+
+    ``root`` holds one hive directory per coarse cell
+    (``centroid=<c>/*.parquet``), so probing reads ONLY the
+    ``nprobe``/``n_centroids`` slice of the corpus from storage — column
+    pruning at the read replaces the round-2 full filter-scan per query
+    batch.  The layout is also the resumable-output shape: a failed build
+    re-runs the one partitioned write; queries never mutate the index."""
+
+    def __init__(self, root: str, centroids: np.ndarray, emb_col: str,
+                 id_col: str):
+        self.root = root
+        self.centroids = centroids
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def probe_paths(self, queries: np.ndarray, nprobe: int):
+        """Partition directories the given queries touch (union of each
+        query's ``nprobe`` nearest cells) — exposed so callers/tests can
+        assert the read really is pruned."""
+        import os
+
+        qn = _normalize(np.asarray(queries, dtype=np.float64))
+        probe = np.argsort(-(qn @ self.centroids.T), axis=1)[:, :nprobe]
+        wanted = sorted({int(c) for row in probe for c in row})
+        paths = [os.path.join(self.root, f"centroid={c}") for c in wanted]
+        return [p for p in paths if os.path.isdir(p)]
+
+    def probe_files(self, queries: np.ndarray, nprobe: int):
+        """Parquet files under the probed partitions (Ray 2.49's
+        ``read_parquet`` rejects a LIST of directories — expand to files)."""
+        import os
+
+        return [
+            os.path.join(d, f)
+            for d in self.probe_paths(queries, nprobe)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+
+    def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 4,
+               query_ids=None) -> pa.Table:
+        """Brute-force top-k over the probed partitions only."""
+        import ray.data as rd
+
+        files = self.probe_files(queries, nprobe)
+        sub = rd.read_parquet(files, columns=[self.id_col, self.emb_col])
+        return knn_brute_force(
+            sub, queries, k, self.emb_col, self.id_col, query_ids=query_ids
+        )
+
+
+def build_ivf_index(ds, n_centroids: int = 16, emb_col: str = "embedding",
+                    id_col: str = "vec_id", sample_size: int = 2048,
+                    index_dir: Optional[str] = None) -> IvfIndex:
+    """Train a coarse quantizer and write the corpus hive-partitioned by
+    nearest centroid (``centroid=<c>/``) — ONE pass over the data, streamed
+    through ``write_parquet`` (never materialized).  Default ``index_dir``
+    is a fresh mkdtemp under ``$HOOQU_SCRATCH_DIR`` / ``/tmp`` (same
+    multi-node shared-storage rule as the flagship scratch: workers write
+    remotely, the driver lists the result)."""
+    import os
+    import tempfile
+
     import ray
 
+    if index_dir is None:
+        root_env = os.environ.get("HOOQU_SCRATCH_DIR")
+        if root_env is None and len(ray.nodes()) > 1:
+            raise ValueError(
+                "build_ivf_index on a multi-node cluster needs shared "
+                "storage: pass index_dir= or set HOOQU_SCRATCH_DIR"
+            )
+        if root_env is not None:
+            os.makedirs(root_env, exist_ok=True)
+        index_dir = tempfile.mkdtemp(prefix="hooqu_ivf_", dir=root_env or "/tmp")
+        # default index dir is transient scratch — reclaim on process exit
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
+    else:
+        os.makedirs(index_dir, exist_ok=True)
+        if os.listdir(index_dir):
+            raise ValueError(
+                f"index_dir {index_dir!r} is not empty: refusing to merge a "
+                "new index into stale partitions"
+            )
     sample = np.stack(
         [r[emb_col] for r in ds.take(sample_size)]
     ).astype(np.float64)
     cent = train_centroids(sample, n_centroids)
     ref = ray.put(cent)
-    bucketed = ds.map_batches(_AssignCentroid(ref, emb_col), batch_format="pyarrow")
-    qn = _normalize(np.asarray(queries, dtype=np.float64))
-    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (q, nprobe)
-    wanted = sorted({int(c) for row in probe for c in row})
-    import pyarrow.compute as _pc
+    ds.map_batches(
+        _AssignCentroid(ref, emb_col), batch_format="pyarrow"
+    ).write_parquet(index_dir, partition_cols=["centroid"])
+    return IvfIndex(index_dir, cent, emb_col, id_col)
 
-    sub = bucketed.map_batches(
-        lambda t: t.filter(_pc.is_in(t.column("centroid"), value_set=pa.array(wanted))),
-        batch_format="pyarrow",
+
+def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+            nprobe: int = 4, emb_col: str = "embedding", id_col: str = "vec_id",
+            sample_size: int = 2048, query_ids=None,
+            index_dir: Optional[str] = None) -> pa.Table:
+    """Approximate top-k: build the centroid-partitioned index (one
+    streaming pass + partitioned parquet write), then probe only each
+    query's ``nprobe`` nearest cells — the read touches
+    nprobe/n_centroids of the corpus, not all of it.  For repeated query
+    batches call ``build_ivf_index`` once and ``IvfIndex.search`` per
+    batch."""
+    index = build_ivf_index(
+        ds, n_centroids, emb_col, id_col, sample_size, index_dir
     )
-    return knn_brute_force(sub, queries, k, emb_col, id_col, query_ids=query_ids)
+    return index.search(queries, k, nprobe, query_ids=query_ids)
