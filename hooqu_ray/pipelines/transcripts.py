@@ -150,6 +150,108 @@ class _ConvVerdictLookup:
         return batch.append_column("keep", keep)
 
 
+# Above this many BYTES of dropped-conversation ids the verdict stamp stops
+# shipping the set as one ray.put broadcast (pinned whole in every node's
+# object store for the life of the job) and switches to a partitioned hash
+# join: the set is written once as hash-bucketed, hash-sorted Arrow IPC
+# files under scratch, and each verdict actor memory-maps ONLY the buckets
+# its batches touch — membership is a binary search per unique conv_id, the
+# per-node cost is evictable page cache instead of pinned heap.
+_VERDICT_BROADCAST_MAX_BYTES = 1_000_000_000
+_VERDICT_INDEX_BUCKETS = 64
+
+
+def _write_dropped_index(dropped: pa.Array, out_dir: str, n_buckets: int) -> None:
+    """Write the dropped-conversation set as ``cvb=<b>.arrow`` IPC files,
+    hash-bucketed by ``util.stable_hash64 % n_buckets`` and sorted by that
+    hash within each bucket, so readers probe by ``np.searchsorted`` over a
+    zero-copy memory map.  Atomic per-bucket rename (re-runs overwrite)."""
+    import os
+
+    from ..util import stable_hash64
+
+    os.makedirs(out_dir, exist_ok=True)
+    dropped = dropped.drop_null()
+    h = stable_hash64(dropped)
+    codes = (h % np.uint64(n_buckets)).astype(np.int64)
+    for b in np.unique(codes):
+        sel = np.nonzero(codes == b)[0]
+        idx = sel[np.argsort(h[sel], kind="stable")]
+        t = pa.table(
+            {
+                "h": pa.array(h[idx], pa.uint64()),
+                "conv_id": dropped.take(pa.array(idx)),
+            }
+        )
+        tmp = os.path.join(out_dir, f".cvb={int(b)}.tmp")
+        with pa.OSFile(tmp, "wb") as f, pa.ipc.new_file(f, t.schema) as w:
+            w.write_table(t)
+        os.replace(tmp, os.path.join(out_dir, f"cvb={int(b)}.arrow"))
+
+
+class _PartitionedVerdictLookup:
+    """Actor-pool verdict stamp for dropped sets too big to broadcast.
+
+    Each actor lazily memory-maps the hash buckets its batches touch
+    (zero-copy Arrow IPC: the cached tables are views into the OS page
+    cache, not heap copies) and resolves membership of the batch's UNIQUE
+    conv_ids by binary search on the sorted hash column, then verifies the
+    few hash hits by exact string compare — an exact partitioned hash join
+    with O(u log n) probes and no pinned broadcast.  On a multi-node
+    cluster the bucket files live on the same shared scratch storage as
+    the scored-turn spill."""
+
+    def __init__(self, dropped_dir: str, n_buckets: int):
+        self.dropped_dir = dropped_dir
+        self.n_buckets = n_buckets
+        self._buckets: Dict[int, Optional[Tuple[np.ndarray, pa.Array]]] = {}
+
+    def _bucket(self, b: int):
+        if b not in self._buckets:
+            import os
+
+            path = os.path.join(self.dropped_dir, f"cvb={b}.arrow")
+            if not os.path.exists(path):
+                self._buckets[b] = None
+            else:
+                t = pa.ipc.open_file(pa.memory_map(path)).read_all()
+                self._buckets[b] = (
+                    t.column("h").combine_chunks().to_numpy(),
+                    t.column("conv_id").combine_chunks(),
+                )
+        return self._buckets[b]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("conv_id")
+        uniq = pc.unique(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ).drop_null()
+        hit: list = []
+        if len(uniq):
+            from ..util import stable_hash64
+
+            h = stable_hash64(uniq)
+            codes = (h % np.uint64(self.n_buckets)).astype(np.int64)
+            for b in np.unique(codes):
+                entry = self._bucket(int(b))
+                if entry is None:
+                    continue
+                hb, convb = entry
+                sel = np.nonzero(codes == b)[0]
+                lo = np.searchsorted(hb, h[sel], "left")
+                hi = np.searchsorted(hb, h[sel], "right")
+                # exact-verify the (rare) hash hits by string compare
+                for i in np.nonzero(hi > lo)[0].tolist():
+                    u = uniq[int(sel[i])].as_py()
+                    for j in range(int(lo[i]), int(hi[i])):
+                        if convb[j].as_py() == u:
+                            hit.append(u)
+                            break
+        conv_dropped = pc.is_in(col, value_set=pa.array(hit, pa.string()))
+        keep = pc.and_(batch.column("keep_turn"), pc.invert(conv_dropped))
+        return batch.append_column("keep", keep)
+
+
 def conv_verdicts_from_counts(conv_ids, kept, total) -> Dict[str, bool]:
     """Conversation-level keep rule over per-conv (kept, total) counts —
     scalar reference of the vectorized verdict computed inside
@@ -265,8 +367,8 @@ def filter_and_scrub(ds, scorer_concurrency: Optional[Tuple[int, int]] = None,
         # scale path: distributed read of the partials + salted two-phase
         # groupby — a mega-conversation's partials (one per input block) fan
         # out over salt buckets instead of landing on a single reducer.
-        # #convs rows come back (at 10^12 turns, swap the broadcast below
-        # for a partitioned join on conv_id)
+        # #convs rows come back; the verdict stamp below then picks
+        # broadcast vs partitioned join by dropped-set bytes
         from ..functions.shuffle import salted_group_aggregate
 
         proj = rd.read_parquet(partials_dir)
@@ -287,11 +389,28 @@ def filter_and_scrub(ds, scorer_concurrency: Optional[Tuple[int, int]] = None,
         & (kept >= spec.CONV_MIN_KEPT_FRACTION * total)
     )
     dropped = pa.array(np.asarray(conv_ids)[~ok], pa.string())
-    dropped_ref = ray.put(dropped)
-    # batch_size=None: one call per block — the dropped-set probe has
-    # per-call costs that must not be paid per 1024-row slice
+    if dropped.nbytes <= _VERDICT_BROADCAST_MAX_BYTES:
+        dropped_ref = ray.put(dropped)
+        # batch_size=None: one call per block — the dropped-set probe has
+        # per-call costs that must not be paid per 1024-row slice
+        return scored.map_batches(
+            _ConvVerdictLookup(dropped_ref), batch_format="pyarrow", batch_size=None
+        )
+    # 10^12-turn path: the dropped set would pin gigabytes in every node's
+    # object store for the whole job — write it once as a hash-bucketed
+    # sorted index under scratch and stamp verdicts via mmap binary search
+    dropped_dir = os.path.join(scratch, "dropped")
+    _write_dropped_index(dropped, dropped_dir, _VERDICT_INDEX_BUCKETS)
+    del dropped
     return scored.map_batches(
-        _ConvVerdictLookup(dropped_ref), batch_format="pyarrow", batch_size=None
+        _PartitionedVerdictLookup,
+        fn_constructor_kwargs={
+            "dropped_dir": dropped_dir,
+            "n_buckets": _VERDICT_INDEX_BUCKETS,
+        },
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=_default_scorer_concurrency(),
     )
 
 

@@ -107,14 +107,14 @@ _MIX_C1 = 0xBF58476D1CE4E5B9
 _MIX_C2 = 0x94D049BB133111EB
 
 
-def shard_codes(col, n_shards: int):
-    """Deterministic shard id in ``[0, n_shards)`` per value of an Arrow
-    array/column — identical on every worker and across runs.
+def stable_hash64(col):
+    """Deterministic uint64 hash per value of an Arrow array/column —
+    identical on every worker and across runs.
 
-    Integer columns go through a splitmix64 finalizer (plain ``% n_shards``
+    Integer columns go through a splitmix64 finalizer (the raw value
     would alias with any modulo already used upstream, e.g. LSH bucket keys);
     string columns hash via polars (process-stable for a fixed seed).  Nulls
-    land deterministically in shard 0."""
+    hash deterministically like the type's zero value."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -122,7 +122,7 @@ def shard_codes(col, n_shards: int):
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if len(col) == 0:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint64)
     if pa.types.is_integer(col.type):
         x = (
             pc.fill_null(col, 0)
@@ -154,7 +154,16 @@ def shard_codes(col, n_shards: int):
     x ^= x >> np.uint64(27)
     x *= np.uint64(_MIX_C2)
     x ^= x >> np.uint64(31)
-    return (x % np.uint64(n_shards)).astype(np.int64)
+    return x
+
+
+def shard_codes(col, n_shards: int):
+    """Deterministic shard id in ``[0, n_shards)`` per value of an Arrow
+    array/column (``stable_hash64 % n_shards``) — identical on every worker
+    and across runs.  Nulls land deterministically in one shard."""
+    import numpy as np
+
+    return (stable_hash64(col) % np.uint64(n_shards)).astype(np.int64)
 
 
 class ShardFilter:
