@@ -551,19 +551,172 @@ def transcripts_from_documents(docs_ds, replicate: int = 1):
     return docs_ds.map_batches(_DocsToTranscriptsN(replicate), batch_format="pyarrow")
 
 
-def conversation_features(ds, max_group_rows: int = 1_000_000):
+_CORE_ROLES = ("user", "assistant")
+
+_CONV_FEATURE_COLS = [
+    "conv_id", "n_turns", "role_alternates", "ts_monotone", "first_role"
+]
+
+
+def _conv_feature_partials_block(batch: pa.Table) -> pa.Table:
+    """Vectorized per-block conversation features over a
+    (conv_id, turn_idx)-sorted block.
+
+    One row per conversation SEGMENT in the block: interior conversations
+    are final (``__pending`` False); the block's first/last conversation may
+    straddle a boundary, so its segment carries merge state (first/last core
+    role for the alternation junction, first/last ts for the monotonicity
+    junction, first turn_idx for segment ordering) with ``__pending``
+    True.  Zero Python per conversation."""
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_turns", pa.int64()),
+            ("role_alternates", pa.bool_()),
+            ("ts_monotone", pa.bool_()),
+            ("first_role", pa.string()),
+            ("__pending", pa.bool_()),
+            ("__turn_first", pa.int64()),
+            ("__first_core", pa.string()),
+            ("__last_core", pa.string()),
+            ("__ts_first", pa.timestamp("us")),
+            ("__ts_last", pa.timestamp("us")),
+        ]
+    )
+    n = len(batch)
+    if n == 0:
+        return schema.empty_table()
+    keys = batch.column("conv_id").to_numpy(zero_copy_only=False)
+    roles = batch.column("role").to_numpy(zero_copy_only=False)
+    tidx = batch.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+    ts_np = (
+        batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    )
+    us = ts_np.astype(np.int64)
+    new_key = np.r_[True, keys[1:] != keys[:-1]]
+    starts = np.flatnonzero(new_key)
+    ends = np.r_[starts[1:], n]
+    nseg = len(starts)
+    seg_id = np.cumsum(new_key) - 1
+    # within-segment ts monotonicity: junction positions forced True
+    ok_adj = np.r_[True, us[1:] >= us[:-1]] | new_key
+    mono = np.logical_and.reduceat(ok_adj, starts)
+    # alternation over the core-role subsequence of each segment
+    core_mask = (roles == _CORE_ROLES[0]) | (roles == _CORE_ROLES[1])
+    core_idx = np.flatnonzero(core_mask)
+    alt = np.ones(nseg, dtype=bool)
+    first_core = np.full(nseg, None, dtype=object)
+    last_core = np.full(nseg, None, dtype=object)
+    if core_idx.size:
+        cseg = seg_id[core_idx]
+        crole = roles[core_idx]
+        same = cseg[1:] == cseg[:-1]
+        viol = same & (crole[1:] == crole[:-1])
+        alt[cseg[1:][viol]] = False
+        cfirst = np.flatnonzero(np.r_[True, cseg[1:] != cseg[:-1]])
+        clast = np.r_[cfirst[1:], core_idx.size] - 1
+        first_core[cseg[cfirst]] = crole[cfirst]
+        last_core[cseg[cfirst]] = crole[clast]
+    pending = (keys[starts] == keys[0]) | (keys[starts] == keys[-1])
+    return pa.table(
+        {
+            "conv_id": pa.array(keys[starts]),
+            "n_turns": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            "role_alternates": pa.array(alt, pa.bool_()),
+            "ts_monotone": pa.array(mono, pa.bool_()),
+            "first_role": pa.array(roles[starts].astype(object), pa.string()),
+            "__pending": pa.array(pending, pa.bool_()),
+            "__turn_first": pa.array(tidx[starts], pa.int64()),
+            "__first_core": pa.array(first_core, pa.string()),
+            "__last_core": pa.array(last_core, pa.string()),
+            "__ts_first": pa.array(ts_np[starts]),
+            "__ts_last": pa.array(ts_np[ends - 1]),
+        },
+        schema=schema,
+    )
+
+
+def _merge_boundary_conv_features(group):
+    """groupby(conv_id) merge of one boundary conversation's per-block
+    segment partials: order by first turn_idx, AND the per-segment
+    verdicts, and repair the two junction conditions (adjacent core roles
+    must differ across the seam; ts must not decrease across it).  At most
+    2 conversations per block reach here, and segments per conversation are
+    bounded by the block count it spans."""
+    import pandas as pd
+
+    g = group.sort_values("__turn_first", ignore_index=True)
+    alt = bool(g["role_alternates"].all())
+    last = None
+    for fc, lc in zip(g["__first_core"], g["__last_core"]):
+        if fc is None or (isinstance(fc, float) and np.isnan(fc)):
+            continue  # segment with no core roles is transparent
+        if last is not None and fc == last:
+            alt = False
+        last = lc
+    ts_first = g["__ts_first"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ts_last = g["__ts_last"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    mono = bool(g["ts_monotone"].all()) and bool(
+        (ts_first[1:] >= ts_last[:-1]).all()
+    )
+    return pd.DataFrame(
+        {
+            "conv_id": [g["conv_id"].iloc[0]],
+            "n_turns": [int(g["n_turns"].sum())],
+            "role_alternates": [alt],
+            "ts_monotone": [mono],
+            "first_role": [g["first_role"].iloc[0]],
+        }
+    )
+
+
+def conversation_features(ds):
     """Per-conversation sequence features that genuinely need every turn of
     a conversation together, in turn order: role-alternation validity and
-    timestamp monotonicity.  Runs as a guarded ``groupby(conv_id)`` sequence
-    apply (see functions.shuffle): turn order restored inside each group,
-    pathological mega-conversations flagged instead of materialized."""
+    timestamp monotonicity.
+
+    ONE ``sort(conv_id, turn_idx)`` range shuffle over a FOUR-COLUMN
+    projection (the text never moves), a fully vectorized per-block pass,
+    and a boundary merge touching ≤ 2 conversations per block — the same
+    shape as ``sessions.session_stats``, replacing the round-2 per-key
+    pandas apply (~100 µs of interpreter per conversation; hours at 100M+
+    keys).  The per-conversation partial dataset is materialized once (it
+    is O(#convs), far below O(#turns)) because it feeds two consumers."""
+    proj = ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "role", "ts"]),
+        batch_format="pyarrow",
+    )
+    partials = (
+        proj.sort(["conv_id", "turn_idx"])
+        .map_batches(_conv_feature_partials_block, batch_format="pyarrow")
+        .materialize()
+    )
+    interior = partials.map_batches(
+        lambda t: t.filter(pc.invert(t.column("__pending"))).select(
+            _CONV_FEATURE_COLS
+        ),
+        batch_format="pyarrow",
+    )
+    boundary = partials.map_batches(
+        lambda t: t.filter(t.column("__pending")), batch_format="pyarrow"
+    )
+    merged = boundary.groupby("conv_id").map_groups(
+        lambda g: _merge_boundary_conv_features(g), batch_format="pandas"
+    )
+    return interior.union(merged)
+
+
+def conversation_features_grouped(ds, max_group_rows: int = 1_000_000):
+    """Round-2 shape: guarded ``groupby(conv_id)`` sequence apply (see
+    functions.shuffle), kept for differential testing — pays ~100 µs of
+    pandas per conversation; prefer ``conversation_features``."""
     from ..functions.shuffle import grouped_sequence_apply
 
     def per_conv(group):
         import pandas as pd
 
         roles = group["role"].tolist()
-        core = [r for r in roles if r in ("user", "assistant")]
+        core = [r for r in roles if r in _CORE_ROLES]
         alternates = all(a != b for a, b in zip(core, core[1:]))
         ts = group["ts"]
         return pd.DataFrame(

@@ -86,3 +86,41 @@ def test_conversation_features(ray_session):
     assert (merged["n_turns"] == sizes.loc[merged.index]).all()
     # ts monotone by construction in the generator
     assert merged["ts_monotone"].all()
+
+
+def test_conversation_features_sorted_matches_grouped(ray_session):
+    """The sort-based pass (vectorized blocks + boundary merge) must agree
+    with the per-key grouped apply on adversarial input: conversations that
+    straddle block boundaries, broken role alternation, ts regressions at
+    and away from seams, and core-role-free (tool/system-only) spans."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hooqu_ray.pipelines import transcripts as tp
+
+    rng = np.random.default_rng(5)
+    rows = []
+    base = np.datetime64("2025-03-01T00:00:00", "us")
+    for c in range(40):
+        n = int(rng.integers(1, 30))
+        roles = rng.choice(["user", "assistant", "system", "tool"], size=n,
+                           p=[0.4, 0.4, 0.1, 0.1])
+        ts = base + np.cumsum(rng.integers(-5, 60, size=n)).astype("timedelta64[s]")
+        for i in range(n):
+            rows.append((f"c{c:03d}", i, str(roles[i]), ts[i]))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    for nparts in (1, 7):
+        ds = rd.from_pandas(pdf.sample(frac=1.0, random_state=3)).repartition(nparts)
+        a = (
+            tp.conversation_features(ds)
+            .to_pandas()
+            .sort_values("conv_id", ignore_index=True)
+        )
+        b = (
+            tp.conversation_features_grouped(ds)
+            .to_pandas()
+            .sort_values("conv_id", ignore_index=True)[a.columns]
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
