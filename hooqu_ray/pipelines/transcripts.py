@@ -161,11 +161,30 @@ _VERDICT_BROADCAST_MAX_BYTES = 1_000_000_000
 _VERDICT_INDEX_BUCKETS = 64
 
 
+def _write_bucket_file(out_dir: str, bucket: int, h: np.ndarray,
+                       conv_ids: pa.Array) -> None:
+    """One hash bucket of the dropped-conversation index as an Arrow IPC
+    file sorted by hash (``np.searchsorted``-probeable over a zero-copy
+    memory map).  Atomic rename: a re-run (task retry on the distributed
+    write path) overwrites its own bucket instead of corrupting it."""
+    import os
+
+    order = np.argsort(h, kind="stable")
+    t = pa.table(
+        {
+            "h": pa.array(h[order], pa.uint64()),
+            "conv_id": conv_ids.take(pa.array(order)),
+        }
+    )
+    tmp = os.path.join(out_dir, f".cvb={int(bucket)}.tmp")
+    with pa.OSFile(tmp, "wb") as f, pa.ipc.new_file(f, t.schema) as w:
+        w.write_table(t)
+    os.replace(tmp, os.path.join(out_dir, f"cvb={int(bucket)}.arrow"))
+
+
 def _write_dropped_index(dropped: pa.Array, out_dir: str, n_buckets: int) -> None:
-    """Write the dropped-conversation set as ``cvb=<b>.arrow`` IPC files,
-    hash-bucketed by ``util.stable_hash64 % n_buckets`` and sorted by that
-    hash within each bucket, so readers probe by ``np.searchsorted`` over a
-    zero-copy memory map.  Atomic per-bucket rename (re-runs overwrite)."""
+    """Driver-side index write (the dropped set is already local): bucket by
+    ``util.stable_hash64 % n_buckets`` and write each bucket sorted."""
     import os
 
     from ..util import stable_hash64
@@ -176,17 +195,7 @@ def _write_dropped_index(dropped: pa.Array, out_dir: str, n_buckets: int) -> Non
     codes = (h % np.uint64(n_buckets)).astype(np.int64)
     for b in np.unique(codes):
         sel = np.nonzero(codes == b)[0]
-        idx = sel[np.argsort(h[sel], kind="stable")]
-        t = pa.table(
-            {
-                "h": pa.array(h[idx], pa.uint64()),
-                "conv_id": dropped.take(pa.array(idx)),
-            }
-        )
-        tmp = os.path.join(out_dir, f".cvb={int(b)}.tmp")
-        with pa.OSFile(tmp, "wb") as f, pa.ipc.new_file(f, t.schema) as w:
-            w.write_table(t)
-        os.replace(tmp, os.path.join(out_dir, f"cvb={int(b)}.arrow"))
+        _write_bucket_file(out_dir, int(b), h[sel], dropped.take(pa.array(sel)))
 
 
 class _PartitionedVerdictLookup:
@@ -250,6 +259,85 @@ class _PartitionedVerdictLookup:
         conv_dropped = pc.is_in(col, value_set=pa.array(hit, pa.string()))
         keep = pc.and_(batch.column("keep_turn"), pc.invert(conv_dropped))
         return batch.append_column("keep", keep)
+
+
+def _conv_ok(kept, total) -> np.ndarray:
+    """Vectorized conversation verdicts (a Python dict loop costs seconds
+    per million conversations); k/t >= FRAC ⇔ k >= FRAC·t for t > 0."""
+    kept = np.asarray(kept, dtype=np.int64)
+    total = np.asarray(total, dtype=np.int64)
+    return (
+        (kept >= spec.CONV_MIN_KEPT_TURNS)
+        & (total > 0)
+        & (kept >= spec.CONV_MIN_KEPT_FRACTION * total)
+    )
+
+
+def _write_dropped_index_distributed(partials_dir: str, out_dir: str,
+                                     n_buckets: int) -> None:
+    """Fully distributed dropped-index build for the 10^12-turn path:
+    salted groupby over the conv-stat partials → per-block verdict filter →
+    ``groupby(cvb)`` with ONE task per bucket sorting and writing its IPC
+    file.  #convs rows never touch the driver; per-task memory is one
+    bucket (dropped/n_buckets)."""
+    import os
+
+    import ray.data as rd
+
+    from ..functions.shuffle import salted_group_aggregate
+    from ..util import stable_hash64
+
+    os.makedirs(out_dir, exist_ok=True)
+    proj = rd.read_parquet(partials_dir)
+    stats = salted_group_aggregate(
+        proj, "conv_id", ["kept_partial", "total_partial"]
+    )
+    empty = pa.schema(
+        [("conv_id", pa.string()), ("h", pa.uint64()), ("cvb", pa.int64())]
+    ).empty_table()
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        if "conv_id" not in t.column_names or len(t) == 0:
+            return empty  # Ray aggregates can emit schema-less empty blocks
+        kept = pc.cast(t.column("sum(kept_partial)"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        total = pc.cast(t.column("sum(total_partial)"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sub = t.filter(pa.array(~_conv_ok(kept, total))).column("conv_id")
+        sub = pc.cast(sub.drop_null(), pa.string())
+        if len(sub) == 0:
+            return empty
+        h = stable_hash64(sub)
+        return pa.table(
+            {
+                "conv_id": sub,
+                "h": pa.array(h, pa.uint64()),
+                "cvb": pa.array(
+                    (h % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def write_bucket(g):
+        import pandas as pd
+
+        b = int(g["cvb"].iloc[0])
+        _write_bucket_file(
+            out_dir,
+            b,
+            g["h"].to_numpy().astype(np.uint64),
+            pa.array(g["conv_id"].to_numpy(), pa.string()),
+        )
+        return pd.DataFrame({"cvb": [b], "rows": [len(g)]})
+
+    acks = (
+        stats.map_batches(drop_rows, batch_format="pyarrow")
+        .groupby("cvb")
+        .map_groups(lambda g: write_bucket(g), batch_format="pandas")
+    )
+    acks.count()  # consume the tiny ack rows to execute the write
 
 
 def conv_verdicts_from_counts(conv_ids, kept, total) -> Dict[str, bool]:
@@ -350,6 +438,16 @@ def filter_and_scrub(ds, scorer_concurrency: Optional[Tuple[int, int]] = None,
     import pyarrow.dataset as pads
 
     partials_bytes = sum(e.stat().st_size for e in os.scandir(partials_dir))
+    dropped_dir = os.path.join(scratch, "dropped")
+
+    def stamp_broadcast(dropped: pa.Array):
+        dropped_ref = ray.put(dropped)
+        # batch_size=None: one call per block — the dropped-set probe has
+        # per-call costs that must not be paid per 1024-row slice
+        return scored.map_batches(
+            _ConvVerdictLookup(dropped_ref), batch_format="pyarrow", batch_size=None
+        )
+
     if partials_bytes <= _CONV_STATS_DRIVER_MAX_BYTES:
         # the partial files are small (one row per block × conv): a local
         # read + MULTITHREADED Arrow group_by beats a distributed shuffle's
@@ -363,45 +461,41 @@ def filter_and_scrub(ds, scorer_concurrency: Optional[Tuple[int, int]] = None,
         conv_ids = agg.column("conv_id").to_numpy(zero_copy_only=False)
         kept = agg.column("kept_partial_sum").to_numpy(zero_copy_only=False)
         total = agg.column("total_partial_sum").to_numpy(zero_copy_only=False)
+        ok = _conv_ok(kept, total)
+        dropped = pa.array(np.asarray(conv_ids)[~ok], pa.string())
+        if dropped.nbytes <= _VERDICT_BROADCAST_MAX_BYTES:
+            return stamp_broadcast(dropped)
+        # dropped set too big to pin in every node's object store for the
+        # whole job — spill it as a hash-bucketed sorted index instead
+        _write_dropped_index(dropped, dropped_dir, _VERDICT_INDEX_BUCKETS)
+        del dropped
     else:
-        # scale path: distributed read of the partials + salted two-phase
-        # groupby — a mega-conversation's partials (one per input block) fan
-        # out over salt buckets instead of landing on a single reducer.
-        # #convs rows come back; the verdict stamp below then picks
-        # broadcast vs partitioned join by dropped-set bytes
-        from ..functions.shuffle import salted_group_aggregate
-
-        proj = rd.read_parquet(partials_dir)
-        stats = salted_group_aggregate(
-            proj, "conv_id", ["kept_partial", "total_partial"]
+        # 10^12-turn path: distributed read of the partials + salted
+        # two-phase groupby (a mega-conversation's partials fan out over
+        # salt buckets instead of landing on one reducer) + per-block
+        # verdict filter + one-task-per-bucket index write — #convs rows
+        # never touch the driver
+        _write_dropped_index_distributed(
+            partials_dir, dropped_dir, _VERDICT_INDEX_BUCKETS
         )
-        sp = stats.to_pandas()
-        conv_ids = sp["conv_id"].to_numpy()
-        kept = sp["sum(kept_partial)"].to_numpy()
-        total = sp["sum(total_partial)"].to_numpy()
-    # vectorized conversation verdicts (a Python dict loop costs seconds per
-    # million conversations); k/t >= FRAC ⇔ k >= FRAC·t for t > 0
-    kept = np.asarray(kept, dtype=np.int64)
-    total = np.asarray(total, dtype=np.int64)
-    ok = (
-        (kept >= spec.CONV_MIN_KEPT_TURNS)
-        & (total > 0)
-        & (kept >= spec.CONV_MIN_KEPT_FRACTION * total)
-    )
-    dropped = pa.array(np.asarray(conv_ids)[~ok], pa.string())
-    if dropped.nbytes <= _VERDICT_BROADCAST_MAX_BYTES:
-        dropped_ref = ray.put(dropped)
-        # batch_size=None: one call per block — the dropped-set probe has
-        # per-call costs that must not be paid per 1024-row slice
-        return scored.map_batches(
-            _ConvVerdictLookup(dropped_ref), batch_format="pyarrow", batch_size=None
-        )
-    # 10^12-turn path: the dropped set would pin gigabytes in every node's
-    # object store for the whole job — write it once as a hash-bucketed
-    # sorted index under scratch and stamp verdicts via mmap binary search
-    dropped_dir = os.path.join(scratch, "dropped")
-    _write_dropped_index(dropped, dropped_dir, _VERDICT_INDEX_BUCKETS)
-    del dropped
+        idx_bytes = sum(e.stat().st_size for e in os.scandir(dropped_dir))
+        if idx_bytes <= _VERDICT_BROADCAST_MAX_BYTES:
+            # the dropped set turned out broadcastable: read the small
+            # index back (driver memory is bounded by the gate, not #convs)
+            parts = [
+                pa.ipc.open_file(
+                    pa.memory_map(os.path.join(dropped_dir, f))
+                ).read_all()
+                for f in sorted(os.listdir(dropped_dir))
+                if f.endswith(".arrow")
+            ]
+            dropped = (
+                pa.concat_tables(parts).column("conv_id").combine_chunks()
+                if parts
+                else pa.array([], pa.string())
+            )
+            return stamp_broadcast(dropped)
+    # stamp verdicts via mmap binary search against the bucketed index
     return scored.map_batches(
         _PartitionedVerdictLookup,
         fn_constructor_kwargs={

@@ -77,6 +77,28 @@ def test_partitioned_verdict_join_matches_broadcast(
     assert (out["keep"].values == oracle_output["keep"].values).all()
 
 
+def test_distributed_dropped_index_both_gates_forced(
+    ray_session, synth_table, engine_output, monkeypatch
+):
+    """With BOTH the conv-stats driver gate and the broadcast gate forced to
+    0, the dropped index is built fully distributed (salted aggregate →
+    per-bucket write tasks) and the verdict stamp goes through the
+    partitioned lookup — labels must still match the default path's."""
+    import ray.data as rd
+
+    monkeypatch.setattr(tp, "_CONV_STATS_DRIVER_MAX_BYTES", 0)
+    monkeypatch.setattr(tp, "_VERDICT_BROADCAST_MAX_BYTES", 0)
+    monkeypatch.setattr(tp, "_VERDICT_INDEX_BUCKETS", 4)
+    ds = rd.from_arrow(synth_table).repartition(5)
+    out = (
+        tp.filter_and_scrub(ds)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    assert out["conv_id"].tolist() == engine_output["conv_id"].tolist()
+    assert (out["keep"].values == engine_output["keep"].values).all()
+
+
 def test_write_dropped_index_probe_roundtrip(tmp_path):
     """Every id written to the bucketed index is found by the searchsorted
     probe; absent ids (including hash-adjacent ones) are not."""
