@@ -149,8 +149,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["top_bigrams_documents"] = _top_bigrams_documents
     out["referential_integrity_events_customer"] = _ref_integrity
 
+    out["asof_join_events_orders"] = _asof_events_orders
+    out["enrich_join_events_customer"] = _enrich_events_customer
+    out["stratified_sample_events"] = _stratified_sample_events
+    out["rolling_mean_events"] = _rolling_mean_events
+
     # -- oracled via SQL derivation / bound predicates --------------------
     out["conversation_features"] = _conversation_features
+    out["grouped_quantile_price_by_flag"] = _grouped_quantile_by_flag
     out["near_dup_pairs_documents"] = _near_dup_pairs
     out["approx_count_distinct_users"] = _approx_distinct_users
     out["approx_quantile_price"] = _approx_quantile_price
@@ -612,6 +618,101 @@ def _hash_sample_events(sf_dir: str):
     )
 
 
+def _asof_events_orders(sf_dir: str):
+    """Events as-of joined to each user's latest preceding order — exact
+    SQL parity with a LEFT JOIN LATERAL ... ORDER BY o_orderdate DESC,
+    o_orderkey DESC LIMIT 1 (ties pinned by the orderkey tie-break)."""
+    from hooqu_ray.pipelines.asof import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    res = asof_join(
+        events, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+        ["event_id"], ["o_orderkey"],
+    )
+    df = res.to_pandas()[["event_id", "o_orderkey"]]
+    return df.sort_values("event_id", ignore_index=True)
+
+
+def _enrich_events_customer(sf_dir: str):
+    """Broadcast dimension-enrichment join (events × customer mktsegment)
+    folded to per-segment counts/means; a missed lookup lands in the null
+    segment, matching SQL LEFT JOIN."""
+    from ray.data.aggregate import Count, Mean
+
+    from hooqu_ray.functions.joins import enrich_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    enr = enrich_join(events, cust, "user_id", "c_custkey", ["c_mktsegment"])
+    res = enr.groupby("c_mktsegment").aggregate(Count(), Mean("value")).to_pandas()
+    res = res.rename(columns={"count()": "n", "mean(value)": "avg_value"})
+    res["avg_value"] = res["avg_value"].round(6)
+    res["n"] = res["n"].astype("int64")
+    return res.sort_values("c_mktsegment", ignore_index=True)
+
+
+def _stratified_sample_events(sf_dir: str):
+    """Deterministic per-stratum hash sample — integer-exact thresholds on
+    the md5 bucket, so SQL re-derives the identical row set."""
+    from hooqu_ray.pipelines.relational import stratified_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    res = stratified_sample(
+        ds, "event_type", "event_id",
+        {"click": 0.5, "view": 0.1, "error": 1.0}, buckets=1000,
+    )
+    df = res.to_pandas()
+    return df.sort_values("event_id", ignore_index=True)
+
+
+def _rolling_mean_events(sf_dir: str):
+    """Trailing 3-row mean of value per user in (ts, event_id) order —
+    exact parity with SQL AVG OVER (... ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW), values rounded to 6 decimals on both sides."""
+    from hooqu_ray.pipelines.windows import rolling_mean
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    res = rolling_mean(ds, "user_id", "ts", "event_id", "value", 3)
+    df = res.to_pandas()[["event_id", "rolling_mean"]]
+    df["rolling_mean"] = df["rolling_mean"].round(6)
+    return df.sort_values("event_id", ignore_index=True)
+
+
+def _grouped_quantile_by_flag(sf_dir: str):
+    """Bound-style oracle for the grouped t-digest quantile: the group keys
+    and the EXACT per-group nearest-median (computed by the distributed
+    Quantile analyzer, one where-filtered scan per group — fine for a gate
+    query over 3 groups) hash-match the SQL, and the digest estimate is
+    asserted within 1% of exact per group."""
+    import hooqu_ray as hq
+    from hooqu_ray.pipelines.relational import grouped_approx_quantile
+    from hooqu_ray.runner import do_analysis_run
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    approx = grouped_approx_quantile(ds, "l_returnflag", "l_extendedprice", 0.5)
+    approx_df = (approx.to_pandas() if not hasattr(approx, "to_arrow_refs")
+                 else approx.to_pandas())
+    groups = sorted(approx_df["l_returnflag"])
+    analyzers = [
+        hq.Quantile("l_extendedprice", 0.5, where=f"l_returnflag == '{g}'")
+        for g in groups
+    ]
+    ctx = do_analysis_run(ds, analyzers)  # one shared scan, 3 states
+    rows = []
+    for g, a in zip(groups, analyzers):
+        exact = float(ctx.metric_map[a].value.get())
+        est = float(approx_df.loc[approx_df["l_returnflag"] == g, "q_value"].iloc[0])
+        rows.append((g, round(exact, 6), abs(est - exact) / abs(exact) <= 0.01))
+    return pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in rows]),
+            "q50_exact": pa.array([r[1] for r in rows], pa.float64()),
+            "within_tol": pa.array([r[2] for r in rows], pa.bool_()),
+        }
+    )
+
+
 def _top50_user_ids(sf_dir: str):
     """Top-50 users by total value (ties by ascending user_id) via the
     salted skew-safe sum.  Sums are rounded to 6 decimals BEFORE ranking —
@@ -856,6 +957,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ROUND(avg(CASE WHEN EXISTS (SELECT 1 FROM customer c "
             "WHERE c.c_custkey = e.user_id) THEN 1.0 ELSE 0.0 END), 6) "
             "AS ref_ok FROM events e"
+        ),
+        "asof_join_events_orders": (
+            # LATERAL re-derivation of the as-of join: latest order at or
+            # before each event's ts per user, ties broken by largest key
+            "SELECT e.event_id, o.o_orderkey FROM events e "
+            "LEFT JOIN LATERAL (SELECT o_orderkey FROM orders o "
+            "WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+            "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) o ON TRUE "
+            "WHERE e.user_id IS NOT NULL AND e.ts IS NOT NULL"
+        ),
+        "enrich_join_events_customer": (
+            "SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+            "ROUND(avg(e.value), 6) AS avg_value FROM events e "
+            "LEFT JOIN customer c ON e.user_id = c.c_custkey "
+            "GROUP BY c.c_mktsegment"
+        ),
+        "stratified_sample_events": (
+            # same integer-exact md5-bucket decision as hash_sample_events,
+            # thresholded per stratum (click 50%, view 10%, error 100%)
+            "SELECT event_id, event_type FROM events "
+            "WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) % 1000 < CASE event_type WHEN 'click' THEN 500 "
+            "WHEN 'view' THEN 100 WHEN 'error' THEN 1000 ELSE 0 END"
+        ),
+        "rolling_mean_events": (
+            "SELECT event_id, ROUND(avg(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) "
+            "AS rolling_mean FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+        ),
+        "grouped_quantile_price_by_flag": (
+            # per-group nearest-rank median (same selection rule as
+            # _NEAREST_Q_SQL); within_tol is the digest-vs-exact 1% bound
+            # asserted on the Ray side
+            "WITH s AS (SELECT l_returnflag AS g, l_extendedprice AS v "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL "
+            "AND l_returnflag IS NOT NULL), "
+            "n AS (SELECT g, count(*) AS c FROM s GROUP BY g), "
+            "i AS (SELECT g, CAST(floor(0.5 * (c - 1)) AS BIGINT) AS k0, "
+            "0.5 * (c - 1) - floor(0.5 * (c - 1)) AS frac FROM n), "
+            "kk AS (SELECT g, k0 + (CASE WHEN frac > 0.5 THEN 1 "
+            "WHEN frac = 0.5 AND k0 % 2 = 1 THEN 1 ELSE 0 END) AS k FROM i), "
+            "r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) "
+            "AS rn FROM s) "
+            "SELECT r.g AS l_returnflag, ROUND(r.v, 6) AS q50_exact, "
+            "TRUE AS within_tol FROM r JOIN kk ON r.g = kk.g AND r.rn = kk.k + 1"
         ),
         "top_bigrams_documents": (
             "WITH t AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), "

@@ -65,6 +65,89 @@ def anti_join(ds, keys, col: str, key_col: Optional[str] = None):
     )
 
 
+def _dim_table(dim, dim_key: str) -> pa.Table:
+    """Normalize the dimension side to one local Arrow table with a UNIQUE,
+    non-null key column (a lookup join is only well-defined against a
+    primary key — duplicate keys would silently multiply fact rows in SQL
+    but can only pick one arbitrary match here, so they are an error)."""
+    if hasattr(dim, "to_arrow_refs"):  # ray.data.Dataset small side
+        from ..util import collect_arrow
+
+        dim = collect_arrow(dim)
+        if dim is None:
+            dim = pa.table({dim_key: pa.array([])})
+    elif not isinstance(dim, pa.Table):
+        dim = pa.Table.from_pandas(dim, preserve_index=False)
+    dim = dim.combine_chunks()
+    keys = dim.column(dim_key)
+    if keys.null_count:
+        dim = dim.filter(pc.is_valid(keys))
+        keys = dim.column(dim_key)
+    if len(pc.unique(keys)) != len(keys):
+        raise ValueError(
+            f"enrich_join: dimension key {dim_key!r} has duplicate values"
+        )
+    return dim
+
+
+class _EnrichBatch:
+    """``map_batches`` stage: vectorized dictionary lookup of a broadcast
+    dim table.  ``pc.index_in`` maps each fact key to its dim row (null for
+    a miss), ``take`` gathers the dim columns — null indices gather nulls,
+    which is exactly LEFT-join semantics; ``how='inner'`` drops misses."""
+
+    def __init__(self, dim_ref, on: str, dim_key: str, cols, how: str):
+        self.dim_ref = dim_ref
+        self.on = on
+        self.dim_key = dim_key
+        self.cols = cols
+        self.how = how
+        self._dim = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._dim is None:
+            import ray
+
+            obj = self.dim_ref
+            self._dim = obj if isinstance(obj, pa.Table) else ray.get(obj)
+        keys = self._dim.column(self.dim_key).combine_chunks()
+        idx = pc.index_in(t.column(self.on), value_set=keys)
+        if self.how == "inner":
+            mask = pc.is_valid(idx)
+            t = t.filter(mask)
+            idx = idx.filter(mask)
+        for c in self.cols:
+            t = t.append_column(c, self._dim.column(c).take(idx))
+        return t
+
+
+def enrich_join(ds, dim, on: str, dim_key: str, cols, how: str = "left"):
+    """Dimension-enrichment (broadcast lookup) join: append ``cols`` of a
+    small unique-keyed ``dim`` table to every fact row whose ``on`` value
+    matches ``dim_key`` (``how='left'`` keeps misses with nulls,
+    ``'inner'`` drops them) — the star-schema fact→dim join.
+
+    The dim table ships ONCE via ``ray.put`` (zero-copy plasma read per
+    worker); each fact batch pays one vectorized ``index_in`` + ``take``
+    per appended column, and the fact side never shuffles.  The dim side
+    must fit in a worker's heap — for a larger dim side shard it by key
+    hash range and union per-shard passes (``util.shard_codes``), or
+    co-partition both sides by key instead."""
+    import ray
+
+    if how not in ("left", "inner"):
+        raise ValueError(f"enrich_join: how must be 'left' or 'inner', got {how!r}")
+    dim_tbl = _dim_table(dim, dim_key)
+    cols = list(cols)
+    missing = [c for c in cols if c not in dim_tbl.column_names]
+    if missing:
+        raise KeyError(f"enrich_join: dim columns not found: {missing}")
+    ref = ray.put(dim_tbl.select([dim_key, *cols]))
+    return ds.map_batches(
+        _EnrichBatch(ref, on, dim_key, cols, how), batch_format="pyarrow"
+    )
+
+
 def referential_integrity(child_ds, parent_ds, fk: str, pk: str) -> float:
     """Fraction of child rows whose foreign key exists in the parent's key
     set (a null foreign key is a violation, matching SQL ``EXISTS``).

@@ -143,3 +143,110 @@ def hash_sample(ds, col: str, buckets: int = 20, keep_bucket: int = 0):
         return t.filter(pa.array(b % buckets == keep_bucket))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(ds, strata_col: str, id_col: str, rates: dict,
+                      buckets: int = 1000, default_rate: float = 0.0):
+    """Deterministic per-stratum hash sample: a row of stratum ``s`` is kept
+    iff ``md5_bucket(id) % buckets < round(rates[s] * buckets)`` — the
+    standard way to rebalance a skewed corpus (e.g. downsample boilerplate
+    pages, keep all rare-language documents) without a shuffle or an RNG.
+
+    Strata absent from ``rates`` fall back to ``default_rate``; a null
+    stratum always falls back.  Rates are quantized to 1/``buckets`` so the
+    decision is integer-exact and reproducible in SQL (same md5 expression
+    as :func:`hash_sample`), keeping the sample re-derivable by any engine.
+    Embarrassingly parallel: one streaming ``map_batches`` pass, the rates
+    dict rides in the task closure (it is a few entries, not data)."""
+    thresholds = {s: int(round(r * buckets)) for s, r in rates.items()}
+    default_thr = int(round(default_rate * buckets))
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = md5_bucket(t.column(id_col))
+        strata = t.column(strata_col).to_pandas()
+        thr = strata.map(thresholds).fillna(default_thr).to_numpy(dtype=np.int64)
+        return t.filter(pa.array(b % buckets < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_approx_quantile(ds, group_col: str, value_col: str, q: float,
+                            compression: int = 200,
+                            driver_max_groups: int = 1_000_000):
+    """Per-group quantile via mergeable t-digests — the grouped counterpart
+    of the ``ApproxQuantile`` analyzer (``analyzers/sketches.py``).
+
+    Exact per-group quantiles at scale would either shuffle every value by
+    group or need a per-group selection pass; a t-digest is one streaming
+    combiner instead: each block reduces to one ``(group, means[],
+    weights[])`` digest row per LOCAL group (``#blocks × #groups`` bounded
+    partials, values never leave their block), digests merge per group, and
+    the quantile is read off the merged digest.  Accuracy is the digest's
+    (~0.1–1% at compression 200) — the driver gate oracles it against the
+    exact SQL value with a 1% bound.
+
+    Below ``driver_max_groups`` partial-digest rows the merge is one driver
+    pass; above it the merge stays distributed (``groupby(group)`` over the
+    slim digest rows — null groups are dropped there by Ray's groupby, so
+    they are dropped on the driver path too, matching SQL ``GROUP BY``
+    which would keep them; documented divergence shared with the other
+    grouped ops)."""
+    import pandas as pd
+
+    from ..analyzers.sketches import TDigestState
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile q must be in [0, 1], got {q}")
+
+    def block_digests(t: pa.Table) -> pa.Table:
+        df = t.select([group_col, value_col]).to_pandas()
+        df = df.dropna()
+        groups, means, weights = [], [], []
+        for g, vals in df.groupby(group_col, sort=False)[value_col]:
+            st = TDigestState.from_values(
+                vals.to_numpy(dtype=np.float64), compression=compression
+            )
+            groups.append(g)
+            means.append(list(st.means))
+            weights.append(list(st.weights))
+        return pa.table(
+            {
+                group_col: pa.array(groups, t.schema.field(group_col).type),
+                "__means": pa.array(means, pa.list_(pa.float64())),
+                "__weights": pa.array(weights, pa.list_(pa.float64())),
+            }
+        )
+
+    def merge_rows(g: "pd.DataFrame") -> "pd.DataFrame":
+        st = None
+        for m, w in zip(g["__means"], g["__weights"]):
+            nxt = TDigestState(tuple(m), tuple(w), compression)
+            st = nxt if st is None else st.sum(nxt)
+        return pd.DataFrame(
+            {group_col: [g[group_col].iloc[0]], "q_value": [st.quantile(q)]}
+        )
+
+    partials = ds.map_batches(
+        block_digests, batch_format="pyarrow", batch_size=None
+    ).materialize()  # combiner-bounded; consumed once below
+    if partials.count() <= driver_max_groups:
+        from ..util import collect_arrow
+
+        collected = collect_arrow(partials)
+        if collected is None:
+            return pa.table(
+                {group_col: pa.array([]), "q_value": pa.array([], pa.float64())}
+            )
+        df = collected.to_pandas()
+        outs = [
+            merge_rows(g)
+            for _, g in df.groupby(group_col, sort=True, dropna=True)
+        ]
+        out = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {group_col: pd.Series(dtype=df[group_col].dtype),
+             "q_value": pd.Series(dtype="float64")}
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+    return partials.groupby(group_col).map_groups(
+        lambda g: merge_rows(g), batch_format="pandas"
+    )

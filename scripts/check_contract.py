@@ -1,6 +1,7 @@
 """Replicates the driver's correctness gate locally: run every queries()
 entry at a given sf and compare row-count / schema / sorted value hash with
-its oracle_sql() DuckDB result.  Usage: python scripts/check_contract.py [sf_dir]"""
+its oracle_sql() DuckDB result.  Usage:
+python scripts/check_contract.py [sf_dir] [only_query1,only_query2,...]"""
 
 import hashlib
 import sys
@@ -29,7 +30,7 @@ def value_hash(df):
     return hashlib.md5(payload).hexdigest()
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01"):
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str = ""):
     import duckdb
     import ray
 
@@ -45,6 +46,13 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
         )
 
     qs = entrymod.queries()
+    if only:
+        wanted = set(only.split(","))
+        missing = wanted - set(qs)
+        if missing:
+            print(f"unknown query names: {sorted(missing)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in wanted}
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():

@@ -1,0 +1,305 @@
+"""Unit tests for the round-3 operators: as-of join, rolling window mean,
+dimension-enrichment join, stratified hash sampling, grouped approximate
+quantile.  Each has a many-block differential so the boundary-merge paths
+are exercised, not just the single-block fast path."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------- asof join
+
+
+def _asof_oracle(events: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+    """Row-at-a-time re-derivation of the as-of semantics: latest order at
+    or before each event's ts per user, ties by largest o_orderkey."""
+    rows = []
+    for e in events.itertuples():
+        if pd.isna(e.user_id) or pd.isna(e.ts):
+            continue
+        cand = orders[
+            (orders.o_custkey == e.user_id) & (orders.o_orderdate <= e.ts)
+        ]
+        if len(cand):
+            best = cand.sort_values(
+                ["o_orderdate", "o_orderkey"], ascending=[False, False]
+            ).iloc[0]
+            rows.append((e.event_id, best.o_orderkey))
+        else:
+            rows.append((e.event_id, None))
+    return (
+        pd.DataFrame(rows, columns=["event_id", "o_orderkey"])
+        .astype({"o_orderkey": "float64"})
+        .sort_values("event_id", ignore_index=True)
+    )
+
+
+def _asof_frames(n_users=7, n_events=160, n_orders=60, seed=11):
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n_events, dtype=np.int64),
+            "user_id": rng.integers(0, n_users, n_events).astype("int64"),
+            "ts": base + rng.integers(0, 10_000, n_events).astype("timedelta64[s]"),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_orders, dtype=np.int64),
+            "o_custkey": rng.integers(0, n_users + 2, n_orders).astype("int64"),
+            "o_orderdate": base
+            + rng.integers(0, 10_000, n_orders).astype("timedelta64[s]"),
+        }
+    )
+    # force ts ties: several orders share one timestamp for one user
+    orders.loc[:3, "o_custkey"] = 0
+    orders.loc[:3, "o_orderdate"] = base + np.timedelta64(500, "s")
+    events.loc[0, ["user_id", "ts"]] = [0, base + np.timedelta64(500, "s")]
+    return events, orders
+
+
+def _run_asof(events, orders, ray_blocks):
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.asof import asof_join
+
+    lds = rd.from_pandas(events).repartition(ray_blocks)
+    rds = rd.from_pandas(orders).repartition(max(1, ray_blocks // 2))
+    out = asof_join(
+        lds, rds, "user_id", "o_custkey", "ts", "o_orderdate",
+        ["event_id"], ["o_orderkey"],
+    ).to_pandas()
+    return (
+        out[["event_id", "o_orderkey"]]
+        .astype({"o_orderkey": "float64"})
+        .sort_values("event_id", ignore_index=True)
+    )
+
+
+def test_asof_join_matches_oracle_many_blocks(ray_session):
+    events, orders = _asof_frames()
+    expected = _asof_oracle(events, orders)
+    for blocks in (1, 13):  # single block and key-straddling blocks
+        got = _run_asof(events, orders, blocks)
+        pd.testing.assert_frame_equal(got, expected)
+
+
+def test_asof_join_tie_and_boundary_semantics(ray_session):
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    events = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [5, 5, 5, pd.NA],
+            "ts": [
+                base,                                # before any order -> null
+                base + np.timedelta64(100, "s"),     # tie: orders 11 & 12 at 100s
+                base + np.timedelta64(99, "s"),      # strictly before both
+                base,                                # null user -> dropped
+            ],
+        }
+    ).astype({"user_id": "Int64"})
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [11, 12],
+            "o_custkey": [5, 5],
+            "o_orderdate": [base + np.timedelta64(100, "s")] * 2,
+        }
+    )
+    got = _run_asof(events.dropna().astype({"user_id": "int64"}), orders, 1)
+    by_id = dict(zip(got.event_id, got.o_orderkey))
+    assert np.isnan(by_id[1])
+    assert by_id[2] == 12.0  # ties at equal ts -> largest orderkey
+    assert np.isnan(by_id[3])
+
+
+# ------------------------------------------------------------- rolling mean
+
+
+def _rolling_oracle(df: pd.DataFrame, w: int) -> pd.DataFrame:
+    df = df.dropna(subset=["user_id", "ts"]).sort_values(["user_id", "ts", "event_id"])
+    out = df.copy()
+    out["rolling_mean"] = (
+        df.groupby("user_id")["value"]
+        .transform(lambda s: s.rolling(w, min_periods=1).mean())
+    )
+    return out[["event_id", "rolling_mean"]].sort_values(
+        "event_id", ignore_index=True
+    )
+
+
+def test_rolling_mean_matches_pandas_many_blocks(ray_session):
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.windows import rolling_mean
+
+    rng = np.random.default_rng(3)
+    n = 300
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 9, n).astype("int64"),
+            "ts": base + np.arange(n).astype("timedelta64[s]"),
+            "value": rng.normal(size=n),
+        }
+    )
+    df.loc[rng.choice(n, 30, replace=False), "value"] = np.nan  # null skipping
+    for w, blocks in ((3, 1), (3, 17), (1, 17), (5, 17)):
+        got = (
+            rolling_mean(
+                rd.from_pandas(df).repartition(blocks),
+                "user_id", "ts", "event_id", "value", w,
+            )
+            .to_pandas()[["event_id", "rolling_mean"]]
+            .sort_values("event_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, _rolling_oracle(df, w), atol=1e-12)
+
+
+def test_rolling_mean_all_null_window_is_null(ray_session):
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.windows import rolling_mean
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2],
+            "user_id": [1, 1, 1],
+            "ts": base + np.arange(3).astype("timedelta64[s]"),
+            "value": [np.nan, np.nan, 6.0],
+        }
+    )
+    got = (
+        rolling_mean(rd.from_pandas(df), "user_id", "ts", "event_id", "value", 2)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    assert np.isnan(got["rolling_mean"].iloc[0])  # all-null window
+    assert np.isnan(got["rolling_mean"].iloc[1])
+    assert got["rolling_mean"].iloc[2] == 6.0     # null neighbor skipped
+
+
+# -------------------------------------------------------------- enrich join
+
+
+def test_enrich_join_left_and_inner(ray_session):
+    import ray.data as rd
+
+    from hooqu_ray.functions.joins import enrich_join
+
+    facts = pd.DataFrame({"k": [1, 2, 3, 2], "x": [10.0, 20.0, 30.0, 40.0]})
+    dim = pa.table({"dk": [1, 2], "seg": ["a", "b"]})
+    left = (
+        enrich_join(rd.from_pandas(facts), dim, "k", "dk", ["seg"])
+        .to_pandas()
+        .sort_values(["k", "x"], ignore_index=True)
+    )
+    assert left["seg"].tolist() == ["a", "b", "b", None]
+    inner = enrich_join(
+        rd.from_pandas(facts), dim, "k", "dk", ["seg"], how="inner"
+    ).to_pandas()
+    assert len(inner) == 3 and set(inner["seg"]) == {"a", "b"}
+
+
+def test_enrich_join_rejects_duplicate_dim_keys(ray_session):
+    import ray.data as rd
+
+    from hooqu_ray.functions.joins import enrich_join
+
+    facts = rd.from_pandas(pd.DataFrame({"k": [1]}))
+    dim = pa.table({"dk": [1, 1], "seg": ["a", "b"]})
+    with pytest.raises(ValueError, match="duplicate"):
+        enrich_join(facts, dim, "k", "dk", ["seg"])
+    with pytest.raises(KeyError, match="not found"):
+        enrich_join(facts, pa.table({"dk": [1]}), "k", "dk", ["missing"])
+
+
+# -------------------------------------------------------- stratified sample
+
+
+def _md5_bucket_py(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+
+def test_stratified_sample_exact_thresholds(ray_session):
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.relational import stratified_sample
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(2000, dtype=np.int64),
+            "event_type": rng.choice(["click", "view", "error"], 2000),
+        }
+    )
+    rates = {"click": 0.5, "view": 0.1, "error": 1.0}
+    got = (
+        stratified_sample(
+            rd.from_pandas(df).repartition(5),
+            "event_type", "event_id", rates, buckets=1000,
+        )
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    thr = {s: int(round(r * 1000)) for s, r in rates.items()}
+    keep = df[
+        df.apply(
+            lambda r: _md5_bucket_py(r.event_id) % 1000 < thr[r.event_type], axis=1
+        )
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, keep)
+    # all three strata present and error kept whole
+    assert (got.event_type == "error").sum() == (df.event_type == "error").sum()
+
+
+def test_stratified_sample_default_rate_and_null_stratum(ray_session):
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.relational import stratified_sample
+
+    df = pd.DataFrame(
+        {"event_id": [1, 2, 3], "event_type": ["click", "other", None]}
+    )
+    got = stratified_sample(
+        rd.from_pandas(df), "event_type", "event_id",
+        {"click": 1.0}, buckets=10, default_rate=0.0,
+    ).to_pandas()
+    assert got["event_id"].tolist() == [1]  # unknown + null strata dropped
+
+
+# --------------------------------------------------- grouped approx quantile
+
+
+def test_grouped_approx_quantile_accuracy_and_paths(ray_session):
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.relational import grouped_approx_quantile
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 5000),
+            "v": np.abs(rng.lognormal(4.0, 1.0, 5000)),
+        }
+    )
+    exact = df.groupby("g")["v"].quantile(0.5)
+    for gate in (1_000_000, 0):  # driver path and distributed merge path
+        res = grouped_approx_quantile(
+            rd.from_pandas(df).repartition(6), "g", "v", 0.5,
+            driver_max_groups=gate,
+        )
+        out = res.to_pandas() if hasattr(res, "to_pandas") else res
+        if isinstance(out, pa.Table):
+            out = out.to_pandas()
+        out = out.sort_values("g", ignore_index=True)
+        assert out["g"].tolist() == ["a", "b", "c"]
+        for _, row in out.iterrows():
+            rel = abs(row.q_value - exact[row.g]) / exact[row.g]
+            assert rel < 0.01, (row.g, row.q_value, exact[row.g])
