@@ -631,6 +631,9 @@ def _asof_events_orders(sf_dir: str):
         ["event_id"], ["o_orderkey"],
     )
     df = res.to_pandas()[["event_id", "o_orderkey"]]
+    # pandas upcasts int64 through null-bearing intermediate blocks; the
+    # probe ids themselves are never null, so pin the dtype for the hash
+    df["event_id"] = df["event_id"].astype("int64")
     return df.sort_values("event_id", ignore_index=True)
 
 

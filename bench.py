@@ -163,6 +163,29 @@ def main() -> None:
     ).count()
     queries["minhash_lsh"] = round(time.time() - t0, 3)
 
+    # -- sort-based ops: as-of join + rolling window ------------------------
+    from hooqu_ray.pipelines.asof import asof_join
+    from hooqu_ray.pipelines.windows import rolling_mean
+
+    t0 = time.time()
+    asof_join(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts", "user_id"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        "user_id", "o_custkey", "ts", "o_orderdate",
+        ["event_id"], ["o_orderkey"],
+    ).count()
+    queries["asof_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    rolling_mean(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts", "user_id", "value"]),
+        "user_id", "ts", "event_id", "value", 3,
+    ).count()
+    queries["rolling_mean"] = round(time.time() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "end-to-end transcript filter+scrub wall time "

@@ -16,14 +16,26 @@ ONE distributed range ``sort(key, ts, side, tie)`` over a slim projection
 index-before relation), then a fully vectorized per-block
 last-state-carried-forward pass.  After a range sort only each block's
 FIRST key can have state rows in an earlier block, so the only probes that
-cannot be finished locally are unmatched probes of the first key; they are
-repaired by a tiny boundary merge fed by ≤ 1 context row per block (the
-last state row of the block's LAST key).  The sorted projection is
-materialized ONCE (the sort is a blocking all-to-all that builds those
-blocks anyway) and the cheap block pass runs over it twice — once emitting
-finals (streaming), once emitting the tiny pending/context set — so no
-output-sized dataset is ever pinned mid-pipeline and nothing is broadcast
-or hash-shuffled; the one all-to-all is the range sort over
+cannot be finished locally are unmatched probes of the first key.
+
+Boundary repair is SKEW-PROOF and shuffle-free: each block contributes at
+most ONE context row (the last state row of its LAST key — the only state
+a block can hand to a later block, because a key that ends mid-block never
+reappears after a range sort).  Those O(#blocks) rows are collected,
+sorted by (key, ts, tie) and broadcast once via ``ray.put``; a second
+block pass finishes each block's pending probes with one vectorized
+``searchsorted`` against the context rows of the block's first key.  A
+pending probe's valid matches are EXACTLY the earlier-block context rows
+of its key with ``ts <= probe ts``: any in-block state of that key with
+``ts <= probe ts`` would have matched locally (states sort before probes
+at equal ts), and a later block's state of the same key must have a
+strictly larger sort position, hence ``ts > probe ts``.  An earlier
+design repaired boundaries with a ``groupby(key)`` merge; one hot key
+whose states are sparse then funnels nearly ALL of its probes into a
+single group task — the broadcast stays O(#blocks) no matter how skewed
+the keys are.  The sorted projection is materialized ONCE (the sort is a
+blocking all-to-all that builds those blocks anyway) and the cheap block
+pass runs over it twice; the one all-to-all is the range sort over
 ``key + ts + payload`` columns, never full rows.
 
 Nulls: rows with a null key or null timestamp are dropped from BOTH sides
@@ -78,49 +90,46 @@ def _block_finals(t: pa.Table, key: str, right_cols) -> pa.Table:
     return sub
 
 
-def _block_pendctx(t: pa.Table, key: str) -> pa.Table:
-    """Emit the block's boundary rows: pending first-key probes (match may
-    live in an earlier block) and ≤ 1 context row — the last state row of
-    the block's LAST key, the only state this block can contribute to a
-    later block's probes."""
+def _block_ctx(t: pa.Table, key: str) -> pa.Table:
+    """Emit the block's single context row: the last state row of its LAST
+    key (the only state this block can contribute to a later block)."""
     if len(t) == 0:
         return t
-    side, keys, _, _, pending = _block_match(t, key)
-    mask = pending.copy()
+    side = t.column("__side").to_numpy(zero_copy_only=False)
+    keys = t.column(key).to_numpy(zero_copy_only=False)
     ctx = np.flatnonzero((side == 0) & (keys == keys[-1]))
+    mask = np.zeros(len(t), dtype=bool)
     if ctx.size:
         mask[ctx[-1]] = True
     return t.filter(pa.array(mask))
 
 
-class _MergeBoundaryAsof:
-    """groupby(key) repair for one boundary key: order its pending probes
-    and cross-block context state rows, carry the last state forward onto
-    each probe, emit only the probes.  Arrow in/out so int64 payloads keep
-    their type through null-bearing rows."""
-
-    def __init__(self, key: str, right_cols):
-        self.key = key
-        self.right_cols = list(right_cols)
-
-    def __call__(self, g: pa.Table) -> pa.Table:
-        tie = self.right_cols[0]
-        g = g.sort_by(
-            [("__ts", "ascending"), ("__side", "ascending"), (tie, "ascending")]
-        )
-        side = g.column("__side").to_numpy(zero_copy_only=False)
-        last_state = np.maximum.accumulate(
-            np.where(side == 0, np.arange(len(g), dtype=np.int64), -1)
-        )
-        probes = side == 1
-        out = g.filter(pa.array(probes))
-        m = last_state[probes]
-        for rc in self.right_cols:
-            i = out.schema.get_field_index(rc)
-            out = out.set_column(
-                i, rc, _take_with_null(g.column(rc).combine_chunks(), m)
-            )
-        return out
+def _finish_pending(t: pa.Table, key: str, right_cols, ctx_tbl) -> pa.Table:
+    """Resolve the block's pending first-key probes against the broadcast
+    context rows (sorted by key, ts, tie): one ``searchsorted`` over the
+    context timestamps of the block's first key — all pending probes share
+    that key by construction."""
+    if len(t) == 0:
+        return t
+    _, keys, _, _, pending = _block_match(t, key)
+    sub = t.filter(pa.array(pending))
+    if len(sub) == 0:
+        return sub
+    m = np.full(len(sub), -1, dtype=np.int64)
+    if ctx_tbl is not None and len(ctx_tbl):
+        ckeys = ctx_tbl.column(key).to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(ckeys == keys[0])
+        if sel.size:
+            cts = ctx_tbl.column("__ts").to_numpy(zero_copy_only=False)[sel]
+            probe_ts = sub.column("__ts").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(cts, probe_ts, side="right") - 1
+            m = np.where(pos >= 0, sel[np.maximum(pos, 0)], -1)
+    for rc in right_cols:
+        i = sub.schema.get_field_index(rc)
+        col = (ctx_tbl.column(rc).combine_chunks() if ctx_tbl is not None
+               and len(ctx_tbl) else pa.nulls(1, sub.schema.field(rc).type))
+        sub = sub.set_column(i, rc, _take_with_null(col, m))
+    return sub
 
 
 def asof_join(left, right, left_on: str, right_on: str, left_ts: str,
@@ -130,7 +139,9 @@ def asof_join(left, right, left_on: str, right_on: str, left_ts: str,
     ``right_cols[0]``).  Returns a Dataset with columns
     ``[left_on, left_ts, *left_cols, *right_cols]`` — one row per surviving
     left row, right columns null when no state precedes the probe."""
-    from ..util import dataset_arrow_schema
+    import ray
+
+    from ..util import collect_arrow, dataset_arrow_schema
 
     left_cols = list(left_cols)
     right_cols = list(right_cols)
@@ -175,7 +186,7 @@ def asof_join(left, right, left_on: str, right_on: str, left_ts: str,
         lproj.union(rproj)
         .sort([key, "__ts", "__side", tie])
         .materialize()  # the sort builds these blocks anyway; pinning them
-    )                   # lets the two block passes below share them
+    )                   # lets the block passes below share them
 
     out_cols = [key, "__ts", *left_cols, *right_cols]
 
@@ -187,12 +198,22 @@ def asof_join(left, right, left_on: str, right_on: str, left_ts: str,
         lambda t, _k=key, _r=tuple(right_cols): rename(_block_finals(t, _k, _r)),
         batch_format="pyarrow", batch_size=None,
     )
-    pendctx = sorted_ds.map_batches(
-        lambda t, _k=key: _block_pendctx(t, _k),
+    # O(#blocks) context rows: collect, order, broadcast once
+    ctx_tbl = collect_arrow(
+        sorted_ds.map_batches(
+            lambda t, _k=key: _block_ctx(t, _k),
+            batch_format="pyarrow", batch_size=None,
+        )
+    )
+    if ctx_tbl is not None:
+        ctx_tbl = ctx_tbl.sort_by(
+            [(key, "ascending"), ("__ts", "ascending"), (tie, "ascending")]
+        )
+    ctx_ref = ray.put(ctx_tbl)
+    repaired = sorted_ds.map_batches(
+        lambda t, _k=key, _r=tuple(right_cols), _ref=ctx_ref: rename(
+            _finish_pending(t, _k, _r, ray.get(_ref))
+        ),
         batch_format="pyarrow", batch_size=None,
     )
-    merge = _MergeBoundaryAsof(key, right_cols)
-    merged = pendctx.groupby(key).map_groups(
-        lambda g, _m=merge: _m(g), batch_format="pyarrow"
-    ).map_batches(rename, batch_format="pyarrow")
-    return finals.union(merged)
+    return finals.union(repaired)

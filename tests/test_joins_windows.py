@@ -76,7 +76,7 @@ def _run_asof(events, orders, ray_blocks):
     ).to_pandas()
     return (
         out[["event_id", "o_orderkey"]]
-        .astype({"o_orderkey": "float64"})
+        .astype({"event_id": "int64", "o_orderkey": "float64"})
         .sort_values("event_id", ignore_index=True)
     )
 
@@ -87,6 +87,36 @@ def test_asof_join_matches_oracle_many_blocks(ray_session):
     for blocks in (1, 13):  # single block and key-straddling blocks
         got = _run_asof(events, orders, blocks)
         pd.testing.assert_frame_equal(got, expected)
+
+
+def test_asof_join_hot_key_sparse_states(ray_session):
+    """Skew path: ONE key owns nearly all probes and its only states sit at
+    the very front of the time axis, so with many blocks almost every block
+    is 100% pending — the broadcast-context repair must still finish every
+    probe (the old groupby(key) repair funnelled all of these into a single
+    group task)."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    n = 400
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.r_[np.full(n - 4, 9), [1, 1, 2, 2]].astype("int64"),
+            "ts": base + (np.arange(n) + 100).astype("timedelta64[s]"),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [70, 71, 80],
+            "o_custkey": [9, 9, 1],
+            "o_orderdate": [base, base + np.timedelta64(50, "s"), base],
+        }
+    )
+    got = _run_asof(events, orders, 19)
+    expected = _asof_oracle(events, orders)
+    pd.testing.assert_frame_equal(got, expected)
+    # every hot-key probe resolved to the latest front state
+    hot = got[got.event_id < n - 4]
+    assert (hot.o_orderkey == 71.0).all()
 
 
 def test_asof_join_tie_and_boundary_semantics(ray_session):
