@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["referential_integrity_events_customer"] = _ref_integrity
 
     out["asof_join_events_orders"] = _asof_events_orders
+    out["interval_join_events_errors"] = _interval_events_errors
     out["enrich_join_events_customer"] = _enrich_events_customer
     out["stratified_sample_events"] = _stratified_sample_events
     out["rolling_mean_events"] = _rolling_mean_events
@@ -157,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- oracled via SQL derivation / bound predicates --------------------
     out["conversation_features"] = _conversation_features
     out["grouped_quantile_price_by_flag"] = _grouped_quantile_by_flag
+    out["profile_events"] = _profile_events
     out["near_dup_pairs_documents"] = _near_dup_pairs
     out["approx_count_distinct_users"] = _approx_distinct_users
     out["approx_quantile_price"] = _approx_quantile_price
@@ -637,6 +639,32 @@ def _asof_events_orders(sf_dir: str):
     return df.sort_values("event_id", ignore_index=True)
 
 
+def _interval_events_errors(sf_dir: str):
+    """Range join: every event paired with each same-user error event whose
+    10-minute window [ts, ts+10min) contains it — exact SQL parity with the
+    self-join ON user match + range predicates (self-pairs included on both
+    sides)."""
+    import pyarrow.compute as pc
+
+    from hooqu_ray.pipelines.intervals import interval_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def mk_intervals(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "error"))
+        start = t.column("ts")
+        end = pc.add(start, pa.scalar(600_000_000, pa.duration("us")))
+        return pa.table({"user_id": t.column("user_id"), "w_start": start,
+                         "w_end": end, "error_id": t.column("event_id")})
+
+    intervals = ev.map_batches(mk_intervals, batch_format="pyarrow")
+    res = interval_join(ev, intervals, "user_id", "user_id", "ts",
+                        "w_start", "w_end", ["error_id"])
+    df = res.to_pandas()[["event_id", "error_id"]]
+    df = df.astype({"event_id": "int64", "error_id": "int64"})
+    return df.sort_values(["event_id", "error_id"], ignore_index=True)
+
+
 def _enrich_events_customer(sf_dir: str):
     """Broadcast dimension-enrichment join (events × customer mktsegment)
     folded to per-segment counts/means; a missed lookup lands in the null
@@ -714,6 +742,33 @@ def _grouped_quantile_by_flag(sf_dir: str):
             "within_tol": pa.array([r[2] for r in rows], pa.bool_()),
         }
     )
+
+
+def _profile_events(sf_dir: str):
+    """Single-scan column profiler over events: exact stats (completeness,
+    min/max/mean/std, string lengths) hash-match the SQL per column; the
+    HLL distinct estimate is asserted within 5% of the exact distributed
+    count (bound-oracle pattern, cf. _approx_distinct_users)."""
+    import hooqu_ray as hq
+    from hooqu_ray.profiler import profile
+    from hooqu_ray.runner import do_analysis_run
+
+    cols = ["event_id", "event_type", "props", "user_id", "value"]
+    ds = _read(sf_dir, "events", cols)
+    prof = profile(ds, cols).to_pandas()
+    exact_as = {c: hq.CountDistinct([c]) for c in cols}
+    ctx = do_analysis_run(ds, list(exact_as.values()))
+    distinct_ok = []
+    for c in prof["column"]:
+        exact = float(ctx.metric_map[exact_as[c]].value.get())
+        est = float(prof.loc[prof["column"] == c, "approx_distinct"].iloc[0])
+        distinct_ok.append(abs(est - exact) / exact <= 0.05)
+    out = prof[["column", "completeness", "min", "max", "mean", "std",
+                "min_len", "max_len"]].copy()
+    for c in ("completeness", "min", "max", "mean", "std"):
+        out[c] = out[c].round(6)
+    out["distinct_ok"] = distinct_ok
+    return out.sort_values("column", ignore_index=True)
 
 
 def _top50_user_ids(sf_dir: str):
@@ -970,6 +1025,13 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) o ON TRUE "
             "WHERE e.user_id IS NOT NULL AND e.ts IS NOT NULL"
         ),
+        "interval_join_events_errors": (
+            # self range-join: events into same-user 10-minute error windows
+            "SELECT e.event_id, i.event_id AS error_id FROM events e "
+            "JOIN events i ON e.user_id = i.user_id "
+            "AND i.event_type = 'error' AND e.ts >= i.ts "
+            "AND e.ts < i.ts + INTERVAL 10 MINUTE"
+        ),
         "enrich_join_events_customer": (
             "SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
             "ROUND(avg(e.value), 6) AS avg_value FROM events e "
@@ -989,6 +1051,34 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) "
             "AS rolling_mean FROM events "
             "WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+        ),
+        "profile_events": (
+            # one exact row per profiled column; distinct_ok is the HLL 5%
+            # bound asserted on the Ray side
+            " UNION ALL ".join(
+                "SELECT '{c}' AS \"column\", "
+                "ROUND(SUM(CASE WHEN {c} IS NULL THEN 0 ELSE 1 END) * 1.0 "
+                "/ COUNT(*), 6) AS completeness, {num} AS \"min\", {num2} AS "
+                "\"max\", {mean} AS mean, {std} AS std, {mnl} AS min_len, "
+                "{mxl} AS max_len, TRUE AS distinct_ok FROM events".format(
+                    c=c,
+                    num=(f"ROUND(CAST(min({c}) AS DOUBLE), 6)" if num
+                         else "CAST(NULL AS DOUBLE)"),
+                    num2=(f"ROUND(CAST(max({c}) AS DOUBLE), 6)" if num
+                          else "CAST(NULL AS DOUBLE)"),
+                    mean=(f"ROUND(avg({c}), 6)" if num
+                          else "CAST(NULL AS DOUBLE)"),
+                    std=(f"ROUND(stddev_pop({c}), 6)" if num
+                         else "CAST(NULL AS DOUBLE)"),
+                    mnl=("CAST(NULL AS BIGINT)" if num
+                         else f"min(length({c}))"),
+                    mxl=("CAST(NULL AS BIGINT)" if num
+                         else f"max(length({c}))"),
+                )
+                for c, num in (("event_id", True), ("event_type", False),
+                               ("props", False), ("user_id", True),
+                               ("value", True))
+            )
         ),
         "grouped_quantile_price_by_flag": (
             # per-group nearest-rank median (same selection rule as

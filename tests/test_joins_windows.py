@@ -147,6 +147,79 @@ def test_asof_join_tie_and_boundary_semantics(ray_session):
     assert np.isnan(by_id[3])
 
 
+# ------------------------------------------------------------ interval join
+
+
+def _interval_oracle(points: pd.DataFrame, ivals: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for p in points.dropna(subset=["k", "ts"]).itertuples():
+        for i in ivals.itertuples():
+            if i.ik == p.k and i.start <= p.ts < i.end:
+                rows.append((p.pid, i.payload))
+    return pd.DataFrame(rows, columns=["pid", "payload"]).sort_values(
+        ["pid", "payload"], ignore_index=True
+    )
+
+
+def test_interval_join_overlapping_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.intervals import interval_join
+
+    rng = np.random.default_rng(13)
+    n, m = 400, 60
+    points = pd.DataFrame(
+        {
+            "pid": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 6, n).astype("int64"),
+            "ts": rng.integers(0, 1000, n).astype("float64"),
+        }
+    )
+    ivals = pd.DataFrame(
+        {
+            "ik": rng.integers(0, 8, m).astype("int64"),
+            "start": rng.integers(0, 900, m).astype("float64"),
+            "payload": np.arange(m, dtype=np.int64),
+        }
+    )
+    ivals["end"] = ivals["start"] + rng.integers(1, 400, m)  # overlapping
+    got = (
+        interval_join(
+            rd.from_pandas(points).repartition(7), rd.from_pandas(ivals),
+            "k", "ik", "ts", "start", "end", ["payload"],
+        )
+        .to_pandas()[["pid", "payload"]]
+        .astype({"pid": "int64", "payload": "int64"})
+        .sort_values(["pid", "payload"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, _interval_oracle(points, ivals))
+    assert len(got) > n  # overlap produced real many-to-many fan-out
+
+
+def test_interval_join_disjoint_fast_path(ray_session):
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.intervals import interval_join
+
+    points = pd.DataFrame(
+        {"pid": [1, 2, 3, 4], "k": [1, 1, 1, 2],
+         "ts": [5.0, 15.0, 25.0, 5.0]}
+    )
+    ivals = pd.DataFrame(
+        {"ik": [1, 1, 2], "start": [0.0, 10.0, 100.0],
+         "end": [10.0, 20.0, 200.0], "payload": [100, 200, 300]}
+    )
+    for disjoint in (False, True):
+        got = interval_join(
+            rd.from_pandas(points), rd.from_pandas(ivals),
+            "k", "ik", "ts", "start", "end", ["payload"],
+            assume_disjoint=disjoint,
+        ).to_pandas().sort_values("pid", ignore_index=True)
+        # pid 3 falls after both windows, pid 4's key has no covering window
+        assert got["pid"].tolist() == [1, 2]
+        assert got["payload"].tolist() == [100, 200]
+
+
 # ------------------------------------------------------------- rolling mean
 
 
