@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["enrich_join_events_customer"] = _enrich_events_customer
     out["stratified_sample_events"] = _stratified_sample_events
     out["rolling_mean_events"] = _rolling_mean_events
+    out["time_window_events"] = _time_window_events
 
     # -- oracled via SQL derivation / bound predicates --------------------
     out["conversation_features"] = _conversation_features
@@ -710,6 +711,20 @@ def _rolling_mean_events(sf_dir: str):
     return df.sort_values("event_id", ignore_index=True)
 
 
+def _time_window_events(sf_dir: str):
+    """Trailing 10-minute time-window mean + row count per user — exact
+    parity with the SQL correlated subquery over the ts-set window (the
+    peer-inclusive RANGE semantics, order-free)."""
+    from hooqu_ray.pipelines.windows import time_window_mean
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    res = time_window_mean(ds, "user_id", "ts", "event_id", "value", 600.0)
+    df = res.to_pandas()[["event_id", "tw_mean", "tw_n"]]
+    df["tw_mean"] = df["tw_mean"].round(6)
+    df = df.astype({"event_id": "int64", "tw_n": "int64"})
+    return df.sort_values("event_id", ignore_index=True)
+
+
 def _grouped_quantile_by_flag(sf_dir: str):
     """Bound-style oracle for the grouped t-digest quantile: the group keys
     and the EXACT per-group nearest-median (computed by the distributed
@@ -1051,6 +1066,19 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) "
             "AS rolling_mean FROM events "
             "WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+        ),
+        "time_window_events": (
+            # ts-SET window (equal-ts peers included regardless of order):
+            # the correlated-subquery form, not a RANGE frame, so the
+            # semantics are order-free
+            "SELECT e.event_id, "
+            "ROUND((SELECT avg(i.value) FROM events i WHERE i.user_id = "
+            "e.user_id AND i.ts >= e.ts - INTERVAL 10 MINUTE AND "
+            "i.ts <= e.ts), 6) AS tw_mean, "
+            "(SELECT count(*) FROM events i WHERE i.user_id = e.user_id "
+            "AND i.ts >= e.ts - INTERVAL 10 MINUTE AND i.ts <= e.ts) AS tw_n "
+            "FROM events e "
+            "WHERE e.user_id IS NOT NULL AND e.ts IS NOT NULL"
         ),
         "profile_events": (
             # one exact row per profiled column; distinct_ok is the HLL 5%

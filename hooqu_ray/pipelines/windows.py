@@ -87,6 +87,148 @@ def _window_mean(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray
         return np.where(c > 0, s / np.maximum(c, 1), np.nan)
 
 
+def _span_scalar(ts: np.ndarray, span_seconds: float):
+    """``span`` in the ts array's own unit: timedelta64 for datetime axes,
+    plain float for numeric axes."""
+    if ts.dtype.kind == "M":
+        return np.timedelta64(int(round(span_seconds * 1e6)), "us")
+    return span_seconds
+
+
+def _time_window_stats(ts: np.ndarray, vals: np.ndarray, starts: np.ndarray,
+                       ends: np.ndarray, span):
+    """Per-row ``(mean, n)`` over the ts-set window ``[t − span, t]`` within
+    each ``[start, end)`` key run: two ``searchsorted`` per run + padded
+    cumsums, null values skipped by the mean, ``n`` counts all window rows."""
+    n = len(ts)
+    lo = np.empty(n, dtype=np.int64)
+    hi = np.empty(n, dtype=np.int64)
+    for s, e in zip(starts, ends):
+        seg = ts[s:e]
+        lo[s:e] = s + np.searchsorted(seg, seg - span, side="left")
+        hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+    vals = vals.astype(np.float64, copy=False)
+    valid = ~np.isnan(vals)
+    cs = np.r_[0.0, np.cumsum(np.where(valid, vals, 0.0))]
+    cc = np.r_[0, np.cumsum(valid)]
+    sv = cs[hi] - cs[lo]
+    cv = cc[hi] - cc[lo]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = np.where(cv > 0, sv / np.maximum(cv, 1), np.nan)
+    return mean, hi - lo
+
+
+def _time_block(t: pa.Table, key: str, ts_col: str, value_col: str,
+                span_seconds: float, emit: str) -> pa.Table:
+    """One vectorized pass over a (key, ts)-sorted block for the time
+    window.  ``emit='finals'``: rows whose window is provably in-block.
+    ``emit='pendctx'``: boundary rows — pending (window may cross a block
+    edge: first-key rows with ``ts <= first_ts + span``, plus last-key rows
+    tied with the block's last ts, whose equal-ts peers may sit in the next
+    block) with ``__emit`` true, and context rows (last-key rows within
+    ``span`` of the block's last ts; first-key rows tied with the first ts)
+    with ``__emit`` false."""
+    n = len(t)
+    if n == 0:
+        if emit == "finals":
+            return t.drop_columns([value_col]).append_column(
+                "tw_mean", pa.array([], pa.float64())
+            ).append_column("tw_n", pa.array([], pa.int64()))
+        return t.append_column("__emit", pa.array([], pa.bool_()))
+    keys = t.column(key).to_numpy(zero_copy_only=False)
+    ts = t.column(ts_col).to_numpy(zero_copy_only=False)
+    span = _span_scalar(ts, span_seconds)
+    first_key = keys == keys[0]
+    last_key = keys == keys[-1]
+    pending = (first_key & (ts <= ts[0] + span)) | (last_key & (ts == ts[-1]))
+
+    if emit == "pendctx":
+        ctx = (last_key & (ts >= ts[-1] - span)) | (first_key & (ts == ts[0]))
+        mask = pending | ctx
+        sub = t.filter(pa.array(mask))
+        return sub.append_column("__emit", pa.array(pending[mask]))
+
+    new_key = np.r_[True, keys[1:] != keys[:-1]]
+    starts = np.flatnonzero(new_key)
+    ends = np.r_[starts[1:], n]
+    mean, cnt = _time_window_stats(
+        ts, t.column(value_col).to_numpy(zero_copy_only=False),
+        starts, ends, span,
+    )
+    final = ~pending
+    sub = t.filter(pa.array(final))
+    return sub.drop_columns([value_col]).append_column(
+        "tw_mean", pa.array(mean[final], pa.float64(), from_pandas=True)
+    ).append_column("tw_n", pa.array(cnt[final], pa.int64()))
+
+
+class _MergeBoundaryTime:
+    """groupby(key) repair for the time window: one boundary key's pending +
+    context rows, re-windowed over the group (a pending row's every global
+    window row is in the group — in-block rows inside its window satisfy the
+    pending bound themselves, cross-block rows are inside the adjacent
+    blocks' span-tail context), emitting only pending rows.  Group size is
+    bounded by the key's row density within ``span`` of each block edge —
+    a window wider than a whole block degrades toward per-key grouping,
+    never worse than a plain ``groupby(key)`` over the full data."""
+
+    def __init__(self, ts_col: str, value_col: str, span_seconds: float):
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.span_seconds = span_seconds
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        g = g.sort_by([(self.ts_col, "ascending")])
+        ts = g.column(self.ts_col).to_numpy(zero_copy_only=False)
+        span = _span_scalar(ts, self.span_seconds)
+        mean, cnt = _time_window_stats(
+            ts, g.column(self.value_col).to_numpy(zero_copy_only=False),
+            np.array([0]), np.array([len(g)]), span,
+        )
+        emit = g.column("__emit").to_numpy(zero_copy_only=False)
+        sub = g.filter(pa.array(emit))
+        return sub.drop_columns([self.value_col, "__emit"]).append_column(
+            "tw_mean", pa.array(mean[emit], pa.float64(), from_pandas=True)
+        ).append_column("tw_n", pa.array(cnt[emit], pa.int64()))
+
+
+def time_window_mean(ds, key: str, ts_col: str, id_col: str, value_col: str,
+                     span_seconds: float):
+    """Trailing TIME-window aggregate per key: for every row, the mean of
+    ``value_col`` and the row count over the key's rows with ``ts`` in
+    ``[t − span, t]`` — the ts-SET window (equal-ts peers always included,
+    regardless of order), i.e. SQL's ``(SELECT avg(v), count(*) FROM self i
+    WHERE i.key = o.key AND i.ts BETWEEN o.ts - span AND o.ts)``.  Same
+    sort + vectorized block pass + boundary repair discipline as
+    :func:`rolling_mean`; see ``_MergeBoundaryTime`` for the dense-window
+    caveat.  Returns ``[key, ts_col, id_col, tw_mean, tw_n]``."""
+    if span_seconds < 0:
+        raise ValueError(f"time_window_mean: span must be ≥ 0, got {span_seconds}")
+
+    def project(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t.column(key)), pc.is_valid(t.column(ts_col)))
+        return t.select([key, ts_col, id_col, value_col]).filter(mask)
+
+    sorted_ds = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .sort([key, ts_col, id_col])
+        .materialize()
+    )
+    finals = sorted_ds.map_batches(
+        lambda t: _time_block(t, key, ts_col, value_col, span_seconds, "finals"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pendctx = sorted_ds.map_batches(
+        lambda t: _time_block(t, key, ts_col, value_col, span_seconds, "pendctx"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    merge = _MergeBoundaryTime(ts_col, value_col, span_seconds)
+    merged = pendctx.groupby(key).map_groups(
+        lambda g, _m=merge: _m(g), batch_format="pyarrow"
+    )
+    return finals.union(merged)
+
+
 class _MergeBoundaryRolling:
     """groupby(key) repair: order one boundary key's pending + context rows
     and re-run the window over the group (group-local windows equal global

@@ -288,6 +288,53 @@ def test_rolling_mean_all_null_window_is_null(ray_session):
     assert got["rolling_mean"].iloc[2] == 6.0     # null neighbor skipped
 
 
+# -------------------------------------------------------- time window mean
+
+
+def _time_window_oracle(df: pd.DataFrame, span_s: float) -> pd.DataFrame:
+    df = df.dropna(subset=["user_id", "ts"])
+    span = pd.Timedelta(seconds=span_s)
+    rows = []
+    for p in df.itertuples():
+        w = df[(df.user_id == p.user_id) & (df.ts >= p.ts - span) & (df.ts <= p.ts)]
+        rows.append((p.event_id, w["value"].mean(), len(w)))
+    return pd.DataFrame(rows, columns=["event_id", "tw_mean", "tw_n"]).astype(
+        {"tw_n": "int64"}
+    ).sort_values("event_id", ignore_index=True)
+
+
+def test_time_window_mean_matches_bruteforce_many_blocks(ray_session):
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.windows import time_window_mean
+
+    rng = np.random.default_rng(17)
+    n = 250
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 5, n).astype("int64"),
+            # dense ties: a few shared timestamps so peer inclusion is tested
+            "ts": base + rng.integers(0, 40, n).astype("timedelta64[s]"),
+            "value": rng.normal(size=n),
+        }
+    )
+    df.loc[rng.choice(n, 25, replace=False), "value"] = np.nan
+    expected = _time_window_oracle(df, 10.0)
+    for blocks in (1, 23):  # windows much wider than a block at 23 blocks
+        got = (
+            time_window_mean(
+                rd.from_pandas(df).repartition(blocks),
+                "user_id", "ts", "event_id", "value", 10.0,
+            )
+            .to_pandas()[["event_id", "tw_mean", "tw_n"]]
+            .astype({"event_id": "int64", "tw_n": "int64"})
+            .sort_values("event_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, expected, atol=1e-12)
+
+
 # -------------------------------------------------------------- enrich join
 
 
