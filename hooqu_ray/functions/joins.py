@@ -103,6 +103,7 @@ class _EnrichBatch:
         self.cols = cols
         self.how = how
         self._dim = None
+        self._keys = None
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if self._dim is None:
@@ -110,8 +111,8 @@ class _EnrichBatch:
 
             obj = self.dim_ref
             self._dim = obj if isinstance(obj, pa.Table) else ray.get(obj)
-        keys = self._dim.column(self.dim_key).combine_chunks()
-        idx = pc.index_in(t.column(self.on), value_set=keys)
+            self._keys = self._dim.column(self.dim_key).combine_chunks()
+        idx = pc.index_in(t.column(self.on), value_set=self._keys)
         if self.how == "inner":
             mask = pc.is_valid(idx)
             t = t.filter(mask)

@@ -41,11 +41,14 @@ def _interval_table(intervals, int_key: str, int_start: str, int_end: str,
     """Normalize the interval side to one local Arrow table sorted by
     ``(key, start)``, null keys/bounds dropped."""
     if hasattr(intervals, "to_arrow_refs"):  # ray.data.Dataset
-        from ..util import collect_arrow
+        from ..util import collect_arrow, dataset_arrow_schema
 
+        schema = dataset_arrow_schema(intervals)
         intervals = collect_arrow(intervals)
-        if intervals is None:
-            raise ValueError("interval_join: interval side is empty")
+        if intervals is None:  # empty interval side: join matches nothing
+            intervals = schema.empty_table() if schema is not None else pa.table(
+                {c: pa.array([]) for c in (int_key, int_start, int_end, *int_cols)}
+            )
     elif not isinstance(intervals, pa.Table):
         intervals = pa.Table.from_pandas(intervals, preserve_index=False)
     intervals = intervals.select([int_key, int_start, int_end, *int_cols])
@@ -103,14 +106,17 @@ class _IntervalProbe:
         pts = t.column(self.point_ts).to_numpy(zero_copy_only=False)
         # starts are sorted only WITHIN a key run, so the start-prefix search
         # runs per unique batch key (one vectorized searchsorted per key
-        # against its run slice), not over the full start array
+        # against its run slice), not over the full start array; points are
+        # bucketed by key via one argsort so the loop is O(n log) total
         uniq, inv = np.unique(pkeys, return_inverse=True)
         ulo = np.searchsorted(ikeys, uniq, side="left")
         uhi = np.searchsorted(ikeys, uniq, side="right")
         klo = ulo[inv]
         hi = np.empty(len(pkeys), dtype=np.int64)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
         for u in range(len(uniq)):
-            sel = inv == u
+            sel = order[bounds[u]:bounds[u + 1]]
             hi[sel] = ulo[u] + np.searchsorted(
                 istarts[ulo[u]:uhi[u]], pts[sel], side="right"
             )

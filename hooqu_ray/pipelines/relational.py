@@ -158,13 +158,20 @@ def stratified_sample(ds, strata_col: str, id_col: str, rates: dict,
     as :func:`hash_sample`), keeping the sample re-derivable by any engine.
     Embarrassingly parallel: one streaming ``map_batches`` pass, the rates
     dict rides in the task closure (it is a few entries, not data)."""
-    thresholds = {s: int(round(r * buckets)) for s, r in rates.items()}
+    strata_keys = pa.array(list(rates.keys()))
+    thr_arr = np.array([int(round(r * buckets)) for r in rates.values()],
+                       dtype=np.int64)
     default_thr = int(round(default_rate * buckets))
 
     def keep(t: pa.Table) -> pa.Table:
         b = md5_bucket(t.column(id_col))
-        strata = t.column(strata_col).to_pandas()
-        thr = strata.map(thresholds).fillna(default_thr).to_numpy(dtype=np.int64)
+        # vectorized dict lookup: stratum -> rates index (null on miss)
+        idx = pc.index_in(t.column(strata_col), value_set=strata_keys)
+        pos = idx.to_numpy(zero_copy_only=False)  # float64, NaN for misses
+        miss = np.isnan(pos)
+        thr = np.where(
+            miss, default_thr, thr_arr[np.nan_to_num(pos).astype(np.int64)]
+        )
         return t.filter(pa.array(b % buckets < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -196,6 +196,23 @@ def test_interval_join_overlapping_matches_bruteforce(ray_session):
     assert len(got) > n  # overlap produced real many-to-many fan-out
 
 
+def test_interval_join_empty_interval_side(ray_session):
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.intervals import interval_join
+
+    points = rd.from_pandas(
+        pd.DataFrame({"pid": [1], "k": [1], "ts": [5.0]})
+    )
+    ivals = rd.from_pandas(
+        pd.DataFrame({"ik": [1], "start": [0.0], "end": [10.0],
+                      "payload": [9]})
+    ).filter(lambda r: False)  # becomes empty at execution time
+    out = interval_join(points, ivals, "k", "ik", "ts", "start", "end",
+                        ["payload"]).to_pandas()
+    assert len(out) == 0
+
+
 def test_interval_join_disjoint_fast_path(ray_session):
     import ray.data as rd
 
