@@ -186,6 +186,34 @@ def main() -> None:
     ).count()
     queries["rolling_mean"] = round(time.time() - t0, 3)
 
+    # -- interval join + single-scan profile -------------------------------
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hooqu_ray.pipelines.intervals import interval_join
+    from hooqu_ray.profiler import profile
+
+    def mk_windows(t):
+        t = t.filter(pc.equal(t.column("event_type"), "error"))
+        return pa.table({
+            "user_id": t.column("user_id"), "w_start": t.column("ts"),
+            "w_end": pc.add(t.column("ts"),
+                            pa.scalar(600_000_000, pa.duration("us"))),
+            "error_id": t.column("event_id"),
+        })
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    t0 = time.time()
+    interval_join(ev, ev.map_batches(mk_windows, batch_format="pyarrow"),
+                  "user_id", "user_id", "ts", "w_start", "w_end",
+                  ["error_id"]).count()
+    queries["interval_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    profile(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+    queries["profile_documents"] = round(time.time() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "end-to-end transcript filter+scrub wall time "
