@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["grouped_quantile_price_by_flag"] = _grouped_quantile_by_flag
     out["profile_events"] = _profile_events
     out["near_dup_pairs_documents"] = _near_dup_pairs
+    out["embedding_dup_pairs"] = _embedding_dup_pairs
     out["approx_count_distinct_users"] = _approx_distinct_users
     out["approx_quantile_price"] = _approx_quantile_price
     out["knn_ivf_embeddings"] = _knn_ivf
@@ -759,6 +760,50 @@ def _grouped_quantile_by_flag(sf_dir: str):
     )
 
 
+def _embedding_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup over a deterministically planted corpus:
+    every vec_id % 10 == 0 vector is re-inserted scaled x2 (same direction
+    -> cosine exactly 1.0, and sign(H.v) is scale-invariant so hyperplane
+    LSH puts each copy in its original's bucket — recall is 1.0 by
+    construction, not luck).  The synthetic table itself has max pairwise
+    cosine ~0.51, so at threshold 0.99 the emitted set equals the planted
+    pairs and hash-matches the SQL all-pairs self-join exactly."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from hooqu_ray.pipelines.dedup import embedding_cosine_pairs
+    from hooqu_ray.util import embedding_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(ids % 10 == 0)
+        sub = t.take(pa.array(sel, pa.int64()))
+        m = embedding_matrix(sub.column("embedding")) * 2.0
+        dim = m.shape[1] if len(m) else 0
+        offsets = pa.array(np.arange(len(sub) + 1, dtype=np.int32) * dim)
+        values = pa.array(m.astype(np.float32).ravel(), pa.float32())
+        emb = pa.ListArray.from_arrays(offsets, values)
+        return pa.table(
+            {"vec_id": pa.array(ids[sel] + 100000, pa.int64()),
+             "embedding": emb.cast(t.schema.field("embedding").type)}
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    pairs = embedding_cosine_pairs(ds.union(planted), threshold=0.99)
+    tbl = pairs.to_pandas()
+    tbl = tbl[tbl["id_a"].notna() & tbl["id_b"].notna()]  # drop flag rows
+    a = tbl["id_a"].to_numpy(dtype=np.int64)
+    b = tbl["id_b"].to_numpy(dtype=np.int64)
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
+    ).drop_duplicates()
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
 def _profile_events(sf_dir: str):
     """Single-scan column profiler over events: exact stats (completeness,
     min/max/mean/std, string lengths) hash-match the SQL per column; the
@@ -1066,6 +1111,17 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) "
             "AS rolling_mean FROM events "
             "WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+        ),
+        "embedding_dup_pairs": (
+            # all-pairs cosine over the SAME deterministically planted
+            # corpus (originals + x2-scaled copies of vec_id % 10 == 0)
+            "WITH t AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT vec_id + 100000, "
+            "list_transform(embedding, x -> x * 2.0) FROM embeddings "
+            "WHERE vec_id % 10 = 0) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM t a JOIN t b "
+            "ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99"
         ),
         "time_window_events": (
             # ts-SET window (equal-ts peers included regardless of order):
