@@ -153,8 +153,13 @@ def asof_join(left, right, left_on: str, right_on: str, left_ts: str,
 
     lschema = dataset_arrow_schema(left)
     rschema = dataset_arrow_schema(right)
-    ltypes = {c: lschema.field(c).type for c in left_cols}
-    rtypes = {c: rschema.field(c).type for c in right_cols}
+    # a schema-less side is an EMPTY side (zero blocks): it contributes no
+    # rows, so its column types degrade to null and, for the right side,
+    # there are no states to tie-break on
+    ltypes = {c: (lschema.field(c).type if lschema is not None else pa.null())
+              for c in left_cols}
+    rtypes = {c: (rschema.field(c).type if rschema is not None else pa.null())
+              for c in right_cols}
     key, tie = left_on, right_cols[0]
 
     def project_left(t: pa.Table) -> pa.Table:
@@ -182,9 +187,12 @@ def asof_join(left, right, left_on: str, right_on: str, left_ts: str,
     lproj = left.map_batches(project_left, batch_format="pyarrow")
     rproj = right.map_batches(project_right, batch_format="pyarrow")
 
+    sort_cols = [key, "__ts", "__side"]
+    if rschema is not None:  # a null-typed tie column is unsortable (and moot)
+        sort_cols.append(tie)
     sorted_ds = (
         lproj.union(rproj)
-        .sort([key, "__ts", "__side", tie])
+        .sort(sort_cols)
         .materialize()  # the sort builds these blocks anyway; pinning them
     )                   # lets the block passes below share them
 

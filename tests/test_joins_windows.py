@@ -147,6 +147,63 @@ def test_asof_join_tie_and_boundary_semantics(ray_session):
     assert np.isnan(by_id[3])
 
 
+def test_asof_join_empty_sides(ray_session):
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.asof import asof_join
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    events = pd.DataFrame(
+        {"event_id": [1], "user_id": [5], "ts": [base]}
+    )
+    orders = pd.DataFrame(
+        {"o_orderkey": [11], "o_custkey": [5], "o_orderdate": [base]}
+    )
+    # empty right side: every probe survives with a null payload
+    got = asof_join(
+        rd.from_pandas(events),
+        rd.from_pandas(orders).filter(lambda r: False),
+        "user_id", "o_custkey", "ts", "o_orderdate",
+        ["event_id"], ["o_orderkey"],
+    ).to_pandas()
+    assert len(got) == 1 and got["o_orderkey"].isna().all()
+    # empty left side: no output rows
+    got = asof_join(
+        rd.from_pandas(events).filter(lambda r: False),
+        rd.from_pandas(orders),
+        "user_id", "o_custkey", "ts", "o_orderdate",
+        ["event_id"], ["o_orderkey"],
+    ).to_pandas()
+    assert len(got) == 0
+
+
+def test_single_key_spans_all_blocks(ray_session):
+    """One key owning the whole table across many blocks exercises every
+    boundary path of the window ops at maximum depth."""
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.windows import rolling_mean, time_window_mean
+
+    n = 120
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "ts": base + np.arange(n).astype("timedelta64[s]"),
+            "value": np.arange(n, dtype=np.float64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(11)
+    rm = rolling_mean(ds, "user_id", "ts", "event_id", "value", 4).to_pandas()
+    exp = df["value"].rolling(4, min_periods=1).mean()
+    got = rm.sort_values("event_id", ignore_index=True)["rolling_mean"]
+    assert np.allclose(got, exp)
+    tw = time_window_mean(ds, "user_id", "ts", "event_id", "value", 3.0).to_pandas()
+    tw = tw.sort_values("event_id", ignore_index=True)
+    assert np.allclose(tw["tw_mean"], _time_window_oracle(df, 3.0)["tw_mean"])
+
+
 # ------------------------------------------------------------ interval join
 
 
