@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["grouped_quantile_price_by_flag"] = _grouped_quantile_by_flag
     out["profile_events"] = _profile_events
     out["near_dup_pairs_documents"] = _near_dup_pairs
+    out["dedup_clusters_documents"] = _dedup_clusters
     out["embedding_dup_pairs"] = _embedding_dup_pairs
     out["approx_count_distinct_users"] = _approx_distinct_users
     out["approx_quantile_price"] = _approx_quantile_price
@@ -476,6 +477,33 @@ def _near_dup_pairs(sf_dir: str):
     ver["id_a"] = ver["id_a"].astype("int64")
     ver["id_b"] = ver["id_b"].astype("int64")
     return ver.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+def _dedup_clusters(sf_dir: str):
+    """Connected components over the exact-verified near-dup pair set (the
+    same pairs the near_dup_pairs_documents gate hash-matches): every doc
+    that appears in a Jaccard>=0.5 pair is labeled with its component's
+    minimum doc_id via distributed min-label propagation — equal to the
+    SQL recursive-CTE reachability closure."""
+    import pandas as pd
+
+    from hooqu_ray.pipelines.cluster import connected_components
+    from hooqu_ray.pipelines.dedup import minhash_lsh_pairs, verify_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = minhash_lsh_pairs(ds, num_perm=128, bands=64, threshold=0.0)
+    ver = verify_pairs(ds, cands, threshold=0.5)
+    comp = connected_components(ver, id_type=pa.int64(), n_buckets=8)
+    df = comp.to_pandas()
+    if len(df) == 0:  # 0-row to_pandas drops schema
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "cluster_id": pd.Series(dtype="int64")}
+        )
+    df = df.rename(columns={"node": "doc_id"})
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["cluster_id"] = df["cluster_id"].astype("int64")
+    return df.sort_values("doc_id", ignore_index=True)
 
 
 def _transcript_filter_stats(sf_dir: str):
@@ -1245,6 +1273,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM d a JOIN d b ON a.doc_id < b.doc_id) "
             "SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM p "
             "WHERE jaccard >= 0.5"
+        ),
+        "dedup_clusters_documents": (
+            # connected components of the exact near-dup pair graph
+            # (same all-pairs word-3-gram Jaccard derivation as
+            # near_dup_pairs_documents) via recursive reachability closure
+            "WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), "
+            "'\\S+') AS ws FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN []::VARCHAR[] "
+            "WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+            "ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+            "for i in range(1, len(ws) - 1)] END AS s FROM w), "
+            "d AS (SELECT doc_id, list_distinct(s) AS s FROM sh), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0 "
+            "ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1) END AS jaccard "
+            "FROM d a JOIN d b ON a.doc_id < b.doc_id), "
+            "pr AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.5), "
+            "e AS (SELECT id_a AS u, id_b AS v FROM pr "
+            "UNION SELECT id_b, id_a FROM pr), "
+            "walk(node, reach) AS (SELECT u, u FROM e "
+            "UNION SELECT wk.node, e.v FROM walk wk JOIN e ON e.u = wk.reach) "
+            "SELECT CAST(node AS BIGINT) AS doc_id, "
+            "CAST(min(reach) AS BIGINT) AS cluster_id FROM walk "
+            "GROUP BY node ORDER BY doc_id"
         ),
         "minhash_lsh_pairs_documents": (
             # truth count from the same all-pairs word-3-gram Jaccard
