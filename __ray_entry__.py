@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["symbol_ratio_documents"] = _symbol_ratio_documents
     out["fingerprint_documents"] = _fingerprint_documents
     out["lang_counts_documents"] = _lang_counts_documents
+    out["repetition_stats_documents"] = _repetition_stats_documents
     out["knn_embeddings"] = _knn_embeddings
 
     out["windowed_events_hourly"] = _windowed_events_hourly
@@ -242,6 +243,20 @@ def _fingerprint_documents(sf_dir: str):
         lambda t: fingerprint_stage(t).select(["doc_id", "md5"]), batch_format="pyarrow"
     )
     return pa.Table.from_pylist(res.take_all())
+
+
+def _repetition_stats_documents(sf_dir: str):
+    """Gopher-style within-doc repetition metrics (dup line/char fraction,
+    top word share, dup 2-gram fraction) — one streaming vectorized pass."""
+    from hooqu_ray.pipelines.textstats import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = repetition_stats(ds).to_pandas()
+    for c in ("dup_line_frac", "dup_line_char_frac", "top_word_frac",
+              "dup_2gram_frac"):
+        df[c] = df[c].round(6)
+    df["n_lines"] = df["n_lines"].astype("int64")
+    return df.sort_values("doc_id", ignore_index=True)
 
 
 def _lang_counts_documents(sf_dir: str):
@@ -1055,6 +1070,39 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprint_documents": "SELECT doc_id, md5(text) AS md5 FROM documents",
         "lang_counts_documents": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "repetition_stats_documents": (
+            # within-doc repetition: dup line / char fractions, top word
+            # share, dup word-2-gram fraction (Gopher-style quality metrics)
+            "WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents), "
+            "ln AS (SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line FROM t), "
+            "lc AS (SELECT doc_id, line, count(*) AS c FROM ln GROUP BY doc_id, line), "
+            "ls AS (SELECT doc_id, sum(c) AS n_lines, "
+            "sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines, "
+            "sum(c * length(line)) AS tot_chars, "
+            "sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars "
+            "FROM lc GROUP BY doc_id), "
+            "w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM t), "
+            "wu AS (SELECT doc_id, UNNEST(ws) AS word FROM w), "
+            "wc AS (SELECT doc_id, word, count(*) AS c FROM wu GROUP BY doc_id, word), "
+            "wstat AS (SELECT doc_id, sum(c) AS n_words, max(c) AS max_wc "
+            "FROM wc GROUP BY doc_id), "
+            "g AS (SELECT doc_id, UNNEST([ws[i] || ' ' || ws[i+1] "
+            "for i in range(1, len(ws))]) AS gram FROM w), "
+            "gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram), "
+            "gstat AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct "
+            "FROM gc GROUP BY doc_id) "
+            "SELECT t.doc_id, CAST(ls.n_lines AS BIGINT) AS n_lines, "
+            "ROUND(CAST(ls.dup_lines AS DOUBLE) / GREATEST(ls.n_lines, 1), 6) "
+            "AS dup_line_frac, "
+            "ROUND(CAST(ls.dup_chars AS DOUBLE) / GREATEST(ls.tot_chars, 1), 6) "
+            "AS dup_line_char_frac, "
+            "ROUND(CAST(COALESCE(wstat.max_wc, 0) AS DOUBLE) "
+            "/ GREATEST(COALESCE(wstat.n_words, 0), 1), 6) AS top_word_frac, "
+            "ROUND(CAST(COALESCE(gstat.n_grams - gstat.n_distinct, 0) AS DOUBLE) "
+            "/ GREATEST(COALESCE(gstat.n_grams, 0), 1), 6) AS dup_2gram_frac "
+            "FROM t JOIN ls USING (doc_id) LEFT JOIN wstat USING (doc_id) "
+            "LEFT JOIN gstat USING (doc_id) ORDER BY t.doc_id"
+        ),
         "windowed_events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
             "ROUND(avg(value), 6) AS avg_value FROM events GROUP BY event_type, hour"

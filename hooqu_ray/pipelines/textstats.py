@@ -219,3 +219,106 @@ def top_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 20):
         ["n", "ngram"], ascending=[False, True], kind="mergesort", ignore_index=True
     )
     return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+
+def repetition_stats_stage(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Gopher/C4-style WITHIN-document repetition metrics, one vectorized
+    pass per batch (embarrassingly parallel — no shuffle at any scale):
+
+    - ``n_lines``            lines after splitting on ``\\n`` (null → 1,
+      the SQL ``COALESCE(text,'')`` convention)
+    - ``dup_line_frac``      fraction of lines whose exact line occurs >1
+      time in the document (all occurrences counted, Gopher's
+      "duplicate line fraction")
+    - ``dup_line_char_frac`` fraction of line characters inside those
+      duplicated lines
+    - ``top_word_frac``      most-frequent word's share of all words
+    - ``dup_2gram_frac``     1 − distinct/total over word 2-grams
+
+    Identity is by deterministic 63/64-bit content hash (polars string
+    hash / token-hash polynomial — the dedup tier's machinery), not by
+    string comparison: collision odds are ~n²/2^63 per document, and the
+    hashes are process-stable so the stage is oracle-checkable.  All
+    denominators guard empty documents to 0.0.  Boilerplate-heavy pages
+    score high on all three duplicate fractions; the fractions feed
+    quality-filter thresholds (e.g. drop ``dup_line_char_frac > 0.2``)."""
+    from .dedup import _batch_token_hashes, _split_lines, _text_hash63
+
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(batch)
+    filled = pc.fill_null(texts, "")
+
+    # ---- line metrics ----------------------------------------------------
+    flat, parent, _ = _split_lines(filled)
+    lh = _text_hash63(flat)
+    linelen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_lines = np.bincount(parent, minlength=n).astype(np.int64)
+    if parent.size:
+        order = np.lexsort((lh, parent))
+        p_s, h_s, len_s = parent[order], lh[order], linelen[order]
+        new_run = np.r_[True, (p_s[1:] != p_s[:-1]) | (h_s[1:] != h_s[:-1])]
+        run_id = np.cumsum(new_run) - 1
+        cnt = np.bincount(run_id)[run_id]  # occurrences of this line in doc
+        dup = cnt > 1
+        dup_lines = np.bincount(p_s[dup], minlength=n)
+        tot_chars = np.bincount(p_s, weights=len_s, minlength=n)
+        dup_chars = np.bincount(p_s[dup], weights=len_s[dup], minlength=n)
+    else:
+        dup_lines = np.zeros(n, dtype=np.int64)
+        tot_chars = dup_chars = np.zeros(n, dtype=np.float64)
+    dup_line_frac = dup_lines / np.maximum(n_lines, 1)
+    dup_line_char_frac = dup_chars / np.maximum(tot_chars, 1)
+
+    # ---- word metrics ----------------------------------------------------
+    h, tp, _ = _batch_token_hashes(filled)
+    n_words = np.bincount(tp, minlength=n).astype(np.int64)
+    max_wc = np.zeros(n, dtype=np.int64)
+    if tp.size:
+        order = np.lexsort((h, tp))
+        tp_s, h_s = tp[order], h[order]
+        new_run = np.r_[True, (tp_s[1:] != tp_s[:-1]) | (h_s[1:] != h_s[:-1])]
+        run_id = np.cumsum(new_run) - 1
+        run_counts = np.bincount(run_id)
+        np.maximum.at(max_wc, tp_s[new_run], run_counts)
+    top_word_frac = max_wc / np.maximum(n_words, 1)
+
+    # ---- word-2-gram metrics --------------------------------------------
+    dup_2gram_frac = np.zeros(n, dtype=np.float64)
+    if tp.size > 1:
+        adj = tp[1:] == tp[:-1]  # consecutive tokens in the same doc
+        g_doc = tp[:-1][adj]
+        gh = h[:-1][adj] * np.uint64(0x9E3779B97F4A7C15) + h[1:][adj] * np.uint64(
+            0xC2B2AE3D27D4EB4F
+        )
+        n_grams = np.bincount(g_doc, minlength=n).astype(np.int64)
+        if g_doc.size:
+            order = np.lexsort((gh, g_doc))
+            gd_s, gh_s = g_doc[order], gh[order]
+            new_run = np.r_[True, (gd_s[1:] != gd_s[:-1]) | (gh_s[1:] != gh_s[:-1])]
+            distinct = np.bincount(gd_s[np.flatnonzero(new_run)], minlength=n)
+            dup_2gram_frac = (n_grams - distinct) / np.maximum(n_grams, 1)
+
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "dup_line_frac": pa.array(dup_line_frac, pa.float64()),
+            "dup_line_char_frac": pa.array(
+                np.asarray(dup_line_char_frac, dtype=np.float64), pa.float64()
+            ),
+            "top_word_frac": pa.array(top_word_frac, pa.float64()),
+            "dup_2gram_frac": pa.array(dup_2gram_frac, pa.float64()),
+        }
+    )
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset wrapper for :func:`repetition_stats_stage` — one streaming
+    ``map_batches`` pass, zero-copy Arrow in/out."""
+    return ds.map_batches(
+        lambda t, _tc=text_col, _ic=id_col: repetition_stats_stage(t, _tc, _ic),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,103 @@
+"""Gopher-style repetition metrics (textstats.repetition_stats_stage)
+vs a DuckDB per-doc re-derivation on adversarial inputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+_SQL = """
+WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM df),
+ln AS (SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line FROM t),
+lc AS (SELECT doc_id, line, count(*) AS c FROM ln GROUP BY doc_id, line),
+ls AS (SELECT doc_id, sum(c) AS n_lines,
+       sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+       sum(c * length(line)) AS tot_chars,
+       sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars
+       FROM lc GROUP BY doc_id),
+w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM t),
+wu AS (SELECT doc_id, UNNEST(ws) AS word FROM w),
+wc AS (SELECT doc_id, word, count(*) AS c FROM wu GROUP BY doc_id, word),
+wstat AS (SELECT doc_id, sum(c) AS n_words, max(c) AS max_wc FROM wc GROUP BY doc_id),
+g AS (SELECT doc_id, UNNEST([ws[i] || ' ' || ws[i+1]
+      for i in range(1, len(ws))]) AS gram FROM w),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+gstat AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct
+          FROM gc GROUP BY doc_id)
+SELECT t.doc_id, CAST(ls.n_lines AS BIGINT) AS n_lines,
+ CAST(ls.dup_lines AS DOUBLE) / GREATEST(ls.n_lines, 1) AS dup_line_frac,
+ CAST(ls.dup_chars AS DOUBLE) / GREATEST(ls.tot_chars, 1) AS dup_line_char_frac,
+ CAST(COALESCE(wstat.max_wc, 0) AS DOUBLE)
+   / GREATEST(COALESCE(wstat.n_words, 0), 1) AS top_word_frac,
+ CAST(COALESCE(gstat.n_grams - gstat.n_distinct, 0) AS DOUBLE)
+   / GREATEST(COALESCE(gstat.n_grams, 0), 1) AS dup_2gram_frac
+FROM t JOIN ls USING (doc_id) LEFT JOIN wstat USING (doc_id)
+LEFT JOIN gstat USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+def _check(df):
+    import duckdb
+
+    from hooqu_ray.pipelines.textstats import repetition_stats_stage
+
+    got = (
+        repetition_stats_stage(pa.Table.from_pandas(df, preserve_index=False))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    exp = duckdb.sql(_SQL).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-12)
+
+
+class TestRepetitionStats:
+    def test_adversarial_docs_match_duckdb(self):
+        _check(
+            pd.DataFrame(
+                {
+                    "doc_id": np.arange(8, dtype=np.int64),
+                    "text": [
+                        "a b a b\na b a b\nunique line of text",
+                        None,
+                        "",
+                        "x x x x y",
+                        "single",
+                        "line\nline\nline\nline",
+                        "tab\tsep words tab\tsep here",
+                        "\n\ntrailing\n\n",  # empty lines duplicate
+                    ],
+                }
+            )
+        )
+
+    def test_random_corpus_matches_duckdb(self):
+        rng = np.random.default_rng(11)
+        vocab = np.array(["alpha", "beta", "gamma", "delta", "x"])
+        docs = []
+        for _ in range(60):
+            n_lines = rng.integers(1, 6)
+            lines = [
+                " ".join(rng.choice(vocab, rng.integers(0, 7)))
+                for _ in range(n_lines)
+            ]
+            # force duplicate lines sometimes
+            if n_lines > 2 and rng.random() < 0.5:
+                lines[1] = lines[0]
+            docs.append("\n".join(lines))
+        _check(pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": docs}))
+
+    def test_dataset_wrapper(self, ray_session):
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.textstats import repetition_stats
+
+        df = pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["a a a", "b\nb\nc"]}
+        )
+        out = (
+            repetition_stats(rd.from_pandas(df).repartition(2))
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert out["top_word_frac"].tolist() == [1.0, 2.0 / 3.0]
+        assert out["dup_line_frac"].tolist() == [0.0, 2.0 / 3.0]
