@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["asof_join_events_orders"] = _asof_events_orders
     out["interval_join_events_errors"] = _interval_events_errors
     out["enrich_join_events_customer"] = _enrich_events_customer
+    out["hash_join_orders_customer"] = _hash_join_orders_customer
     out["stratified_sample_events"] = _stratified_sample_events
     out["rolling_mean_events"] = _rolling_mean_events
     out["time_window_events"] = _time_window_events
@@ -937,6 +938,24 @@ def _line_dedup_documents(sf_dir: str):
     return line_dedup(ds, min_line_chars=4, delimiter=" ")
 
 
+def _hash_join_orders_customer(sf_dir: str):
+    """General distributed bucketed hash join (both sides shuffle once by
+    key-hash bucket; local vectorized merge per bucket) — orders × customer
+    on custkey, the two-large-tables exchange join enrich_join can't do."""
+    from hooqu_ray.functions.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    df = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", how="inner",
+        n_buckets=16,
+    ).to_pandas()
+    df["c_acctbal"] = df["c_acctbal"].round(6)
+    df["o_orderkey"] = df["o_orderkey"].astype("int64")
+    df["o_custkey"] = df["o_custkey"].astype("int64")
+    return df.sort_values("o_orderkey", ignore_index=True)
+
+
 def _conversation_features(sf_dir: str):
     from hooqu_ray.pipelines import transcripts as tp
 
@@ -1321,6 +1340,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM d a JOIN d b ON a.doc_id < b.doc_id) "
             "SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM p "
             "WHERE jaccard >= 0.5"
+        ),
+        "hash_join_orders_customer": (
+            "SELECT o_orderkey, o_custkey, c_name, ROUND(c_acctbal, 6) AS c_acctbal "
+            "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"
         ),
         "dedup_clusters_documents": (
             # connected components of the exact near-dup pair graph

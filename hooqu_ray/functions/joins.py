@@ -192,3 +192,145 @@ def referential_integrity(child_ds, parent_ds, fk: str, pk: str) -> float:
         return float("nan")
     matched = pc.sum(counts.column("matched")).as_py() or 0
     return matched / total
+
+
+def _filler_array(typ: pa.DataType, n: int) -> pa.Array:
+    """Type-preserving filler column for the cross-side slots of the
+    hash-join union (the values are NEVER read — the ``__slot`` tag filters
+    them out before the per-bucket merge).  A plain ``pa.nulls`` would work
+    for Arrow blocks, but Ray's shuffle may represent blocks as pandas, and
+    an ALL-null int64 column silently promotes to float64 there (precision
+    loss above 2^53); a constant non-null filler keeps the dtype exact."""
+    try:
+        if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+            return pa.repeat(pa.scalar(0, typ), n)
+        if pa.types.is_boolean(typ):
+            return pa.repeat(pa.scalar(False, typ), n)
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return pa.repeat(pa.scalar("", typ), n)
+        if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+            return pa.repeat(pa.scalar(b"", typ), n)
+        if pa.types.is_timestamp(typ) or pa.types.is_date(typ) or pa.types.is_time(typ):
+            return pa.repeat(pa.scalar(0, pa.int64()).cast(typ), n)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):  # pragma: no cover
+        pass
+    return pa.nulls(n, typ)  # exotic types: accept pandas promotion
+
+
+def hash_join(left, right, on: str, right_on: Optional[str] = None,
+              how: str = "inner", suffix: str = "_r", n_buckets: int = 64):
+    """General distributed equi-join of TWO LARGE datasets — the exchange
+    (shuffle) join Ray Data 2.49 lacks a usable native form of (its
+    ``Dataset.join`` hash-partitions via a per-row Python loop and crashes
+    on empty partitions; see CLAUDE.md).
+
+    Both sides are tagged with a deterministic key-hash bucket
+    (``util.shard_codes``), unioned under one schema (each side carries
+    type-preserving filler values for the other side's columns), and
+    ``groupby(bucket)`` brings co-keyed rows together; each bucket then
+    runs one local vectorized pandas merge.  Only the two projected tables
+    shuffle, once each.  ``how``: ``'inner'`` or ``'left'``.  Null join
+    keys never match (SQL semantics): the right side drops them, a left
+    join keeps unmatched left rows with nulls.
+
+    The right key column is dropped from the output (SQL ``USING``);
+    other right columns colliding with a left name get ``suffix``.
+
+    Scale notes — the partitioning assumptions this relies on:
+    - Every row of key *k* lands in bucket ``hash(k) % n_buckets``; one
+      bucket must fit a worker's heap (size ``n_buckets`` to the data).
+      A single SKEWED hot key cannot be split across buckets (join
+      correctness requires co-location): salt-and-replicate it upstream
+      or use :func:`enrich_join` when one side is broadcastable.
+    - Many-to-many keys multiply output rows inside the bucket merge,
+      exactly as in SQL.
+    - Column dtypes with REAL nulls follow pandas block promotion
+      (int64+null → float64), matching a DuckDB ``.df()`` oracle."""
+    from ..util import dataset_arrow_schema, shard_codes
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join: how must be 'inner' or 'left', got {how!r}")
+    rkey = right_on or on
+    lschema = dataset_arrow_schema(left)
+    rschema = dataset_arrow_schema(right)
+    if lschema is None or rschema is None:
+        raise ValueError("hash_join: a side has no schema (empty dataset)")
+    lnames = list(lschema.names)
+    if on not in lnames:
+        raise KeyError(f"hash_join: left key {on!r} not in {lnames}")
+    if rkey not in rschema.names:
+        raise KeyError(f"hash_join: right key {rkey!r} not in {list(rschema.names)}")
+    # Harmonize the bucket-hash dtype across sides: a pandas-promoted
+    # float64 key must land in the same bucket as its int64 counterpart
+    # (ints ≤ 2^53 are exact in float64; larger keys must arrive as int64
+    # or string on BOTH sides).
+    ltype, rtype = lschema.field(on).type, rschema.field(rkey).type
+    if pa.types.is_floating(ltype) or pa.types.is_floating(rtype):
+        hash_cast: Optional[pa.DataType] = pa.float64()
+    elif pa.types.is_integer(ltype) and pa.types.is_integer(rtype):
+        hash_cast = pa.int64()
+    else:
+        hash_cast = None  # same-family types (e.g. string/string)
+    rout = []  # (source_name, out_name) for non-key right columns
+    for nm in rschema.names:
+        if nm == rkey:
+            continue
+        rout.append((nm, nm + suffix if nm in lnames else nm))
+    combined = (
+        [("__bucket", pa.int64()), ("__slot", pa.int32()), ("__rkey", rschema.field(rkey).type)]
+        + [(nm, lschema.field(nm).type) for nm in lnames]
+        + [(out, rschema.field(src).type) for src, out in rout]
+    )
+
+    def left_side(t: pa.Table) -> pa.Table:
+        key = t.column(on)
+        if how == "inner" and key.null_count:
+            t = t.filter(pc.is_valid(key))
+            key = t.column(on)
+        n = len(t)
+        hk = key.cast(hash_cast) if hash_cast is not None else key
+        cols = {
+            "__bucket": pa.array(shard_codes(hk, n_buckets)),
+            "__slot": pa.repeat(pa.scalar(0, pa.int32()), n),
+            "__rkey": _filler_array(rschema.field(rkey).type, n),
+        }
+        for nm in lnames:
+            cols[nm] = t.column(nm)
+        for src, out in rout:
+            cols[out] = _filler_array(rschema.field(src).type, n)
+        return pa.table(cols)
+
+    def right_side(t: pa.Table) -> pa.Table:
+        key = t.column(rkey)
+        if key.null_count:  # null keys never match
+            t = t.filter(pc.is_valid(key))
+            key = t.column(rkey)
+        n = len(t)
+        hk = key.cast(hash_cast) if hash_cast is not None else key
+        cols = {
+            "__bucket": pa.array(shard_codes(hk, n_buckets)),
+            "__slot": pa.repeat(pa.scalar(1, pa.int32()), n),
+            "__rkey": key,
+        }
+        for nm in lnames:
+            cols[nm] = _filler_array(lschema.field(nm).type, n)
+        for src, out in rout:
+            cols[out] = t.column(src)
+        return pa.table(cols)
+
+    out_names = lnames + [out for _, out in rout]
+
+    def bucket_merge(g):
+        import pandas as pd
+
+        l = g[g["__slot"] == 0][lnames]
+        r = g[g["__slot"] == 1][["__rkey"] + [out for _, out in rout]]
+        merged = l.merge(r, left_on=on, right_on="__rkey", how=how)
+        return merged[out_names]
+
+    unioned = left.map_batches(left_side, batch_format="pyarrow").union(
+        right.map_batches(right_side, batch_format="pyarrow")
+    )
+    return unioned.groupby("__bucket").map_groups(
+        lambda g: bucket_merge(g), batch_format="pandas"
+    )

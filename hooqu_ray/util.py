@@ -129,6 +129,18 @@ def stable_hash64(col):
             .to_numpy(zero_copy_only=False)
             .astype(np.uint64)
         )
+    elif pa.types.is_floating(col.type):
+        # hash the float64 bit pattern; normalize -0.0 → 0.0 so equal keys
+        # hash equal.  Callers joining a float column against an int column
+        # must cast BOTH sides to float64 first (hash_join does).
+        v = (
+            pc.fill_null(col, 0.0)
+            .cast(pa.float64())
+            .to_numpy(zero_copy_only=False)
+            .copy()
+        )
+        v[v == 0.0] = 0.0
+        x = v.view(np.uint64)
     else:
         try:
             import polars as pl

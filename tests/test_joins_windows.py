@@ -527,3 +527,99 @@ def test_grouped_approx_quantile_accuracy_and_paths(ray_session):
         for _, row in out.iterrows():
             rel = abs(row.q_value - exact[row.g]) / exact[row.g]
             assert rel < 0.01, (row.g, row.q_value, exact[row.g])
+
+
+class TestHashJoin:
+    """Distributed bucketed hash join (functions.joins.hash_join) vs DuckDB."""
+
+    def _frames(self):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(3)
+        l = pd.DataFrame(
+            {
+                "k": rng.integers(0, 50, 400).astype("float64"),
+                "lv": np.arange(400, dtype=np.int64),
+            }
+        )
+        l.loc[::97, "k"] = None
+        r = pd.DataFrame(
+            {
+                "rk": rng.integers(0, 60, 120),
+                "rv": [f"v{i}" for i in range(120)],
+                "lv": rng.integers(0, 9, 120),  # name collision → lv_r
+            }
+        )
+        return l, r
+
+    def test_inner_matches_duckdb(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from hooqu_ray.functions.joins import hash_join
+
+        l, r = self._frames()
+        got = hash_join(
+            rd.from_pandas(l).repartition(5), rd.from_pandas(r).repartition(3),
+            on="k", right_on="rk", how="inner", n_buckets=8,
+        ).to_pandas().sort_values(["k", "lv", "rv"], ignore_index=True)
+        exp = duckdb.sql(
+            "SELECT l.k, l.lv, r.rv, r.lv AS lv_r FROM l JOIN r ON l.k = r.rk "
+            "ORDER BY l.k, l.lv, r.rv"
+        ).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_left_matches_duckdb(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from hooqu_ray.functions.joins import hash_join
+
+        l, r = self._frames()
+        got = hash_join(
+            rd.from_pandas(l).repartition(5), rd.from_pandas(r).repartition(3),
+            on="k", right_on="rk", how="left", n_buckets=8,
+        ).to_pandas().sort_values(
+            ["k", "lv", "rv"], ignore_index=True, na_position="last"
+        )
+        exp = duckdb.sql(
+            "SELECT l.k, l.lv, r.rv, r.lv AS lv_r FROM l LEFT JOIN r ON l.k = r.rk "
+            "ORDER BY l.k NULLS LAST, l.lv, r.rv NULLS LAST"
+        ).df()
+        assert len(got) == len(exp)
+        # null-key left rows survive unmatched; matched values identical
+        pd.testing.assert_frame_equal(
+            got.fillna({"rv": ""}), exp.fillna({"rv": ""}), check_dtype=False
+        )
+
+    def test_int_float_key_mix_buckets_align(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from hooqu_ray.functions.joins import hash_join
+
+        l = pd.DataFrame({"k": pd.array([1.0, 2.0, 3.0], dtype="float64"),
+                          "lv": [1, 2, 3]})
+        r = pd.DataFrame({"k": pd.array([1, 2, 4], dtype="int64"),
+                          "rv": ["a", "b", "c"]})
+        got = hash_join(
+            rd.from_pandas(l), rd.from_pandas(r), on="k", n_buckets=16
+        ).to_pandas().sort_values("lv", ignore_index=True)
+        assert got["rv"].tolist() == ["a", "b"]
+
+    def test_bad_how_raises(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from hooqu_ray.functions.joins import hash_join
+
+        with pytest.raises(ValueError, match="how"):
+            hash_join(
+                rd.from_pandas(pd.DataFrame({"k": [1]})),
+                rd.from_pandas(pd.DataFrame({"k": [1]})),
+                on="k", how="outer",
+            )
