@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["enrich_join_events_customer"] = _enrich_events_customer
     out["hash_join_orders_customer"] = _hash_join_orders_customer
     out["stratified_sample_events"] = _stratified_sample_events
+    out["reservoir_sample_events"] = _reservoir_sample_events
     out["rolling_mean_events"] = _rolling_mean_events
     out["time_window_events"] = _time_window_events
 
@@ -938,6 +939,21 @@ def _line_dedup_documents(sf_dir: str):
     return line_dedup(ds, min_line_chars=4, delimiter=" ")
 
 
+def _reservoir_sample_events(sf_dir: str):
+    """Deterministic 5-per-event_type sample by md5 hash rank — integer-
+    exact SQL re-derivation via row_number() over the same md5 expression."""
+    from hooqu_ray.pipelines.relational import reservoir_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+    out = reservoir_sample(ds, "event_type", "event_id", 5,
+                           extra_cols=("user_id",))
+    df = out.to_pandas() if not isinstance(out, pa.Table) else out.to_pandas()
+    df = df[["event_type", "event_id", "user_id"]]
+    df["event_id"] = df["event_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    return df.sort_values(["event_type", "event_id"], ignore_index=True)
+
+
 def _hash_join_orders_customer(sf_dir: str):
     """General distributed bucketed hash join (both sides shuffle once by
     key-hash bucket; local vectorized merge per bucket) — orders × customer
@@ -1340,6 +1356,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM d a JOIN d b ON a.doc_id < b.doc_id) "
             "SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM p "
             "WHERE jaccard >= 0.5"
+        ),
+        "reservoir_sample_events": (
+            "WITH r AS (SELECT event_type, event_id, user_id, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY "
+            "CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT), "
+            "event_id) AS rn FROM events) "
+            "SELECT event_type, event_id, user_id FROM r WHERE rn <= 5 "
+            "ORDER BY event_type, event_id"
         ),
         "hash_join_orders_customer": (
             "SELECT o_orderkey, o_custkey, c_name, ROUND(c_acctbal, 6) AS c_acctbal "

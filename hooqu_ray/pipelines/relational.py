@@ -257,3 +257,32 @@ def grouped_approx_quantile(ds, group_col: str, value_col: str, q: float,
     return partials.groupby(group_col).map_groups(
         lambda g: merge_rows(g), batch_format="pandas"
     )
+
+
+def reservoir_sample(ds, group_col: str, id_col: str, k: int, extra_cols=()):
+    """Deterministic k-per-group sample ("seeded reservoir"): within each
+    group keep the ``k`` rows with the smallest ``md5_bucket(id)`` (ties by
+    ascending id) — per-group downsampling with a FIXED quota, where
+    :func:`stratified_sample` keeps a fixed RATE.  Hash ranking makes the
+    sample stable across runs/engines and exactly SQL-reproducible
+    (``row_number() OVER (PARTITION BY g ORDER BY md5-expr, id)``), so a
+    resumed 100-TB pipeline re-derives the same sample without stored
+    state.  Scale shape is inherited from :func:`grouped_top_k`:
+    per-block combiner → bounded partials → driver merge below the row
+    gate, distributed range-sort merge above it."""
+    def add_rank(t: pa.Table) -> pa.Table:
+        # negative ⇒ grouped_top_k's ORDER DESC becomes hash ASC
+        return t.append_column(
+            "__rank", pa.array(-md5_bucket(t.column(id_col)), type=pa.int64())
+        )
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    out = grouped_top_k(
+        ranked, group_col, "__rank", k, tie_col=id_col, extra_cols=extra_cols
+    )
+    if isinstance(out, pa.Table):
+        return out.drop_columns(["__rank"])
+    return out.map_batches(
+        lambda t: t.drop_columns(["__rank"]) if "__rank" in t.column_names else t,
+        batch_format="pyarrow",
+    )

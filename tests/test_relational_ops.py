@@ -242,3 +242,53 @@ def test_referential_integrity(ray_session):
             rd.from_pandas(child.iloc[0:0]), rd.from_pandas(parent), "fk", "pk"
         )
     )
+
+
+class TestReservoirSample:
+    def _df(self):
+        rng = np.random.default_rng(5)
+        return pd.DataFrame(
+            {
+                "event_id": np.arange(500, dtype=np.int64),
+                "event_type": rng.choice(["a", "b", "c"], 500),
+                "user_id": rng.integers(0, 50, 500),
+            }
+        )
+
+    def _oracle(self, df, k):
+        import duckdb
+
+        return duckdb.sql(
+            "WITH r AS (SELECT event_type, event_id, user_id, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY "
+            "CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT), "
+            f"event_id) AS rn FROM df) "
+            f"SELECT event_type, event_id, user_id FROM r WHERE rn <= {k} "
+            "ORDER BY event_type, event_id"
+        ).df()
+
+    def _got(self, df, k, ray_session, **kw):
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.relational import reservoir_sample
+
+        out = reservoir_sample(
+            rd.from_pandas(df).repartition(4), "event_type", "event_id", k,
+            extra_cols=("user_id",), **kw
+        )
+        got = out.to_pandas() if not isinstance(out, pa.Table) else out.to_pandas()
+        return got[["event_type", "event_id", "user_id"]].sort_values(
+            ["event_type", "event_id"], ignore_index=True
+        )
+
+    def test_matches_sql_rank(self, ray_session):
+        df = self._df()
+        pd.testing.assert_frame_equal(
+            self._got(df, 7, ray_session), self._oracle(df, 7), check_dtype=False
+        )
+
+    def test_deterministic(self, ray_session):
+        df = self._df()
+        pd.testing.assert_frame_equal(
+            self._got(df, 3, ray_session), self._got(df, 3, ray_session)
+        )
