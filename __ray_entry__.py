@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["hash_join_orders_customer"] = _hash_join_orders_customer
     out["stratified_sample_events"] = _stratified_sample_events
     out["reservoir_sample_events"] = _reservoir_sample_events
+    out["bloom_new_events"] = _bloom_new_events
     out["rolling_mean_events"] = _rolling_mean_events
     out["time_window_events"] = _time_window_events
 
@@ -939,6 +940,31 @@ def _line_dedup_documents(sf_dir: str):
     return line_dedup(ds, min_line_chars=4, delimiter=" ")
 
 
+def _bloom_new_events(sf_dir: str):
+    """Bloom-filter incremental dedup: events with event_id % 5 == 0 are
+    the NEW shard, the rest the existing corpus; keep new rows whose
+    value is absent from the corpus's Bloom bitmap (float keys hash by
+    bit pattern).  Bloom has no false negatives, so the kept set ⊆ the
+    exact SQL NOT IN set; at this scale (2^22 bits vs ~10^4 keys) the
+    deterministic FP probability is ~1e-8 per probe, so the result is
+    hash-EXACT vs SQL (verified at sf0.001 and sf0.01)."""
+    from hooqu_ray.pipelines.bloom import bloom_new_rows
+
+    def shard(t: pa.Table, keep_new: bool) -> pa.Table:
+        mod = np.asarray(t.column("event_id")) % 5 == 0
+        return t.filter(pa.array(mod if keep_new else ~mod))
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    corpus = ds.map_batches(
+        lambda t: shard(t, False), batch_format="pyarrow"
+    )
+    new = ds.map_batches(lambda t: shard(t, True), batch_format="pyarrow")
+    out = bloom_new_rows(new, corpus, "value").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["value"] = out["value"].round(6)
+    return out.sort_values("event_id", ignore_index=True)
+
+
 def _reservoir_sample_events(sf_dir: str):
     """Deterministic 5-per-event_type sample by md5 hash rank — integer-
     exact SQL re-derivation via row_number() over the same md5 expression."""
@@ -1356,6 +1382,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM d a JOIN d b ON a.doc_id < b.doc_id) "
             "SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM p "
             "WHERE jaccard >= 0.5"
+        ),
+        "bloom_new_events": (
+            "SELECT event_id, ROUND(value, 6) AS value FROM events "
+            "WHERE event_id % 5 = 0 AND value NOT IN "
+            "(SELECT value FROM events WHERE event_id % 5 != 0) ORDER BY event_id"
         ),
         "reservoir_sample_events": (
             "WITH r AS (SELECT event_type, event_id, user_id, "
