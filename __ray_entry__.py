@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["fingerprint_documents"] = _fingerprint_documents
     out["lang_counts_documents"] = _lang_counts_documents
     out["repetition_stats_documents"] = _repetition_stats_documents
+    out["normalize_text_documents"] = _normalize_text_documents
     out["knn_embeddings"] = _knn_embeddings
 
     out["windowed_events_hourly"] = _windowed_events_hourly
@@ -157,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["stratified_sample_events"] = _stratified_sample_events
     out["reservoir_sample_events"] = _reservoir_sample_events
     out["bloom_new_events"] = _bloom_new_events
+    out["value_deciles_events"] = _value_deciles_events
     out["rolling_mean_events"] = _rolling_mean_events
     out["time_window_events"] = _time_window_events
 
@@ -940,6 +942,31 @@ def _line_dedup_documents(sf_dir: str):
     return line_dedup(ds, min_line_chars=4, delimiter=" ")
 
 
+def _normalize_text_documents(sf_dir: str):
+    """Canonical normalization (NFC, lower, \\s+ collapse, trim) — byte-
+    equal to the SQL expression per doc."""
+    from hooqu_ray.pipelines.textstats import normalize_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = normalize_text(ds).to_pandas()[["doc_id", "norm_text"]]
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def _value_deciles_events(sf_dir: str):
+    """Quality-decile bucketing: 9 exact quantile breakpoints from ONE
+    shared analyzer scan, broadcast, vectorized searchsorted assignment —
+    bucket = count(breakpoints <= value), SQL-exact."""
+    from hooqu_ray.pipelines.relational import quantile_buckets
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    df = quantile_buckets(
+        ds, "value", n_buckets=10, keep_cols=["event_id"]
+    ).to_pandas()
+    df["event_id"] = df["event_id"].astype("int64")
+    df["bucket"] = df["bucket"].astype("int64")
+    return df.sort_values("event_id", ignore_index=True)
+
+
 def _bloom_new_events(sf_dir: str):
     """Bloom-filter incremental dedup: events with event_id % 5 == 0 are
     the NEW shard, the rest the existing corpus; keep new rows whose
@@ -1382,6 +1409,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM d a JOIN d b ON a.doc_id < b.doc_id) "
             "SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM p "
             "WHERE jaccard >= 0.5"
+        ),
+        "normalize_text_documents": (
+            "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), "
+            "'\\s+', ' ', 'g'), ' ') AS norm_text FROM documents ORDER BY doc_id"
+        ),
+        "value_deciles_events": (
+            # exact "nearest" quantile breakpoints (same selection rule as
+            # _NEAREST_Q_SQL) for q=0.1..0.9, bucket = count(bp <= value)
+            "WITH s AS (SELECT value AS v FROM events WHERE value IS NOT NULL), "
+            "n AS (SELECT count(*) AS c FROM s), "
+            "r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s), "
+            "qs AS (SELECT UNNEST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q), "
+            "i AS (SELECT q, CAST(floor(q * (c - 1)) AS BIGINT) AS k0, "
+            "q * (c - 1) - floor(q * (c - 1)) AS frac FROM qs, n), "
+            "kk AS (SELECT q, k0 + (CASE WHEN frac > 0.5 THEN 1 "
+            "WHEN frac = 0.5 AND k0 % 2 = 1 THEN 1 ELSE 0 END) AS k FROM i), "
+            "bp AS (SELECT r.v FROM r JOIN kk ON r.rn = kk.k + 1) "
+            "SELECT e.event_id, CAST((SELECT count(*) FROM bp WHERE bp.v <= e.value) "
+            "AS BIGINT) AS bucket FROM events e ORDER BY e.event_id"
         ),
         "bloom_new_events": (
             "SELECT event_id, ROUND(value, 6) AS value FROM events "

@@ -286,3 +286,43 @@ def reservoir_sample(ds, group_col: str, id_col: str, k: int, extra_cols=()):
         lambda t: t.drop_columns(["__rank"]) if "__rank" in t.column_names else t,
         batch_format="pyarrow",
     )
+
+
+def quantile_buckets(ds, value_col: str, out_col: str = "bucket",
+                     n_buckets: int = 10, keep_cols=None):
+    """Quantile-bucket assignment ("quality deciles"): label every row with
+    the number of exact ``i/n_buckets`` quantile breakpoints ≤ its value —
+    the curriculum/mixture primitive that stratifies a corpus by a quality
+    score before sampling.
+
+    The n−1 breakpoints come from the exact distributed ``Quantile``
+    analyzer (histogram-refinement selection, no global sort), all sharing
+    ONE scan via ``do_analysis_run``; they broadcast in the task closure
+    (n−1 floats) and assignment is a vectorized ``searchsorted`` per batch
+    — two streaming passes total, no shuffle.  Bucket semantics are
+    SQL-exact: ``count(bp WHERE bp <= value)`` (so ties with a breakpoint
+    land in the upper bucket; a NULL value gets bucket 0, matching SQL
+    comparison semantics)."""
+    import numpy as np
+
+    from ..analyzers.quantile import Quantile
+    from ..runner import do_analysis_run
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    analyzers = [Quantile(value_col, q) for q in qs]
+    ctx = do_analysis_run(ds, analyzers)
+    bps = np.sort(
+        np.array([ctx.metric_map[a].value.get() for a in analyzers], dtype=np.float64)
+    )
+    cols = list(keep_cols) if keep_cols is not None else None
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(bps, v, side="right")
+        b = np.where(np.isnan(v), 0, b).astype(np.int64)
+        base = t.select(cols) if cols is not None else t
+        return base.append_column(out_col, pa.array(b, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -322,3 +322,47 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
         lambda t, _tc=text_col, _ic=id_col: repetition_stats_stage(t, _tc, _ic),
         batch_format="pyarrow",
     )
+
+
+def normalize_text_stage(batch: pa.Table, text_col: str = "text",
+                         out_col: str = "norm_text") -> pa.Table:
+    """Canonical text normalization before hashing/dedup: unicode NFC,
+    lowercase, collapse ``\\s+`` runs (RE2 class, like the tokenizers
+    here) to one space, trim.  Exactly reproducible in SQL
+    (``trim(regexp_replace(lower(nfc_normalize(x)), '\\s+', ' ', 'g'))``),
+    so normalized-content hashes agree across engines and runs.
+
+    Lower/collapse/trim are pure Arrow kernels (zero-copy, null
+    propagates).  NFC is NOT: this pyarrow build's ``utf8_normalize``
+    never COMPOSES (every form emits decomposed output), so composition
+    falls back to ``unicodedata.normalize`` on the NON-ASCII rows only;
+    ASCII text (the overwhelming common case) is NFC by construction and
+    never leaves Arrow."""
+    import unicodedata
+
+    s = batch.column(text_col)
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    # non-ASCII rows: utf8 char count != byte count
+    blen = pc.binary_length(pc.cast(s, pa.large_binary()))
+    clen = pc.utf8_length(s)
+    non_ascii = pc.fill_null(pc.not_equal(blen, clen), False)
+    if pc.any(non_ascii).as_py():
+        idx = np.flatnonzero(non_ascii.to_numpy(zero_copy_only=False))
+        vals = s.to_pylist()
+        for i in idx:
+            vals[i] = unicodedata.normalize("NFC", vals[i])
+        s = pa.array(vals, s.type)
+    s = pc.utf8_lower(s)
+    s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+    s = pc.utf8_trim(s, characters=" ")
+    return batch.append_column(out_col, s)
+
+
+def normalize_text(ds, text_col: str = "text", out_col: str = "norm_text"):
+    """Dataset wrapper for :func:`normalize_text_stage` — one streaming
+    ``map_batches`` pass."""
+    return ds.map_batches(
+        lambda t, _tc=text_col, _oc=out_col: normalize_text_stage(t, _tc, _oc),
+        batch_format="pyarrow",
+    )

@@ -292,3 +292,56 @@ class TestReservoirSample:
         pd.testing.assert_frame_equal(
             self._got(df, 3, ray_session), self._got(df, 3, ray_session)
         )
+
+
+class TestQuantileBuckets:
+    def test_matches_sql_breakpoint_rule(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.relational import quantile_buckets
+
+        rng = np.random.default_rng(13)
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(400, dtype=np.int64),
+                # duplicated values → breakpoint ties exercise side='right'
+                "value": np.round(rng.normal(0, 10, 400), 1),
+            }
+        )
+        got = (
+            quantile_buckets(
+                rd.from_pandas(df).repartition(4), "value", n_buckets=4,
+                keep_cols=["event_id"],
+            )
+            .to_pandas()
+            .sort_values("event_id", ignore_index=True)
+        )
+        exp = duckdb.sql(
+            "WITH s AS (SELECT value AS v FROM df WHERE value IS NOT NULL), "
+            "n AS (SELECT count(*) AS c FROM s), "
+            "r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s), "
+            "qs AS (SELECT UNNEST([0.25, 0.5, 0.75]) AS q), "
+            "i AS (SELECT q, CAST(floor(q * (c - 1)) AS BIGINT) AS k0, "
+            "q * (c - 1) - floor(q * (c - 1)) AS frac FROM qs, n), "
+            "kk AS (SELECT q, k0 + (CASE WHEN frac > 0.5 THEN 1 "
+            "WHEN frac = 0.5 AND k0 % 2 = 1 THEN 1 ELSE 0 END) AS k FROM i), "
+            "bp AS (SELECT r.v FROM r JOIN kk ON r.rn = kk.k + 1) "
+            "SELECT e.event_id, CAST((SELECT count(*) FROM bp WHERE bp.v <= e.value) "
+            "AS BIGINT) AS bucket FROM df e ORDER BY e.event_id"
+        ).df()
+        assert got["bucket"].tolist() == exp["bucket"].tolist()
+        # roughly balanced quartiles
+        sizes = got.groupby("bucket").size()
+        assert len(sizes) == 4 and sizes.min() > 50
+
+    def test_bad_n_buckets(self, ray_session):
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.relational import quantile_buckets
+
+        with pytest.raises(ValueError, match="n_buckets"):
+            quantile_buckets(
+                rd.from_pandas(pd.DataFrame({"value": [1.0]})), "value",
+                n_buckets=1,
+            )

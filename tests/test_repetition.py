@@ -101,3 +101,33 @@ class TestRepetitionStats:
         )
         assert out["top_word_frac"].tolist() == [1.0, 2.0 / 3.0]
         assert out["dup_line_frac"].tolist() == [0.0, 2.0 / 3.0]
+
+
+class TestNormalizeText:
+    def test_matches_duckdb_expression(self):
+        import duckdb
+
+        from hooqu_ray.pipelines.textstats import normalize_text_stage
+
+        import unicodedata
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "  Hello\t\tWORLD \n x ",
+                    None,
+                    # DECOMPOSED accents: pins the NFC composition path
+                    unicodedata.normalize("NFD", "Café  NAÏVE"),
+                    "",
+                ],
+            }
+        )
+        got = normalize_text_stage(
+            pa.Table.from_pandas(df, preserve_index=False)
+        ).column("norm_text").to_pylist()
+        exp = duckdb.sql(
+            "SELECT trim(regexp_replace(lower(nfc_normalize(text)), "
+            "'\\s+', ' ', 'g'), ' ') FROM df ORDER BY doc_id"
+        ).df().iloc[:, 0]
+        assert got == [None if pd.isna(e) else e for e in exp]
