@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["lang_counts_documents"] = _lang_counts_documents
     out["repetition_stats_documents"] = _repetition_stats_documents
     out["normalize_text_documents"] = _normalize_text_documents
+    out["top_terms_documents"] = _top_terms_documents
     out["knn_embeddings"] = _knn_embeddings
 
     out["windowed_events_hourly"] = _windowed_events_hourly
@@ -942,6 +943,23 @@ def _line_dedup_documents(sf_dir: str):
     return line_dedup(ds, min_line_chars=4, delimiter=" ")
 
 
+def _top_terms_documents(sf_dir: str):
+    """Per-doc top-3 characteristic terms: distributed document frequency
+    (combiner + one vocab-sized shuffle) broadcast into a per-batch
+    (tf DESC, df ASC, term ASC) integer-exact ranking."""
+    from hooqu_ray.pipelines.textstats import top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = top_terms(ds, k=3).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["tf"] = df["tf"].astype("int64")
+    df["df"] = df["df"].astype("int64")
+    return df.sort_values(
+        ["doc_id", "tf", "df", "term"], ascending=[True, False, True, True],
+        ignore_index=True,
+    )
+
+
 def _normalize_text_documents(sf_dir: str):
     """Canonical normalization (NFC, lower, \\s+ collapse, trim) — byte-
     equal to the SQL expression per doc."""
@@ -1409,6 +1427,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM d a JOIN d b ON a.doc_id < b.doc_id) "
             "SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM p "
             "WHERE jaccard >= 0.5"
+        ),
+        "top_terms_documents": (
+            "WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents), "
+            "wu AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM t), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM wu GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*) AS df FROM "
+            "(SELECT DISTINCT doc_id, term FROM wu) GROUP BY term), "
+            "r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+            "row_number() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn "
+            "FROM tf JOIN df USING (term)) "
+            "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df "
+            "FROM r WHERE rn <= 3 ORDER BY doc_id, tf DESC, df, term"
         ),
         "normalize_text_documents": (
             "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), "

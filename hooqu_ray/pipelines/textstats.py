@@ -366,3 +366,164 @@ def normalize_text(ds, text_col: str = "text", out_col: str = "norm_text"):
         lambda t, _tc=text_col, _oc=out_col: normalize_text_stage(t, _tc, _oc),
         batch_format="pyarrow",
     )
+
+
+def doc_frequency(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus document frequency per term: #documents containing each
+    whitespace token.  Combiner-first: each block emits its DISTINCT
+    (document, term) pairs (terms deduplicated per doc via dictionary
+    codes, no Python per token), then one ``groupby(term).count()``
+    shuffle over vocabulary-sized rows — token VOLUME never shuffles.
+    Assumes each document is one input row (true of a documents table),
+    so block-local distinct pairs are globally distinct."""
+    from ray.data.aggregate import Count
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.string())})
+        keep = pc.invert(pc.equal(flat, "")).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, parent))
+        p_s, c_s = parent[order], codes[order]
+        first = np.r_[True, (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        return pa.table(
+            {"term": enc.dictionary.take(pa.array(c_s[first], pa.int64()))}
+        )
+
+    counts = ds.map_batches(
+        distinct_pairs, batch_format="pyarrow"
+    ).groupby("term").aggregate(Count())
+
+    def rename(t: pa.Table) -> pa.Table:
+        if "count()" not in t.column_names:  # schema-less empty agg block
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"term": t.column("term"), "df": pc.cast(t.column("count()"), pa.int64())}
+        )
+
+    return counts.map_batches(rename, batch_format="pyarrow")
+
+
+class _TopTermsBatch:
+    """Per-batch top-k characteristic terms: term frequencies via
+    dictionary-code run counting (vectorized), global document frequency
+    attached from the broadcast vocabulary table, top-k per doc by
+    (tf DESC, df ASC, term ASC) — INTEGER-exact ranking (no float idf, so
+    no cross-engine ulp risk; the tf×N/df monotone score can be derived
+    downstream)."""
+
+    def __init__(self, df_ref, text_col: str, id_col: str, k: int):
+        self.df_ref = df_ref
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self._vocab = None
+        self._df = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if self._vocab is None:
+            import ray
+
+            obj = self.df_ref
+            tbl = obj if isinstance(obj, pa.Table) else ray.get(obj)
+            self._vocab = tbl.column("term").combine_chunks()
+            self._df = tbl.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                self.id_col: pa.array([], t.schema.field(self.id_col).type),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            }
+        )
+        texts = t.column(self.text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return empty
+        keep = pc.invert(pc.equal(flat, "")).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        if len(flat) == 0:
+            return empty
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, parent))
+        p_s, c_s = parent[order], codes[order]
+        first = np.r_[True, (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        run_id = np.cumsum(first) - 1
+        tf = np.bincount(run_id)
+        doc_of_run = p_s[first]
+        code_of_run = c_s[first]
+        # dictionary code → global df (a term missing from the broadcast
+        # table means a stale df snapshot; count it as df=0 → ranks first)
+        pos = pc.index_in(enc.dictionary, value_set=self._vocab)
+        pos_np = pos.to_numpy(zero_copy_only=False)
+        dict_df = np.where(
+            np.isnan(pos_np.astype(np.float64)), 0,
+            self._df[np.nan_to_num(pos_np).astype(np.int64)],
+        )
+        terms_of_run = enc.dictionary.take(pa.array(code_of_run, pa.int64()))
+        df_run = dict_df[code_of_run]
+        ids = t.column(self.id_col).take(pa.array(doc_of_run, pa.int64()))
+        dfr = pd.DataFrame(
+            {
+                self.id_col: ids.to_pandas(),
+                "term": terms_of_run.to_pandas(),
+                "tf": tf.astype(np.int64),
+                "df": df_run.astype(np.int64),
+            }
+        )
+        dfr = dfr.sort_values(
+            [self.id_col, "tf", "df", "term"],
+            ascending=[True, False, True, True], kind="mergesort",
+            ignore_index=True,
+        )
+        top = dfr.groupby(self.id_col, sort=False).head(self.k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def top_terms(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
+    """Per-document top-k characteristic terms (the TF-IDF shape with an
+    integer-exact ranking): rank a doc's terms by (tf DESC, df ASC, term
+    ASC) — most frequent locally, rarest in the corpus — and keep k.
+
+    Two streaming passes: (1) :func:`doc_frequency` builds the
+    vocabulary-sized (term, df) table — the only shuffle; (2) it
+    broadcasts once via ``ray.put`` and each batch re-tokenizes and ranks
+    locally.  At web scale the vocabulary broadcast is the bound —
+    hash-shard the vocab (util.shard_codes on term) and run pass 2 per
+    shard, keeping per-doc partial top-k, when it outgrows a worker."""
+    import ray
+
+    from ..util import collect_arrow
+
+    df_tbl = collect_arrow(doc_frequency(ds, text_col, id_col))
+    if df_tbl is None:
+        df_tbl = pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+    ref = ray.put(df_tbl.combine_chunks())
+    return ds.map_batches(
+        _TopTermsBatch(ref, text_col, id_col, k), batch_format="pyarrow"
+    )

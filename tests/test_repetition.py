@@ -131,3 +131,62 @@ class TestNormalizeText:
             "'\\s+', ' ', 'g'), ' ') FROM df ORDER BY doc_id"
         ).df().iloc[:, 0]
         assert got == [None if pd.isna(e) else e for e in exp]
+
+
+class TestTopTerms:
+    def test_matches_duckdb_rank(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.textstats import top_terms
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "apple banana apple cherry apple",
+                    "banana banana cherry",
+                    None,
+                    "zeta zeta alpha alpha",  # tf tie → df then term breaks
+                ],
+            }
+        )
+        got = (
+            top_terms(rd.from_pandas(df).repartition(2), k=2)
+            .to_pandas()
+            .sort_values(
+                ["doc_id", "tf", "df", "term"],
+                ascending=[True, False, True, True], ignore_index=True,
+            )
+        )
+        exp = duckdb.sql(
+            "WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM df), "
+            "wu AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM t), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM wu GROUP BY doc_id, term), "
+            "dfq AS (SELECT term, count(*) AS df FROM "
+            "(SELECT DISTINCT doc_id, term FROM wu) GROUP BY term), "
+            "r AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df, "
+            "row_number() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rn "
+            "FROM tf JOIN dfq USING (term)) "
+            "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df "
+            "FROM r WHERE rn <= 2 ORDER BY doc_id, tf DESC, df, term"
+        ).df()
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "term", "tf", "df"]], exp, check_dtype=False
+        )
+
+    def test_doc_frequency_counts_docs_not_tokens(self, ray_session):
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.textstats import doc_frequency
+
+        df = pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["dup dup dup", "dup once"]}
+        )
+        out = (
+            doc_frequency(rd.from_pandas(df).repartition(2))
+            .to_pandas()
+            .sort_values("term", ignore_index=True)
+        )
+        assert out.values.tolist() == [["dup", 2], ["once", 1]]
