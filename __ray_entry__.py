@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["stratified_sample_events"] = _stratified_sample_events
     out["reservoir_sample_events"] = _reservoir_sample_events
     out["bloom_new_events"] = _bloom_new_events
+    out["pivot_user_event_counts"] = _pivot_user_event_counts
     out["value_deciles_events"] = _value_deciles_events
     out["rolling_mean_events"] = _rolling_mean_events
     out["time_window_events"] = _time_window_events
@@ -943,6 +944,20 @@ def _line_dedup_documents(sf_dir: str):
     return line_dedup(ds, min_line_chars=4, delimiter=" ")
 
 
+def _pivot_user_event_counts(sf_dir: str):
+    """Crosstab: per-user counts by event_type (wide int64 matrix via
+    per-block bincount combiner + one groupby(user).sum shuffle)."""
+    from hooqu_ray.pipelines.relational import pivot_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    df = pivot_counts(ds, "user_id", "event_type").to_pandas()
+    df["user_id"] = df["user_id"].astype("int64")
+    for c in df.columns:
+        if c != "user_id":
+            df[c] = df[c].astype("int64")
+    return df.sort_values("user_id", ignore_index=True)
+
+
 def _top_terms_documents(sf_dir: str):
     """Per-doc top-3 characteristic terms: distributed document frequency
     (combiner + one vocab-sized shuffle) broadcast into a per-batch
@@ -1427,6 +1442,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM d a JOIN d b ON a.doc_id < b.doc_id) "
             "SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM p "
             "WHERE jaccard >= 0.5"
+        ),
+        "pivot_user_event_counts": (
+            # the synthetic events table has exactly these five types
+            "SELECT user_id, "
+            "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click, "
+            "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase, "
+            "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup, "
+            "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view "
+            "FROM events GROUP BY user_id ORDER BY user_id"
         ),
         "top_terms_documents": (
             "WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents), "

@@ -214,6 +214,76 @@ def main() -> None:
     profile(rd.read_parquet(f"{sf_dir}/documents.parquet"))
     queries["profile_documents"] = round(time.time() - t0, 3)
 
+    # -- round-3b operators ------------------------------------------------
+    from hooqu_ray.functions.joins import hash_join
+    from hooqu_ray.pipelines.bloom import bloom_new_rows
+    from hooqu_ray.pipelines.cluster import connected_components
+    from hooqu_ray.pipelines.relational import quantile_buckets
+    from hooqu_ray.pipelines.textstats import repetition_stats, top_terms
+
+    t0 = time.time()
+    hash_join(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_acctbal"]),
+        on="o_custkey", right_on="c_custkey", n_buckets=32,
+    ).count()
+    queries["hash_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    repetition_stats(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ).count()
+    queries["repetition_stats"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    top_terms(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        k=3,
+    ).count()
+    queries["top_terms"] = round(time.time() - t0, 3)
+
+    # connected components on a REAL-scale graph: the bipartite
+    # (event_id, user_id) edge set — |E| = #events, ~|users| components
+    def to_edges(t):
+        return pa.table({
+            "id_a": t.column("event_id"),
+            "id_b": pc.add(pc.cast(t.column("user_id"), pa.int64()),
+                           pa.scalar(1 << 40, pa.int64())),
+        })
+
+    edges = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    ).map_batches(to_edges, batch_format="pyarrow")
+    t0 = time.time()
+    connected_components(edges, n_buckets=32).count()
+    queries["cluster_components"] = round(time.time() - t0, 3)
+
+    def ev_shard(t, keep_new):
+        import numpy as np
+
+        mod = np.asarray(t.column("event_id")) % 5 == 0
+        return t.filter(pa.array(mod if keep_new else ~mod))
+
+    ev2 = rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_id", "value"])
+    t0 = time.time()
+    bloom_new_rows(
+        ev2.map_batches(lambda t: ev_shard(t, True), batch_format="pyarrow"),
+        ev2.map_batches(lambda t: ev_shard(t, False), batch_format="pyarrow"),
+        "value",
+    ).count()
+    queries["bloom_incremental"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    quantile_buckets(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "value"]),
+        "value", n_buckets=10, keep_cols=["event_id"],
+    ).count()
+    queries["quantile_buckets"] = round(time.time() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "end-to-end transcript filter+scrub wall time "

@@ -326,3 +326,85 @@ def quantile_buckets(ds, value_col: str, out_col: str = "bucket",
         return base.append_column(out_col, pa.array(b, pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def pivot_counts(ds, row_col: str, col_col: str, max_cols: int = 1000,
+                 prefix: str = "n_"):
+    """Crosstab: one output row per ``row_col`` value with one int64 count
+    column per distinct ``col_col`` value (``prefix<value>``, value-sorted)
+    — the wide feature matrix a mixture/balance dashboard reads.
+
+    Two passes: (1) the distinct column-key set (must be SMALL — it
+    becomes the schema; ``max_cols`` guards against exploding) via a
+    distributive count shuffle; (2) per-block vectorized bincount over
+    ``row×col`` codes → wide partial rows → ``groupby(row).sum`` over the
+    fixed columns.  Count volume shrinks per block before the one
+    shuffle.  Null column keys are not counted (SQL ``CASE WHEN`` /
+    ``PIVOT`` convention); null row keys are dropped by the groupby
+    (documented divergence shared with the other grouped ops)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..util import collect_arrow
+
+    vals_tbl = collect_arrow(
+        ds.map_batches(
+            lambda t: pa.table({col_col: pc.drop_null(t.column(col_col).combine_chunks()
+                                if isinstance(t.column(col_col), pa.ChunkedArray)
+                                else t.column(col_col))}),
+            batch_format="pyarrow",
+        ).groupby(col_col).aggregate(Count())
+    )
+    if vals_tbl is None or len(vals_tbl) == 0:
+        return rd.from_arrow(pa.table({row_col: pa.array([])}))
+    col_vals = vals_tbl.column(col_col).combine_chunks()
+    col_vals = col_vals.take(pa.array(np.argsort(
+        np.asarray(col_vals.to_pylist(), dtype=object), kind="stable"
+    ).astype(np.int64)))
+    if len(col_vals) > max_cols:
+        raise ValueError(
+            f"pivot_counts: {len(col_vals)} distinct {col_col!r} values "
+            f"exceed max_cols={max_cols} — a pivot schema this wide is "
+            "almost certainly a mistake; aggregate long-form instead"
+        )
+    out_names = [f"{prefix}{v}" for v in col_vals.to_pylist()]
+    ncols = len(out_names)
+
+    def block_counts(t: pa.Table) -> pa.Table:
+        rows = t.column(row_col)
+        if isinstance(rows, pa.ChunkedArray):
+            rows = rows.combine_chunks()
+        cidx = pc.index_in(t.column(col_col), value_set=col_vals)
+        cnp = cidx.to_numpy(zero_copy_only=False).astype(np.float64)
+        enc = rows.dictionary_encode()
+        rnp = enc.indices.to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = ~np.isnan(cnp) & ~np.isnan(rnp)  # null col OR row key: skip
+        nrows = len(enc.dictionary)
+        sel = np.flatnonzero(valid)
+        if sel.size:
+            codes = rnp[sel].astype(np.int64) * ncols + cnp[sel].astype(np.int64)
+            flat = np.bincount(codes, minlength=nrows * ncols)
+        else:
+            flat = np.zeros(nrows * ncols, dtype=np.int64)
+        mat = flat.reshape(nrows, ncols)
+        cols = {row_col: enc.dictionary}
+        for j, nm in enumerate(out_names):
+            cols[nm] = pa.array(mat[:, j], pa.int64())
+        return pa.table(cols)
+
+    agg = ds.map_batches(block_counts, batch_format="pyarrow").groupby(
+        row_col
+    ).aggregate(*[Sum(nm) for nm in out_names])
+
+    def rename(t: pa.Table) -> pa.Table:
+        if f"sum({out_names[0]})" not in t.column_names:
+            return pa.table(
+                {row_col: pa.array([]),
+                 **{nm: pa.array([], pa.int64()) for nm in out_names}}
+            )
+        cols = {row_col: t.column(row_col)}
+        for nm in out_names:
+            cols[nm] = pc.cast(t.column(f"sum({nm})"), pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -345,3 +345,42 @@ class TestQuantileBuckets:
                 rd.from_pandas(pd.DataFrame({"value": [1.0]})), "value",
                 n_buckets=1,
             )
+
+
+class TestPivotCounts:
+    def test_matches_duckdb_case_sums(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.relational import pivot_counts
+
+        rng = np.random.default_rng(21)
+        df = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 25, 400),
+                "event_type": rng.choice(["click", "view", "error"], 400),
+            }
+        )
+        df.loc[::40, "event_type"] = None  # null col keys not counted
+        got = (
+            pivot_counts(rd.from_pandas(df).repartition(4), "user_id", "event_type")
+            .to_pandas()
+            .sort_values("user_id", ignore_index=True)
+        )
+        exp = duckdb.sql(
+            "SELECT user_id, "
+            "sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)::BIGINT AS n_click, "
+            "sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END)::BIGINT AS n_error, "
+            "sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)::BIGINT AS n_view "
+            "FROM df GROUP BY user_id ORDER BY user_id"
+        ).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_max_cols_guard(self, ray_session):
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.relational import pivot_counts
+
+        df = pd.DataFrame({"r": [1, 2, 3], "c": ["a", "b", "c"]})
+        with pytest.raises(ValueError, match="max_cols"):
+            pivot_counts(rd.from_pandas(df), "r", "c", max_cols=2)
