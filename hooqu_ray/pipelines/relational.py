@@ -408,3 +408,74 @@ def pivot_counts(ds, row_col: str, col_col: str, max_cols: int = 1000,
         return pa.table(cols)
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def funnel_counts(ds, key_col: str, ts_col: str, step_col: str, steps):
+    """Ordered-funnel analysis: how many keys (users) completed step 1,
+    then step 2 STRICTLY AFTER their first step-1 completion, and so on —
+    the product-analytics "conversion funnel" with first-touch semantics.
+
+    Iterative composition of the engine's own primitives, K−1 rounds for
+    K steps: the per-key first-completion table of step i−1 (slim
+    ``(key, t)`` rows, materialized) hash-joins (:func:`~hooqu_ray.
+    functions.joins.hash_join`) onto the step-i events, a vectorized
+    filter keeps ``ts > t``, and ``groupby(key).min`` yields the next
+    table.  Only per-key and per-step-event rows ever shuffle; nothing
+    collects on the driver.  Returns a small Arrow table
+    ``(step_idx, step, n_keys)``."""
+    from ray.data.aggregate import Min
+
+    from ..functions.joins import hash_join
+
+    if not steps:
+        raise ValueError("funnel_counts: steps must be non-empty")
+
+    def only(step):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column(step_col), step)).select(
+                [key_col, ts_col]
+            )
+        return f
+
+    def rename_min(t: pa.Table) -> pa.Table:
+        if f"min({ts_col})" not in t.column_names:
+            return pa.table({key_col: pa.array([]), "__t": pa.array([])})
+        return pa.table(
+            {key_col: t.column(key_col), "__t": t.column(f"min({ts_col})")}
+        )
+
+    prev = (
+        ds.map_batches(only(steps[0]), batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Min(ts_col))
+        .map_batches(rename_min, batch_format="pyarrow")
+        .materialize()
+    )
+    counts = [prev.count()]
+    for step in steps[1:]:
+        if counts[-1] == 0:
+            counts.append(0)
+            continue
+        evs = ds.map_batches(only(step), batch_format="pyarrow")
+        joined = hash_join(evs, prev, on=key_col, how="inner")
+
+        def after(t: pa.Table) -> pa.Table:
+            if ts_col not in t.column_names:
+                return t
+            return t.filter(pc.greater(t.column(ts_col), t.column("__t")))
+
+        prev = (
+            joined.map_batches(after, batch_format="pyarrow")
+            .groupby(key_col)
+            .aggregate(Min(ts_col))
+            .map_batches(rename_min, batch_format="pyarrow")
+            .materialize()
+        )
+        counts.append(prev.count())
+    return pa.table(
+        {
+            "step_idx": pa.array(range(1, len(steps) + 1), pa.int64()),
+            "step": pa.array([str(s) for s in steps], pa.string()),
+            "n_keys": pa.array(counts, pa.int64()),
+        }
+    )

@@ -384,3 +384,59 @@ class TestPivotCounts:
         df = pd.DataFrame({"r": [1, 2, 3], "c": ["a", "b", "c"]})
         with pytest.raises(ValueError, match="max_cols"):
             pivot_counts(rd.from_pandas(df), "r", "c", max_cols=2)
+
+
+class TestFunnelCounts:
+    def test_strict_ordering_semantics(self, ray_session):
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.relational import funnel_counts
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        rows = [
+            # user 1 completes A → B → C in order
+            (1, base + np.timedelta64(0, "s"), "A"),
+            (1, base + np.timedelta64(10, "s"), "B"),
+            (1, base + np.timedelta64(20, "s"), "C"),
+            # user 2: B happens BEFORE A → never reaches step 2
+            (2, base + np.timedelta64(0, "s"), "B"),
+            (2, base + np.timedelta64(10, "s"), "A"),
+            # user 3: A and B, no C
+            (3, base + np.timedelta64(0, "s"), "A"),
+            (3, base + np.timedelta64(5, "s"), "B"),
+            # user 4: only C
+            (4, base, "C"),
+        ]
+        df = pd.DataFrame(rows, columns=["user_id", "ts", "step"])
+        got = funnel_counts(
+            rd.from_pandas(df).repartition(3), "user_id", "ts", "step",
+            ["A", "B", "C"],
+        ).to_pandas()
+        assert got["n_keys"].tolist() == [3, 2, 1]
+
+    def test_simultaneous_not_counted(self, ray_session):
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.relational import funnel_counts
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        df = pd.DataFrame(
+            {"user_id": [1, 1], "ts": [base, base], "step": ["A", "B"]}
+        )
+        got = funnel_counts(
+            rd.from_pandas(df), "user_id", "ts", "step", ["A", "B"]
+        ).to_pandas()
+        # ts equal: strictly-after semantics → step 2 not reached
+        assert got["n_keys"].tolist() == [1, 0]
+
+    def test_empty_tail_short_circuits(self, ray_session):
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.relational import funnel_counts
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        df = pd.DataFrame({"user_id": [1], "ts": [base], "step": ["A"]})
+        got = funnel_counts(
+            rd.from_pandas(df), "user_id", "ts", "step", ["X", "A", "Y"]
+        ).to_pandas()
+        assert got["n_keys"].tolist() == [0, 0, 0]
