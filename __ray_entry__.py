@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["bloom_new_events"] = _bloom_new_events
     out["pivot_user_event_counts"] = _pivot_user_event_counts
     out["funnel_signup_click_purchase"] = _funnel_counts_events
+    out["distinct_users_per_type"] = _distinct_users_per_type
     out["value_deciles_events"] = _value_deciles_events
     out["rolling_mean_events"] = _rolling_mean_events
     out["time_window_events"] = _time_window_events
@@ -175,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["approx_count_distinct_users"] = _approx_distinct_users
     out["approx_quantile_price"] = _approx_quantile_price
     out["knn_ivf_embeddings"] = _knn_ivf
+    out["kmeans_embeddings"] = _kmeans_embeddings
 
     # -- bound-style oracles for the non-SQL-expressible ops --------------
     out["minhash_lsh_pairs_documents"] = _minhash_pairs
@@ -336,6 +338,34 @@ def _knn_ivf(sf_dir: str):
         {
             "n_results": pa.array([len(ivf)], pa.int64()),
             "recall_ok": pa.array([mean_recall >= 0.7], pa.bool_()),
+        }
+    )
+
+
+def _kmeans_embeddings(sf_dir: str):
+    """Bound-style oracle for the distributed spherical k-means (iterative,
+    not SQL-expressible): every vector is assigned (count hash-matches
+    count(*)), the Lloyd's objective history is monotone non-decreasing
+    (each half-step provably improves the spherical objective), and two
+    independent distributed runs agree bit-for-bit (hash-of-id init +
+    order-insensitive partial sums)."""
+    from hooqu_ray.pipelines.similarity import kmeans
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent, assign, hist = kmeans(ds, n_clusters=8, n_iters=4)
+    n = assign.count()
+    cent2, _, hist2 = kmeans(ds, n_clusters=8, n_iters=4)
+    monotone = all(b >= a - 1e-9 for a, b in zip(hist, hist[1:]))
+    deterministic = bool(
+        np.allclose(cent, cent2, atol=1e-9)
+        and np.allclose(hist, hist2, atol=1e-6)
+    )
+    return pa.table(
+        {
+            "n_vectors": pa.array([int(n)], pa.int64()),
+            "k": pa.array([int(cent.shape[0])], pa.int64()),
+            "monotone_ok": pa.array([monotone], pa.bool_()),
+            "deterministic_ok": pa.array([deterministic], pa.bool_()),
         }
     )
 
@@ -945,6 +975,17 @@ def _line_dedup_documents(sf_dir: str):
     return line_dedup(ds, min_line_chars=4, delimiter=" ")
 
 
+def _distinct_users_per_type(sf_dir: str):
+    """Exact grouped count-distinct: per-block distinct-pair combiner +
+    two slim shuffles."""
+    from hooqu_ray.pipelines.relational import grouped_count_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    df = grouped_count_distinct(ds, "event_type", "user_id").to_pandas()
+    df["n_distinct"] = df["n_distinct"].astype("int64")
+    return df.sort_values("event_type", ignore_index=True)
+
+
 def _funnel_counts_events(sf_dir: str):
     """Ordered conversion funnel (first-touch, strict ts ordering) over a
     derived step column (event_type × value>100) so each stage genuinely
@@ -1474,6 +1515,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM p "
             "WHERE jaccard >= 0.5"
         ),
+        "distinct_users_per_type": (
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
         "funnel_signup_click_purchase": (
             "WITH ev AS (SELECT user_id, ts, event_type || "
             "(CASE WHEN value > 100 THEN '_hi' ELSE '_lo' END) AS step FROM events), "
@@ -1572,6 +1617,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(node AS BIGINT) AS doc_id, "
             "CAST(min(reach) AS BIGINT) AS cluster_id FROM walk "
             "GROUP BY node ORDER BY doc_id"
+        ),
+        "kmeans_embeddings": (
+            "SELECT count(*)::BIGINT AS n_vectors, 8::BIGINT AS k, "
+            "TRUE AS monotone_ok, TRUE AS deterministic_ok FROM embeddings"
         ),
         "minhash_lsh_pairs_documents": (
             # truth count from the same all-pairs word-3-gram Jaccard

@@ -284,6 +284,35 @@ def main() -> None:
     ).count()
     queries["quantile_buckets"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    quantile_buckets(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "value"]),
+        "value", n_buckets=10, keep_cols=["event_id"], approx=True,
+    ).count()
+    queries["quantile_buckets_approx"] = round(time.time() - t0, 3)
+
+    from hooqu_ray.pipelines.similarity import kmeans
+
+    t0 = time.time()
+    _, assign, _ = kmeans(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]),
+        n_clusters=16, n_iters=4,
+    )
+    assign.count()
+    queries["kmeans"] = round(time.time() - t0, 3)
+
+    from hooqu_ray.pipelines.relational import grouped_count_distinct
+
+    t0 = time.time()
+    grouped_count_distinct(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "user_id"]),
+        "event_type", "user_id",
+    ).count()
+    queries["grouped_count_distinct"] = round(time.time() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "end-to-end transcript filter+scrub wall time "

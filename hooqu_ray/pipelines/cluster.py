@@ -155,11 +155,18 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b", *,
         return pa.table({"node": t.column("node"), "label": t.column("node")})
 
     # Distinct node set via a distributive Count shuffle; L0(u) = u.
+    # The trailing repartition (in-plan, no shuffle) bounds the label
+    # dataset's BLOCK count: Sort/Aggregate otherwise emit one block per
+    # input block, so each sweep would compound blocks (64 → 128 → 192 →
+    # …) and the per-block fixed costs of the next sweep's all-to-alls
+    # would dominate wall time (measured 6 s → 180+ s per sweep by
+    # sweep 4 on a 100k-edge graph before this cap).
     labels = (
         edges.map_batches(explode_nodes, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Count())
         .map_batches(init_labels, batch_format="pyarrow")
+        .repartition(n_buckets)
         .materialize()
     )
 
@@ -219,6 +226,7 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b", *,
             .groupby("node")
             .aggregate(Min("cand"))
             .map_batches(finish, batch_format="pyarrow")
+            .repartition(n_buckets)  # cap block growth (see init comment)
             .materialize()  # consumed twice: signature + next sweep
         )
         new_sig = signature(labels)

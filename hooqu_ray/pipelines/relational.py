@@ -289,7 +289,7 @@ def reservoir_sample(ds, group_col: str, id_col: str, k: int, extra_cols=()):
 
 
 def quantile_buckets(ds, value_col: str, out_col: str = "bucket",
-                     n_buckets: int = 10, keep_cols=None):
+                     n_buckets: int = 10, keep_cols=None, approx: bool = False):
     """Quantile-bucket assignment ("quality deciles"): label every row with
     the number of exact ``i/n_buckets`` quantile breakpoints ≤ its value —
     the curriculum/mixture primitive that stratifies a corpus by a quality
@@ -298,24 +298,58 @@ def quantile_buckets(ds, value_col: str, out_col: str = "bucket",
     The n−1 breakpoints come from the exact distributed ``Quantile``
     analyzer (histogram-refinement selection, no global sort), all sharing
     ONE scan via ``do_analysis_run``; they broadcast in the task closure
-    (n−1 floats) and assignment is a vectorized ``searchsorted`` per batch
-    — two streaming passes total, no shuffle.  Bucket semantics are
-    SQL-exact: ``count(bp WHERE bp <= value)`` (so ties with a breakpoint
-    land in the upper bucket; a NULL value gets bucket 0, matching SQL
-    comparison semantics)."""
-    import numpy as np
+    (n−1 floats) and assignment is a vectorized ``searchsorted`` per batch.
+    Bucket semantics are SQL-exact: ``count(bp WHERE bp <= value)`` (ties
+    with a breakpoint land in the upper bucket; a NULL value gets bucket 0,
+    matching SQL comparison semantics).
 
-    from ..analyzers.quantile import Quantile
-    from ..runner import do_analysis_run
+    The exact path still pays each quantile's refinement sub-passes —
+    fine for a handful of breakpoints, wasteful for many.  ``approx=True``
+    is the 100-TB path: ONE streaming pass builds per-block t-digests,
+    the #blocks digest rows merge on the driver, and all n−1 breakpoints
+    read off the merged digest (~0.1–1% rank error at compression 200,
+    same digest as ``ApproxQuantile``)."""
+    import numpy as np
 
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    analyzers = [Quantile(value_col, q) for q in qs]
-    ctx = do_analysis_run(ds, analyzers)
-    bps = np.sort(
-        np.array([ctx.metric_map[a].value.get() for a in analyzers], dtype=np.float64)
-    )
+    if approx:
+        from ..analyzers.sketches import TDigestState
+
+        def block_digest(t: pa.Table) -> pa.Table:
+            if value_col not in t.column_names or len(t) == 0:
+                return pa.table({"m": pa.array([], pa.list_(pa.float64())),
+                                 "w": pa.array([], pa.list_(pa.float64()))})
+            v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            st = TDigestState.from_values(v)
+            return pa.table({"m": pa.array([list(st.means)], pa.list_(pa.float64())),
+                             "w": pa.array([list(st.weights)], pa.list_(pa.float64()))})
+
+        from ..util import collect_arrow
+
+        rows = collect_arrow(
+            ds.map_batches(block_digest, batch_format="pyarrow", batch_size=None)
+        )
+        st = None
+        if rows is not None:
+            for m, w in zip(rows.column("m").to_pylist(), rows.column("w").to_pylist()):
+                nxt = TDigestState(tuple(m), tuple(w))
+                st = nxt if st is None else st.sum(nxt)
+        if st is None:
+            st = TDigestState((), ())
+        bps = np.sort(np.array([st.quantile(q) for q in qs], dtype=np.float64))
+    else:
+        from ..analyzers.quantile import Quantile
+        from ..runner import do_analysis_run
+
+        analyzers = [Quantile(value_col, q) for q in qs]
+        ctx = do_analysis_run(ds, analyzers)
+        bps = np.sort(
+            np.array([ctx.metric_map[a].value.get() for a in analyzers],
+                     dtype=np.float64)
+        )
     cols = list(keep_cols) if keep_cols is not None else None
 
     def assign(t: pa.Table) -> pa.Table:
@@ -479,3 +513,63 @@ def funnel_counts(ds, key_col: str, ts_col: str, step_col: str, steps):
             "n_keys": pa.array(counts, pa.int64()),
         }
     )
+
+
+def grouped_count_distinct(ds, group_col: str, value_col: str):
+    """EXACT distinct-value count per group (``count(DISTINCT v) GROUP BY
+    g``) — the grouped counterpart of the ``CountDistinct`` analyzer.
+
+    Combiner-first: each block reduces to its distinct ``(group, value)``
+    pairs via dictionary-code run counting (no Python per row), then two
+    slim shuffles finish globally: ``groupby(group, value).count()``
+    dedupes pairs across blocks and ``groupby(group).count()`` counts
+    them.  Only distinct-pair rows move; for an APPROXIMATE one-shuffle
+    answer at extreme pair cardinality use per-group HLL sketches instead
+    (``analyzers/sketches.py``).  Null values are not counted (SQL
+    ``count(DISTINCT)``); null groups are dropped by the groupby
+    (documented divergence shared with the other grouped ops)."""
+    from ray.data.aggregate import Count
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        v = t.column(value_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        keep = pc.is_valid(v)
+        g, v = g.filter(keep), v.filter(keep)
+        if len(g) == 0:
+            return pa.table({group_col: g.slice(0, 0), value_col: v.slice(0, 0)})
+        genc = g.dictionary_encode()
+        venc = v.dictionary_encode()
+        gi = genc.indices.to_numpy(zero_copy_only=False).astype(np.float64)
+        vi = venc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((vi, gi))
+        gs, vs = gi[order], vi[order]
+        first = np.r_[True, (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])]
+        sel = order[first]
+        idx = pa.array(sel, pa.int64())
+        return pa.table({group_col: g.take(idx), value_col: v.take(idx)})
+
+    agg = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby([group_col, value_col])
+        .aggregate(Count())
+        .groupby(group_col)
+        .aggregate(Count())
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        if "count()" not in t.column_names:
+            return pa.table(
+                {group_col: pa.array([]), "n_distinct": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "n_distinct": pc.cast(t.column("count()"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -269,3 +269,173 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
         ds, n_centroids, emb_col, id_col, sample_size, index_dir
     )
     return index.search(queries, k, nprobe, query_ids=query_ids)
+
+
+def kmeans(ds, n_clusters: int, n_iters: int = 5,
+           emb_col: str = "embedding", id_col: str = "vec_id",
+           fanout: int = 64):
+    """Distributed spherical k-means (Lloyd's) over the FULL corpus — the
+    iterative-refinement counterpart of ``train_centroids`` (which fits a
+    driver-side sample).  Per iteration:
+
+    1. centroids broadcast once via ``ray.put`` (k×dim floats);
+    2. every block computes its assignments vectorized (one matmul) and
+       reduces to ONE partial row: flattened per-centroid vector sums,
+       per-centroid counts, and the block's total cosine objective;
+    3. partials tree-ADD (``batch_size=fanout`` passes, the Bloom tree-OR
+       shape) so the driver only ever folds ≤ fanout rows;
+    4. new centroids = normalized means (an empty cluster keeps its old
+       centroid — deterministic, no resample).
+
+    Both steps of Lloyd's are objective-non-decreasing for the spherical
+    objective (total cosine of each vector to its centroid), so
+    ``objective_history`` must be monotone — the property the driver gate
+    asserts.  Init is deterministic: the k corpus vectors with the
+    smallest ``stable_hash64(id)`` (per-block local top-k, then a
+    #blocks×k driver merge).  Returns ``(centroids, assignments Dataset
+    (id, centroid), objective_history)``."""
+    import ray
+
+    from ..util import embedding_matrix, stable_hash64
+
+    # Pool size: each block emits its local smallest-hash top-P rows, so
+    # the GLOBAL top-P over the collected union is exactly the corpus-wide
+    # top-P regardless of block layout — seeding is layout-invariant.
+    pool = max(4 * n_clusters, 64)
+
+    def block_seed(t: pa.Table) -> pa.Table:
+        if id_col not in t.column_names or len(t) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "__h": pa.array([], pa.uint64()),
+                 emb_col: pa.array([], pa.list_(pa.float64()))}
+            )
+        h = stable_hash64(t.column(id_col))
+        order = np.argsort(h, kind="stable")[:pool]
+        idx = pa.array(order.astype(np.int64))
+        emb = embedding_matrix(t.column(emb_col), np.float64)[order]
+        dim = emb.shape[1] if emb.size else 0
+        offsets = pa.array(np.arange(len(order) + 1, dtype=np.int32) * dim)
+        return pa.table(
+            {
+                id_col: t.column(id_col).take(idx),
+                "__h": pa.array(h[order], pa.uint64()),
+                emb_col: pa.ListArray.from_arrays(
+                    offsets, pa.array(emb.ravel(), pa.float64())
+                ),
+            }
+        )
+
+    from ..util import collect_arrow
+
+    seeds = collect_arrow(ds.map_batches(block_seed, batch_format="pyarrow"))
+    if seeds is None or len(seeds) == 0:
+        raise ValueError("kmeans: empty input dataset")
+    hs = seeds.column("__h").to_numpy(zero_copy_only=False)
+    order = np.argsort(hs, kind="stable")[:pool]
+    cand = _normalize(
+        embedding_matrix(seeds.column(emb_col), np.float64)[order]
+    )
+    # Greedy farthest-point (k-center) seeding over the candidate pool:
+    # start from the smallest-hash vector, then repeatedly take the
+    # candidate with the LOWEST maximum cosine to the chosen set.
+    # Deterministic, and unlike plain smallest-k-hashes it does not drop
+    # two seeds into one dense cluster (which leaves Lloyd's in a
+    # merged-clusters local optimum).
+    chosen = [0]
+    if len(cand) > 1:
+        max_sim = cand @ cand[0]
+        while len(chosen) < min(n_clusters, len(cand)):
+            nxt = int(np.argmin(max_sim))
+            chosen.append(nxt)
+            max_sim = np.maximum(max_sim, cand @ cand[nxt])
+    cent = cand[chosen]
+    k, dim = cent.shape
+
+    def partials(cent_ref):
+        class _Partial:
+            def __init__(self):
+                self._c = None
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if self._c is None:
+                    obj = cent_ref
+                    self._c = obj if isinstance(obj, np.ndarray) else ray.get(obj)
+                sums = np.zeros((k, dim), dtype=np.float64)
+                counts = np.zeros(k, dtype=np.int64)
+                obj_sum = 0.0
+                if emb_col in t.column_names and len(t):
+                    emb = _normalize(
+                        embedding_matrix(t.column(emb_col), np.float64)
+                    )
+                    sims = emb @ self._c.T
+                    assign = np.argmax(sims, axis=1)
+                    obj_sum = float(sims[np.arange(len(emb)), assign].sum())
+                    np.add.at(sums, assign, emb)
+                    counts += np.bincount(assign, minlength=k)
+                return pa.table(
+                    {
+                        "sums": pa.array([sums.tobytes()], pa.large_binary()),
+                        "counts": pa.array([counts.tobytes()], pa.large_binary()),
+                        "obj": pa.array([obj_sum], pa.float64()),
+                    }
+                )
+
+        return _Partial()
+
+    def tree_add(t: pa.Table) -> pa.Table:
+        if "sums" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {"sums": pa.array([], pa.large_binary()),
+                 "counts": pa.array([], pa.large_binary()),
+                 "obj": pa.array([], pa.float64())}
+            )
+        s = np.zeros(k * dim, dtype=np.float64)
+        c = np.zeros(k, dtype=np.int64)
+        o = 0.0
+        for i in range(len(t)):
+            s += np.frombuffer(t.column("sums")[i].as_py(), dtype=np.float64)
+            c += np.frombuffer(t.column("counts")[i].as_py(), dtype=np.int64)
+            o += t.column("obj")[i].as_py()
+        return pa.table(
+            {"sums": pa.array([s.tobytes()], pa.large_binary()),
+             "counts": pa.array([c.tobytes()], pa.large_binary()),
+             "obj": pa.array([o], pa.float64())}
+        )
+
+    history = []
+    for _ in range(n_iters):
+        ref = ray.put(cent)
+        rows = ds.map_batches(
+            partials(ref), batch_format="pyarrow", batch_size=None,
+            concurrency=None,
+        ).materialize()
+        while rows.count() > fanout:
+            rows = rows.map_batches(
+                tree_add, batch_format="pyarrow", batch_size=fanout
+            ).materialize()
+        s = np.zeros(k * dim, dtype=np.float64)
+        c = np.zeros(k, dtype=np.int64)
+        o = 0.0
+        for tbl in ray.get(rows.to_arrow_refs()):
+            if tbl.num_columns and len(tbl):
+                for i in range(len(tbl)):
+                    s += np.frombuffer(tbl.column("sums")[i].as_py(), np.float64)
+                    c += np.frombuffer(tbl.column("counts")[i].as_py(), np.int64)
+                    o += tbl.column("obj")[i].as_py()
+        history.append(o)
+        sums = s.reshape(k, dim)
+        nonempty = c > 0
+        new_cent = cent.copy()
+        new_cent[nonempty] = sums[nonempty] / c[nonempty, None]
+        cent = _normalize(new_cent)
+
+    ref = ray.put(cent)
+    assignments = ds.map_batches(
+        _AssignCentroid(ref, emb_col), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.select([id_col, "centroid"]) if id_col in t.column_names
+        else t,
+        batch_format="pyarrow",
+    )
+    return cent, assignments, history

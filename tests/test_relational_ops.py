@@ -440,3 +440,23 @@ class TestFunnelCounts:
             rd.from_pandas(df), "user_id", "ts", "step", ["X", "A", "Y"]
         ).to_pandas()
         assert got["n_keys"].tolist() == [0, 0, 0]
+
+
+def test_quantile_buckets_approx_close_to_exact(ray_session):
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.relational import quantile_buckets
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {"event_id": np.arange(4000, dtype=np.int64),
+         "value": rng.normal(0, 10, 4000)}
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    exact = quantile_buckets(ds, "value", n_buckets=4,
+                             keep_cols=["event_id"]).to_pandas()
+    approx = quantile_buckets(ds, "value", n_buckets=4, keep_cols=["event_id"],
+                              approx=True).to_pandas()
+    merged = exact.merge(approx, on="event_id", suffixes=("_e", "_a"))
+    agree = (merged["bucket_e"] == merged["bucket_a"]).mean()
+    assert agree > 0.97  # digest rank error shifts only boundary rows
