@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["pivot_user_event_counts"] = _pivot_user_event_counts
     out["funnel_signup_click_purchase"] = _funnel_counts_events
     out["distinct_users_per_type"] = _distinct_users_per_type
+    out["row_number_events_by_value"] = _row_number_events
+    out["hopping_window_events"] = _hopping_window_events
     out["value_deciles_events"] = _value_deciles_events
     out["rolling_mean_events"] = _rolling_mean_events
     out["time_window_events"] = _time_window_events
@@ -975,6 +977,36 @@ def _line_dedup_documents(sf_dir: str):
     return line_dedup(ds, min_line_chars=4, delimiter=" ")
 
 
+_HOUR_US = 3_600_000_000
+
+
+def _hopping_window_events(sf_dir: str):
+    """Overlapping 2h windows hopping 1h per event_type: vectorized window
+    enumeration + per-block pre-aggregation before the one groupby."""
+    from hooqu_ray.pipelines.windows import hopping_window_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    df = hopping_window_agg(
+        ds, "event_type", "ts", "value", 2 * _HOUR_US, _HOUR_US
+    ).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    df["avg_value"] = df["avg_value"].round(6)
+    return df.sort_values(["event_type", "w_start"], ignore_index=True)
+
+
+def _row_number_events(sf_dir: str):
+    """Exact global row_number: one range sort + per-block offset repair
+    (#blocks summary rows to the driver, nothing else)."""
+    from hooqu_ray.pipelines.relational import global_row_number
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    df = global_row_number(ds, "value", "event_id").to_pandas()
+    df["event_id"] = df["event_id"].astype("int64")
+    df["row_number"] = df["row_number"].astype("int64")
+    df["value"] = df["value"].round(6)
+    return df.sort_values("row_number", ignore_index=True)
+
+
 def _distinct_users_per_type(sf_dir: str):
     """Exact grouped count-distinct: per-block distinct-pair combiner +
     two slim shuffles."""
@@ -1514,6 +1546,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM d a JOIN d b ON a.doc_id < b.doc_id) "
             "SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM p "
             "WHERE jaccard >= 0.5"
+        ),
+        "hopping_window_events": (
+            # window = 2 x hop, so every event is in EXACTLY two hop-aligned
+            # windows: the UNION ALL of the two shifted tumbling groupings
+            "WITH e AS (SELECT event_type, epoch_us(ts) AS t, value FROM events), "
+            "x AS (SELECT event_type, value, "
+            "CAST(floor(t / 3600000000) AS BIGINT) * 3600000000 AS ws FROM e "
+            "UNION ALL SELECT event_type, value, "
+            "(CAST(floor(t / 3600000000) AS BIGINT) - 1) * 3600000000 AS ws FROM e) "
+            "SELECT event_type, make_timestamp(ws) AS w_start, "
+            "count(*)::BIGINT AS n, ROUND(avg(value), 6) AS avg_value "
+            "FROM x GROUP BY event_type, ws ORDER BY event_type, w_start"
+        ),
+        "row_number_events_by_value": (
+            "SELECT event_id, ROUND(value, 6) AS value, "
+            "row_number() OVER (ORDER BY value, event_id) AS row_number "
+            "FROM events ORDER BY row_number"
         ),
         "distinct_users_per_type": (
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct "

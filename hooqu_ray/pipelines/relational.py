@@ -573,3 +573,70 @@ def grouped_count_distinct(ds, group_col: str, value_col: str):
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def global_row_number(ds, order_col: str, tie_col: str,
+                      out_col: str = "row_number", descending: bool = False):
+    """EXACT global ``row_number() OVER (ORDER BY order_col, tie_col)`` —
+    the distributed total-order rank Ray Data has no native form of.
+
+    Shape: one range sort (blocks come back as contiguous key ranges, each
+    block locally ordered), then each block needs only its global OFFSET.
+    Pass 1 reduces every block to one summary row ``(first_order,
+    first_tie, count)``; the driver sorts the summaries (#blocks rows) and
+    prefix-sums the counts; pass 2 broadcasts the tiny offset table and
+    each block finds its own offset by matching its FIRST row — valid
+    because ``tie_col`` must be UNIQUE (ranks would otherwise be
+    ill-defined), making every block's first (order, tie) pair unique.
+    Nothing but #blocks summary rows ever leaves the cluster.  Null
+    ``order_col`` values sort last (Ray's sort), like SQL ``NULLS LAST``."""
+    from ..util import collect_arrow
+
+    sorted_ds = ds.sort([order_col, tie_col],
+                        descending=[descending, descending]).materialize()
+
+    def summary(t: pa.Table) -> pa.Table:
+        if order_col not in t.column_names or len(t) == 0:
+            return pa.table(
+                {"__fo": pa.array([]), "__ft": pa.array([]),
+                 "__n": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "__fo": t.column(order_col).slice(0, 1),
+                "__ft": t.column(tie_col).slice(0, 1),
+                "__n": pa.array([len(t)], pa.int64()),
+            }
+        )
+
+    summ = collect_arrow(
+        sorted_ds.map_batches(summary, batch_format="pyarrow", batch_size=None)
+    )
+    if summ is None or len(summ) == 0:
+        return sorted_ds
+    # pure-Arrow sort + as_py keys so lookup values are type-identical to
+    # the assign side's as_py (a pandas roundtrip would turn nulls into
+    # NaN and timestamps into pd.Timestamp)
+    direction = "descending" if descending else "ascending"
+    summ = summ.sort_by([("__fo", direction), ("__ft", direction)])
+    counts = summ.column("__n").to_numpy(zero_copy_only=False)
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    offsets = {
+        (fo, ft): int(off)
+        for fo, ft, off in zip(
+            summ.column("__fo").to_pylist(),
+            summ.column("__ft").to_pylist(),
+            offs,
+        )
+    }
+
+    def assign(t: pa.Table) -> pa.Table:
+        if order_col not in t.column_names or len(t) == 0:
+            return t
+        key = (t.column(order_col)[0].as_py(), t.column(tie_col)[0].as_py())
+        off = offsets[key]
+        return t.append_column(
+            out_col, pa.array(np.arange(1, len(t) + 1, dtype=np.int64) + off)
+        )
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)

@@ -288,3 +288,101 @@ def rolling_mean(ds, key: str, ts_col: str, tie: str, value_col: str,
         lambda g, _m=merge: _m(g), batch_format="pyarrow"
     )
     return finals.union(merged)
+
+
+def hopping_window_agg(ds, key_col: str, ts_col: str, value_col: str,
+                       window_us: int, hop_us: int):
+    """Hopping (overlapping sliding) window aggregate: count + mean of
+    ``value_col`` per ``(key, window_start)`` where windows are
+    ``[s, s + window)`` for every ``s ≡ 0 (mod hop)`` — each event lands
+    in ``window/hop`` windows (tumbling = the special case window == hop;
+    cf. the trailing per-event window of :func:`time_window_mean`).
+
+    Embarrassingly parallel combiner: each block ENUMERATES its rows'
+    window memberships vectorized (ragged repeat/offset arithmetic, no
+    Python per row) and pre-aggregates per (key, window) BEFORE the one
+    ``groupby`` shuffle — the shuffle moves at most
+    ``#blocks × #keys × #windows-per-block`` slim partial rows, never the
+    events.  Null keys/timestamps are dropped (SQL GROUP BY over derived
+    keys)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    if window_us <= 0 or hop_us <= 0 or window_us % hop_us:
+        raise ValueError(
+            "hopping_window_agg: window_us must be a positive multiple of hop_us"
+        )
+
+    def block_partials(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.string()),
+                "__ws": pa.array([], pa.int64()),
+                "__n": pa.array([], pa.int64()),
+                "__sum": pa.array([], pa.float64()),
+            }
+        )
+        if key_col not in t.column_names or len(t) == 0:
+            return empty
+        keep = pc.and_(
+            pc.is_valid(t.column(key_col)), pc.is_valid(t.column(ts_col))
+        )
+        t = t.filter(keep)
+        if len(t) == 0:
+            return empty
+        ts = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        i_max = np.floor_divide(ts, hop_us)
+        i_min = np.floor_divide(ts - window_us, hop_us) + 1
+        counts = (i_max - i_min + 1).astype(np.int64)
+        row_of = np.repeat(np.arange(len(ts), dtype=np.int64), counts)
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        slot = np.arange(counts.sum(), dtype=np.int64) - np.repeat(starts, counts)
+        ws = (i_min[row_of] + slot) * hop_us
+        enc = t.column(key_col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        enc = enc.dictionary_encode()
+        kcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[row_of]
+        order = np.lexsort((ws, kcode))
+        k_s, w_s, r_s = kcode[order], ws[order], row_of[order]
+        first = np.r_[True, (k_s[1:] != k_s[:-1]) | (w_s[1:] != w_s[:-1])]
+        run_id = np.cumsum(first) - 1
+        n_run = np.bincount(run_id)
+        sum_run = np.bincount(run_id, weights=vals[r_s])
+        sel = np.flatnonzero(first)
+        return pa.table(
+            {
+                key_col: enc.dictionary.take(pa.array(k_s[sel], pa.int64())),
+                "__ws": pa.array(w_s[sel], pa.int64()),
+                "__n": pa.array(n_run, pa.int64()),
+                "__sum": pa.array(sum_run, pa.float64()),
+            }
+        )
+
+    agg = ds.map_batches(block_partials, batch_format="pyarrow").groupby(
+        [key_col, "__ws"]
+    ).aggregate(Sum("__n"), Sum("__sum"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if "sum(__n)" not in t.column_names:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.string()),
+                    "w_start": pa.array([], pa.timestamp("us")),
+                    "n": pa.array([], pa.int64()),
+                    "avg_value": pa.array([], pa.float64()),
+                }
+            )
+        n = pc.cast(t.column("sum(__n)"), pa.int64())
+        s = t.column("sum(__sum)")
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "w_start": pc.cast(t.column("__ws"), pa.timestamp("us")),
+                "n": n,
+                "avg_value": pc.divide(s, pc.cast(n, pa.float64())),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -623,3 +623,74 @@ class TestHashJoin:
                 rd.from_pandas(pd.DataFrame({"k": [1]})),
                 on="k", how="outer",
             )
+
+
+class TestHoppingWindow:
+    def test_matches_duckdb_union_derivation(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.windows import hopping_window_agg
+
+        H = 10_000_000  # 10s hop, 30s window → 3 windows per event
+        base = np.datetime64("2024-03-01T00:00:00", "us")
+        rng = np.random.default_rng(23)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b"], 300),
+                "ts": base + (rng.integers(0, 120, 300) * 1_000_000).astype(
+                    "timedelta64[us]"
+                ),
+                "v": np.round(rng.normal(0, 2, 300), 3),
+            }
+        )
+        got = hopping_window_agg(
+            rd.from_pandas(df).repartition(4), "k", "ts", "v", 3 * H, H
+        ).to_pandas()
+        got["avg_value"] = got["avg_value"].round(6)
+        got = got.sort_values(["k", "w_start"], ignore_index=True)
+        exp = duckdb.sql(
+            f"WITH e AS (SELECT k, epoch_us(ts) AS t, v FROM df), "
+            f"x AS (SELECT k, v, CAST(floor(t / {H}) AS BIGINT) * {H} AS ws FROM e "
+            f"UNION ALL SELECT k, v, (CAST(floor(t / {H}) AS BIGINT) - 1) * {H} AS ws FROM e "
+            f"UNION ALL SELECT k, v, (CAST(floor(t / {H}) AS BIGINT) - 2) * {H} AS ws FROM e) "
+            "SELECT k, make_timestamp(ws) AS w_start, count(*)::BIGINT AS n, "
+            "ROUND(avg(v), 6) AS avg_value FROM x GROUP BY k, ws ORDER BY k, w_start"
+        ).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_tumbling_special_case(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.windows import hopping_window_agg
+
+        base = np.datetime64("2024-03-01T00:00:00", "us")
+        df = pd.DataFrame(
+            {"k": ["a"] * 4,
+             "ts": base + (np.array([0, 5, 10, 15]) * 1_000_000).astype(
+                 "timedelta64[us]"),
+             "v": [1.0, 2.0, 3.0, 4.0]}
+        )
+        H = 10_000_000
+        got = hopping_window_agg(
+            rd.from_pandas(df), "k", "ts", "v", H, H
+        ).to_pandas().sort_values("w_start", ignore_index=True)
+        assert got["n"].tolist() == [2, 2]
+        assert got["avg_value"].tolist() == [1.5, 3.5]
+
+    def test_invalid_params(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.windows import hopping_window_agg
+
+        with pytest.raises(ValueError, match="multiple"):
+            hopping_window_agg(
+                rd.from_pandas(pd.DataFrame({"k": [], "ts": [], "v": []})),
+                "k", "ts", "v", 15, 10,
+            )

@@ -460,3 +460,46 @@ def test_quantile_buckets_approx_close_to_exact(ray_session):
     merged = exact.merge(approx, on="event_id", suffixes=("_e", "_a"))
     agree = (merged["bucket_e"] == merged["bucket_a"]).mean()
     assert agree > 0.97  # digest rank error shifts only boundary rows
+
+
+class TestGlobalRowNumber:
+    def test_matches_sql_with_ties(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.relational import global_row_number
+
+        rng = np.random.default_rng(17)
+        df = pd.DataFrame(
+            {"event_id": np.arange(2000, dtype=np.int64),
+             "value": np.round(rng.normal(0, 3, 2000), 1)}
+        )
+        got = (
+            global_row_number(rd.from_pandas(df).repartition(6), "value", "event_id")
+            .to_pandas()
+            .sort_values("row_number", ignore_index=True)
+        )
+        exp = duckdb.sql(
+            "SELECT event_id, value, row_number() OVER (ORDER BY value, event_id) "
+            "AS row_number FROM df ORDER BY row_number"
+        ).df()
+        pd.testing.assert_frame_equal(
+            got[["event_id", "value", "row_number"]], exp, check_dtype=False
+        )
+
+    def test_descending(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.relational import global_row_number
+
+        df = pd.DataFrame({"event_id": [1, 2, 3, 4], "value": [5.0, 1.0, 5.0, 3.0]})
+        got = (
+            global_row_number(
+                rd.from_pandas(df).repartition(2), "value", "event_id",
+                descending=True,
+            )
+            .to_pandas()
+            .sort_values("row_number", ignore_index=True)
+        )
+        assert got["event_id"].tolist() == [3, 1, 4, 2]
