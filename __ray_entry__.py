@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["distinct_users_per_type"] = _distinct_users_per_type
     out["row_number_events_by_value"] = _row_number_events
     out["hopping_window_events"] = _hopping_window_events
+    out["snapshot_diff_events"] = _snapshot_diff_events
     out["value_deciles_events"] = _value_deciles_events
     out["rolling_mean_events"] = _rolling_mean_events
     out["time_window_events"] = _time_window_events
@@ -977,6 +978,63 @@ def _line_dedup_documents(sf_dir: str):
     return line_dedup(ds, min_line_chars=4, delimiter=" ")
 
 
+def _snapshot_diff_events(sf_dir: str):
+    """Delta detection old vs new snapshot (both derived deterministically
+    from events: new drops id%13 rows, doubles value on id%7 rows, adds
+    shifted id%17 rows) — one bucketed exchange of (key, content-hash)
+    rows, never the payload."""
+    import pyarrow.compute as pc
+
+    from hooqu_ray.pipelines.dedup import snapshot_diff
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("event_id"))
+        keep = ids % 13 != 0
+        t2 = t.filter(pa.array(keep))
+        ids2 = np.asarray(t2.column("event_id"))
+        vals = np.asarray(t2.column("value"), dtype=np.float64)
+        vals = np.where(ids2 % 7 == 0, vals * 2.0, vals)
+        base = pa.table(
+            {
+                "event_id": t2.column("event_id"),
+                "event_type": t2.column("event_type"),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+        add_mask = ids % 17 == 0
+        t3 = t.filter(pa.array(add_mask))
+        added = pa.table(
+            {
+                "event_id": pc.add(
+                    pc.cast(t3.column("event_id"), pa.int64()),
+                    pa.scalar(1_000_000, pa.int64()),
+                ),
+                "event_type": t3.column("event_type"),
+                "value": pc.cast(t3.column("value"), pa.float64()),
+            }
+        )
+        return pa.concat_tables([base, added])
+
+    old = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "event_type": t.column("event_type"),
+                "value": pc.cast(t.column("value"), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    new = ds.map_batches(mk_new, batch_format="pyarrow")
+    df = snapshot_diff(old, new, "event_id", ["event_type", "value"],
+                       n_buckets=16).to_pandas()
+    df = df.rename(columns={"key": "event_id"})
+    df["event_id"] = df["event_id"].astype("int64")
+    return df.sort_values("event_id", ignore_index=True)
+
+
 _HOUR_US = 3_600_000_000
 
 
@@ -1546,6 +1604,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM d a JOIN d b ON a.doc_id < b.doc_id) "
             "SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM p "
             "WHERE jaccard >= 0.5"
+        ),
+        "snapshot_diff_events": (
+            "WITH o AS (SELECT event_id AS key, event_type, value FROM events), "
+            "n AS (SELECT event_id AS key, event_type, "
+            "CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value "
+            "FROM events WHERE event_id % 13 != 0 "
+            "UNION ALL SELECT event_id + 1000000, event_type, value "
+            "FROM events WHERE event_id % 17 = 0), "
+            "j AS (SELECT COALESCE(o.key, n.key) AS event_id, "
+            "CASE WHEN o.key IS NULL THEN 'added' "
+            "WHEN n.key IS NULL THEN 'removed' "
+            "WHEN o.event_type IS DISTINCT FROM n.event_type "
+            "OR o.value IS DISTINCT FROM n.value THEN 'changed' ELSE '' END AS status "
+            "FROM o FULL OUTER JOIN n ON o.key = n.key) "
+            "SELECT event_id, status FROM j WHERE status != '' ORDER BY event_id"
         ),
         "hopping_window_events": (
             # window = 2 x hop, so every event is in EXACTLY two hop-aligned

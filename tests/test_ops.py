@@ -540,3 +540,53 @@ class TestLineDedupGuards:
         assert list(out.columns) == ["doc_id", "content", "lang"]
         assert out.lang.tolist() == ["en", "de"]
         assert out.content.tolist() == ["a long repeated line here\nunique one", ""]
+
+
+class TestSnapshotDiff:
+    def test_statuses_match_full_outer_join(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.dedup import snapshot_diff
+
+        rng = np.random.default_rng(29)
+        old = pd.DataFrame(
+            {"k": np.arange(500, dtype=np.int64),
+             "txt": [f"doc {i}" for i in range(500)],
+             "v": np.round(rng.normal(0, 1, 500), 3)}
+        )
+        new = old[old["k"] % 11 != 0].copy()
+        new.loc[new["k"] % 5 == 0, "txt"] = "MUTATED"
+        extra = pd.DataFrame({"k": [900, 901], "txt": ["x", "y"], "v": [0.0, 1.0]})
+        new = pd.concat([new, extra], ignore_index=True)
+        got = (
+            snapshot_diff(
+                rd.from_pandas(old).repartition(4),
+                rd.from_pandas(new).repartition(3),
+                "k", ["txt", "v"], n_buckets=8,
+            )
+            .to_pandas()
+            .sort_values("key", ignore_index=True)
+        )
+        exp = duckdb.sql(
+            "WITH j AS (SELECT COALESCE(o.k, n.k) AS key, "
+            "CASE WHEN o.k IS NULL THEN 'added' WHEN n.k IS NULL THEN 'removed' "
+            "WHEN o.txt IS DISTINCT FROM n.txt OR o.v IS DISTINCT FROM n.v "
+            "THEN 'changed' ELSE '' END AS status "
+            "FROM old o FULL OUTER JOIN new n ON o.k = n.k) "
+            "SELECT key, status FROM j WHERE status != '' ORDER BY key"
+        ).df()
+        assert got["key"].tolist() == exp["key"].tolist()
+        assert got["status"].tolist() == exp["status"].tolist()
+
+    def test_duplicate_keys_raise(self, ray_session):
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.dedup import snapshot_diff
+
+        dup = pd.DataFrame({"k": [1, 1], "txt": ["a", "b"]})
+        ok = pd.DataFrame({"k": [1], "txt": ["a"]})
+        with pytest.raises(Exception, match="duplicate keys"):
+            snapshot_diff(
+                rd.from_pandas(dup), rd.from_pandas(ok), "k", ["txt"]
+            ).to_pandas()
