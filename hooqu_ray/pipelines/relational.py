@@ -640,3 +640,56 @@ def global_row_number(ds, order_col: str, tie_col: str,
         )
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def percentile_rank(ds, value_col: str, out_col: str = "pct_rank",
+                    keep_cols=None, compression: int = 200):
+    """Streaming APPROXIMATE percentile rank per row (the fraction of
+    corpus values <= this row's value) — the one-pass scale path where
+    :func:`global_row_number` is the exact two-pass one.
+
+    Pass 1 builds per-block t-digests (the ``quantile_buckets``
+    ``approx=True`` machinery) and merges #blocks digest rows on the
+    driver; the merged digest broadcasts in the task closure and pass 2
+    reads each row's rank off the digest CDF with one vectorized
+    ``np.interp``.  Rank error is the digest's (~0.1–1% at compression
+    200).  NULL/NaN values get NaN rank."""
+    from ..analyzers.sketches import TDigestState
+    from ..util import collect_arrow
+
+    def block_digest(t: pa.Table) -> pa.Table:
+        if value_col not in t.column_names or len(t) == 0:
+            return pa.table({"m": pa.array([], pa.list_(pa.float64())),
+                             "w": pa.array([], pa.list_(pa.float64()))})
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        st = TDigestState.from_values(v, compression=compression)
+        return pa.table({"m": pa.array([list(st.means)], pa.list_(pa.float64())),
+                         "w": pa.array([list(st.weights)], pa.list_(pa.float64()))})
+
+    rows = collect_arrow(
+        ds.map_batches(block_digest, batch_format="pyarrow", batch_size=None)
+    )
+    st = None
+    if rows is not None:
+        for m, w in zip(rows.column("m").to_pylist(), rows.column("w").to_pylist()):
+            nxt = TDigestState(tuple(m), tuple(w), compression)
+            st = nxt if st is None else st.sum(nxt)
+    means = np.asarray(st.means if st else (), dtype=np.float64)
+    weights = np.asarray(st.weights if st else (), dtype=np.float64)
+    total = weights.sum() if weights.size else 1.0
+    # CDF: centroid i's mean sits at cumulative weight (cum_i - w_i/2)
+    cum = (np.cumsum(weights) - weights / 2.0) / total if weights.size else np.array([])
+    cols = list(keep_cols) if keep_cols is not None else None
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        if means.size:
+            r = np.interp(v, means, cum, left=0.0, right=1.0)
+        else:
+            r = np.full(len(v), np.nan)
+        r = np.where(np.isnan(v), np.nan, r)
+        base = t.select(cols) if cols is not None else t
+        return base.append_column(out_col, pa.array(r, pa.float64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

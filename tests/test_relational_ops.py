@@ -503,3 +503,27 @@ class TestGlobalRowNumber:
             .sort_values("row_number", ignore_index=True)
         )
         assert got["event_id"].tolist() == [3, 1, 4, 2]
+
+
+def test_percentile_rank_accuracy(ray_session):
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.relational import percentile_rank
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame(
+        {"event_id": np.arange(3000, dtype=np.int64),
+         "value": rng.normal(0, 5, 3000)}
+    )
+    got = percentile_rank(
+        rd.from_pandas(df).repartition(5), "value", keep_cols=["event_id"]
+    ).to_pandas()
+    exact = df.copy()
+    exact["pr"] = (exact["value"].rank(method="min") - 1) / (len(df) - 1)
+    m = got.merge(exact[["event_id", "pr"]], on="event_id")
+    assert (m["pct_rank"] - m["pr"]).abs().max() < 0.02
+    # nulls get NaN rank
+    df2 = pd.DataFrame({"event_id": [0, 1], "value": [1.0, None]})
+    g2 = percentile_rank(rd.from_pandas(df2), "value",
+                         keep_cols=["event_id"]).to_pandas()
+    assert g2.sort_values("event_id")["pct_rank"].isna().tolist() == [False, True]
