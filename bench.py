@@ -303,7 +303,11 @@ def main() -> None:
     assign.count()
     queries["kmeans"] = round(time.time() - t0, 3)
 
-    from hooqu_ray.pipelines.relational import grouped_count_distinct
+    from hooqu_ray.pipelines.relational import (
+        global_row_number,
+        grouped_count_distinct,
+        percentile_rank,
+    )
 
     t0 = time.time()
     grouped_count_distinct(
@@ -312,6 +316,52 @@ def main() -> None:
         "event_type", "user_id",
     ).count()
     queries["grouped_count_distinct"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    global_row_number(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_extendedprice", "l_orderkey",
+                                 "l_linenumber"]),
+        "l_extendedprice", "l_orderkey",
+    ).count()
+    queries["global_row_number"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    percentile_rank(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_extendedprice", "l_orderkey"]),
+        "l_extendedprice", keep_cols=["l_orderkey"],
+    ).count()
+    queries["percentile_rank"] = round(time.time() - t0, 3)
+
+    from hooqu_ray.pipelines.windows import hopping_window_agg
+
+    t0 = time.time()
+    hopping_window_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts", "value"]),
+        "event_type", "ts", "value", 7_200_000_000, 3_600_000_000,
+    ).count()
+    queries["hopping_window"] = round(time.time() - t0, 3)
+
+    from hooqu_ray.pipelines.dedup import snapshot_diff
+
+    def bump(t):
+        import numpy as np
+
+        ids = np.asarray(t.column("event_id"))
+        vals = np.asarray(t.column("value"), dtype="float64")
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "value": pa.array(np.where(ids % 7 == 0, vals * 2, vals)),
+        })
+
+    ev3 = rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_id", "value"])
+    t0 = time.time()
+    snapshot_diff(ev3, ev3.map_batches(bump, batch_format="pyarrow"),
+                  "event_id", ["value"], n_buckets=32).count()
+    queries["snapshot_diff"] = round(time.time() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -304,7 +304,9 @@ def hopping_window_agg(ds, key_col: str, ts_col: str, value_col: str,
     ``groupby`` shuffle — the shuffle moves at most
     ``#blocks × #keys × #windows-per-block`` slim partial rows, never the
     events.  Null keys/timestamps are dropped (SQL GROUP BY over derived
-    keys)."""
+    keys); null VALUES count toward ``n`` but not the mean (SQL
+    ``count(*)`` / ``avg`` semantics), and an all-null window's mean is
+    null."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -319,6 +321,7 @@ def hopping_window_agg(ds, key_col: str, ts_col: str, value_col: str,
                 key_col: pa.array([], pa.string()),
                 "__ws": pa.array([], pa.int64()),
                 "__n": pa.array([], pa.int64()),
+                "__nv": pa.array([], pa.int64()),
                 "__sum": pa.array([], pa.float64()),
             }
         )
@@ -330,8 +333,15 @@ def hopping_window_agg(ds, key_col: str, ts_col: str, value_col: str,
         t = t.filter(keep)
         if len(t) == 0:
             return empty
-        ts = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        ts_col_arr = t.column(ts_col)
+        if pa.types.is_timestamp(ts_col_arr.type):
+            # normalize to µs so window/hop units are unambiguous
+            # (pandas-sourced blocks arrive as timestamp[ns])
+            ts_col_arr = pc.cast(ts_col_arr, pa.timestamp("us"))
+        ts = pc.cast(ts_col_arr, pa.int64()).to_numpy(zero_copy_only=False)
         vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        val_ok = (~np.isnan(vals)).astype(np.float64)
+        vals = np.nan_to_num(vals)
         i_max = np.floor_divide(ts, hop_us)
         i_min = np.floor_divide(ts - window_us, hop_us) + 1
         counts = (i_max - i_min + 1).astype(np.int64)
@@ -349,6 +359,7 @@ def hopping_window_agg(ds, key_col: str, ts_col: str, value_col: str,
         first = np.r_[True, (k_s[1:] != k_s[:-1]) | (w_s[1:] != w_s[:-1])]
         run_id = np.cumsum(first) - 1
         n_run = np.bincount(run_id)
+        nv_run = np.bincount(run_id, weights=val_ok[r_s])
         sum_run = np.bincount(run_id, weights=vals[r_s])
         sel = np.flatnonzero(first)
         return pa.table(
@@ -356,13 +367,14 @@ def hopping_window_agg(ds, key_col: str, ts_col: str, value_col: str,
                 key_col: enc.dictionary.take(pa.array(k_s[sel], pa.int64())),
                 "__ws": pa.array(w_s[sel], pa.int64()),
                 "__n": pa.array(n_run, pa.int64()),
+                "__nv": pa.array(nv_run.astype(np.int64), pa.int64()),
                 "__sum": pa.array(sum_run, pa.float64()),
             }
         )
 
     agg = ds.map_batches(block_partials, batch_format="pyarrow").groupby(
         [key_col, "__ws"]
-    ).aggregate(Sum("__n"), Sum("__sum"))
+    ).aggregate(Sum("__n"), Sum("__nv"), Sum("__sum"))
 
     def finish(t: pa.Table) -> pa.Table:
         if "sum(__n)" not in t.column_names:
@@ -375,13 +387,17 @@ def hopping_window_agg(ds, key_col: str, ts_col: str, value_col: str,
                 }
             )
         n = pc.cast(t.column("sum(__n)"), pa.int64())
+        nv = pc.cast(t.column("sum(__nv)"), pa.float64())
         s = t.column("sum(__sum)")
+        avg = pc.if_else(
+            pc.greater(nv, 0.0), pc.divide(s, nv), pa.scalar(None, pa.float64())
+        )
         return pa.table(
             {
                 key_col: t.column(key_col),
                 "w_start": pc.cast(t.column("__ws"), pa.timestamp("us")),
                 "n": n,
-                "avg_value": pc.divide(s, pc.cast(n, pa.float64())),
+                "avg_value": avg,
             }
         )
 

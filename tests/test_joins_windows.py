@@ -694,3 +694,25 @@ class TestHoppingWindow:
                 rd.from_pandas(pd.DataFrame({"k": [], "ts": [], "v": []})),
                 "k", "ts", "v", 15, 10,
             )
+
+    def test_null_values_count_but_skip_avg(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.windows import hopping_window_agg
+
+        base = np.datetime64("2024-03-01T00:00:00", "us")
+        df = pd.DataFrame(
+            {"k": ["a", "a", "b"],
+             "ts": [base, base + np.timedelta64(1, "s"), base],
+             "v": [2.0, None, None]}
+        )
+        H = 10_000_000
+        got = hopping_window_agg(
+            rd.from_pandas(df), "k", "ts", "v", H, H
+        ).to_pandas().sort_values("k", ignore_index=True)
+        # n counts the null-value row; avg skips it; all-null window → null
+        assert got["n"].tolist() == [2, 1]
+        assert got["avg_value"].tolist()[0] == 2.0
+        assert pd.isna(got["avg_value"].tolist()[1])
