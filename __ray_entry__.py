@@ -1221,7 +1221,7 @@ def _reservoir_sample_events(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
     out = reservoir_sample(ds, "event_type", "event_id", 5,
                            extra_cols=("user_id",))
-    df = out.to_pandas() if not isinstance(out, pa.Table) else out.to_pandas()
+    df = out.to_pandas()
     df = df[["event_type", "event_id", "user_id"]]
     df["event_id"] = df["event_id"].astype("int64")
     df["user_id"] = df["user_id"].astype("int64")

@@ -317,12 +317,25 @@ def main() -> None:
     ).count()
     queries["grouped_count_distinct"] = round(time.time() - t0, 3)
 
+    def li_uid(t):
+        import pyarrow.compute as _pc
+
+        return t.append_column(
+            "l_uid",
+            _pc.add(
+                _pc.multiply(_pc.cast(t.column("l_orderkey"), pa.int64()), 8),
+                _pc.cast(t.column("l_linenumber"), pa.int64()),
+            ),
+        )
+
     t0 = time.time()
     global_row_number(
         rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                         columns=["l_extendedprice", "l_orderkey",
-                                 "l_linenumber"]),
-        "l_extendedprice", "l_orderkey",
+                                 "l_linenumber"]).map_batches(
+            li_uid, batch_format="pyarrow"
+        ),
+        "l_extendedprice", "l_uid",  # tie column must be UNIQUE
     ).count()
     queries["global_row_number"] = round(time.time() - t0, 3)
 

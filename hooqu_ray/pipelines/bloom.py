@@ -91,21 +91,15 @@ def build_bloom(ds, col: str, *, m_bits: int = 1 << 22, k: int = 4,
             acc |= np.frombuffer(buf.as_py(), dtype=np.uint64)
         return pa.table({"bm": pa.array([acc.tobytes()], pa.large_binary())})
 
-    rows = ds.map_batches(
-        block_bitmap, batch_format="pyarrow", batch_size=None
-    ).materialize()
-    while rows.count() > fanout:
-        rows = rows.map_batches(
-            or_batch, batch_format="pyarrow", batch_size=fanout
-        ).materialize()
-    final = np.zeros(n_words, dtype=np.uint64)
-    import ray
+    from ..util import tree_reduce
 
-    for t in ray.get(rows.to_arrow_refs()):
-        if t.num_columns and len(t):
-            for buf in t.column("bm"):
-                final |= np.frombuffer(buf.as_py(), dtype=np.uint64)
-    return final
+    merged = tree_reduce(
+        ds.map_batches(block_bitmap, batch_format="pyarrow", batch_size=None),
+        or_batch, fanout=fanout,
+    )
+    if merged is None or len(merged) == 0:
+        return np.zeros(n_words, dtype=np.uint64)
+    return np.frombuffer(merged.column("bm")[0].as_py(), dtype=np.uint64).copy()
 
 
 class BloomNewFilter:

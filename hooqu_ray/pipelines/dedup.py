@@ -1592,16 +1592,25 @@ def snapshot_diff(old_ds, new_ds, key_col: str, content_cols,
     by key is ill-defined otherwise).  Null keys are dropped."""
     import pandas as pd
 
-    from ..util import shard_codes, stable_hash64
+    from ..util import dataset_arrow_schema, shard_codes, stable_hash64
 
     content_cols = list(content_cols)
+    # resolve the key type ONCE so empty-block fallbacks agree with real
+    # blocks (a hardcoded int64 fallback would break string-keyed
+    # snapshots the moment any block comes back empty)
+    key_type = pa.int64()
+    for side_ds in (old_ds, new_ds):
+        schema = dataset_arrow_schema(side_ds)
+        if schema is not None and key_col in schema.names:
+            key_type = schema.field(key_col).type
+            break
 
     def side(slot):
         def f(t: pa.Table) -> pa.Table:
             empty = pa.table(
                 {
                     "bucket": pa.array([], pa.int64()),
-                    "key": pa.array([], pa.int64()),
+                    "key": pa.array([], key_type),
                     "chash": pa.array([], pa.int64()),
                     "slot": pa.array([], pa.int32()),
                 }
@@ -1618,11 +1627,18 @@ def snapshot_diff(old_ds, new_ds, key_col: str, content_cols,
                 return empty
             acc = np.zeros(len(t), dtype=np.uint64)
             for i, c in enumerate(content_cols):
-                h = stable_hash64(
-                    t.column(c).combine_chunks()
-                    if isinstance(t.column(c), pa.ChunkedArray)
-                    else t.column(c)
-                )
+                col = t.column(c)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                h = stable_hash64(col)
+                # stable_hash64 hashes null like the type's zero value —
+                # blend the validity bit so NULL<->''/0.0 transitions are
+                # detected as changes (SQL IS DISTINCT FROM semantics)
+                if col.null_count:
+                    null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+                    h = np.where(
+                        null_mask, np.uint64(0xD6E8FEB86659FD93), h
+                    )
                 acc = acc * np.uint64(0x9E3779B97F4A7C15) + h
             return pa.table(
                 {

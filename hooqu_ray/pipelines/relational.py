@@ -288,6 +288,35 @@ def reservoir_sample(ds, group_col: str, id_col: str, k: int, extra_cols=()):
     )
 
 
+def _corpus_tdigest(ds, value_col: str, compression: int = 200):
+    """ONE streaming pass: per-block t-digests over ``value_col`` (NaN
+    dropped), #blocks digest rows merged on the driver.  Returns a
+    ``TDigestState`` (empty if the dataset has no values) — shared by
+    ``quantile_buckets(approx=True)`` and ``percentile_rank``."""
+    from ..analyzers.sketches import TDigestState
+    from ..util import collect_arrow
+
+    def block_digest(t: pa.Table) -> pa.Table:
+        if value_col not in t.column_names or len(t) == 0:
+            return pa.table({"m": pa.array([], pa.list_(pa.float64())),
+                             "w": pa.array([], pa.list_(pa.float64()))})
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        st = TDigestState.from_values(v, compression=compression)
+        return pa.table({"m": pa.array([list(st.means)], pa.list_(pa.float64())),
+                         "w": pa.array([list(st.weights)], pa.list_(pa.float64()))})
+
+    rows = collect_arrow(
+        ds.map_batches(block_digest, batch_format="pyarrow", batch_size=None)
+    )
+    st = None
+    if rows is not None:
+        for m, w in zip(rows.column("m").to_pylist(), rows.column("w").to_pylist()):
+            nxt = TDigestState(tuple(m), tuple(w), compression)
+            st = nxt if st is None else st.sum(nxt)
+    return st if st is not None else TDigestState((), (), compression)
+
+
 def quantile_buckets(ds, value_col: str, out_col: str = "bucket",
                      n_buckets: int = 10, keep_cols=None, approx: bool = False):
     """Quantile-bucket assignment ("quality deciles"): label every row with
@@ -315,30 +344,7 @@ def quantile_buckets(ds, value_col: str, out_col: str = "bucket",
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     qs = [i / n_buckets for i in range(1, n_buckets)]
     if approx:
-        from ..analyzers.sketches import TDigestState
-
-        def block_digest(t: pa.Table) -> pa.Table:
-            if value_col not in t.column_names or len(t) == 0:
-                return pa.table({"m": pa.array([], pa.list_(pa.float64())),
-                                 "w": pa.array([], pa.list_(pa.float64()))})
-            v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-            v = v[~np.isnan(v)]
-            st = TDigestState.from_values(v)
-            return pa.table({"m": pa.array([list(st.means)], pa.list_(pa.float64())),
-                             "w": pa.array([list(st.weights)], pa.list_(pa.float64()))})
-
-        from ..util import collect_arrow
-
-        rows = collect_arrow(
-            ds.map_batches(block_digest, batch_format="pyarrow", batch_size=None)
-        )
-        st = None
-        if rows is not None:
-            for m, w in zip(rows.column("m").to_pylist(), rows.column("w").to_pylist()):
-                nxt = TDigestState(tuple(m), tuple(w))
-                st = nxt if st is None else st.sum(nxt)
-        if st is None:
-            st = TDigestState((), ())
+        st = _corpus_tdigest(ds, value_col)
         bps = np.sort(np.array([st.quantile(q) for q in qs], dtype=np.float64))
     else:
         from ..analyzers.quantile import Quantile
@@ -463,6 +469,13 @@ def funnel_counts(ds, key_col: str, ts_col: str, step_col: str, steps):
 
     if not steps:
         raise ValueError("funnel_counts: steps must be non-empty")
+    # each step re-consumes the input — materialize the slim 3-column
+    # projection ONCE so a derived lineage is not re-executed per step
+    ds = ds.map_batches(
+        lambda t: t.select([key_col, ts_col, step_col])
+        if step_col in t.column_names else t,
+        batch_format="pyarrow",
+    ).materialize()
 
     def only(step):
         def f(t: pa.Table) -> pa.Table:
@@ -621,19 +634,36 @@ def global_row_number(ds, order_col: str, tie_col: str,
     summ = summ.sort_by([("__fo", direction), ("__ft", direction)])
     counts = summ.column("__n").to_numpy(zero_copy_only=False)
     offs = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    def _norm(x):
+        # NaN != NaN would make the dict lookup miss a block whose first
+        # order value is NaN; map it to a stable sentinel on both sides
+        if isinstance(x, float) and np.isnan(x):
+            return "__nan__"
+        return x
+
     offsets = {
-        (fo, ft): int(off)
+        (_norm(fo), _norm(ft)): int(off)
         for fo, ft, off in zip(
             summ.column("__fo").to_pylist(),
             summ.column("__ft").to_pylist(),
             offs,
         )
     }
+    if len(offsets) != len(summ):
+        raise ValueError(
+            "global_row_number: two blocks share the same first "
+            f"({order_col}, {tie_col}) pair — {tie_col} must be unique for "
+            "ranks to be well-defined"
+        )
 
     def assign(t: pa.Table) -> pa.Table:
         if order_col not in t.column_names or len(t) == 0:
             return t
-        key = (t.column(order_col)[0].as_py(), t.column(tie_col)[0].as_py())
+        key = (
+            _norm(t.column(order_col)[0].as_py()),
+            _norm(t.column(tie_col)[0].as_py()),
+        )
         off = offsets[key]
         return t.append_column(
             out_col, pa.array(np.arange(1, len(t) + 1, dtype=np.int64) + off)
@@ -654,29 +684,9 @@ def percentile_rank(ds, value_col: str, out_col: str = "pct_rank",
     reads each row's rank off the digest CDF with one vectorized
     ``np.interp``.  Rank error is the digest's (~0.1–1% at compression
     200).  NULL/NaN values get NaN rank."""
-    from ..analyzers.sketches import TDigestState
-    from ..util import collect_arrow
-
-    def block_digest(t: pa.Table) -> pa.Table:
-        if value_col not in t.column_names or len(t) == 0:
-            return pa.table({"m": pa.array([], pa.list_(pa.float64())),
-                             "w": pa.array([], pa.list_(pa.float64()))})
-        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        v = v[~np.isnan(v)]
-        st = TDigestState.from_values(v, compression=compression)
-        return pa.table({"m": pa.array([list(st.means)], pa.list_(pa.float64())),
-                         "w": pa.array([list(st.weights)], pa.list_(pa.float64()))})
-
-    rows = collect_arrow(
-        ds.map_batches(block_digest, batch_format="pyarrow", batch_size=None)
-    )
-    st = None
-    if rows is not None:
-        for m, w in zip(rows.column("m").to_pylist(), rows.column("w").to_pylist()):
-            nxt = TDigestState(tuple(m), tuple(w), compression)
-            st = nxt if st is None else st.sum(nxt)
-    means = np.asarray(st.means if st else (), dtype=np.float64)
-    weights = np.asarray(st.weights if st else (), dtype=np.float64)
+    st = _corpus_tdigest(ds, value_col, compression)
+    means = np.asarray(st.means, dtype=np.float64)
+    weights = np.asarray(st.weights, dtype=np.float64)
     total = weights.sum() if weights.size else 1.0
     # CDF: centroid i's mean sits at cumulative weight (cum_i - w_i/2)
     cum = (np.cumsum(weights) - weights / 2.0) / total if weights.size else np.array([])

@@ -296,7 +296,28 @@ def kmeans(ds, n_clusters: int, n_iters: int = 5,
     (id, centroid), objective_history)``."""
     import ray
 
-    from ..util import embedding_matrix, stable_hash64
+    from ..util import dataset_arrow_schema, embedding_matrix, stable_hash64
+
+    # The loop consumes ``ds`` n_iters+2 times; materialize the slim
+    # projected input ONCE so a derived lineage (filters, normalization)
+    # is not re-executed per iteration (CLAUDE.md: a lazy pipeline
+    # consumed twice re-executes its whole lineage).
+    schema = dataset_arrow_schema(ds)
+    if schema is not None and {id_col, emb_col} <= set(schema.names):
+        ds = ds.map_batches(
+            lambda t: t.select([id_col, emb_col]), batch_format="pyarrow"
+        )
+    ds = ds.materialize()
+    schema = dataset_arrow_schema(ds)
+    id_type = (
+        schema.field(id_col).type
+        if schema is not None and id_col in schema.names else pa.int64()
+    )
+    emb_type = (
+        schema.field(emb_col).type
+        if schema is not None and emb_col in schema.names
+        else pa.list_(pa.float64())
+    )
 
     # Pool size: each block emits its local smallest-hash top-P rows, so
     # the GLOBAL top-P over the collected union is exactly the corpus-wide
@@ -306,9 +327,9 @@ def kmeans(ds, n_clusters: int, n_iters: int = 5,
     def block_seed(t: pa.Table) -> pa.Table:
         if id_col not in t.column_names or len(t) == 0:
             return pa.table(
-                {id_col: pa.array([], pa.int64()),
+                {id_col: pa.array([], id_type),
                  "__h": pa.array([], pa.uint64()),
-                 emb_col: pa.array([], pa.list_(pa.float64()))}
+                 emb_col: pa.array([], pa.list_(pa.float64())).cast(emb_type)}
             )
         h = stable_hash64(t.column(id_col))
         order = np.argsort(h, kind="stable")[:pool]
@@ -403,26 +424,25 @@ def kmeans(ds, n_clusters: int, n_iters: int = 5,
              "obj": pa.array([o], pa.float64())}
         )
 
+    from ..util import tree_reduce
+
     history = []
     for _ in range(n_iters):
         ref = ray.put(cent)
-        rows = ds.map_batches(
-            partials(ref), batch_format="pyarrow", batch_size=None,
-            concurrency=None,
-        ).materialize()
-        while rows.count() > fanout:
-            rows = rows.map_batches(
-                tree_add, batch_format="pyarrow", batch_size=fanout
-            ).materialize()
-        s = np.zeros(k * dim, dtype=np.float64)
-        c = np.zeros(k, dtype=np.int64)
-        o = 0.0
-        for tbl in ray.get(rows.to_arrow_refs()):
-            if tbl.num_columns and len(tbl):
-                for i in range(len(tbl)):
-                    s += np.frombuffer(tbl.column("sums")[i].as_py(), np.float64)
-                    c += np.frombuffer(tbl.column("counts")[i].as_py(), np.int64)
-                    o += tbl.column("obj")[i].as_py()
+        merged = tree_reduce(
+            ds.map_batches(
+                partials(ref), batch_format="pyarrow", batch_size=None
+            ),
+            tree_add, fanout=fanout,
+        )
+        if merged is None or len(merged) == 0:
+            s = np.zeros(k * dim, dtype=np.float64)
+            c = np.zeros(k, dtype=np.int64)
+            o = 0.0
+        else:
+            s = np.frombuffer(merged.column("sums")[0].as_py(), np.float64).copy()
+            c = np.frombuffer(merged.column("counts")[0].as_py(), np.int64).copy()
+            o = merged.column("obj")[0].as_py()
         history.append(o)
         sums = s.reshape(k, dim)
         nonempty = c > 0

@@ -477,12 +477,18 @@ class _TopTermsBatch:
         code_of_run = c_s[first]
         # dictionary code → global df (a term missing from the broadcast
         # table means a stale df snapshot; count it as df=0 → ranks first)
-        pos = pc.index_in(enc.dictionary, value_set=self._vocab)
-        pos_np = pos.to_numpy(zero_copy_only=False)
-        dict_df = np.where(
-            np.isnan(pos_np.astype(np.float64)), 0,
-            self._df[np.nan_to_num(pos_np).astype(np.int64)],
-        )
+        if len(self._vocab) == 0:
+            # stale/empty df snapshot: every term counts as df=0
+            dict_df = np.zeros(len(enc.dictionary), dtype=np.int64)
+        else:
+            pos = pc.index_in(enc.dictionary, value_set=self._vocab)
+            pos_np = pos.to_numpy(zero_copy_only=False).astype(np.float64)
+            miss = np.isnan(pos_np)
+            # np.where evaluates BOTH branches — clamp missing indices to 0
+            # BEFORE the take, then mask (an empty/partial vocab must not
+            # index out of bounds)
+            safe = np.nan_to_num(pos_np).astype(np.int64)
+            dict_df = np.where(miss, 0, self._df[safe])
         terms_of_run = enc.dictionary.take(pa.array(code_of_run, pa.int64()))
         df_run = dict_df[code_of_run]
         ids = t.column(self.id_col).take(pa.array(doc_of_run, pa.int64()))

@@ -310,15 +310,25 @@ def hopping_window_agg(ds, key_col: str, ts_col: str, value_col: str,
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    from ..util import dataset_arrow_schema
+
     if window_us <= 0 or hop_us <= 0 or window_us % hop_us:
         raise ValueError(
             "hopping_window_agg: window_us must be a positive multiple of hop_us"
         )
+    # resolve the key type once so empty-block fallbacks agree with real
+    # blocks (hardcoded string would break integer group keys)
+    schema = dataset_arrow_schema(ds)
+    key_type = (
+        schema.field(key_col).type
+        if schema is not None and key_col in schema.names
+        else pa.string()
+    )
 
     def block_partials(t: pa.Table) -> pa.Table:
         empty = pa.table(
             {
-                key_col: pa.array([], pa.string()),
+                key_col: pa.array([], key_type),
                 "__ws": pa.array([], pa.int64()),
                 "__n": pa.array([], pa.int64()),
                 "__nv": pa.array([], pa.int64()),
@@ -380,7 +390,7 @@ def hopping_window_agg(ds, key_col: str, ts_col: str, value_col: str,
         if "sum(__n)" not in t.column_names:
             return pa.table(
                 {
-                    key_col: pa.array([], pa.string()),
+                    key_col: pa.array([], key_type),
                     "w_start": pa.array([], pa.timestamp("us")),
                     "n": pa.array([], pa.int64()),
                     "avg_value": pa.array([], pa.float64()),

@@ -93,11 +93,21 @@ class BroadcastIsInFilter:
 def collect_arrow(ds):
     """Materialize a (small) dataset as one local Arrow table, skipping the
     schema-less empty blocks Ray's aggregate can emit.  Returns None when
-    nothing survives."""
+    nothing survives.  ``to_arrow_refs`` can hand back RAW pandas blocks
+    (e.g. empty sort partitions skip the pyarrow conversion) — convert
+    them here instead of crashing on ``.num_columns``."""
+    import pandas as pd
     import pyarrow as pa
     import ray
 
-    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns and len(t)]
+    parts = []
+    for t in ray.get(ds.to_arrow_refs()):
+        if isinstance(t, pd.DataFrame):
+            if len(t) == 0 or len(t.columns) == 0:
+                continue
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_columns and len(t):
+            parts.append(t)
     return pa.concat_tables(parts).combine_chunks() if parts else None
 
 
@@ -256,3 +266,22 @@ def actor_pool_size(cap: Optional[int] = None, headroom: int = 2) -> int:
     if cap is not None:
         size = min(size, cap)
     return size
+
+
+def tree_reduce(rows, combine, fanout: int = 64):
+    """Distributed TREE reduction of a (materialized) dataset of partial
+    rows: while more than ``fanout`` rows remain, each task combines up to
+    ``fanout`` of them into one (``combine``: pa.Table -> 1-row pa.Table);
+    the final ≤ fanout rows return as ONE local Arrow table (via a last
+    local ``combine``), or None for an empty input.  The driver never
+    sees more than ``fanout`` partial rows — the reduction shape shared
+    by the Bloom bitmap OR-merge and k-means partial-sum ADD."""
+    rows = rows.materialize()
+    while rows.count() > fanout:
+        rows = rows.map_batches(
+            combine, batch_format="pyarrow", batch_size=fanout
+        ).materialize()
+    tbl = collect_arrow(rows)
+    if tbl is None or len(tbl) == 0:
+        return None
+    return combine(tbl)

@@ -590,3 +590,19 @@ class TestSnapshotDiff:
             snapshot_diff(
                 rd.from_pandas(dup), rd.from_pandas(ok), "k", ["txt"]
             ).to_pandas()
+
+    def test_null_to_empty_transition_detected(self, ray_session):
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.dedup import snapshot_diff
+
+        old = pd.DataFrame({"k": [1, 2, 3], "txt": ["", "x", None]})
+        new = pd.DataFrame({"k": [1, 2, 3], "txt": [None, "x", ""]})
+        got = (
+            snapshot_diff(rd.from_pandas(old), rd.from_pandas(new), "k", ["txt"])
+            .to_pandas()
+            .sort_values("key", ignore_index=True)
+        )
+        # ''<->NULL is a change (IS DISTINCT FROM); 'x'=='x' is not
+        assert got["key"].tolist() == [1, 3]
+        assert set(got["status"]) == {"changed"}

@@ -276,7 +276,7 @@ class TestReservoirSample:
             rd.from_pandas(df).repartition(4), "event_type", "event_id", k,
             extra_cols=("user_id",), **kw
         )
-        got = out.to_pandas() if not isinstance(out, pa.Table) else out.to_pandas()
+        got = out.to_pandas()
         return got[["event_type", "event_id", "user_id"]].sort_values(
             ["event_type", "event_id"], ignore_index=True
         )
@@ -527,3 +527,23 @@ def test_percentile_rank_accuracy(ray_session):
     g2 = percentile_rank(rd.from_pandas(df2), "value",
                          keep_cols=["event_id"]).to_pandas()
     assert g2.sort_values("event_id")["pct_rank"].isna().tolist() == [False, True]
+
+
+def test_global_row_number_duplicate_first_pairs_guarded(ray_session):
+    """All-identical rows: either the range sort lands them in one block
+    (ranks well-defined — must be a dense 1..n) or several blocks share
+    the same first (order, tie) pair and the ambiguity guard must raise
+    rather than emit silently-wrong ranks."""
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.relational import global_row_number
+
+    df = pd.DataFrame({"v": [1.0] * 40, "t": [7] * 40})
+    try:
+        out = global_row_number(
+            rd.from_pandas(df).repartition(4), "v", "t"
+        ).to_pandas()
+    except Exception as ex:  # noqa: BLE001
+        assert "unique" in str(ex)
+    else:
+        assert sorted(out["row_number"]) == list(range(1, 41))
