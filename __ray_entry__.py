@@ -138,6 +138,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["repetition_stats_documents"] = _repetition_stats_documents
     out["normalize_text_documents"] = _normalize_text_documents
     out["top_terms_documents"] = _top_terms_documents
+    out["contamination_documents"] = _contamination_documents
+    out["dup_ngram_stats_documents"] = _dup_ngram_stats_documents
+    out["split_assign_documents"] = _split_assign_documents
+    out["quality_by_source_documents"] = _quality_by_source_documents
     out["knn_embeddings"] = _knn_embeddings
 
     out["windowed_events_hourly"] = _windowed_events_hourly
@@ -281,6 +285,58 @@ def _lang_counts_documents(sf_dir: str):
     res = res.rename(columns={"count()": "n"})
     res["n"] = res["n"].astype("int64")
     return res
+
+
+_DECONTAM_N = 5
+_BENCH_MOD = 101  # benchmark set = documents with doc_id % 101 == 0
+
+
+def _contamination_documents(sf_dir: str):
+    """Benchmark decontamination: per-doc exact word 5-gram overlap with
+    the deterministic doc_id % 101 == 0 'eval set'."""
+    from hooqu_ray.pipelines.decontam import contamination_stats
+
+    def _bench_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % _BENCH_MOD == 0))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _bench_rows, batch_format="pyarrow"
+    )
+    df = contamination_stats(ds, bench, n=_DECONTAM_N).to_pandas()
+    df["contaminated_frac"] = df["contaminated_frac"].round(6)
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def _dup_ngram_stats_documents(sf_dir: str):
+    """Corpus-wide duplicated word 5-gram fractions per document."""
+    from hooqu_ray.pipelines.decontam import dup_ngram_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = dup_ngram_stats(ds, n=_DECONTAM_N).to_pandas()
+    df["dup_ngram_frac"] = df["dup_ngram_frac"].round(6)
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def _split_assign_documents(sf_dir: str):
+    """Deterministic md5-bucket train/val/test split assignment."""
+    from hooqu_ray.pipelines.relational import split_assign
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    df = split_assign(ds, "doc_id").to_pandas()
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def _quality_by_source_documents(sf_dir: str):
+    """Per-source corpus quality rollup (counts + mean quality features)."""
+    from hooqu_ray.pipelines.textstats import quality_by_source
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    df = quality_by_source(ds).to_pandas()
+    for c in ("avg_chars", "avg_tokens", "avg_symbol_ratio", "avg_stopword_ratio"):
+        df[c] = df[c].round(6)
+    return df.sort_values("source", ignore_index=True)
 
 
 _N_KNN_QUERIES = 3
@@ -1257,6 +1313,26 @@ def _conversation_features(sf_dir: str):
 # oracle SQL
 # ---------------------------------------------------------------------------
 
+# word 5-gram list per document (tokens = nonempty \s+ splits, joined with a
+# single space — exactly the engine's utf8_split_whitespace tokenization)
+_NGRAM_SQL = (
+    "WITH toks AS (SELECT doc_id, list_filter("
+    "regexp_split_to_array(COALESCE(text, ''), '\\s+'), t -> t <> '') AS w "
+    "FROM documents), "
+    f"ng AS (SELECT doc_id, [array_to_string(w[i:i+{_DECONTAM_N - 1}], ' ') "
+    f"FOR i IN generate_series(1, len(w) - {_DECONTAM_N - 1})] AS gs FROM toks)"
+)
+
+
+def _stopword_sql_pattern() -> str:
+    from hooqu_ray.stages.heuristics import STOPWORD_PATTERN
+
+    return STOPWORD_PATTERN
+
+
+_STOPWORD_SQL_PATTERN = _stopword_sql_pattern()
+
+
 _NEAREST_Q_SQL = """
 WITH s AS (SELECT {col} AS v FROM {table} WHERE {col} IS NOT NULL),
      n AS (SELECT count(*) AS c FROM s),
@@ -1708,6 +1784,59 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text_documents": (
             "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), "
             "'\\s+', ' ', 'g'), ' ') AS norm_text FROM documents ORDER BY doc_id"
+        ),
+        "contamination_documents": (
+            # word 5-gram overlap vs the doc_id % 101 == 0 benchmark set;
+            # engine matches by 63-bit n-gram hash (collision odds ~2^-63)
+            _NGRAM_SQL + ", "
+            "bench AS (SELECT DISTINCT UNNEST(gs) AS g FROM ng "
+            f"WHERE doc_id % {_BENCH_MOD} = 0), "
+            "pos AS (SELECT doc_id, UNNEST(gs) AS g FROM ng), "
+            "hit AS (SELECT pos.doc_id, count(*) AS n_hit FROM pos "
+            "JOIN bench USING (g) GROUP BY pos.doc_id) "
+            "SELECT ng.doc_id, CAST(len(gs) AS BIGINT) AS n_ngrams, "
+            "CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_contaminated, "
+            "ROUND(CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) "
+            "/ GREATEST(len(gs), 1), 6) AS contaminated_frac, "
+            "COALESCE(hit.n_hit, 0) > 0 AS contaminated "
+            "FROM ng LEFT JOIN hit USING (doc_id) ORDER BY ng.doc_id"
+        ),
+        "dup_ngram_stats_documents": (
+            # corpus-wide duplicated word 5-grams (occurrences >= 2 anywhere)
+            _NGRAM_SQL + ", "
+            "pos AS (SELECT doc_id, UNNEST(gs) AS g FROM ng), "
+            "hot AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2), "
+            "hit AS (SELECT pos.doc_id, count(*) AS n_hit FROM pos "
+            "JOIN hot USING (g) GROUP BY pos.doc_id) "
+            "SELECT ng.doc_id, CAST(len(gs) AS BIGINT) AS n_ngrams, "
+            "CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_dup, "
+            "ROUND(CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) "
+            "/ GREATEST(len(gs), 1), 6) AS dup_ngram_frac "
+            "FROM ng LEFT JOIN hit USING (doc_id) ORDER BY ng.doc_id"
+        ),
+        "split_assign_documents": (
+            "WITH b AS (SELECT doc_id, CAST(concat('0x', "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bk "
+            "FROM documents) "
+            "SELECT doc_id, CASE WHEN bk < 80 THEN 'train' "
+            "WHEN bk < 90 THEN 'val' ELSE 'test' END AS split "
+            "FROM b ORDER BY doc_id"
+        ),
+        "quality_by_source_documents": (
+            "WITH f AS (SELECT source, "
+            "length(COALESCE(text, '')) AS n_chars, "
+            "len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS n_tokens, "
+            "len(regexp_extract_all(COALESCE(text, ''), '[^0-9A-Za-z_\\s]')) AS n_sym, "
+            "len(regexp_extract_all(lower(COALESCE(text, '')), '" + _STOPWORD_SQL_PATTERN
+            + "')) AS n_stop FROM documents) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "ROUND(avg(n_chars), 6) AS avg_chars, "
+            "ROUND(avg(n_tokens), 6) AS avg_tokens, "
+            "ROUND(avg(CASE WHEN n_chars > 0 THEN CAST(n_sym AS DOUBLE) "
+            "/ GREATEST(n_chars, 1) ELSE 0 END), 6) AS avg_symbol_ratio, "
+            "ROUND(avg(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) "
+            "/ GREATEST(n_tokens, 1) ELSE 0 END), 6) AS avg_stopword_ratio "
+            "FROM f GROUP BY source ORDER BY source"
         ),
         "value_deciles_events": (
             # exact "nearest" quantile breakpoints (same selection rule as

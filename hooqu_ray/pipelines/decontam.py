@@ -1,0 +1,291 @@
+"""Benchmark decontamination and corpus-wide duplicated-n-gram statistics.
+
+Training-data hygiene operators (the reference has no equivalent — this is
+the LLM-pipeline tier, like pipelines/dedup.py):
+
+- :func:`contamination_stats` — per-document overlap with a BENCHMARK /
+  eval set, by exact word n-gram membership (the standard "n-gram
+  decontamination" used for eval-set leakage checks).  The benchmark's
+  distinct n-gram hash set is built in one streaming pass and broadcast
+  once (``ray.put``); every corpus batch probes it vectorized.  An eval
+  set is small by construction (10^4–10^6 n-grams), so the broadcast is
+  bounded by the BENCHMARK, never the corpus.
+- :func:`dup_ngram_stats` — per-document fraction of word n-gram
+  positions whose n-gram occurs ≥ ``min_count`` times CORPUS-WIDE
+  (the cross-document counterpart of textstats.repetition_stats; the
+  signal behind duplicated-substring removal à la "Deduplicating
+  Training Data Makes Language Models Better").  Combiner-first: each
+  block emits (gram_hash, count) partials, one ``groupby`` shuffle over
+  distinct-gram rows produces the hot set; when the hot set outgrows a
+  driver gate it is processed one hash shard at a time (per-shard
+  broadcast probe emitting per-doc partial counts, folded by a final
+  ``groupby(doc_id)``) so the driver never holds more than one shard.
+
+Both operators hash n-grams as a polynomial combine of per-token polars
+hashes (process-stable, see dedup._batch_token_hashes) — token volume
+never shuffles and no n-gram strings are materialized.  Token-sequence
+equality is exactly join(" ") string equality for whitespace tokens, so a
+SQL oracle over string n-grams agrees up to ~2^-63 collision odds.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_NGRAM_PRIME = np.uint64(1099511628211)  # FNV prime, textstats._RK_PRIME
+
+
+def _ngram_hashes(texts, n: int) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized word n-gram hashes for a whole string array.
+
+    Returns ``(gram_hashes uint64, parent_row int64, n_rows)`` where
+    ``gram_hashes[k]`` is the polynomial hash of the n consecutive token
+    hashes starting at position k (positions whose first and last token
+    fall in the same document only).  One Arrow tokenize pass + n
+    vectorized fold steps — no Python per token."""
+    from .dedup import _batch_token_hashes
+
+    h, parent, n_rows = _batch_token_hashes(texts)
+    if h.size < n:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), n_rows
+    pos = np.flatnonzero(parent[: h.size - n + 1] == parent[n - 1 :])
+    if pos.size == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), n_rows
+    g = h[pos].copy()
+    for d in range(1, n):
+        g *= _NGRAM_PRIME
+        g += h[pos + d]
+    return g, parent[pos], n_rows
+
+
+def _block_distinct_grams(t: pa.Table, text_col: str, n: int) -> pa.Table:
+    """Per-block DISTINCT n-gram hashes (benchmark-side combiner)."""
+    g, _, _ = _ngram_hashes(pc.fill_null(t.column(text_col), ""), n)
+    return pa.table({"gram": pa.array(np.unique(g).view(np.int64), pa.int64())})
+
+
+def _block_gram_counts(t: pa.Table, text_col: str, n: int) -> pa.Table:
+    """Per-block (gram, count) partials (corpus-side combiner)."""
+    g, _, _ = _ngram_hashes(pc.fill_null(t.column(text_col), ""), n)
+    u, c = np.unique(g, return_counts=True)
+    return pa.table(
+        {
+            "gram": pa.array(u.view(np.int64), pa.int64()),
+            "n": pa.array(c.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+class _NgramProbe:
+    """Per-batch membership probe against a broadcast SORTED uint64 n-gram
+    hash array: per-doc total n-gram positions and positions whose n-gram
+    is in the set (binary search, no Python per position).  With
+    ``totals=False`` the ``n_ngrams`` column is emitted as zeros (so
+    multi-shard outputs union-merge with a plain sum — only the first
+    shard contributes the position totals)."""
+
+    def __init__(self, grams_ref, text_col: str, id_col: str, n: int,
+                 totals: bool = True):
+        self.grams_ref = grams_ref
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.totals = totals
+        self._grams = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._grams is None:
+            import ray
+
+            obj = self.grams_ref
+            self._grams = obj if isinstance(obj, np.ndarray) else ray.get(obj)
+        g, parent, n_rows = _ngram_hashes(
+            pc.fill_null(t.column(self.text_col), ""), self.n
+        )
+        if self._grams.size and g.size:
+            idx = np.searchsorted(self._grams, g)
+            member = self._grams[np.minimum(idx, self._grams.size - 1)] == g
+        else:
+            member = np.zeros(g.size, dtype=bool)
+        n_hit = np.bincount(parent[member], minlength=n_rows).astype(np.int64)
+        if self.totals:
+            n_grams = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        else:
+            n_grams = np.zeros(n_rows, dtype=np.int64)
+        return pa.table(
+            {
+                self.id_col: t.column(self.id_col),
+                "n_hit": pa.array(n_hit, pa.int64()),
+                "n_ngrams": pa.array(n_grams, pa.int64()),
+            }
+        )
+
+
+def _finish_stats(t: pa.Table, id_col: str, hit_col: str, frac_col: str,
+                  flag_col: Optional[str] = None) -> pa.Table:
+    n_hit = t.column("n_hit").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_grams = t.column("n_ngrams").to_numpy(zero_copy_only=False).astype(np.int64)
+    frac = n_hit / np.maximum(n_grams, 1)
+    out = {
+        id_col: t.column(id_col),
+        "n_ngrams": pa.array(n_grams, pa.int64()),
+        hit_col: pa.array(n_hit, pa.int64()),
+        frac_col: pa.array(frac, pa.float64()),
+    }
+    if flag_col is not None:
+        out[flag_col] = pa.array(n_hit > 0)
+    return pa.table(out)
+
+
+def contamination_stats(ds, bench_ds, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 5):
+    """Per-document benchmark contamination by exact word n-gram overlap.
+
+    Output per corpus document: ``n_ngrams`` (n-gram positions),
+    ``n_contaminated`` (positions whose n-gram occurs anywhere in
+    ``bench_ds``), ``contaminated_frac``, ``contaminated`` (any hit —
+    the usual drop criterion before training).
+
+    Benchmark pass streams block-distinct hashes to the driver
+    (O(#benchmark n-grams) — bounded by the EVAL set, the small side by
+    definition), sorts once, ``ray.put`` broadcasts; corpus pass is one
+    embarrassingly parallel ``map_batches`` probe.  If the benchmark ever
+    outgrew a broadcast, the dup_ngram_stats shard loop below is the
+    shape to reuse."""
+    from ..util import collect_arrow
+
+    import ray
+
+    bench_tbl = collect_arrow(
+        bench_ds.map_batches(
+            lambda t, _c=text_col, _n=n: _block_distinct_grams(t, _c, _n),
+            batch_format="pyarrow",
+        )
+    )
+    if bench_tbl is None or len(bench_tbl) == 0:
+        grams = np.empty(0, np.uint64)
+    else:
+        grams = np.unique(
+            bench_tbl.column("gram").to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+    ref = ray.put(grams)
+    probe = _NgramProbe(ref, text_col, id_col, n)
+    return ds.map_batches(probe, batch_format="pyarrow").map_batches(
+        lambda t, _ic=id_col: _finish_stats(
+            t, _ic, "n_contaminated", "contaminated_frac", "contaminated"
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# Above this many hot (duplicated) distinct n-grams the probe runs one hash
+# shard at a time instead of a single driver collect + broadcast.
+_DRIVER_HOT_GRAMS_MAX = 2_000_000
+
+
+def _hot_gram_shards(hot_ds, driver_max: int):
+    """Yield sorted uint64 hash arrays of the hot n-gram set, one hash-range
+    shard at a time; the driver never holds more than ~driver_max rows."""
+    from ..util import ShardFilter, collect_arrow
+
+    hot = hot_ds.materialize()
+    total = hot.count()
+    if total == 0:
+        return
+    n_shards = max(1, -(-total // driver_max))
+    for s in range(n_shards):
+        shard = hot if n_shards == 1 else hot.map_batches(
+            ShardFilter("gram", n_shards, s), batch_format="pyarrow"
+        )
+        tbl = collect_arrow(shard)
+        if tbl is None or len(tbl) == 0:
+            continue
+        yield np.sort(
+            tbl.column("gram").to_numpy(zero_copy_only=False).view(np.uint64)
+        ), n_shards
+
+
+def dup_ngram_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                    n: int = 5, min_count: int = 2,
+                    driver_hot_grams_max: int = _DRIVER_HOT_GRAMS_MAX):
+    """Per-document corpus-wide duplicated n-gram fractions.
+
+    Output: ``n_ngrams``, ``n_dup`` (positions whose n-gram occurs
+    ≥ ``min_count`` times across the WHOLE corpus, own occurrences
+    included), ``dup_ngram_frac``.  High fractions mark boilerplate /
+    templated documents that within-doc metrics miss.
+
+    Shape: per-block (gram, count) combiner → one ``groupby(gram)``
+    shuffle over DISTINCT-gram rows (token volume never shuffles) →
+    hot set (count ≥ min_count) → broadcast probe.  The hot set is
+    processed one hash-range shard at a time above
+    ``driver_hot_grams_max`` rows: each shard's probe emits per-doc
+    partial hit counts (totals only in the first), folded by one
+    ``groupby(id).sum`` — the driver and workers hold one shard, never
+    the whole duplicated-gram universe."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    counts = ds.map_batches(
+        lambda t, _c=text_col, _n=n: _block_gram_counts(t, _c, _n),
+        batch_format="pyarrow",
+    ).groupby("gram").aggregate(Sum("n"))
+    hot = counts.map_batches(
+        lambda t, _m=min_count: (
+            t.filter(pc.greater_equal(t.column("sum(n)"), _m)).select(["gram"])
+            if "sum(n)" in t.column_names
+            else pa.table({"gram": pa.array([], pa.int64())})
+        ),
+        batch_format="pyarrow",
+    )
+
+    shard_outs = []
+    first = True
+    n_shards_seen = 1
+    for grams, n_shards in _hot_gram_shards(hot, driver_hot_grams_max):
+        n_shards_seen = n_shards
+        probe = _NgramProbe(ray.put(grams), text_col, id_col, n, totals=first)
+        shard_outs.append(ds.map_batches(probe, batch_format="pyarrow"))
+        first = False
+    finish = lambda t, _ic=id_col: _finish_stats(  # noqa: E731
+        t, _ic, "n_dup", "dup_ngram_frac"
+    )
+    if not shard_outs:  # no duplicated n-grams anywhere
+        probe = _NgramProbe(ray.put(np.empty(0, np.uint64)), text_col, id_col, n)
+        return ds.map_batches(probe, batch_format="pyarrow").map_batches(
+            finish, batch_format="pyarrow"
+        )
+    if n_shards_seen == 1:
+        return shard_outs[0].map_batches(finish, batch_format="pyarrow")
+    merged = (
+        shard_outs[0]
+        .union(*shard_outs[1:])
+        .groupby(id_col)
+        .aggregate(Sum("n_hit"), Sum("n_ngrams"))
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        if "sum(n_hit)" not in t.column_names:  # schema-less empty agg block
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_hit": pa.array([], pa.int64()),
+                    "n_ngrams": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_hit": pc.cast(t.column("sum(n_hit)"), pa.int64()),
+                "n_ngrams": pc.cast(t.column("sum(n_ngrams)"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(rename, batch_format="pyarrow").map_batches(
+        finish, batch_format="pyarrow"
+    )

@@ -145,6 +145,33 @@ def hash_sample(ds, col: str, buckets: int = 20, keep_bucket: int = 0):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def split_assign(ds, key_col: str, splits: "Sequence[tuple]" = (
+        ("train", 80), ("val", 10), ("test", 10)), out_col: str = "split"):
+    """Deterministic train/val/test split assignment by content hash of
+    ``key_col`` — the standard leakage-safe dataset split (same key → same
+    split across runs, engines, and data orderings; new data never moves
+    old rows between splits).
+
+    ``splits`` is (name, weight) pairs; weights are integer percentiles of
+    the md5 bucket space (must sum to ≤ 100; the last split absorbs any
+    remainder).  Embarrassingly parallel ``map_batches`` — no shuffle at
+    any scale — and exactly reproducible in SQL via the same md5-prefix
+    bucket as :func:`hash_sample`."""
+    names = [s[0] for s in splits]
+    bounds = np.cumsum([int(s[1]) for s in splits])
+    if bounds[-1] > 100:
+        raise ValueError("split weights must sum to <= 100")
+    bounds = bounds[:-1]  # last split takes the remainder
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = md5_bucket(t.column(key_col)) % 100
+        idx = np.searchsorted(bounds, b, side="right")
+        out = pa.array(np.array(names, dtype=object)[idx], pa.string())
+        return t.append_column(out_col, out)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def stratified_sample(ds, strata_col: str, id_col: str, rates: dict,
                       buckets: int = 1000, default_rate: float = 0.0):
     """Deterministic per-stratum hash sample: a row of stratum ``s`` is kept

@@ -368,6 +368,67 @@ def normalize_text(ds, text_col: str = "text", out_col: str = "norm_text"):
     )
 
 
+def quality_by_source(ds, text_col: str = "text", group_col: str = "source"):
+    """Per-source corpus quality report: document count plus mean
+    chars/tokens/symbol-ratio/stopword-ratio per ``group_col`` (the rollup
+    a curation run reads to decide which crawl sources to keep or
+    re-weight).  One streaming feature pass (:func:`quality_stage` +
+    token counts, all Arrow kernels) feeding one ``groupby`` over
+    #sources-cardinality keys — the feature volume itself never shuffles
+    more than (source, 4 floats) per row."""
+    from ray.data.aggregate import Count, Mean
+
+    def features(t: pa.Table) -> pa.Table:
+        q = quality_stage(t, text_col)
+        n_tok = pc.fill_null(
+            pc.count_substring_regex(t.column(text_col), pattern=TOKEN_PATTERN), 0
+        )
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "n_chars": q.column("q_n_chars"),
+                "n_tokens": pc.cast(n_tok, pa.int64()),
+                "symbol_ratio": q.column("q_symbol_ratio"),
+                "stopword_ratio": q.column("q_stopword_ratio"),
+            }
+        )
+
+    res = ds.map_batches(features, batch_format="pyarrow").groupby(
+        group_col
+    ).aggregate(
+        Count(),
+        Mean("n_chars"),
+        Mean("n_tokens"),
+        Mean("symbol_ratio"),
+        Mean("stopword_ratio"),
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        if "count()" not in t.column_names:  # schema-less empty agg block
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "avg_chars": pa.array([], pa.float64()),
+                    "avg_tokens": pa.array([], pa.float64()),
+                    "avg_symbol_ratio": pa.array([], pa.float64()),
+                    "avg_stopword_ratio": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "n_docs": pc.cast(t.column("count()"), pa.int64()),
+                "avg_chars": t.column("mean(n_chars)"),
+                "avg_tokens": t.column("mean(n_tokens)"),
+                "avg_symbol_ratio": t.column("mean(symbol_ratio)"),
+                "avg_stopword_ratio": t.column("mean(stopword_ratio)"),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
 def doc_frequency(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Corpus document frequency per term: #documents containing each
     whitespace token.  Combiner-first: each block emits its DISTINCT

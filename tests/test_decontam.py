@@ -1,0 +1,215 @@
+"""Decontamination / dup-ngram / split-assign / quality-rollup tests with
+pandas-level oracles (pure-Python n-gram reimplementation)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_ngrams(text, n):
+    toks = (text or "").split()
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(4)
+
+
+class TestContamination:
+    def test_matches_python_oracle(self, docs_ds, docs_pdf):
+        import ray.data as rd
+        from hooqu_ray.pipelines.decontam import contamination_stats
+
+        bench_pdf = docs_pdf[docs_pdf["doc_id"] % 101 == 0]
+        bench = rd.from_pandas(bench_pdf).repartition(2)
+        got = (
+            contamination_stats(docs_ds, bench, n=5)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        bench_grams = set()
+        for t in bench_pdf["text"]:
+            bench_grams.update(_py_ngrams(t, 5))
+        exp_hits, exp_tot = [], []
+        for t in docs_pdf.sort_values("doc_id")["text"]:
+            gs = _py_ngrams(t, 5)
+            exp_tot.append(len(gs))
+            exp_hits.append(sum(g in bench_grams for g in gs))
+        assert got["n_ngrams"].tolist() == exp_tot
+        assert got["n_contaminated"].tolist() == exp_hits
+        assert (got["contaminated"] == (got["n_contaminated"] > 0)).all()
+
+    def test_empty_benchmark(self, docs_ds, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.decontam import contamination_stats
+
+        bench = rd.from_pandas(pd.DataFrame({"doc_id": [], "text": []}))
+        got = contamination_stats(docs_ds, bench, n=5).to_pandas()
+        assert (got["n_contaminated"] == 0).all()
+        assert not got["contaminated"].any()
+
+    def test_short_docs_zero_ngrams(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.decontam import contamination_stats
+
+        df = pd.DataFrame({"doc_id": [1, 2], "text": ["one two", None]})
+        bench = rd.from_pandas(pd.DataFrame({"doc_id": [9], "text": ["one two three four five"]}))
+        got = (
+            contamination_stats(rd.from_pandas(df), bench, n=5)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert got["n_ngrams"].tolist() == [0, 0]
+        assert got["contaminated_frac"].tolist() == [0.0, 0.0]
+
+
+class TestDupNgrams:
+    def _py_oracle(self, texts, n=5, min_count=2):
+        from collections import Counter
+
+        counts = Counter()
+        for t in texts:
+            counts.update(_py_ngrams(t, n))
+        hits, tots = [], []
+        for t in texts:
+            gs = _py_ngrams(t, n)
+            tots.append(len(gs))
+            hits.append(sum(counts[g] >= min_count for g in gs))
+        return tots, hits
+
+    def test_matches_python_oracle(self, docs_ds, docs_pdf):
+        from hooqu_ray.pipelines.decontam import dup_ngram_stats
+
+        got = (
+            dup_ngram_stats(docs_ds, n=5)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        ordered = docs_pdf.sort_values("doc_id")["text"].tolist()
+        exp_tot, exp_hits = self._py_oracle(ordered)
+        assert got["n_ngrams"].tolist() == exp_tot
+        assert got["n_dup"].tolist() == exp_hits
+
+    def test_sharded_path_matches_single(self, docs_ds):
+        from hooqu_ray.pipelines.decontam import dup_ngram_stats
+
+        one = (
+            dup_ngram_stats(docs_ds, n=5)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        # ~1184 hot 5-grams at sf0.001 → gate 400 forces 3 shards without
+        # paying hundreds of per-shard corpus passes
+        many = (
+            dup_ngram_stats(docs_ds, n=5, driver_hot_grams_max=400)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            one[["doc_id", "n_ngrams", "n_dup", "dup_ngram_frac"]],
+            many[["doc_id", "n_ngrams", "n_dup", "dup_ngram_frac"]],
+        )
+
+    def test_planted_boilerplate(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.decontam import dup_ngram_stats
+
+        boiler = "all rights reserved click here to subscribe now"
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [f"alpha beta {boiler}", f"gamma delta {boiler}", "x y z w v u"],
+            }
+        )
+        got = (
+            dup_ngram_stats(rd.from_pandas(df).repartition(3), n=5)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        exp_tot, exp_hits = TestDupNgrams._py_oracle(self, df["text"].tolist())
+        assert got["n_dup"].tolist() == exp_hits
+        assert got["n_dup"][2] == 0  # the unique doc has no corpus-dup grams
+
+
+class TestSplitAssign:
+    def test_matches_md5_oracle(self, docs_ds, docs_pdf):
+        from hooqu_ray.pipelines.relational import split_assign
+
+        got = (
+            split_assign(docs_ds, "doc_id")
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+
+        def expected(key):
+            b = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % 100
+            return "train" if b < 80 else ("val" if b < 90 else "test")
+
+        exp = [expected(k) for k in sorted(docs_pdf["doc_id"])]
+        assert got["split"].tolist() == exp
+        # all three splits non-empty at 500 docs and deterministic
+        assert set(got["split"]) == {"train", "val", "test"}
+
+    def test_weights_validation(self, docs_ds):
+        from hooqu_ray.pipelines.relational import split_assign
+
+        with pytest.raises(ValueError):
+            split_assign(docs_ds, "doc_id", splits=(("a", 80), ("b", 30)))
+
+
+class TestQualityBySource:
+    def test_matches_pandas_oracle(self, ray_session):
+        import ray.data as rd
+        import re
+        from hooqu_ray.pipelines.textstats import quality_by_source
+        from hooqu_ray.stages.heuristics import SYMBOL_PATTERN, STOPWORD_PATTERN
+
+        pdf = pd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["source", "text"]
+        )
+        got = (
+            quality_by_source(rd.from_pandas(pdf).repartition(4))
+            .to_pandas()
+            .sort_values("source", ignore_index=True)
+        )
+        sym_re, stop_re = re.compile(SYMBOL_PATTERN), re.compile(STOPWORD_PATTERN)
+        rows = []
+        for src, grp in pdf.groupby("source"):
+            texts = grp["text"].fillna("")
+            n_chars = texts.str.len()
+            n_tok = texts.map(lambda t: len(t.split()))
+            sym_r = [
+                len(sym_re.findall(t)) / max(c, 1) if c > 0 else 0.0
+                for t, c in zip(texts, n_chars)
+            ]
+            stop_r = [
+                len(stop_re.findall(t.lower())) / max(k, 1) if k > 0 else 0.0
+                for t, k in zip(texts, n_tok)
+            ]
+            rows.append(
+                (src, len(grp), n_chars.mean(), n_tok.mean(),
+                 np.mean(sym_r), np.mean(stop_r))
+            )
+        exp = pd.DataFrame(
+            rows,
+            columns=["source", "n_docs", "avg_chars", "avg_tokens",
+                     "avg_symbol_ratio", "avg_stopword_ratio"],
+        ).sort_values("source", ignore_index=True)
+        assert got["source"].tolist() == exp["source"].tolist()
+        assert got["n_docs"].tolist() == exp["n_docs"].tolist()
+        for c in ("avg_chars", "avg_tokens", "avg_symbol_ratio", "avg_stopword_ratio"):
+            np.testing.assert_allclose(got[c], exp[c], rtol=1e-9)
