@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["dup_ngram_stats_documents"] = _dup_ngram_stats_documents
     out["split_assign_documents"] = _split_assign_documents
     out["quality_by_source_documents"] = _quality_by_source_documents
+    out["chunk_documents"] = _chunk_documents_q
+    out["domain_llr_documents"] = _domain_llr_documents
     out["knn_embeddings"] = _knn_embeddings
 
     out["windowed_events_hourly"] = _windowed_events_hourly
@@ -337,6 +339,37 @@ def _quality_by_source_documents(sf_dir: str):
     for c in ("avg_chars", "avg_tokens", "avg_symbol_ratio", "avg_stopword_ratio"):
         df[c] = df[c].round(6)
     return df.sort_values("source", ignore_index=True)
+
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 16, 4
+_LLR_VOCAB = 16
+
+
+def _chunk_documents_q(sf_dir: str):
+    """Overlapping fixed-token document chunking (sequence prep)."""
+    from hooqu_ray.pipelines.chunking import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = chunk_documents(ds, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP).to_pandas()
+    return df.sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+
+
+def _domain_llr_documents(sf_dir: str):
+    """DSIR-style unigram log-likelihood-ratio vs the doc_id % 101 == 0
+    target-domain sample (capped top-V vocabulary)."""
+    from hooqu_ray.pipelines.scoring import domain_llr_score
+
+    def _bench_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % _BENCH_MOD == 0))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    target = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _bench_rows, batch_format="pyarrow"
+    )
+    df = domain_llr_score(ds, target, vocab_size=_LLR_VOCAB).to_pandas()
+    df["llr_score"] = df["llr_score"].round(6)
+    return df.sort_values("doc_id", ignore_index=True)
 
 
 _N_KNN_QUERIES = 3
@@ -1813,6 +1846,44 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) "
             "/ GREATEST(len(gs), 1), 6) AS dup_ngram_frac "
             "FROM ng LEFT JOIN hit USING (doc_id) ORDER BY ng.doc_id"
+        ),
+        "chunk_documents": (
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(COALESCE(text, ''), '\\s+'), t -> t <> '') AS w "
+            "FROM documents), "
+            f"ch AS (SELECT doc_id, [array_to_string(w[s:s+{_CHUNK_SIZE - 1}], ' ') "
+            f"FOR s IN generate_series(1, len(w), {_CHUNK_SIZE - _CHUNK_OVERLAP})] AS cs "
+            "FROM toks), "
+            "u AS (SELECT doc_id, UNNEST(cs) AS chunk_text, "
+            "UNNEST(range(len(cs))) AS chunk_idx FROM ch) "
+            "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text, "
+            "CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens "
+            "FROM u ORDER BY doc_id, chunk_idx"
+        ),
+        "domain_llr_documents": (
+            "WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents), "
+            "tok AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS tok "
+            "FROM t), "
+            f"tgt AS (SELECT tok FROM tok WHERE doc_id % {_BENCH_MOD} = 0), "
+            "nt AS (SELECT count(*) AS n FROM tgt), "
+            "nr AS (SELECT count(*) AS n FROM tok), "
+            "vocab AS (SELECT tok, count(*) AS ct FROM tgt GROUP BY tok "
+            f"ORDER BY ct DESC, tok ASC LIMIT {_LLR_VOCAB}), "
+            "vc AS (SELECT count(*) AS v FROM vocab), "
+            "rawc AS (SELECT tok, count(*) AS cr FROM tok "
+            "WHERE tok IN (SELECT tok FROM vocab) GROUP BY tok), "
+            "lr AS (SELECT vocab.tok, ln((vocab.ct + 1.0) / (nt.n + vc.v)) "
+            "- ln((COALESCE(rawc.cr, 0) + 1.0) / (nr.n + vc.v)) AS lr "
+            "FROM vocab LEFT JOIN rawc USING (tok), nt, nr, vc), "
+            "hits AS (SELECT tok.doc_id, count(*) AS n_iv, sum(lr.lr) AS s "
+            "FROM tok JOIN lr USING (tok) GROUP BY tok.doc_id), "
+            "tot AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(tot.n_tok, 0) AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(hits.n_iv, 0) AS BIGINT) AS n_invocab, "
+            "ROUND(CASE WHEN COALESCE(hits.n_iv, 0) > 0 THEN hits.s / hits.n_iv "
+            "ELSE 0.0 END, 6) AS llr_score "
+            "FROM documents d LEFT JOIN tot USING (doc_id) "
+            "LEFT JOIN hits USING (doc_id) ORDER BY d.doc_id"
         ),
         "split_assign_documents": (
             "WITH b AS (SELECT doc_id, CAST(concat('0x', "

@@ -119,6 +119,10 @@ class _LLRScoreBatch:
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
         parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        if len(flat):  # drop empty split tokens (str.split() word semantics)
+            keep = pc.invert(pc.equal(flat, "")).to_numpy(zero_copy_only=False)
+            flat = flat.filter(pa.array(keep))
+            parent = parent[keep]
         n_tok = np.bincount(parent, minlength=n).astype(np.int64)
         n_iv = np.zeros(n, dtype=np.int64)
         s = np.zeros(n, dtype=np.float64)
