@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # -- bound-style oracles for the non-SQL-expressible ops --------------
     out["minhash_lsh_pairs_documents"] = _minhash_pairs
+    out["minhash_probe_new_documents"] = _minhash_probe_new
     out["simhash_documents"] = _simhash_docs
     out["langid_documents"] = _langid_docs
     out["transcript_filter_stats"] = _transcript_filter_stats
@@ -503,6 +504,71 @@ def _minhash_pairs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     cand = minhash_lsh_pairs(ds, threshold=0.4)
     ver = verify_pairs(ds, cand, threshold=0.0).to_pandas()
+    n_true = int((ver["jaccard"] >= 0.5).sum()) if len(ver) else 0
+    prec_ok = bool((ver["jaccard"] >= 0.3).all()) if len(ver) else True
+    return pa.table(
+        {
+            "n_true_pairs": pa.array([n_true], pa.int64()),
+            "precision_ok": pa.array([prec_ok], pa.bool_()),
+        }
+    )
+
+
+_PROBE_ID_SHIFT = 1_000_000
+
+
+def _minhash_probe_new(sf_dir: str):
+    """Bound-style oracle for the incremental near-dup probe: index the
+    doc_id % 7 != 0 corpus, probe the % 7 == 0 shard (ids shifted to a
+    disjoint space) as the 'new crawl increment'.  Every emitted pair is
+    exact-Jaccard-verified; the count with exact J >= 0.5 must hash-match
+    the SQL cross-subset all-pairs count (recall 1.0), with a 0.3
+    precision floor."""
+    import shutil
+    import tempfile
+
+    from hooqu_ray.pipelines.dedup import (
+        minhash_index_write,
+        minhash_probe_index,
+        verify_pairs,
+    )
+
+    def _old_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 7 != 0))
+
+    def _new_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 7 == 0))
+        shifted = pa.array(
+            t.column("doc_id").to_numpy(zero_copy_only=False) + _PROBE_ID_SHIFT,
+            pa.int64(),
+        )
+        return t.set_column(t.column_names.index("doc_id"), "doc_id", shifted)
+
+    old_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _old_rows, batch_format="pyarrow"
+    )
+    new_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _new_rows, batch_format="pyarrow"
+    )
+    path = tempfile.mkdtemp(prefix="mh_index_contract_")
+    try:
+        minhash_index_write(old_ds, path)
+        pairs = minhash_probe_index(new_ds, path, threshold=0.4)
+        renamed = pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    "id_a": t.column("new_id"),
+                    "id_b": t.column("old_id"),
+                    "__oversized_bucket": t.column("__oversized_bucket"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        ver = verify_pairs(old_ds.union(new_ds), renamed, threshold=0.0).to_pandas()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
     n_true = int((ver["jaccard"] >= 0.5).sum()) if len(ver) else 0
     prec_ok = bool((ver["jaccard"] >= 0.3).all()) if len(ver) else True
     return pa.table(
@@ -1990,6 +2056,25 @@ def oracle_sql() -> dict[str, str]:
             "ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
             "/ GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1) END AS jaccard "
             "FROM d a JOIN d b ON a.doc_id < b.doc_id) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, TRUE AS precision_ok "
+            "FROM p WHERE jaccard >= 0.5"
+        ),
+        "minhash_probe_new_documents": (
+            # truth: exact word-3-gram Jaccard >= 0.5 CROSS pairs between the
+            # doc_id % 7 == 0 'new shard' and the indexed rest; the Ray probe
+            # must find exactly this many exact-verified pairs (recall 1.0)
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), "
+            "'\\S+') AS ws FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN []::VARCHAR[] "
+            "WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+            "ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+            "for i in range(1, len(ws) - 1)] END AS s FROM w), "
+            "d AS (SELECT doc_id, list_distinct(s) AS s FROM sh), "
+            "p AS (SELECT a.doc_id AS id_new, b.doc_id AS id_old, "
+            "CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0 "
+            "ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1) END AS jaccard "
+            "FROM d a JOIN d b ON a.doc_id % 7 = 0 AND b.doc_id % 7 != 0) "
             "SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, TRUE AS precision_ok "
             "FROM p WHERE jaccard >= 0.5"
         ),

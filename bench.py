@@ -244,6 +244,39 @@ def main() -> None:
     ).count()
     queries["top_terms"] = round(time.time() - t0, 3)
 
+    # -- training-data hygiene ops ------------------------------------------
+    from hooqu_ray.pipelines.chunking import chunk_documents
+    from hooqu_ray.pipelines.decontam import contamination_stats, dup_ngram_stats
+    from hooqu_ray.pipelines.scoring import domain_llr_score
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bench_rows(t):
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 101 == 0))
+
+    t0 = time.time()
+    contamination_stats(
+        docs, docs.map_batches(bench_rows, batch_format="pyarrow"), n=5
+    ).count()
+    queries["contamination"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dup_ngram_stats(docs, n=5).count()
+    queries["dup_ngrams"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    chunk_documents(docs, size=64, overlap=8).count()
+    queries["chunking"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    domain_llr_score(
+        docs, docs.map_batches(bench_rows, batch_format="pyarrow"), vocab_size=1024
+    ).count()
+    queries["domain_llr"] = round(time.time() - t0, 3)
+
     # connected components on a REAL-scale graph: the bipartite
     # (event_id, user_id) edge set — |E| = #events, ~|users| components
     def to_edges(t):

@@ -1678,3 +1678,278 @@ def snapshot_diff(old_ds, new_ds, key_col: str, content_cols,
     return unioned.groupby("bucket").map_groups(
         lambda g: classify(g), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: persisted MinHash index + probe
+# ---------------------------------------------------------------------------
+
+
+def minhash_index_write(ds, path: str, text_col: str = "text",
+                        id_col: str = "doc_id", num_perm: int = 128,
+                        bands: int = 32, shingle_w: int = 3,
+                        concurrency=None):
+    """Persist a corpus near-dup index for later incremental probing
+    (:func:`minhash_probe_index`) — the MinHash counterpart of
+    ``bloom.bloom_new_rows``'s exact-membership summary:
+
+    - ``{path}/signatures``  (id, signature fixed(num_perm*8))
+    - ``{path}/bands``       (band, band_key, id) slim int64 rows
+
+    Both are streaming ``write_parquet`` sinks (multi-file, resumable);
+    the band table is derived by RE-READING the written signatures so the
+    expensive shingle/minhash pass runs exactly once (a lazy Dataset
+    consumed twice would re-execute it).  Coefficients are seed-derived,
+    so any later run with the same (num_perm, bands, shingle_w, seed)
+    produces comparable signatures."""
+    import ray.data as rd
+
+    from ..util import actor_pool_size
+
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "text_col": text_col, "id_col": id_col,
+            "num_perm": num_perm, "shingle_w": shingle_w,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency or actor_pool_size(cap=16),
+    )
+    sigs.write_parquet(f"{path}/signatures")
+    rd.read_parquet(f"{path}/signatures").map_batches(
+        _BandKeys(num_perm, bands, id_col), batch_format="pyarrow"
+    ).write_parquet(f"{path}/bands")
+    return path
+
+
+class _CrossBucketPairs:
+    """Cross-side candidate pairs for bucket-aligned survivor blocks: within
+    each band bucket, pair NEW rows against OLD (indexed) rows only.
+    Estimate = fraction of equal signature components from the broadcast
+    (index, matrix) lookup; a pair is emitted only by its FIRST colliding
+    band (locally checkable from the two signatures), so the union over
+    buckets is deduplicated.  Oversized buckets emit flag rows, the
+    ``_BucketPairsBlock`` convention."""
+
+    def __init__(self, id_col: str, threshold: float, sig_lookup_ref,
+                 num_perm: int, bands: int, max_bucket_rows: int = 4096):
+        self.id_col = id_col
+        self.threshold = threshold
+        self.sig_lookup_ref = sig_lookup_ref
+        self.num_perm = num_perm
+        self.bands = bands
+        self.max_bucket_rows = max_bucket_rows
+        self._lookup = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        id_type = t.column(self.id_col).type
+
+        def result(a, b, e, flag_key=(), flag_rows=()):
+            n_pairs, n_flags = len(a), len(flag_key)
+            return pa.table(
+                {
+                    "new_id": pa.array(list(a) + [None] * n_flags, id_type),
+                    "old_id": pa.array(list(b) + [None] * n_flags, id_type),
+                    "est_jaccard": pa.array(
+                        list(e) + [None] * n_flags, pa.float64()
+                    ),
+                    "__oversized_bucket": pa.array(
+                        [None] * n_pairs + list(flag_key), pa.int64()
+                    ),
+                    "__bucket_rows": pa.array(
+                        [None] * n_pairs + list(flag_rows), pa.int64()
+                    ),
+                }
+            )
+
+        if len(t) < 2:
+            return result([], [], [])
+        if self._lookup is None:
+            import ray
+
+            obj = self.sig_lookup_ref
+            self._lookup = obj if isinstance(obj, tuple) else ray.get(obj)
+        index, matrix = self._lookup
+        keys = t.column("band_key").to_numpy(zero_copy_only=False)
+        bands_arr = t.column("band").to_numpy(zero_copy_only=False)
+        is_new = t.column("__is_new").to_numpy(zero_copy_only=False)
+        all_ids = t.column(self.id_col).to_pylist()
+        starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        ends = np.r_[starts[1:], len(keys)]
+        r = self.num_perm // self.bands
+        out_a, out_b, out_e = [], [], []
+        flag_key, flag_rows = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            if e - s > self.max_bucket_rows:
+                flag_key.append(int(keys[s]))
+                flag_rows.append(int(e - s))
+                continue
+            seg_new = np.flatnonzero(is_new[s:e]) + s
+            seg_old = np.flatnonzero(~is_new[s:e]) + s
+            if seg_new.size == 0 or seg_old.size == 0:
+                continue
+            new_rows = [index.get(("n", all_ids[i])) for i in seg_new]
+            old_rows = [index.get(("o", all_ids[j])) for j in seg_old]
+            nk = [k for k, ri in enumerate(new_rows) if ri is not None]
+            ok = [k for k, ri in enumerate(old_rows) if ri is not None]
+            if not nk or not ok:
+                continue
+            new_ids = [all_ids[seg_new[k]] for k in nk]
+            old_ids = [all_ids[seg_old[k]] for k in ok]
+            mn = matrix[[new_rows[k] for k in nk]]
+            mo = matrix[[old_rows[k] for k in ok]]
+            band = int(bands_arr[s])
+            mnb = mn.reshape(len(new_ids), self.bands, r)
+            mob = mo.reshape(len(old_ids), self.bands, r)
+            eq = (mn[:, None, :] == mo[None, :, :]).mean(axis=2)
+            ii, jj = np.nonzero(eq >= self.threshold)
+            for i, j in zip(ii, jj):
+                agree = (mnb[i] == mob[j]).all(axis=1)
+                if int(np.argmax(agree)) != band:
+                    continue
+                out_a.append(new_ids[i])
+                out_b.append(old_ids[j])
+                out_e.append(float(eq[i, j]))
+        return result(out_a, out_b, out_e, flag_key, flag_rows)
+
+
+def minhash_probe_index(new_ds, path: str, text_col: str = "text",
+                        id_col: str = "doc_id", num_perm: int = 128,
+                        bands: int = 32, shingle_w: int = 3,
+                        threshold: float = 0.5, concurrency=None,
+                        max_bucket_rows: int = 4096,
+                        new_rows_per_shard: int = 1_000_000):
+    """Probe a NEW document shard against a persisted
+    :func:`minhash_index_write` index: pairs ``(new_id, old_id,
+    est_jaccard)`` where a new document near-duplicates an already-indexed
+    one — the continuous-crawl ingestion gate ("is this page a near-copy
+    of anything we already hold?") without re-banding the old corpus.
+
+    New and indexed id spaces must be disjoint.  Parameters must match
+    the ones the index was written with.
+
+    Scale shape: the new shard (a crawl increment — small relative to the
+    index) is minhashed once and its slim band rows are processed one
+    hash-range shard at a time (≤ ``new_rows_per_shard`` band rows on the
+    driver); per shard, the shard's band keys broadcast and the INDEX
+    band table is semi-filtered in one streaming pruned scan — the index
+    never loads, only its colliding rows come back.  Signatures re-attach
+    from broadcast lookups bounded by that shard's collisions, and pair
+    estimation runs distributed over bucket-aligned blocks with
+    first-colliding-band ownership (no dedupe shuffle)."""
+    import ray
+    import ray.data as rd
+
+    from ..util import BroadcastIsInFilter, ShardFilter, actor_pool_size
+
+    n_parts = actor_pool_size()
+    new_sigs = new_ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "text_col": text_col, "id_col": id_col,
+            "num_perm": num_perm, "shingle_w": shingle_w,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency or actor_pool_size(cap=16),
+    ).repartition(n_parts).materialize()
+    band_stage = _BandKeys(num_perm, bands, id_col)
+    n_new_rows = new_sigs.count() * bands
+    n_shards = max(1, -(-int(n_new_rows) // new_rows_per_shard))
+
+    shard_outputs = []
+    for s in range(n_shards):
+        new_bands_ds = new_sigs.map_batches(band_stage, batch_format="pyarrow")
+        if n_shards > 1:
+            new_bands_ds = new_bands_ds.map_batches(
+                ShardFilter("band_key", n_shards, s), batch_format="pyarrow"
+            )
+        new_band_tbl = _collect_arrow(new_bands_ds)
+        if new_band_tbl is None or len(new_band_tbl) == 0:
+            continue
+        keys_ref = ray.put(pc.unique(new_band_tbl.column("band_key").combine_chunks()))
+        old_hits = _collect_arrow(
+            rd.read_parquet(f"{path}/bands").map_batches(
+                BroadcastIsInFilter(keys_ref, "band_key"), batch_format="pyarrow"
+            )
+        )
+        if old_hits is None or len(old_hits) == 0:
+            continue
+        # restrict the new side to keys the index actually collided on
+        hit_keys = pc.unique(old_hits.column("band_key").combine_chunks())
+        new_hits = new_band_tbl.filter(
+            pc.is_in(new_band_tbl.column("band_key"), value_set=hit_keys)
+        )
+        if len(new_hits) == 0:
+            continue
+        # signatures for both sides of this shard's collisions
+        old_ids_ref = ray.put(pc.unique(old_hits.column(id_col).combine_chunks()))
+        old_sig_tbl = _collect_arrow(
+            rd.read_parquet(f"{path}/signatures").map_batches(
+                BroadcastIsInFilter(old_ids_ref, id_col), batch_format="pyarrow"
+            )
+        )
+        new_ids_ref = ray.put(pc.unique(new_hits.column(id_col).combine_chunks()))
+        new_sig_tbl = _collect_arrow(
+            new_sigs.map_batches(
+                BroadcastIsInFilter(new_ids_ref, id_col), batch_format="pyarrow"
+            )
+        )
+        index = {
+            ("o", v): i
+            for i, v in enumerate(old_sig_tbl.column(id_col).to_pylist())
+        }
+        off = len(index)
+        index.update(
+            {
+                ("n", v): i + off
+                for i, v in enumerate(new_sig_tbl.column(id_col).to_pylist())
+            }
+        )
+        matrix = np.vstack(
+            [
+                _sig_matrix(old_sig_tbl.column("signature"), num_perm),
+                _sig_matrix(new_sig_tbl.column("signature"), num_perm),
+            ]
+        )
+        sig_lookup_ref = ray.put((index, matrix))
+        # union colliding rows, flag sides, bucket-sort, pair distributed
+        old_u = old_hits.append_column(
+            "__is_new", pa.array(np.zeros(len(old_hits), dtype=bool))
+        )
+        new_u = new_hits.append_column(
+            "__is_new", pa.array(np.ones(len(new_hits), dtype=bool))
+        )
+        surv = pa.concat_tables([old_u.select(new_u.column_names), new_u])
+        skeys = surv.column("band_key").to_numpy(zero_copy_only=False)
+        order = np.argsort(skeys, kind="stable")
+        surv = surv.take(pa.array(order))
+        cross = _CrossBucketPairs(
+            id_col, threshold, sig_lookup_ref, num_perm, bands, max_bucket_rows
+        )
+        surv_blocks = _bucket_aligned_blocks(surv, skeys[order], n_parts)
+        shard_outputs.append(
+            rd.from_arrow(surv_blocks).map_batches(
+                lambda t, _c=cross: _c(t), batch_format="pyarrow"
+            )
+        )
+    if not shard_outputs:
+        id_type = pa.int64()
+        try:  # preserve the caller's id type in the (typed) empty result
+            id_type = new_sigs.schema().base_schema.field(id_col).type
+        except Exception:
+            pass
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "new_id": pa.array([], id_type),
+                    "old_id": pa.array([], id_type),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    out = shard_outputs[0]
+    if len(shard_outputs) > 1:
+        out = out.union(*shard_outputs[1:])
+    return out
