@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["quality_by_source_documents"] = _quality_by_source_documents
     out["chunk_documents"] = _chunk_documents_q
     out["domain_llr_documents"] = _domain_llr_documents
+    out["split_token_budget_documents"] = _split_token_budget_documents
     out["knn_embeddings"] = _knn_embeddings
 
     out["windowed_events_hourly"] = _windowed_events_hourly
@@ -329,6 +330,15 @@ def _split_assign_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"])
     df = split_assign(ds, "doc_id").to_pandas()
     return df.sort_values("doc_id", ignore_index=True)
+
+
+def _split_token_budget_documents(sf_dir: str):
+    """Token-budget report per (train/val/test split, source)."""
+    from hooqu_ray.pipelines.textstats import split_token_budget
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    df = split_token_budget(ds).to_pandas()
+    return df.sort_values(["split", "source"], ignore_index=True)
 
 
 def _quality_by_source_documents(sf_dir: str):
@@ -1958,6 +1968,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN bk < 80 THEN 'train' "
             "WHEN bk < 90 THEN 'val' ELSE 'test' END AS split "
             "FROM b ORDER BY doc_id"
+        ),
+        "split_token_budget_documents": (
+            "WITH b AS (SELECT doc_id, source, COALESCE(text, '') AS text, "
+            "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) % 100 AS bk FROM documents), "
+            "s AS (SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' "
+            "ELSE 'test' END AS split, source, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_tok FROM b) "
+            "SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_tok) AS BIGINT) AS total_tokens "
+            "FROM s GROUP BY split, source ORDER BY split, source"
         ),
         "quality_by_source_documents": (
             "WITH f AS (SELECT source, "

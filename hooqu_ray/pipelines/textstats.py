@@ -429,6 +429,61 @@ def quality_by_source(ds, text_col: str = "text", group_col: str = "source"):
     return res.map_batches(rename, batch_format="pyarrow")
 
 
+def split_token_budget(ds, key_col: str = "doc_id", source_col: str = "source",
+                       text_col: str = "text", splits=(
+                           ("train", 80), ("val", 10), ("test", 10))):
+    """Token-budget report per (split, source): document count and total
+    whitespace tokens for every train/val/test × source cell — the table a
+    data-mixing plan reads to set per-source sampling weights.
+
+    One streaming pass (md5-bucket split assignment + Arrow token count
+    per row) into one ``groupby`` over #splits × #sources keys; the corpus
+    itself never shuffles more than (split, source, int) per row."""
+    from ray.data.aggregate import Count, Sum
+
+    from .relational import split_assign
+
+    def features(t: pa.Table) -> pa.Table:
+        n_tok = pc.fill_null(
+            pc.count_substring_regex(t.column(text_col), pattern=TOKEN_PATTERN), 0
+        )
+        return pa.table(
+            {
+                "split": t.column("split"),
+                source_col: t.column(source_col),
+                "n_tokens": pc.cast(n_tok, pa.int64()),
+            }
+        )
+
+    res = (
+        split_assign(ds, key_col, splits=splits)
+        .map_batches(features, batch_format="pyarrow")
+        .groupby(["split", source_col])
+        .aggregate(Count(), Sum("n_tokens"))
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        if "count()" not in t.column_names:  # schema-less empty agg block
+            return pa.table(
+                {
+                    "split": pa.array([], pa.string()),
+                    source_col: pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "total_tokens": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "split": t.column("split"),
+                source_col: t.column(source_col),
+                "n_docs": pc.cast(t.column("count()"), pa.int64()),
+                "total_tokens": pc.cast(t.column("sum(n_tokens)"), pa.int64()),
+            }
+        )
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
 def doc_frequency(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Corpus document frequency per term: #documents containing each
     whitespace token.  Combiner-first: each block emits its DISTINCT

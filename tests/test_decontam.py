@@ -171,6 +171,42 @@ class TestSplitAssign:
             split_assign(docs_ds, "doc_id", splits=(("a", 80), ("b", 30)))
 
 
+class TestSplitTokenBudget:
+    def test_matches_pandas_oracle(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.textstats import split_token_budget
+
+        pdf = pd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "source", "text"]
+        )
+        got = (
+            split_token_budget(rd.from_pandas(pdf).repartition(4))
+            .to_pandas()
+            .sort_values(["split", "source"], ignore_index=True)
+        )
+
+        def split_of(key):
+            b = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % 100
+            return "train" if b < 80 else ("val" if b < 90 else "test")
+
+        pdf = pdf.assign(
+            split=pdf["doc_id"].map(split_of),
+            n_tok=pdf["text"].fillna("").map(lambda t: len(t.split())),
+        )
+        exp = (
+            pdf.groupby(["split", "source"])
+            .agg(n_docs=("doc_id", "size"), total_tokens=("n_tok", "sum"))
+            .reset_index()
+            .sort_values(["split", "source"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"n_docs": "int64", "total_tokens": "int64"}), exp
+        )
+        # totals conserve: every doc and token lands in exactly one cell
+        assert got["n_docs"].sum() == len(pdf)
+        assert got["total_tokens"].sum() == pdf["n_tok"].sum()
+
+
 class TestQualityBySource:
     def test_matches_pandas_oracle(self, ray_session):
         import ray.data as rd
