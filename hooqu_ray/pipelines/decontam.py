@@ -84,9 +84,10 @@ class _NgramProbe:
     """Per-batch membership probe against a broadcast SORTED uint64 n-gram
     hash array: per-doc total n-gram positions and positions whose n-gram
     is in the set (binary search, no Python per position).  With
-    ``totals=False`` the ``n_ngrams`` column is emitted as zeros (so
-    multi-shard outputs union-merge with a plain sum — only the first
-    shard contributes the position totals)."""
+    ``totals=False`` the ``n_ngrams`` column is emitted as zeros AND
+    zero-hit rows are dropped (missing rows sum as 0), so multi-shard
+    outputs union-merge with a plain sum while non-first shards shuffle
+    only their HIT docs — not one row per corpus document per shard."""
 
     def __init__(self, grams_ref, text_col: str, id_col: str, n: int,
                  totals: bool = True):
@@ -112,13 +113,19 @@ class _NgramProbe:
         else:
             member = np.zeros(g.size, dtype=bool)
         n_hit = np.bincount(parent[member], minlength=n_rows).astype(np.int64)
+        ids = t.column(self.id_col)
         if self.totals:
             n_grams = np.bincount(parent, minlength=n_rows).astype(np.int64)
         else:
             n_grams = np.zeros(n_rows, dtype=np.int64)
+            keep = n_hit > 0  # missing rows sum as 0 in the shard fold
+            if not keep.all():
+                sel = pa.array(np.flatnonzero(keep), pa.int64())
+                ids = ids.take(sel)
+                n_hit, n_grams = n_hit[keep], n_grams[keep]
         return pa.table(
             {
-                self.id_col: t.column(self.id_col),
+                self.id_col: ids,
                 "n_hit": pa.array(n_hit, pa.int64()),
                 "n_ngrams": pa.array(n_grams, pa.int64()),
             }

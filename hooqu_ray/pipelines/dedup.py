@@ -1726,10 +1726,14 @@ class _CrossBucketPairs:
     """Cross-side candidate pairs for bucket-aligned survivor blocks: within
     each band bucket, pair NEW rows against OLD (indexed) rows only.
     Estimate = fraction of equal signature components from the broadcast
-    (index, matrix) lookup; a pair is emitted only by its FIRST colliding
-    band (locally checkable from the two signatures), so the union over
-    buckets is deduplicated.  Oversized buckets emit flag rows, the
-    ``_BucketPairsBlock`` convention."""
+    (index, matrix) lookup, strip-chunked over the new side so the pairwise
+    comparison never allocates more than ~strip × bucket × num_perm bytes
+    (the ``_BucketPairsBlock`` bound); a pair is emitted only by its FIRST
+    colliding band (locally checkable from the two signatures), so the
+    union over buckets is deduplicated.  Oversized buckets emit flag rows,
+    the ``_BucketPairsBlock`` convention."""
+
+    _STRIP = 256
 
     def __init__(self, id_col: str, threshold: float, sig_lookup_ref,
                  num_perm: int, bands: int, max_bucket_rows: int = 4096):
@@ -1803,15 +1807,18 @@ class _CrossBucketPairs:
             band = int(bands_arr[s])
             mnb = mn.reshape(len(new_ids), self.bands, r)
             mob = mo.reshape(len(old_ids), self.bands, r)
-            eq = (mn[:, None, :] == mo[None, :, :]).mean(axis=2)
-            ii, jj = np.nonzero(eq >= self.threshold)
-            for i, j in zip(ii, jj):
-                agree = (mnb[i] == mob[j]).all(axis=1)
-                if int(np.argmax(agree)) != band:
-                    continue
-                out_a.append(new_ids[i])
-                out_b.append(old_ids[j])
-                out_e.append(float(eq[i, j]))
+            for lo in range(0, len(new_ids), self._STRIP):
+                hi = min(lo + self._STRIP, len(new_ids))
+                eq = (mn[lo:hi, None, :] == mo[None, :, :]).mean(axis=2)
+                ii, jj = np.nonzero(eq >= self.threshold)
+                for i_, j in zip(ii, jj):
+                    i = lo + i_
+                    agree = (mnb[i] == mob[j]).all(axis=1)
+                    if int(np.argmax(agree)) != band:
+                        continue
+                    out_a.append(new_ids[i])
+                    out_b.append(old_ids[j])
+                    out_e.append(float(eq[i_, j]))
         return result(out_a, out_b, out_e, flag_key, flag_rows)
 
 
@@ -1896,6 +1903,8 @@ def minhash_probe_index(new_ds, path: str, text_col: str = "text",
                 BroadcastIsInFilter(new_ids_ref, id_col), batch_format="pyarrow"
             )
         )
+        if old_sig_tbl is None or new_sig_tbl is None:
+            continue  # collisions without signatures: nothing to estimate
         index = {
             ("o", v): i
             for i, v in enumerate(old_sig_tbl.column(id_col).to_pylist())
