@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- bound-style oracles for the non-SQL-expressible ops --------------
     out["minhash_lsh_pairs_documents"] = _minhash_pairs
     out["minhash_probe_new_documents"] = _minhash_probe_new
+    out["perplexity_documents"] = _perplexity_documents
     out["simhash_documents"] = _simhash_docs
     out["langid_documents"] = _langid_docs
     out["transcript_filter_stats"] = _transcript_filter_stats
@@ -520,6 +521,37 @@ def _minhash_pairs(sf_dir: str):
         {
             "n_true_pairs": pa.array([n_true], pa.int64()),
             "precision_ok": pa.array([prec_ok], pa.bool_()),
+        }
+    )
+
+
+def _perplexity_documents(sf_dir: str):
+    """Bound-style oracle: one perplexity per document (count hash-matches
+    count(*)); smoothed bigram probabilities are < 1 so every perplexity is
+    >= 1 (empty text scores exactly 1); two independent distributed runs
+    agree bit-for-bit (deterministic model + libm)."""
+    from hooqu_ray.pipelines.textstats import PerplexityStage
+    from hooqu_ray.util import actor_pool_size
+
+    def run():
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        return (
+            ds.map_batches(
+                PerplexityStage,
+                batch_format="pyarrow",
+                concurrency=actor_pool_size(cap=8),
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+
+    a, b = run(), run()
+    deterministic = bool(a["doc_id"].equals(b["doc_id"]) and a["perplexity"].equals(b["perplexity"]))
+    return pa.table(
+        {
+            "n_docs": pa.array([len(a)], pa.int64()),
+            "ppl_ge_1_ok": pa.array([bool((a["perplexity"] >= 1.0).all())], pa.bool_()),
+            "deterministic_ok": pa.array([deterministic], pa.bool_()),
         }
     )
 
@@ -2102,6 +2134,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_documents": (
             "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS deterministic_ok, "
             "TRUE AS near_dup_hamming_ok FROM documents"
+        ),
+        "perplexity_documents": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS ppl_ge_1_ok, "
+            "TRUE AS deterministic_ok FROM documents"
         ),
         "langid_documents": (
             "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS preds_valid, "

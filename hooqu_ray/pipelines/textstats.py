@@ -70,6 +70,29 @@ class LangIdStage:
         )
 
 
+class PerplexityStage:
+    """Actor-pool KenLM-style char-bigram perplexity per document (model
+    built once per actor; the flagship quality filter's scorer exposed as
+    a standalone column op).  Scores via the zero-copy Arrow byte-codes
+    path; empty/null text scores exp(0) = 1.0, and smoothing keeps every
+    bigram probability < 1 so perplexity is always >= 1."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "perplexity"):
+        from ..stages.models import CharBigramLM
+
+        self.text_col = text_col
+        self.out_col = out_col
+        self.model = CharBigramLM()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.models import _byte_codes_arrow
+
+        ppl = self.model.perplexity_codes(
+            *_byte_codes_arrow(batch.column(self.text_col))
+        )
+        return batch.append_column(self.out_col, pa.array(ppl, pa.float64()))
+
+
 _RK_PRIME = 1099511628211  # odd 64-bit multiplier (the FNV prime)
 _MASK64 = (1 << 64) - 1
 
