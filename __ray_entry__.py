@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["normalize_text_documents"] = _normalize_text_documents
     out["top_terms_documents"] = _top_terms_documents
     out["contamination_documents"] = _contamination_documents
+    out["decontaminate_documents"] = _decontaminate_documents
     out["dup_ngram_stats_documents"] = _dup_ngram_stats_documents
     out["split_assign_documents"] = _split_assign_documents
     out["quality_by_source_documents"] = _quality_by_source_documents
@@ -311,6 +312,23 @@ def _contamination_documents(sf_dir: str):
     )
     df = contamination_stats(ds, bench, n=_DECONTAM_N).to_pandas()
     df["contaminated_frac"] = df["contaminated_frac"].round(6)
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def _decontaminate_documents(sf_dir: str):
+    """Kept (benchmark-clean) documents after 5-gram decontamination."""
+    from hooqu_ray.pipelines.decontam import decontaminate
+
+    def _bench_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % _BENCH_MOD == 0))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _bench_rows, batch_format="pyarrow"
+    )
+    kept = decontaminate(ds, bench, n=_DECONTAM_N)
+    df = kept.to_pandas()[["doc_id"]]
     return df.sort_values("doc_id", ignore_index=True)
 
 
@@ -1941,6 +1959,16 @@ def oracle_sql() -> dict[str, str]:
             "/ GREATEST(len(gs), 1), 6) AS contaminated_frac, "
             "COALESCE(hit.n_hit, 0) > 0 AS contaminated "
             "FROM ng LEFT JOIN hit USING (doc_id) ORDER BY ng.doc_id"
+        ),
+        "decontaminate_documents": (
+            _NGRAM_SQL + ", "
+            "bench AS (SELECT DISTINCT UNNEST(gs) AS g FROM ng "
+            f"WHERE doc_id % {_BENCH_MOD} = 0), "
+            "pos AS (SELECT doc_id, UNNEST(gs) AS g FROM ng), "
+            "dirty AS (SELECT DISTINCT pos.doc_id FROM pos "
+            "JOIN bench USING (g)) "
+            "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+            "(SELECT doc_id FROM dirty) ORDER BY doc_id"
         ),
         "dup_ngram_stats_documents": (
             # corpus-wide duplicated word 5-grams (occurrences >= 2 anywhere)

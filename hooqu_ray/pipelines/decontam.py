@@ -189,6 +189,46 @@ def contamination_stats(ds, bench_ds, text_col: str = "text",
     )
 
 
+def decontaminate(ds, bench_ds, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 5):
+    """Drop every document sharing ANY word n-gram with the benchmark —
+    the removal counterpart of :func:`contamination_stats` (what a
+    training run applies before tokenization).  Returns the KEPT rows of
+    ``ds`` with all their columns; same broadcast probe, but the filter
+    runs inline per batch so the corpus streams straight through (no
+    second pass, no stats materialization)."""
+    from ..util import collect_arrow
+
+    import ray
+
+    bench_tbl = collect_arrow(
+        bench_ds.map_batches(
+            lambda t, _c=text_col, _n=n: _block_distinct_grams(t, _c, _n),
+            batch_format="pyarrow",
+        )
+    )
+    if bench_tbl is None or len(bench_tbl) == 0:
+        grams = np.empty(0, np.uint64)
+    else:
+        grams = np.unique(
+            bench_tbl.column("gram").to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+    ref = ray.put(grams)
+
+    def keep_clean(t: pa.Table) -> pa.Table:
+        sorted_grams = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        g, parent, n_rows = _ngram_hashes(pc.fill_null(t.column(text_col), ""), n)
+        if sorted_grams.size and g.size:
+            idx = np.searchsorted(sorted_grams, g)
+            member = sorted_grams[np.minimum(idx, sorted_grams.size - 1)] == g
+        else:
+            member = np.zeros(g.size, dtype=bool)
+        n_hit = np.bincount(parent[member], minlength=n_rows)
+        return t.filter(pa.array(n_hit == 0))
+
+    return ds.map_batches(keep_clean, batch_format="pyarrow")
+
+
 # Above this many hot (duplicated) distinct n-grams the probe runs one hash
 # shard at a time instead of a single driver collect + broadcast.
 _DRIVER_HOT_GRAMS_MAX = 2_000_000

@@ -42,10 +42,15 @@ def _token_count(ds, text_col: str) -> int:
     return ds.map_batches(count, batch_format="pyarrow").sum("n") or 0
 
 
-def _vocab_counts_in(ds, text_col: str, vocab_ref) -> pa.Table:
-    """(token, count) over ``ds`` restricted to the broadcast vocab —
-    per-block combiner filters to vocab membership BEFORE the groupby, so
-    the shuffle never carries more than V rows per block."""
+def _vocab_counts_in(ds, text_col: str, vocab_ref):
+    """((token, count) table, total token occurrences) over ``ds``, with
+    counts restricted to the broadcast vocab — ONE streaming pass: the
+    per-block combiner filters to vocab membership BEFORE the groupby (the
+    shuffle never carries more than V+1 rows per block) and smuggles the
+    block's TOTAL token count through the same shuffle as a sentinel
+    empty-string row (tokenization drops empty tokens, so '' can never be
+    a real token).  Saves the separate full-corpus counting pass — at web
+    scale that is half the operator's corpus I/O."""
     from ray.data.aggregate import Sum
 
     from ..util import collect_arrow
@@ -62,33 +67,44 @@ def _vocab_counts_in(ds, text_col: str, vocab_ref) -> pa.Table:
         flat = pc.list_flatten(words)
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
-        empty = pa.table(
-            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        if len(flat):
+            nonempty = pc.invert(pc.equal(flat, ""))
+            flat = flat.filter(nonempty)
+        total_row = pa.table(
+            {"token": pa.array([""], pa.string()),
+             "n": pa.array([len(flat)], pa.int64())}
         )
         if len(flat) == 0 or len(vocab) == 0:
-            return empty
+            return total_row
         keep = pc.fill_null(pc.is_in(flat, value_set=vocab), False)
         toks = flat.filter(keep)
         if len(toks) == 0:
-            return empty
+            return total_row
         g = (
             pa.table({"token": toks})
             .group_by("token", use_threads=False)
             .aggregate([([], "count_all")])
+        ).rename_columns(["token", "n"])
+        return pa.concat_tables(
+            [g.set_column(1, "n", pc.cast(g.column("n"), pa.int64())), total_row]
         )
-        return g.rename_columns(["token", "n"])
 
     totals = ds.map_batches(block_counts, batch_format="pyarrow").groupby(
         "token"
     ).aggregate(Sum("n"))
     tbl = collect_arrow(totals)
+    empty = pa.table(
+        {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
     if tbl is None or "sum(n)" not in tbl.column_names:
-        return pa.table(
-            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
-        )
-    return pa.table(
+        return empty, 0
+    tbl = pa.table(
         {"token": tbl.column("token"), "n": pc.cast(tbl.column("sum(n)"), pa.int64())}
     )
+    is_total = pc.equal(tbl.column("token"), "")
+    total_rows = tbl.filter(is_total)
+    n_total = int(total_rows.column("n")[0].as_py()) if len(total_rows) else 0
+    return tbl.filter(pc.invert(is_total)), n_total
 
 
 class _LLRScoreBatch:
@@ -164,8 +180,7 @@ def domain_llr_score(ds, target_ds, text_col: str = "text",
 
     vocab_tbl = top_ngrams(target_ds, text_col=text_col, n=1, k=vocab_size)
     v = len(vocab_tbl)
-    n_tgt = _token_count(target_ds, text_col)
-    n_raw = _token_count(ds, text_col)
+    n_tgt = _token_count(target_ds, text_col)  # target side is small
     if v == 0:
         lr_tbl = pa.table(
             {"token": pa.array([], pa.string()), "lr": pa.array([], pa.float64())}
@@ -174,7 +189,8 @@ def domain_llr_score(ds, target_ds, text_col: str = "text",
         vocab_arr = vocab_tbl.column("ngram").combine_chunks()
         if isinstance(vocab_arr, pa.ChunkedArray):
             vocab_arr = vocab_arr.combine_chunks()
-        raw_counts = _vocab_counts_in(ds, text_col, ray.put(vocab_arr))
+        # vocab counts + corpus token total in ONE streaming pass
+        raw_counts, n_raw = _vocab_counts_in(ds, text_col, ray.put(vocab_arr))
         raw_n = raw_counts.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
         if len(raw_n) == 0:
             c_raw = np.zeros(v, dtype=np.int64)

@@ -77,6 +77,27 @@ class TestContamination:
         assert got["contaminated_frac"].tolist() == [0.0, 0.0]
 
 
+class TestDecontaminate:
+    def test_matches_stats_and_python(self, docs_ds, docs_pdf, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.decontam import contamination_stats, decontaminate
+
+        bench_pdf = docs_pdf[docs_pdf["doc_id"] % 101 == 0]
+        bench = rd.from_pandas(bench_pdf).repartition(2)
+        kept = decontaminate(docs_ds, bench, n=5).to_pandas()
+        stats = contamination_stats(docs_ds, bench, n=5).to_pandas()
+        clean_ids = set(stats.loc[~stats["contaminated"], "doc_id"])
+        assert set(kept["doc_id"]) == clean_ids
+        # kept rows carry all input columns unchanged
+        assert set(kept.columns) == {"doc_id", "text"}
+        # every benchmark doc with >= 1 n-gram was dropped (self-overlap)
+        bench_with_grams = {
+            d for d, t in zip(bench_pdf["doc_id"], bench_pdf["text"])
+            if len(_py_ngrams(t, 5)) > 0
+        }
+        assert not (bench_with_grams & set(kept["doc_id"]))
+
+
 class TestDupNgrams:
     def _py_oracle(self, texts, n=5, min_count=2):
         from collections import Counter
