@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["chunk_documents"] = _chunk_documents_q
     out["domain_llr_documents"] = _domain_llr_documents
     out["split_token_budget_documents"] = _split_token_budget_documents
+    out["quality_filter_documents"] = _quality_filter_documents
     out["knn_embeddings"] = _knn_embeddings
 
     out["windowed_events_hourly"] = _windowed_events_hourly
@@ -348,6 +349,16 @@ def _split_assign_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id"])
     df = split_assign(ds, "doc_id").to_pandas()
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def _quality_filter_documents(sf_dir: str):
+    """C4/Gopher-style document quality filter with first-failing-rule
+    reason codes."""
+    from hooqu_ray.pipelines.filters import quality_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = quality_filter(ds).to_pandas()
     return df.sort_values("doc_id", ignore_index=True)
 
 
@@ -2028,6 +2039,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN bk < 80 THEN 'train' "
             "WHEN bk < 90 THEN 'val' ELSE 'test' END AS split "
             "FROM b ORDER BY doc_id"
+        ),
+        "quality_filter_documents": (
+            "WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents), "
+            "m AS (SELECT doc_id, length(text) AS n_chars, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_tok, "
+            "len(regexp_extract_all(text, '[^0-9A-Za-z_\\s]')) AS n_sym, "
+            "len(regexp_extract_all(lower(text), '" + _STOPWORD_SQL_PATTERN
+            + "')) AS n_stop FROM t), "
+            "w AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS word "
+            "FROM t), "
+            "wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word), "
+            "tw AS (SELECT doc_id, max(c) AS max_wc FROM wc GROUP BY doc_id), "
+            "r AS (SELECT m.doc_id, CASE "
+            "WHEN m.n_tok < 16 THEN 'too_short' "
+            "WHEN (CASE WHEN m.n_chars > 0 THEN CAST(m.n_sym AS DOUBLE) "
+            "/ GREATEST(m.n_chars, 1) ELSE 0 END) > 0.3 THEN 'symbolic' "
+            "WHEN (CASE WHEN m.n_tok > 0 THEN CAST(m.n_stop AS DOUBLE) "
+            "/ GREATEST(m.n_tok, 1) ELSE 0 END) < 0.03 THEN 'low_stopword' "
+            "WHEN CAST(COALESCE(tw.max_wc, 0) AS DOUBLE) / GREATEST(m.n_tok, 1) "
+            "> 0.15 THEN 'repetitive' ELSE '' END AS reason "
+            "FROM m LEFT JOIN tw USING (doc_id)) "
+            "SELECT doc_id, reason = '' AS kept, reason FROM r ORDER BY doc_id"
         ),
         "split_token_budget_documents": (
             "WITH b AS (SELECT doc_id, source, COALESCE(text, '') AS text, "
