@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["domain_llr_documents"] = _domain_llr_documents
     out["split_token_budget_documents"] = _split_token_budget_documents
     out["quality_filter_documents"] = _quality_filter_documents
+    out["importance_sample_documents"] = _importance_sample_documents
+    out["deterministic_shuffle_documents"] = _deterministic_shuffle_documents
     out["knn_embeddings"] = _knn_embeddings
 
     out["windowed_events_hourly"] = _windowed_events_hourly
@@ -349,6 +351,39 @@ def _split_assign_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id"])
     df = split_assign(ds, "doc_id").to_pandas()
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+_IMPORTANCE_T = 0.1
+
+
+def _importance_sample_documents(sf_dir: str):
+    """DSIR pipeline: domain-LLR scores → deterministic sigmoid-threshold
+    resampling (keep iff md5_frac(doc_id) < sigmoid(llr / T))."""
+    from hooqu_ray.pipelines.relational import importance_sample
+    from hooqu_ray.pipelines.scoring import domain_llr_score
+
+    def _bench_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % _BENCH_MOD == 0))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    target = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _bench_rows, batch_format="pyarrow"
+    )
+    scored = domain_llr_score(ds, target, vocab_size=_LLR_VOCAB)
+    kept = importance_sample(scored, "doc_id", "llr_score",
+                             temperature=_IMPORTANCE_T)
+    df = kept.to_pandas()[["doc_id"]]
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def _deterministic_shuffle_documents(sf_dir: str):
+    """Reproducible global shuffle positions by (md5 bucket, doc_id)."""
+    from hooqu_ray.pipelines.relational import deterministic_shuffle
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    df = deterministic_shuffle(ds, "doc_id").to_pandas()[["doc_id", "shuffle_pos"]]
     return df.sort_values("doc_id", ignore_index=True)
 
 
@@ -1494,6 +1529,35 @@ _NGRAM_SQL = (
 )
 
 
+# domain-LLR score per document (UNROUNDED, shared by the llr and
+# importance-sample oracles); mirrors pipelines/scoring.domain_llr_score
+_LLR_SQL_CTE = (
+    "WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents), "
+    "tok AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS tok "
+    "FROM t), "
+    f"tgt AS (SELECT tok FROM tok WHERE doc_id % {_BENCH_MOD} = 0), "
+    "nt AS (SELECT count(*) AS n FROM tgt), "
+    "nr AS (SELECT count(*) AS n FROM tok), "
+    "vocab AS (SELECT tok, count(*) AS ct FROM tgt GROUP BY tok "
+    f"ORDER BY ct DESC, tok ASC LIMIT {_LLR_VOCAB}), "
+    "vc AS (SELECT count(*) AS v FROM vocab), "
+    "rawc AS (SELECT tok, count(*) AS cr FROM tok "
+    "WHERE tok IN (SELECT tok FROM vocab) GROUP BY tok), "
+    "lr AS (SELECT vocab.tok, ln((vocab.ct + 1.0) / (nt.n + vc.v)) "
+    "- ln((COALESCE(rawc.cr, 0) + 1.0) / (nr.n + vc.v)) AS lr "
+    "FROM vocab LEFT JOIN rawc USING (tok), nt, nr, vc), "
+    "hits AS (SELECT tok.doc_id, count(*) AS n_iv, sum(lr.lr) AS s "
+    "FROM tok JOIN lr USING (tok) GROUP BY tok.doc_id), "
+    "tot AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id), "
+    "score AS (SELECT d.doc_id, COALESCE(tot.n_tok, 0) AS n_tok, "
+    "COALESCE(hits.n_iv, 0) AS n_iv, "
+    "CASE WHEN COALESCE(hits.n_iv, 0) > 0 THEN hits.s / hits.n_iv "
+    "ELSE 0.0 END AS llr "
+    "FROM documents d LEFT JOIN tot USING (doc_id) "
+    "LEFT JOIN hits USING (doc_id))"
+)
+
+
 def _stopword_sql_pattern() -> str:
     from hooqu_ray.stages.heuristics import STOPWORD_PATTERN
 
@@ -2008,29 +2072,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM u ORDER BY doc_id, chunk_idx"
         ),
         "domain_llr_documents": (
-            "WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents), "
-            "tok AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS tok "
-            "FROM t), "
-            f"tgt AS (SELECT tok FROM tok WHERE doc_id % {_BENCH_MOD} = 0), "
-            "nt AS (SELECT count(*) AS n FROM tgt), "
-            "nr AS (SELECT count(*) AS n FROM tok), "
-            "vocab AS (SELECT tok, count(*) AS ct FROM tgt GROUP BY tok "
-            f"ORDER BY ct DESC, tok ASC LIMIT {_LLR_VOCAB}), "
-            "vc AS (SELECT count(*) AS v FROM vocab), "
-            "rawc AS (SELECT tok, count(*) AS cr FROM tok "
-            "WHERE tok IN (SELECT tok FROM vocab) GROUP BY tok), "
-            "lr AS (SELECT vocab.tok, ln((vocab.ct + 1.0) / (nt.n + vc.v)) "
-            "- ln((COALESCE(rawc.cr, 0) + 1.0) / (nr.n + vc.v)) AS lr "
-            "FROM vocab LEFT JOIN rawc USING (tok), nt, nr, vc), "
-            "hits AS (SELECT tok.doc_id, count(*) AS n_iv, sum(lr.lr) AS s "
-            "FROM tok JOIN lr USING (tok) GROUP BY tok.doc_id), "
-            "tot AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id) "
-            "SELECT d.doc_id, CAST(COALESCE(tot.n_tok, 0) AS BIGINT) AS n_tokens, "
-            "CAST(COALESCE(hits.n_iv, 0) AS BIGINT) AS n_invocab, "
-            "ROUND(CASE WHEN COALESCE(hits.n_iv, 0) > 0 THEN hits.s / hits.n_iv "
-            "ELSE 0.0 END, 6) AS llr_score "
-            "FROM documents d LEFT JOIN tot USING (doc_id) "
-            "LEFT JOIN hits USING (doc_id) ORDER BY d.doc_id"
+            _LLR_SQL_CTE +
+            " SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
+            "CAST(n_iv AS BIGINT) AS n_invocab, ROUND(llr, 6) AS llr_score "
+            "FROM score ORDER BY doc_id"
+        ),
+        "importance_sample_documents": (
+            # deterministic DSIR selection: keep iff md5_frac < sigmoid(llr/T)
+            _LLR_SQL_CTE + ", "
+            "b AS (SELECT doc_id, CAST(concat('0x', "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+            "/ 4294967296.0 AS frac FROM documents) "
+            "SELECT s.doc_id FROM score s JOIN b USING (doc_id) "
+            f"WHERE b.frac < 1.0 / (1.0 + exp(-s.llr / {_IMPORTANCE_T})) "
+            "ORDER BY s.doc_id"
+        ),
+        "deterministic_shuffle_documents": (
+            "WITH b AS (SELECT doc_id, CAST(concat('0x', "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket "
+            "FROM documents) "
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY bucket, doc_id) "
+            "AS BIGINT) AS shuffle_pos FROM b ORDER BY doc_id"
         ),
         "split_assign_documents": (
             "WITH b AS (SELECT doc_id, CAST(concat('0x', "

@@ -172,6 +172,48 @@ def split_assign(ds, key_col: str, splits: "Sequence[tuple]" = (
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def importance_sample(ds, key_col: str, score_col: str,
+                      temperature: float = 1.0):
+    """Deterministic importance resampling (the DSIR selection step): keep
+    a row iff ``md5_frac(key) < sigmoid(score / temperature)`` — rows with
+    higher scores survive with higher probability, yet the decision is a
+    pure function of (key, score), so it is reproducible across runs,
+    engines and data orderings and exactly SQL-checkable.  Lower
+    ``temperature`` sharpens selection toward high scorers.  NaN/null
+    scores are dropped (sigmoid(NaN) compares false).  Embarrassingly
+    parallel ``map_batches`` — no shuffle at any scale."""
+    def keep(t: pa.Table) -> pa.Table:
+        frac = md5_bucket(t.column(key_col)).astype(np.float64) / 4294967296.0
+        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(over="ignore", invalid="ignore"):
+            p = 1.0 / (1.0 + np.exp(-s / temperature))
+        mask = frac < p
+        return t.filter(pa.array(np.where(np.isnan(p), False, mask)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def deterministic_shuffle(ds, key_col: str, out_col: str = "shuffle_pos"):
+    """Reproducible global shuffle for training export: every row gets an
+    EXACT position in the order ``(md5_bucket(key), key)`` — statistically
+    random with respect to any natural ordering, yet identical across
+    runs, engines, and cluster layouts (``random_shuffle`` is none of
+    those).  One range sort + the :func:`global_row_number` offset repair;
+    requires unique keys (ranks are ill-defined otherwise)."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__shuffle_bucket", pa.array(md5_bucket(t.column(key_col)), pa.int64())
+        )
+
+    ranked = global_row_number(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        "__shuffle_bucket", key_col, out_col=out_col,
+    )
+    return ranked.map_batches(
+        lambda t: t.drop_columns(["__shuffle_bucket"]), batch_format="pyarrow"
+    )
+
+
 def stratified_sample(ds, strata_col: str, id_col: str, rates: dict,
                       buckets: int = 1000, default_rate: float = 0.0):
     """Deterministic per-stratum hash sample: a row of stratum ``s`` is kept

@@ -547,3 +547,75 @@ def test_global_row_number_duplicate_first_pairs_guarded(ray_session):
         assert "unique" in str(ex)
     else:
         assert sorted(out["row_number"]) == list(range(1, 41))
+
+
+def test_importance_sample_deterministic_and_monotone(ray_session):
+    """Keep decision is a pure function of (key, score): md5_frac < sigmoid;
+    raising a row's score can only ADD it to the sample, never remove it."""
+    import hashlib
+    import math
+
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.relational import importance_sample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "score": np.linspace(-3, 3, 200),
+        }
+    )
+    kept = importance_sample(
+        rd.from_pandas(df).repartition(4), "doc_id", "score", temperature=1.0
+    ).to_pandas()
+
+    def expected(k, s):
+        frac = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) / 4294967296.0
+        return frac < 1.0 / (1.0 + math.exp(-s))
+
+    exp = {k for k, s in zip(df["doc_id"], df["score"]) if expected(k, s)}
+    assert set(kept["doc_id"]) == exp
+    assert 0 < len(kept) < len(df)
+    # monotone: boosting every score only grows the sample
+    df2 = df.assign(score=df["score"] + 2.0)
+    kept2 = importance_sample(
+        rd.from_pandas(df2).repartition(4), "doc_id", "score", temperature=1.0
+    ).to_pandas()
+    assert set(kept["doc_id"]) <= set(kept2["doc_id"])
+    # NaN scores are dropped
+    df3 = df.assign(score=np.nan)
+    kept3 = importance_sample(
+        rd.from_pandas(df3), "doc_id", "score"
+    ).to_pandas()
+    assert len(kept3) == 0
+
+
+def test_deterministic_shuffle_is_permutation_and_stable(ray_session):
+    """Positions are the 1-based rank in (md5 bucket, key) order: an exact
+    permutation, identical across runs and block layouts."""
+    import hashlib
+
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.relational import deterministic_shuffle
+
+    df = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )
+    a = deterministic_shuffle(
+        rd.from_pandas(df).repartition(4), "doc_id"
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = deterministic_shuffle(
+        rd.from_pandas(df).repartition(9), "doc_id"
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)  # layout-independent
+    assert sorted(a["shuffle_pos"]) == list(range(1, len(df) + 1))
+    exp = df.assign(
+        b=df["doc_id"].map(
+            lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        )
+    ).sort_values(["b", "doc_id"], ignore_index=True)
+    exp["pos"] = range(1, len(exp) + 1)
+    m = a.merge(exp[["doc_id", "pos"]], on="doc_id")
+    assert (m["shuffle_pos"] == m["pos"]).all()
+    assert "__shuffle_bucket" not in a.columns
