@@ -249,7 +249,9 @@ def _token_counts_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     res = ds.map_batches(token_count_stage, batch_format="pyarrow")
-    return pa.Table.from_pylist(res.take_all()).select(["doc_id", "n_tokens"])
+    return pa.Table.from_pylist(res.take_all()).select(
+        ["doc_id", "n_tokens", "n_bpe_tokens"]
+    )
 
 
 def _symbol_ratio_documents(sf_dir: str):
@@ -1680,7 +1682,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_counts_documents": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
-            "AS n_tokens FROM documents"
+            "AS n_tokens, CAST(len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'"
+            ")) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
         "symbol_ratio_documents": (
             "SELECT doc_id, ROUND(CASE WHEN length(text) > 0 THEN "

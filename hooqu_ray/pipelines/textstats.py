@@ -18,12 +18,26 @@ from ..stages.heuristics import SYMBOL_PATTERN, STOPWORD_PATTERN
 from ..stages.models import TrigramLangID
 
 TOKEN_PATTERN = r"\S+"
+# BPE-ish pre-tokenizer (the GPT-2 pre-tokenizer shape, public knowledge,
+# minus its `\s+(?!\S)` lookahead — RE2 has no lookahead, and RE2 is what
+# both the Arrow kernel and the SQL oracle run): contractions, letter runs,
+# digit runs, punctuation runs (each with optional leading space), then
+# whitespace runs.  Counts approximate a BPE tokenizer's pre-split budget
+# far better than whitespace words on punctuation-heavy text.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
 def token_count_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace-word AND BPE-ish pre-tokenizer counts per document — two
+    vectorized RE2 count kernels, no Python per row."""
     text = batch.column(text_col)
     n_tok = pc.fill_null(pc.count_substring_regex(text, pattern=TOKEN_PATTERN), 0)
-    return batch.append_column("n_tokens", pc.cast(n_tok, pa.int64()))
+    n_bpe = pc.fill_null(
+        pc.count_substring_regex(text, pattern=BPE_TOKEN_PATTERN), 0
+    )
+    return batch.append_column(
+        "n_tokens", pc.cast(n_tok, pa.int64())
+    ).append_column("n_bpe_tokens", pc.cast(n_bpe, pa.int64()))
 
 
 def quality_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -163,6 +163,31 @@ class TestTextStats:
         expected = res["text"].str.split().str.len()
         assert (res["n_tokens"].values == expected.values).all()
 
+    def test_bpe_token_count_matches_python_regex(self, docs_ds):
+        import regex
+        from hooqu_ray.pipelines.textstats import BPE_TOKEN_PATTERN, token_count_stage
+
+        res = (
+            docs_ds.map_batches(token_count_stage, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        pat = regex.compile(BPE_TOKEN_PATTERN)
+        exp = res["text"].map(lambda t: len(pat.findall(t or "")))
+        assert (res["n_bpe_tokens"].values == exp.values).all()
+
+    def test_bpe_token_count_punctuation_heavy(self):
+        import pyarrow as pa
+        from hooqu_ray.pipelines.textstats import token_count_stage
+
+        t = pa.table(
+            {"doc_id": [1, 2], "text": ["it's a test, isn't it?", None]}
+        )
+        out = token_count_stage(t).to_pandas()
+        # "it|'s| a| test|,| isn|'t| it|?" = 9 pre-tokens vs 5 words
+        assert out["n_bpe_tokens"].tolist() == [9, 0]
+        assert out["n_tokens"].tolist() == [5, 0]
+
     def test_fingerprint_md5(self):
         import hashlib
 
