@@ -20,6 +20,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 # ---------------------------------------------------------------------------
@@ -179,6 +180,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["value_deciles_events"] = _value_deciles_events
     out["rolling_mean_events"] = _rolling_mean_events
     out["time_window_events"] = _time_window_events
+    out["union_users_click_purchase"] = _union_users_click_purchase
+    out["intersect_users_click_purchase"] = _intersect_users_click_purchase
+    out["except_pairs_low_value"] = _except_pairs_low_value
+    out["full_join_orders_customer"] = _full_join_orders_customer
+    out["running_sum_events"] = _running_sum_events
+    out["zscore_events_by_type"] = _zscore_events_by_type
+    out["pack_sequences_documents"] = _pack_sequences_documents
+    out["line_filter_frequent_documents"] = _line_filter_frequent_documents
 
     # -- oracled via SQL derivation / bound predicates --------------------
     out["conversation_features"] = _conversation_features
@@ -192,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["knn_ivf_embeddings"] = _knn_ivf
     out["kmeans_embeddings"] = _kmeans_embeddings
     out["percentile_rank_events"] = _percentile_rank_events
+    out["approx_distinct_users_per_type"] = _approx_distinct_users_per_type
+    out["keep_best_dedup_documents"] = _keep_best_dedup_documents
 
     # -- bound-style oracles for the non-SQL-expressible ops --------------
     out["minhash_lsh_pairs_documents"] = _minhash_pairs
@@ -2310,4 +2321,316 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM sims) "
             f"SELECT query_id, vec_id, ROUND(cos, 6) AS cosine FROM ranked WHERE rn <= {_KNN_K}"
         ),
+        "union_users_click_purchase": (
+            "SELECT CAST(user_id AS BIGINT) AS user_id FROM events "
+            "WHERE event_type = 'click' "
+            "UNION SELECT CAST(user_id AS BIGINT) FROM events "
+            "WHERE event_type = 'purchase' ORDER BY user_id"
+        ),
+        "intersect_users_click_purchase": (
+            "SELECT CAST(user_id AS BIGINT) AS user_id FROM events "
+            "WHERE event_type = 'click' "
+            "INTERSECT SELECT CAST(user_id AS BIGINT) FROM events "
+            "WHERE event_type = 'purchase' ORDER BY user_id"
+        ),
+        "except_pairs_low_value": (
+            "SELECT CAST(user_id AS BIGINT) AS user_id, event_type FROM events "
+            "EXCEPT SELECT CAST(user_id AS BIGINT), event_type FROM events "
+            "WHERE value > 50 ORDER BY user_id, event_type"
+        ),
+        "full_join_orders_customer": (
+            "WITH c AS (SELECT c_custkey, c_acctbal FROM customer "
+            "WHERE c_custkey % 3 != 0), "
+            "j AS (SELECT o.o_orderkey, "
+            "COALESCE(o.o_custkey, c.c_custkey) AS custkey, "
+            "o.o_orderkey IS NOT NULL AS has_order, "
+            "c.c_custkey IS NOT NULL AS has_cust, c.c_acctbal "
+            "FROM orders o FULL JOIN c ON o.o_custkey = c.c_custkey) "
+            "SELECT CAST(COALESCE(o_orderkey, -1) AS BIGINT) AS o_orderkey, "
+            "CAST(custkey AS BIGINT) AS custkey, has_order, has_cust, "
+            "ROUND(COALESCE(c_acctbal, 0.0), 6) AS c_acctbal "
+            "FROM j ORDER BY o_orderkey, custkey"
+        ),
+        "running_sum_events": (
+            "SELECT event_id, ROUND(SUM(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 6) AS run_sum, "
+            "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS BIGINT) AS run_n FROM events ORDER BY event_id"
+        ),
+        "zscore_events_by_type": (
+            "SELECT event_id, ROUND(CASE WHEN "
+            "STDDEV_POP(value) OVER (PARTITION BY event_type) > 0 THEN "
+            "(value - AVG(value) OVER (PARTITION BY event_type)) "
+            "/ STDDEV_POP(value) OVER (PARTITION BY event_type) END, 6) "
+            "AS zscore FROM events ORDER BY event_id"
+        ),
+        "approx_distinct_users_per_type": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS n_distinct, TRUE AS within_tol FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY event_type ORDER BY event_type"
+        ),
+        "pack_sequences_documents": (
+            "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'\\S+')) AS BIGINT) AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+            "0) AS BIGINT) AS token_start FROM t), "
+            "s AS (SELECT doc_id, n_tokens, token_start, "
+            "CAST(token_start // 2048 AS BIGINT) AS seq_start, "
+            "CAST(CASE WHEN n_tokens > 0 THEN (token_start + n_tokens - 1) // 2048 "
+            "ELSE token_start // 2048 END AS BIGINT) AS seq_end FROM c) "
+            "SELECT doc_id, n_tokens, token_start, seq_start, seq_end, "
+            "CAST(seq_end - seq_start + 1 AS BIGINT) AS n_seqs FROM s "
+            "ORDER BY doc_id"
+        ),
+        "line_filter_frequent_documents": (
+            # word-granularity run of the boilerplate-line filter (docs are
+            # single-line): every ≥4-char token with ≥5 corpus occurrences is
+            # removed from every document, short tokens never participate
+            "WITH t AS (SELECT doc_id, string_split(COALESCE(text, chr(1)), ' ') "
+            "AS ls, text IS NULL AS doc_null FROM documents), "
+            "l AS (SELECT doc_id, doc_null, UNNEST(ls) AS line, "
+            "generate_subscripts(ls, 1) AS line_idx FROM t), "
+            "hot AS (SELECT line FROM l WHERE length(line) >= 4 "
+            "GROUP BY line HAVING count(*) >= 5), "
+            "m AS (SELECT doc_id, doc_null, line_idx, line, "
+            "CASE WHEN length(line) < 4 THEN TRUE ELSE "
+            "line NOT IN (SELECT line FROM hot) END AS keep FROM l) "
+            "SELECT doc_id, CASE WHEN bool_or(doc_null) THEN NULL "
+            "ELSE COALESCE(string_agg(CASE WHEN keep THEN line END, ' ' "
+            "ORDER BY line_idx), '') END AS text "
+            "FROM m GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "keep_best_dedup_documents": (
+            # same recursive reachability closure as dedup_clusters_documents,
+            # then a window argmax picks each cluster's highest-n_chars member
+            # (ties to the smaller doc_id); kept = everyone but the losers
+            "WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), "
+            "'\\S+') AS ws FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN []::VARCHAR[] "
+            "WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+            "ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+            "for i in range(1, len(ws) - 1)] END AS s FROM w), "
+            "d AS (SELECT doc_id, list_distinct(s) AS s FROM sh), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0 "
+            "ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1) END AS jaccard "
+            "FROM d a JOIN d b ON a.doc_id < b.doc_id), "
+            "pr AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.5), "
+            "e AS (SELECT id_a AS u, id_b AS v FROM pr "
+            "UNION SELECT id_b, id_a FROM pr), "
+            "walk(node, reach) AS (SELECT u, u FROM e "
+            "UNION SELECT wk.node, e.v FROM walk wk JOIN e ON e.u = wk.reach), "
+            "comp AS (SELECT node AS doc_id, min(reach) AS cluster_id "
+            "FROM walk GROUP BY node), "
+            "scored AS (SELECT c.doc_id, c.cluster_id, dd.n_chars FROM comp c "
+            "JOIN documents dd ON dd.doc_id = c.doc_id), "
+            "win AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER "
+            "(PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM scored) WHERE rn = 1), "
+            "losers AS (SELECT doc_id FROM comp WHERE doc_id NOT IN "
+            "(SELECT doc_id FROM win)) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM losers) ORDER BY doc_id"
+        ),
     }
+
+
+# -- round-3 session-4 ops ---------------------------------------------------
+
+def _union_users_click_purchase(sf_dir: str):
+    """Distributed SQL UNION (distinct): users seen in the click slice or
+    the purchase slice — per-block Arrow distinct combiner, one groupby."""
+    from hooqu_ray.pipelines.setops import union_distinct
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def slice_(etype):
+        return ev.map_batches(
+            lambda t, _e=etype: t.filter(
+                pc.equal(t.column("event_type"), _e)
+            ).select(["user_id"]),
+            batch_format="pyarrow",
+        )
+
+    df = union_distinct(slice_("click"), slice_("purchase")).to_pandas()
+    df["user_id"] = df["user_id"].astype("int64")
+    return df.sort_values("user_id", ignore_index=True)
+
+
+def _intersect_users_click_purchase(sf_dir: str):
+    """Distributed SQL INTERSECT: users present in BOTH slices."""
+    from hooqu_ray.pipelines.setops import intersect_distinct
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def slice_(etype):
+        return ev.map_batches(
+            lambda t, _e=etype: t.filter(
+                pc.equal(t.column("event_type"), _e)
+            ).select(["user_id"]),
+            batch_format="pyarrow",
+        )
+
+    df = intersect_distinct(slice_("click"), slice_("purchase")).to_pandas()
+    df["user_id"] = df["user_id"].astype("int64")
+    return df.sort_values("user_id", ignore_index=True)
+
+
+def _except_pairs_low_value(sf_dir: str):
+    """Distributed SQL EXCEPT over a TWO-column row set: (user, event_type)
+    pairs that never carried value > 50."""
+    from hooqu_ray.pipelines.setops import except_distinct
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    a = ev.map_batches(
+        lambda t: t.select(["user_id", "event_type"]), batch_format="pyarrow"
+    )
+    b = ev.map_batches(
+        lambda t: t.filter(pc.greater(t.column("value"), 50.0)).select(
+            ["user_id", "event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    df = except_distinct(a, b).to_pandas()
+    df["user_id"] = df["user_id"].astype("int64")
+    return df.sort_values(["user_id", "event_type"], ignore_index=True)
+
+
+def _full_join_orders_customer(sf_dir: str):
+    """FULL OUTER bucketed hash join — the customer side is filtered to
+    ``c_custkey % 3 != 0`` so BOTH unmatched directions exist (orders whose
+    customer was dropped, customers with no orders).  Nullable outputs are
+    coalesced to sentinel/flag columns so the value-hash compare stays
+    dtype-exact."""
+    import pandas as pd
+
+    from hooqu_ray.functions.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def keep_two_thirds(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column("c_custkey"))
+        return t.filter(pa.array(keys % 3 != 0))
+
+    cust_f = cust.map_batches(keep_two_thirds, batch_format="pyarrow")
+    df = hash_join(
+        orders, cust_f, on="o_custkey", right_on="c_custkey", how="full",
+        n_buckets=16,
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "o_orderkey": df["o_orderkey"].fillna(-1).astype("int64"),
+            "custkey": df["o_custkey"].astype("int64"),  # coalesced key
+            "has_order": df["o_orderkey"].notna(),
+            "has_cust": df["c_acctbal"].notna(),
+            "c_acctbal": df["c_acctbal"].fillna(0.0).round(6),
+        }
+    )
+    return out.sort_values(["o_orderkey", "custkey"], ignore_index=True)
+
+
+def _running_sum_events(sf_dir: str):
+    """Per-user running SUM + ROW_NUMBER in (ts, event_id) order — exact
+    parity with the SQL UNBOUNDED PRECEDING window, rounded to 6 decimals
+    on both sides."""
+    from hooqu_ray.pipelines.windows import running_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    df = running_agg(ds, "user_id", "ts", "event_id", "value").to_pandas()
+    df = df[["event_id", "run_sum", "run_n"]]
+    df["run_sum"] = df["run_sum"].round(6)
+    df = df.astype({"event_id": "int64", "run_n": "int64"})
+    return df.sort_values("event_id", ignore_index=True)
+
+
+def _zscore_events_by_type(sf_dir: str):
+    """Per-event-type z-score of value (population std) — combiner moments
+    + one slim groupby + broadcast stamp; parity with the SQL window form."""
+    from hooqu_ray.pipelines.relational import grouped_zscore
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    df = grouped_zscore(ds, "event_type", "value").to_pandas()
+    df = df[["event_id", "zscore"]]
+    df["zscore"] = df["zscore"].round(6)
+    df["event_id"] = df["event_id"].astype("int64")
+    return df.sort_values("event_id", ignore_index=True)
+
+
+def _approx_distinct_users_per_type(sf_dir: str):
+    """Bound-style oracle: the exact per-group distinct counts hash-match
+    the SQL, and the per-group HLL estimates are asserted within 5 %."""
+    from hooqu_ray.pipelines.relational import (
+        grouped_approx_count_distinct, grouped_count_distinct)
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    exact = grouped_count_distinct(ds, "event_type", "user_id").to_pandas()
+    approx = grouped_approx_count_distinct(
+        ds, "event_type", "user_id", p=12
+    ).to_pandas()
+    m = exact.merge(approx, on="event_type")
+    m["within_tol"] = (
+        (m["approx_distinct"] - m["n_distinct"]).abs()
+        / m["n_distinct"].clip(lower=1)
+    ) <= 0.05
+    m["n_distinct"] = m["n_distinct"].astype("int64")
+    return m[["event_type", "n_distinct", "within_tol"]].sort_values(
+        "event_type", ignore_index=True
+    )
+
+
+def _pack_sequences_documents(sf_dir: str):
+    """GPT-style sequence-packing plan over whitespace token counts:
+    global token offsets via #blocks summary rows (never a full collect),
+    sequences of 2048 tokens."""
+    from hooqu_ray.pipelines.relational import pack_sequences
+    from hooqu_ray.pipelines.textstats import token_count_stage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    counted = ds.map_batches(token_count_stage, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+    )
+    df = pack_sequences(counted, "doc_id", "n_tokens", 2048).to_pandas()
+    for c in ["doc_id", "n_tokens", "token_start", "seq_start", "seq_end", "n_seqs"]:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def _line_filter_frequent_documents(sf_dir: str):
+    """Boilerplate removal: every space-delimited token of ≥ 4 chars that
+    occurs ≥ 5 times corpus-wide is removed from EVERY document (the
+    synthetic docs are single-line, so the gate runs the operator at word
+    granularity like line_dedup_documents does)."""
+    from hooqu_ray.pipelines.dedup import line_filter_frequent
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = line_filter_frequent(
+        ds, min_count=5, min_line_chars=4, delimiter=" "
+    ).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def _keep_best_dedup_documents(sf_dir: str):
+    """Near-dup cluster collapse keeping the HIGHEST-n_chars member of each
+    verified (Jaccard ≥ 0.5) cluster, ties to the smaller doc_id — the
+    quality-aware dedup policy.  Oracle: recursive-CTE reachability closure
+    + window argmax in SQL."""
+    import pandas as pd
+
+    from hooqu_ray.pipelines.cluster import dedup_keep_best
+    from hooqu_ray.pipelines.dedup import minhash_lsh_pairs, verify_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    cands = minhash_lsh_pairs(docs, num_perm=128, bands=64, threshold=0.0)
+    ver = verify_pairs(docs, cands, threshold=0.5)
+    kept = dedup_keep_best(
+        docs, ver, id_col="doc_id", score_col="n_chars", id_type=pa.int64()
+    )
+    df = kept.to_pandas()[["doc_id"]]
+    if len(df) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id", ignore_index=True)

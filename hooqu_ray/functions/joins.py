@@ -229,9 +229,12 @@ def hash_join(left, right, on: str, right_on: Optional[str] = None,
     type-preserving filler values for the other side's columns), and
     ``groupby(bucket)`` brings co-keyed rows together; each bucket then
     runs one local vectorized pandas merge.  Only the two projected tables
-    shuffle, once each.  ``how``: ``'inner'`` or ``'left'``.  Null join
-    keys never match (SQL semantics): the right side drops them, a left
-    join keeps unmatched left rows with nulls.
+    shuffle, once each.  ``how``: ``'inner'``, ``'left'``, ``'right'`` or
+    ``'full'``.  Null join keys never match (SQL semantics, including in
+    the outer forms — pandas merge would pair NaN with NaN, so null-key
+    rows are split out of the merge and re-appended unmatched on the
+    retaining side); ``on`` is coalesced across sides (SQL ``USING``), so
+    right-only rows still carry their key.
 
     The right key column is dropped from the output (SQL ``USING``);
     other right columns colliding with a left name get ``suffix``.
@@ -248,8 +251,10 @@ def hash_join(left, right, on: str, right_on: Optional[str] = None,
       (int64+null → float64), matching a DuckDB ``.df()`` oracle."""
     from ..util import dataset_arrow_schema, shard_codes
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"hash_join: how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"hash_join: how must be 'inner', 'left', 'right' or 'full', got {how!r}"
+        )
     rkey = right_on or on
     lschema = dataset_arrow_schema(left)
     rschema = dataset_arrow_schema(right)
@@ -284,7 +289,8 @@ def hash_join(left, right, on: str, right_on: Optional[str] = None,
 
     def left_side(t: pa.Table) -> pa.Table:
         key = t.column(on)
-        if how == "inner" and key.null_count:
+        # null keys never match; drop them unless this side is retained
+        if how in ("inner", "right") and key.null_count:
             t = t.filter(pc.is_valid(key))
             key = t.column(on)
         n = len(t)
@@ -302,7 +308,7 @@ def hash_join(left, right, on: str, right_on: Optional[str] = None,
 
     def right_side(t: pa.Table) -> pa.Table:
         key = t.column(rkey)
-        if key.null_count:  # null keys never match
+        if how in ("inner", "left") and key.null_count:  # null keys never match
             t = t.filter(pc.is_valid(key))
             key = t.column(rkey)
         n = len(t)
@@ -320,12 +326,33 @@ def hash_join(left, right, on: str, right_on: Optional[str] = None,
 
     out_names = lnames + [out for _, out in rout]
 
+    pd_how = {"full": "outer"}.get(how, how)
+
     def bucket_merge(g):
         import pandas as pd
 
         l = g[g["__slot"] == 0][lnames]
         r = g[g["__slot"] == 1][["__rkey"] + [out for _, out in rout]]
-        merged = l.merge(r, left_on=on, right_on="__rkey", how=how)
+        # Split null-key rows out of the merge: pandas pairs NaN with NaN,
+        # SQL never matches nulls.  The retained sides' null-key rows are
+        # re-appended unmatched below (only the retaining sides can still
+        # carry them — the map stages dropped the rest).
+        l_na = l[on].isna()
+        r_na = r["__rkey"].isna()
+        parts = [
+            l[~l_na].merge(r[~r_na], left_on=on, right_on="__rkey", how=pd_how)
+        ]
+        if l_na.any():
+            parts.append(l[l_na])
+        if r_na.any():
+            parts.append(r[r_na])
+        merged = parts[0] if len(parts) == 1 else pd.concat(
+            parts, ignore_index=True, sort=False
+        )
+        if how in ("right", "full"):
+            # SQL USING: coalesce the key across sides so right-only rows
+            # keep their key value
+            merged[on] = merged[on].where(merged[on].notna(), merged["__rkey"])
         return merged[out_names]
 
     unioned = left.map_batches(left_side, batch_format="pyarrow").union(

@@ -266,3 +266,72 @@ def cluster_representatives(components):
         return t.filter(pc.equal(t.column("node"), t.column("cluster_id")))
 
     return components.map_batches(keep, batch_format="pyarrow")
+
+
+def dedup_keep_best(docs, pairs, id_col: str = "doc_id",
+                    score_col: str = "score", id_a: str = "id_a",
+                    id_b: str = "id_b", id_type: Optional[pa.DataType] = None,
+                    rows_per_shard: int = 4_000_000):
+    """End-to-end near-dup cluster collapse: given a document corpus and its
+    verified near-duplicate PAIRS (``verify_pairs`` / ``simhash_near_pairs``
+    output), keep only the highest-``score_col`` member of every connected
+    near-dup cluster (ties broken by ascending id — fully deterministic)
+    and drop the rest.  This is the "keep best, not first" dedup policy a
+    quality-aware training-data pipeline wants: exact dedup keeps the
+    min-id copy, this keeps the best-quality copy.
+
+    Composition of existing scale-shaped stages — nothing new shuffles:
+
+    1. :func:`connected_components` labels the pair graph (slim int
+       shuffles only).
+    2. The component table (O(#near-dup docs), the same size class as every
+       winner broadcast) ships once via ``ray.put`` and an inner
+       ``enrich_join`` stamps each member's cluster label onto a
+       two-column (id, score) projection — the corpus never shuffles.
+    3. :func:`~hooqu_ray.pipelines.relational.grouped_top_k` (k=1) picks
+       each cluster's winner; everyone else becomes a loser id.
+    4. Loser ids broadcast in hash-range shards
+       (``util.sharded_value_refs``) and one chained anti-membership
+       filter per shard streams over the full corpus.
+
+    Returns the filtered docs Dataset (all original columns).  Documents in
+    no pair are untouched; a cluster's members missing from ``docs`` simply
+    can't win.  Null scores sort below any real score (pandas sort puts
+    NaN last at every tier of the top-k merge)."""
+    import ray
+
+    from ..functions.joins import enrich_join
+    from ..util import BroadcastIsInFilter, collect_arrow, sharded_value_refs
+    from .relational import grouped_top_k
+
+    comp = connected_components(pairs, id_a, id_b, id_type=id_type).materialize()
+    comp_tbl = collect_arrow(comp)
+    if comp_tbl is None or len(comp_tbl) == 0:
+        return docs
+
+    proj = docs.map_batches(
+        lambda t: t.select([id_col, score_col]), batch_format="pyarrow"
+    )
+    labeled = enrich_join(
+        proj, comp_tbl.rename_columns([id_col, "label"]),
+        on=id_col, dim_key=id_col, cols=["label"], how="inner",
+    )
+    winners = grouped_top_k(labeled, "label", score_col, 1, tie_col=id_col)
+    if not isinstance(winners, pa.Table):  # distributed-merge tail
+        winners = collect_arrow(winners)
+    win_ids = (
+        winners.column(id_col).combine_chunks()
+        if winners is not None and len(winners)
+        else pa.array([], comp_tbl.column("node").type)
+    )
+
+    losers = comp.map_batches(
+        BroadcastIsInFilter(ray.put(win_ids), "node", invert=True),
+        batch_format="pyarrow",
+    )
+    out = docs
+    for ref in sharded_value_refs(losers, "node", rows_per_shard):
+        out = out.map_batches(
+            BroadcastIsInFilter(ref, id_col, invert=True), batch_format="pyarrow"
+        )
+    return out

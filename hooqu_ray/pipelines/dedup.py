@@ -185,10 +185,6 @@ def _broadcast_dup_winners(groups, key_col: str, min_col: str, out_col: str,
     blocks Ray aggregates can emit; the int64-typed empty placeholder is only
     ever consumed through the filter stages' ``len() == 0`` short-circuit, so
     its winner type is never consulted."""
-    import ray
-
-    from ..util import ShardFilter
-
     empty = pa.table(
         {key_col: pa.array([], pa.int64()), out_col: pa.array([], pa.int64())}
     )
@@ -200,9 +196,21 @@ def _broadcast_dup_winners(groups, key_col: str, min_col: str, out_col: str,
         return kept.select([key_col, min_col]).rename_columns([key_col, out_col])
 
     dups = groups.map_batches(dup_only, batch_format="pyarrow").materialize()
-    n = dups.count()
+    return _sharded_refs(dups, key_col, rows_per_shard, empty)
+
+
+def _sharded_refs(ds, key_col: str, rows_per_shard: int, empty: pa.Table):
+    """Collect a MATERIALIZED slim dataset to the driver in key-hash-range
+    shards and ``ray.put`` each shard — the standard escape hatch for any
+    broadcast set that could outgrow the driver (a key lives in exactly one
+    shard, so consumers AND the per-shard masks)."""
+    import ray
+
+    from ..util import ShardFilter
+
+    n = ds.count()
     if n <= rows_per_shard:
-        tbl = _collect_arrow(dups)
+        tbl = _collect_arrow(ds)
         if tbl is None:
             tbl = empty
         return [ray.put(tbl.combine_chunks())]
@@ -210,7 +218,7 @@ def _broadcast_dup_winners(groups, key_col: str, min_col: str, out_col: str,
     refs = []
     for s in range(n_shards):
         tbl = _collect_arrow(
-            dups.map_batches(
+            ds.map_batches(
                 ShardFilter(key_col, n_shards, s), batch_format="pyarrow"
             )
         )
@@ -540,6 +548,63 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     )
     return ds.map_batches(
         _LineRebuild(winner_refs, text_col, id_col, min_line_chars, delimiter),
+        batch_format="pyarrow",
+    )
+
+
+def line_filter_frequent(ds, text_col: str = "text", id_col: str = "doc_id",
+                         min_count: int = 2, min_line_chars: int = 10,
+                         delimiter: str = "\n",
+                         rows_per_shard: int = _WINNER_SHARD_ROWS):
+    """Boilerplate-line REMOVAL (the CCNet/RefinedWeb companion of
+    :func:`line_dedup`): every line of at least ``min_line_chars``
+    characters that occurs at least ``min_count`` times corpus-wide is
+    removed from EVERY document — including its first occurrence (nav
+    menus, cookie banners, license footers; ``line_dedup`` instead keeps
+    the first copy).
+
+    Same machinery end-to-end: the ``_LinePartials`` combiner already
+    carries per-group counts, one slim hash shuffle, and the hot-line set
+    broadcasts with ``__winner_pos = −1`` — a position no real line can
+    have, so ``_LineRebuild``'s keep rule (survive unless your hash is
+    listed and you are not its winner) removes every occurrence without a
+    second code path.  Hot lines are O(#boilerplate lines) — far smaller
+    than the duplicate-winner set — and shard by hash range past
+    ``rows_per_shard`` like every other broadcast."""
+    from ray.data.aggregate import Sum
+
+    if min_count < 1:
+        raise ValueError(f"line_filter_frequent: min_count must be ≥ 1, got {min_count}")
+
+    partials = ds.map_batches(
+        _LinePartials(text_col, id_col, min_line_chars, delimiter),
+        batch_format="pyarrow",
+    )
+    groups = partials.groupby("__line_hash").aggregate(Sum("__pcount"))
+
+    empty = pa.table(
+        {"__line_hash": pa.array([], pa.int64()),
+         "__winner_pos": pa.array([], pa.int64())}
+    )
+
+    def hot_only(t: pa.Table, _e=empty) -> pa.Table:
+        if "sum(__pcount)" not in t.column_names:
+            return _e
+        kept = t.filter(
+            pc.greater_equal(t.column("sum(__pcount)"), min_count)
+        )
+        n = len(kept)
+        return pa.table(
+            {
+                "__line_hash": kept.column("__line_hash"),
+                "__winner_pos": pa.array(np.full(n, -1, dtype=np.int64)),
+            }
+        )
+
+    hot = groups.map_batches(hot_only, batch_format="pyarrow").materialize()
+    refs = _sharded_refs(hot, "__line_hash", rows_per_shard, empty)
+    return ds.map_batches(
+        _LineRebuild(refs, text_col, id_col, min_line_chars, delimiter),
         batch_format="pyarrow",
     )
 

@@ -772,3 +772,273 @@ def percentile_rank(ds, value_col: str, out_col: str = "pct_rank",
         return base.append_column(out_col, pa.array(r, pa.float64()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def grouped_zscore(ds, group_col: str, value_col: str, out_col: str = "zscore"):
+    """Per-group standardization: ``(v − mean_g) / std_g`` with the POPULATION
+    std per group — SQL ``(v - AVG(v) OVER (PARTITION BY g)) /
+    STDDEV_POP(v) OVER (PARTITION BY g)`` — the feature-normalization pass
+    of a training-data pipeline (per-source quality-score calibration).
+
+    Two passes, no row shuffle: a combiner reduces each block to per-group
+    ``(n, Σv, Σv²)`` partials (Arrow ``group_by``, zero Python per row), one
+    slim ``groupby(group).sum`` folds them, and the #groups-row stats table
+    broadcasts back through :func:`hooqu_ray.functions.joins.enrich_join`
+    (``ray.put`` once, vectorized ``index_in`` lookup per batch — the fact
+    rows never move).  The stats table must fit on the driver: it is one
+    row per GROUP (sources, languages, shards — not rows); at extreme group
+    cardinality shard the stats by group-hash range (``util.ShardFilter``)
+    and union per-shard stamped passes.
+
+    Null semantics match SQL: null values get a null z and don't contribute
+    to the moments; a zero std (constant group) or a group with no valid
+    values yields null."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import enrich_join
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value_col), pa.float64())
+        sub = pa.table(
+            {
+                group_col: t.column(group_col),
+                "__v": v,
+                "__v2": pc.multiply(v, v),
+                "__n": pc.cast(pc.is_valid(v), pa.int64()),
+            }
+        )
+        return sub.group_by([group_col], use_threads=False).aggregate(
+            [("__v", "sum"), ("__v2", "sum"), ("__n", "sum")]
+        )
+
+    stats = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("__v_sum"), Sum("__v2_sum"), Sum("__n_sum"))
+    )
+
+    def finish_stats(t: pa.Table) -> pa.Table:
+        if "sum(__n_sum)" not in t.column_names:  # schema-less empty block
+            return pa.table(
+                {
+                    group_col: pa.array([]),
+                    "__mean": pa.array([], pa.float64()),
+                    "__std": pa.array([], pa.float64()),
+                }
+            )
+        n = pc.cast(t.column("sum(__n_sum)"), pa.float64())
+        # groups with no valid values: null mean/std → null z downstream
+        n_safe = pc.if_else(pc.greater(n, 0.0), n, pa.scalar(None, pa.float64()))
+        mean = pc.divide(t.column("sum(__v_sum)"), n_safe)
+        var = pc.subtract(
+            pc.divide(t.column("sum(__v2_sum)"), n_safe), pc.multiply(mean, mean)
+        )
+        std = pc.sqrt(pc.max_element_wise(var, pa.scalar(0.0, pa.float64())))
+        return pa.table({group_col: t.column(group_col), "__mean": mean, "__std": std})
+
+    stats_ds = stats.map_batches(finish_stats, batch_format="pyarrow")
+    enriched = enrich_join(
+        ds, stats_ds, on=group_col, dim_key=group_col, cols=["__mean", "__std"]
+    )
+
+    def stamp(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value_col), pa.float64())
+        std = t.column("__std")
+        std_safe = pc.if_else(
+            pc.greater(std, 0.0), std, pa.scalar(None, pa.float64())
+        )
+        z = pc.divide(pc.subtract(v, t.column("__mean")), std_safe)
+        return t.drop_columns(["__mean", "__std"]).append_column(out_col, z)
+
+    return enriched.map_batches(stamp, batch_format="pyarrow")
+
+
+def grouped_approx_count_distinct(ds, group_col: str, value_col: str,
+                                  p: int = 12):
+    """APPROXIMATE distinct-value count per group — per-group HyperLogLog,
+    the one-shuffle scale path :func:`grouped_count_distinct`'s docstring
+    points at (exact pairs shuffle O(#distinct pairs); this shuffles at
+    most ``#groups × 2^p`` slim register rows no matter how many distinct
+    values exist — ~1.6 % error at the default p=12).
+
+    Everything is algebraic, so the whole estimate is TWO Ray aggregates
+    and zero ``map_groups``: blocks combine to per-(group, register) max
+    ranks (Arrow ``group_by``), one shuffle folds registers globally, a
+    second groupby folds each group's registers to ``(Σ 2^−rank,
+    #registers-present)`` — the only two numbers the HLL estimator needs
+    (absent registers contribute ``2^0`` each, zeros = m − present).
+    Values hash via the same vectorized polars path as the global HLL
+    sketch (``analyzers/sketches._hash64``).  Null values don't count;
+    null groups are dropped (divergence shared with the grouped ops)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..analyzers.sketches import _hash64
+
+    m = 1 << p
+    if not 4 <= p <= 16:
+        raise ValueError(f"grouped_approx_count_distinct: p must be in [4,16], got {p}")
+
+    def register_partials(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        v = t.column(value_col)
+        keep = pc.and_(pc.is_valid(g), pc.is_valid(v))
+        g, v = g.filter(keep), v.filter(keep)
+        if len(g) == 0:
+            return pa.table(
+                {
+                    group_col: g.slice(0, 0),
+                    "__reg": pa.array([], pa.int64()),
+                    "__rank": pa.array([], pa.int64()),
+                }
+            )
+        h = _hash64(v if not isinstance(v, pa.ChunkedArray) else v.combine_chunks())
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+        from ..analyzers.sketches import _floor_log2
+
+        rank = (64 - _floor_log2(rest)).astype(np.int64)  # in [1, 64-p+1]
+        sub = pa.table(
+            {group_col: g, "__reg": pa.array(reg), "__rank": pa.array(rank)}
+        )
+        return sub.group_by([group_col, "__reg"], use_threads=False).aggregate(
+            [("__rank", "max")]
+        )
+
+    folded = (
+        ds.map_batches(register_partials, batch_format="pyarrow")
+        .groupby([group_col, "__reg"])
+        .aggregate(Max("__rank_max"))
+    )
+
+    def pow2neg(t: pa.Table) -> pa.Table:
+        if "max(__rank_max)" not in t.column_names:
+            return pa.table(
+                {group_col: pa.array([]), "__w": pa.array([], pa.float64())}
+            )
+        rank = pc.cast(t.column("max(__rank_max)"), pa.float64())
+        w = pc.power(pa.scalar(2.0, pa.float64()), pc.negate(rank))
+        return pa.table({group_col: t.column(group_col), "__w": w})
+
+    per_group = (
+        folded.map_batches(pow2neg, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("__w"), Count())
+    )
+
+    def estimate(t: pa.Table) -> pa.Table:
+        if "count()" not in t.column_names:
+            return pa.table(
+                {group_col: pa.array([]), "approx_distinct": pa.array([], pa.int64())}
+            )
+        s = t.column("sum(__w)").to_numpy(zero_copy_only=False).astype(np.float64)
+        present = t.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        denom = s + (m - present)  # absent registers each add 2^0
+        e = alpha * m * m / denom
+        zeros = m - present  # present registers always have rank ≥ 1
+        small = (e <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            lin = m * np.log(np.where(zeros > 0, m / np.maximum(zeros, 1), 1.0))
+        e = np.where(small, lin, e)
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "approx_distinct": pa.array(np.rint(e).astype(np.int64)),
+            }
+        )
+
+    return per_group.map_batches(estimate, batch_format="pyarrow")
+
+
+def pack_sequences(ds, id_col: str, tokens_col: str, max_len: int):
+    """GPT-style sequence packing layout: documents are concatenated in
+    deterministic ``id_col`` order into one global token stream and cut
+    into fixed ``max_len``-token training sequences; each document maps to
+    its token interval.  Returns one row per document:
+    ``(id, n_tokens, token_start, seq_start, seq_end, n_seqs)`` where
+    ``seq_* = token offset // max_len`` (a document spanning a cut appears
+    in ``n_seqs = seq_end − seq_start + 1`` consecutive sequences; an
+    empty document sits entirely at its offset's sequence).
+
+    This is the planning table a pack-and-write stage consumes — it says
+    exactly which documents (and which token slices of them) each training
+    sequence needs, so sequence shards can be written independently.
+
+    Shape = :func:`global_row_number` with token sums instead of row
+    counts: one range ``sort(id)``, each block reduces to ``(first_id,
+    Σtokens, n_rows)``, the driver prefix-sums #blocks summary rows, and a
+    broadcast offset table keyed by each block's first id turns local
+    exclusive cumsums into global offsets.  Nothing but #blocks rows
+    leaves the cluster.  ``id_col`` must be unique and non-null; negative
+    or null token counts are an error upstream (counts come from
+    ``textstats.token_count_stage``)."""
+    from ..util import collect_arrow
+
+    if max_len < 1:
+        raise ValueError(f"pack_sequences: max_len must be ≥ 1, got {max_len}")
+
+    proj = ds.map_batches(
+        lambda t: t.select([id_col, tokens_col]), batch_format="pyarrow"
+    )
+    sorted_ds = proj.sort(id_col).materialize()
+
+    def summary(t: pa.Table) -> pa.Table:
+        if id_col not in t.column_names or len(t) == 0:
+            return pa.table({"__fid": pa.array([]), "__tok": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "__fid": t.column(id_col).slice(0, 1),
+                "__tok": pa.array(
+                    [pc.sum(t.column(tokens_col)).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    summ = collect_arrow(
+        sorted_ds.map_batches(summary, batch_format="pyarrow", batch_size=None)
+    )
+    if summ is None or len(summ) == 0:
+        return sorted_ds
+    summ = summ.sort_by([("__fid", "ascending")])
+    toks = summ.column("__tok").to_numpy(zero_copy_only=False)
+    offs = np.concatenate([[0], np.cumsum(toks)[:-1]]).astype(np.int64)
+    offsets = {
+        fid: int(off) for fid, off in zip(summ.column("__fid").to_pylist(), offs)
+    }
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            ids = (
+                t.column(id_col).slice(0, 0)
+                if id_col in t.column_names
+                else pa.array([])
+            )
+            e = pa.array([], pa.int64())
+            return pa.table(
+                {
+                    id_col: ids,
+                    tokens_col: e,
+                    "token_start": e,
+                    "seq_start": e,
+                    "seq_end": e,
+                    "n_seqs": e,
+                }
+            )
+        base = offsets[t.column(id_col)[0].as_py()]
+        n = t.column(tokens_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        start = base + np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+        end = start + n
+        seq_start = start // max_len
+        seq_end = np.where(n > 0, (end - 1) // max_len, seq_start)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                tokens_col: pa.array(n),
+                "token_start": pa.array(start),
+                "seq_start": pa.array(seq_start),
+                "seq_end": pa.array(seq_end),
+                "n_seqs": pa.array(seq_end - seq_start + 1),
+            }
+        )
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)

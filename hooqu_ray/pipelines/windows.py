@@ -412,3 +412,114 @@ def hopping_window_agg(ds, key_col: str, ts_col: str, value_col: str,
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _running_block(t: pa.Table, key: str, value_col: str, emit: str) -> pa.Table:
+    """One vectorized pass over a (key, ts, tie)-sorted block for the
+    RUNNING (unbounded-preceding) aggregate.
+
+    ``emit='finals'``: rows of keys interior to the block (their whole
+    history is in-block), with ``run_sum`` / ``run_n`` attached.
+    ``emit='pend'``: raw rows of the block's first/last key — their prefix
+    may continue from an adjacent block, so they are re-accumulated in the
+    per-key boundary merge.  Unlike the rolling window no context rows are
+    needed: a boundary key contributes ALL its rows as pending in every
+    block it touches (it is first or last there by sort contiguity), so the
+    merge group holds the key's full history."""
+    n = len(t)
+    if n == 0:
+        if emit == "finals":
+            return t.drop_columns([value_col]).append_column(
+                "run_sum", pa.array([], pa.float64())
+            ).append_column("run_n", pa.array([], pa.int64()))
+        return t
+    keys = t.column(key).to_numpy(zero_copy_only=False)
+    pending = (keys == keys[0]) | (keys == keys[-1])
+    if emit == "pend":
+        return t.filter(pa.array(pending))
+
+    vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False
+    )
+    new_key = np.r_[True, keys[1:] != keys[:-1]]
+    run_start = np.flatnonzero(new_key)[np.cumsum(new_key) - 1]
+    valid = ~np.isnan(vals)
+    cs = np.r_[0.0, np.cumsum(np.where(valid, vals, 0.0))]
+    cc = np.r_[0, np.cumsum(valid)]
+    arange = np.arange(n, dtype=np.int64)
+    s = cs[arange + 1] - cs[run_start]
+    c = cc[arange + 1] - cc[run_start]
+    run_sum = np.where(c > 0, s, np.nan)  # SQL SUM: all-null prefix → NULL
+    run_n = arange - run_start + 1
+    final = ~pending
+    sub = t.filter(pa.array(final))
+    return sub.drop_columns([value_col]).append_column(
+        "run_sum", pa.array(run_sum[final], pa.float64(), from_pandas=True)
+    ).append_column("run_n", pa.array(run_n[final], pa.int64()))
+
+
+class _MergeBoundaryRunning:
+    """groupby(key) repair for the running aggregate: sort one boundary
+    key's full row set by (ts, tie) and accumulate — every row is emitted
+    (all are pending)."""
+
+    def __init__(self, ts_col: str, tie: str, value_col: str):
+        self.ts_col = ts_col
+        self.tie = tie
+        self.value_col = value_col
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        g = g.sort_by([(self.ts_col, "ascending"), (self.tie, "ascending")])
+        vals = g.column(self.value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
+        )
+        valid = ~np.isnan(vals)
+        s = np.cumsum(np.where(valid, vals, 0.0))
+        c = np.cumsum(valid)
+        run_sum = np.where(c > 0, s, np.nan)
+        return g.drop_columns([self.value_col]).append_column(
+            "run_sum", pa.array(run_sum, pa.float64(), from_pandas=True)
+        ).append_column(
+            "run_n", pa.array(np.arange(1, len(g) + 1, dtype=np.int64), pa.int64())
+        )
+
+
+def running_agg(ds, key: str, ts_col: str, tie: str, value_col: str):
+    """Per-key RUNNING aggregate — SQL
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts, tie ROWS UNBOUNDED
+    PRECEDING)`` plus the per-key ``ROW_NUMBER()`` — the cumulative-state
+    operator behind "tokens emitted so far per user", "spend to date per
+    account".
+
+    Same discipline as :func:`rolling_mean`: ONE distributed range
+    ``sort(key, ts, tie)`` over a 4-column projection, a fully vectorized
+    per-block padded-cumsum pass, and a ``groupby(key)`` boundary merge
+    that touches only each block's first/last key (≤ 2 keys per block —
+    O(#blocks) groups, NOT O(#keys)).  Null semantics match SQL: null
+    values don't advance the sum (an all-null prefix yields null);
+    ``run_n`` counts every row.  Rows with a null key or ts are dropped
+    (cf. ``asof.py``).  ``tie`` must be unique per key.  Returns
+    ``[key, ts_col, tie, run_sum, run_n]``."""
+
+    def project(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t.column(key)), pc.is_valid(t.column(ts_col)))
+        return t.select([key, ts_col, tie, value_col]).filter(mask)
+
+    sorted_ds = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .sort([key, ts_col, tie])
+        .materialize()  # shared by the two block passes below
+    )
+    finals = sorted_ds.map_batches(
+        lambda t: _running_block(t, key, value_col, "finals"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pend = sorted_ds.map_batches(
+        lambda t: _running_block(t, key, value_col, "pend"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    merge = _MergeBoundaryRunning(ts_col, tie, value_col)
+    merged = pend.groupby(key).map_groups(
+        lambda g, _m=merge: _m(g), batch_format="pyarrow"
+    )
+    return finals.union(merged)

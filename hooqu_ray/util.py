@@ -285,3 +285,34 @@ def tree_reduce(rows, combine, fanout: int = 64):
     if tbl is None or len(tbl) == 0:
         return None
     return combine(tbl)
+
+
+def sharded_value_refs(ds, col: str, rows_per_shard: int = 4_000_000):
+    """Collect ONE column of a slim dataset to the driver in key-hash-range
+    shards and ``ray.put`` each shard's Arrow array — the value-set variant
+    of the winner-table sharding (``pipelines/dedup._sharded_refs``).
+    Consumers chain one ``BroadcastIsInFilter`` per shard: a value lives in
+    exactly one shard, so chained keep-masks AND to the unsharded
+    semantics.  Returns a possibly-empty list of object refs."""
+    import pyarrow as pa
+    import ray
+
+    ds = ds.materialize()
+    n = ds.count()
+
+    def _arr(d):
+        tbl = collect_arrow(d)
+        if tbl is None or len(tbl) == 0:
+            return None
+        return tbl.column(col).combine_chunks()
+
+    if n <= rows_per_shard:
+        a = _arr(ds)
+        return [ray.put(a)] if a is not None else []
+    n_shards = -(-n // rows_per_shard)
+    refs = []
+    for s in range(n_shards):
+        a = _arr(ds.map_batches(ShardFilter(col, n_shards, s), batch_format="pyarrow"))
+        if a is not None:
+            refs.append(ray.put(a))
+    return refs

@@ -1,0 +1,322 @@
+"""Round-3 session-4 operators: set ops, outer hash joins, running
+aggregates, grouped z-score / approx count-distinct, sequence packing,
+frequent-line removal, keep-best cluster dedup — each against a DuckDB or
+pandas oracle."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _key(df):
+    return sorted(map(str, df.itertuples(index=False)))
+
+
+@pytest.fixture(scope="module")
+def events(ray_session):
+    rng = np.random.RandomState(11)
+    n = 4000
+    return pd.DataFrame(
+        {
+            "k": rng.randint(0, 37, n),
+            "ts": pd.to_datetime(rng.randint(0, 10**6, n), unit="s"),
+            "id": np.arange(n, dtype=np.int64),
+            "v": np.where(rng.rand(n) < 0.08, np.nan, rng.randn(n) * 5),
+        }
+    )
+
+
+class TestSetOps:
+    def _sides(self, rd):
+        a = pd.DataFrame({"u": [1, 2, 2, 3, None, 5], "t": list("xyyznw")})
+        b = pd.DataFrame({"u": [2, 3, 3, 4, None], "t": list("yzzqn")})
+        return (
+            a, b,
+            rd.from_pandas(a).repartition(3),
+            rd.from_pandas(b).repartition(2),
+        )
+
+    def test_union_intersect_except_match_duckdb(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.setops import (
+            except_distinct, intersect_distinct, union_distinct)
+
+        a, b, da, db = self._sides(rd)
+        con = duckdb.connect()
+        con.register("a", a)
+        con.register("b", b)
+        for fn, sql in [
+            (union_distinct, "UNION"),
+            (intersect_distinct, "INTERSECT"),
+            (except_distinct, "EXCEPT"),
+        ]:
+            got = fn(da, db).to_pandas()
+            exp = con.execute(f"SELECT * FROM a {sql} SELECT * FROM b").df()
+            assert _key(got) == _key(exp), sql
+
+    def test_column_subset_and_missing_column(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.setops import intersect_distinct
+
+        a, b, da, db = self._sides(rd)
+        got = intersect_distinct(da, db, ["u"]).to_pandas()["u"]
+        exp = duckdb.sql(
+            "SELECT u FROM a INTERSECT SELECT u FROM b"
+        ).df()["u"]
+        assert sorted(map(str, got)) == sorted(map(str, exp))
+        with pytest.raises(KeyError):
+            intersect_distinct(da, db, ["nope"])
+
+
+class TestOuterHashJoin:
+    def test_all_hows_match_duckdb(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.functions.joins import hash_join
+
+        rng = np.random.RandomState(3)
+        l = pd.DataFrame(
+            {
+                "k": np.where(rng.rand(300) < 0.05, np.nan, rng.randint(0, 60, 300)),
+                "lv": rng.randn(300),
+            }
+        )
+        r = pd.DataFrame(
+            {
+                "k": np.where(rng.rand(200) < 0.05, np.nan, rng.randint(30, 90, 200)),
+                "rv": rng.randn(200),
+            }
+        )
+        dl = rd.from_pandas(l).repartition(4)
+        dr = rd.from_pandas(r).repartition(3)
+        con = duckdb.connect()
+        con.register("l", l)
+        con.register("r", r)
+        for how in ["inner", "left", "right", "full"]:
+            got = hash_join(dl, dr, on="k", how=how, n_buckets=8).to_pandas()
+            exp = con.execute(f"SELECT * FROM l {how.upper()} JOIN r USING(k)").df()
+            got_r = got.round(9)
+            exp_r = exp[got.columns].round(9)
+            assert _key(got_r) == _key(exp_r), how
+
+    def test_bad_how(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.functions.joins import hash_join
+
+        d = rd.from_pandas(pd.DataFrame({"k": [1]}))
+        with pytest.raises(ValueError):
+            hash_join(d, d, on="k", how="cross")
+
+
+class TestRunningAgg:
+    def test_matches_sql_window(self, ray_session, events):
+        import ray.data as rd
+        from hooqu_ray.pipelines.windows import running_agg
+
+        ds = rd.from_pandas(events).repartition(7)
+        got = running_agg(ds, "k", "ts", "id", "v").to_pandas().sort_values(
+            ["k", "ts", "id"], ignore_index=True
+        )
+        con = duckdb.connect()
+        con.register("t", events)
+        exp = con.execute(
+            """SELECT k, ts, id,
+               SUM(v) OVER (PARTITION BY k ORDER BY ts, id
+                            ROWS UNBOUNDED PRECEDING) AS run_sum,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts, id) AS run_n
+               FROM t ORDER BY k, ts, id"""
+        ).df()
+        assert len(got) == len(exp)
+        assert np.allclose(
+            got["run_sum"].to_numpy(), exp["run_sum"].to_numpy(),
+            equal_nan=True, atol=1e-9,
+        )
+        assert (got["run_n"].to_numpy() == exp["run_n"].to_numpy()).all()
+
+    def test_single_key_spanning_blocks(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.windows import running_agg
+
+        df = pd.DataFrame(
+            {
+                "k": np.zeros(500, dtype=np.int64),
+                "ts": pd.to_datetime(np.arange(500), unit="s"),
+                "id": np.arange(500, dtype=np.int64),
+                "v": np.ones(500),
+            }
+        )
+        got = running_agg(
+            rd.from_pandas(df).repartition(5), "k", "ts", "id", "v"
+        ).to_pandas().sort_values("id", ignore_index=True)
+        assert np.allclose(got["run_sum"].to_numpy(), np.arange(1.0, 501.0))
+        assert (got["run_n"].to_numpy() == np.arange(1, 501)).all()
+
+
+class TestGroupedZscore:
+    def test_matches_sql_window(self, ray_session, events):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import grouped_zscore
+
+        ds = rd.from_pandas(events).repartition(6)
+        got = grouped_zscore(ds, "k", "v").to_pandas().sort_values(
+            "id", ignore_index=True
+        )
+        con = duckdb.connect()
+        con.register("t", events)
+        exp = con.execute(
+            """SELECT id, CASE WHEN STDDEV_POP(v) OVER (PARTITION BY k) > 0
+               THEN (v - AVG(v) OVER (PARTITION BY k))
+                    / STDDEV_POP(v) OVER (PARTITION BY k) END AS z
+               FROM t ORDER BY id"""
+        ).df()
+        assert np.allclose(
+            got["zscore"].to_numpy(), exp["z"].to_numpy(),
+            equal_nan=True, atol=1e-8,
+        )
+
+    def test_constant_group_yields_null(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import grouped_zscore
+
+        df = pd.DataFrame({"k": [1, 1, 2, 2], "v": [5.0, 5.0, 1.0, 3.0]})
+        got = grouped_zscore(rd.from_pandas(df), "k", "v").to_pandas()
+        assert got.loc[got["k"] == 1, "zscore"].isna().all()
+        assert not got.loc[got["k"] == 2, "zscore"].isna().any()
+
+
+class TestGroupedApproxCountDistinct:
+    def test_within_bound_vs_exact(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import grouped_approx_count_distinct
+
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame(
+            {"g": rng.randint(0, 6, 30000), "u": rng.randint(0, 4000, 30000)}
+        )
+        got = grouped_approx_count_distinct(
+            rd.from_pandas(df).repartition(5), "g", "u", p=12
+        ).to_pandas().set_index("g")["approx_distinct"]
+        exact = df.groupby("g")["u"].nunique()
+        for g, d in exact.items():
+            assert abs(got[g] - d) / d < 0.05, (g, got[g], d)
+
+    def test_nulls_not_counted(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import grouped_approx_count_distinct
+
+        df = pd.DataFrame({"g": [1, 1, 1], "u": [None, None, 7.0]})
+        got = grouped_approx_count_distinct(rd.from_pandas(df), "g", "u")
+        out = got.to_pandas()
+        assert out.loc[out["g"] == 1, "approx_distinct"].iloc[0] == 1
+
+
+class TestPackSequences:
+    def test_matches_sql_prefix_sums(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import pack_sequences
+
+        rng = np.random.RandomState(9)
+        docs = pd.DataFrame(
+            {
+                "doc_id": [f"d{i:05d}" for i in range(800)],
+                "n_tokens": rng.randint(0, 700, 800).astype(np.int64),
+            }
+        )
+        got = pack_sequences(
+            rd.from_pandas(docs).repartition(5), "doc_id", "n_tokens", 2048
+        ).to_pandas().sort_values("doc_id", ignore_index=True)
+        start = np.concatenate([[0], np.cumsum(docs["n_tokens"].to_numpy())[:-1]])
+        end = start + docs["n_tokens"].to_numpy()
+        seq_start = start // 2048
+        seq_end = np.where(docs["n_tokens"].to_numpy() > 0, (end - 1) // 2048, seq_start)
+        assert (got["token_start"].to_numpy() == start).all()
+        assert (got["seq_start"].to_numpy() == seq_start).all()
+        assert (got["seq_end"].to_numpy() == seq_end).all()
+        assert (got["n_seqs"].to_numpy() == seq_end - seq_start + 1).all()
+        # conservation: every token is covered exactly once
+        assert got["n_tokens"].sum() == docs["n_tokens"].sum()
+
+
+class TestLineFilterFrequent:
+    def test_removes_all_occurrences(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import line_filter_frequent
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(4, dtype=np.int64),
+                "text": [
+                    "keep this unique line\nshared boilerplate footer line",
+                    "shared boilerplate footer line\nanother keeper line",
+                    "shared boilerplate footer line\nshared boilerplate footer line",
+                    "nothing shared here at all",
+                ],
+            }
+        )
+        out = line_filter_frequent(
+            rd.from_pandas(docs).repartition(2), min_count=2, min_line_chars=10
+        ).to_pandas().sort_values("doc_id")["text"].tolist()
+        assert out == [
+            "keep this unique line",
+            "another keeper line",
+            "",
+            "nothing shared here at all",
+        ]
+
+    def test_threshold_and_short_lines(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.dedup import line_filter_frequent
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(3, dtype=np.int64),
+                "text": ["dup line body\nok", "dup line body\nok", "dup line body\nok"],
+            }
+        )
+        # min_count=4 > occurrences → nothing removed; 'ok' is under min chars
+        out = line_filter_frequent(
+            rd.from_pandas(docs).repartition(2), min_count=4, min_line_chars=10
+        ).to_pandas()["text"].tolist()
+        assert out == docs["text"].tolist()
+
+
+class TestDedupKeepBest:
+    def test_keeps_highest_score_per_cluster(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.cluster import dedup_keep_best
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(8, dtype=np.int64),
+                "score": [0.1, 0.9, 0.5, 0.5, 0.2, 0.8, 0.3, 0.4],
+                "payload": list("abcdefgh"),
+            }
+        )
+        pairs = pd.DataFrame(
+            {
+                "id_a": np.array([0, 1, 2, 5], dtype=np.int64),
+                "id_b": np.array([1, 2, 3, 6], dtype=np.int64),
+            }
+        )
+        kept = dedup_keep_best(
+            rd.from_pandas(docs).repartition(3),
+            rd.from_pandas(pairs).repartition(2),
+            id_col="doc_id", score_col="score", id_type=pa.int64(),
+        ).to_pandas()
+        assert sorted(kept["doc_id"].tolist()) == [1, 4, 5, 7]
+        assert set(kept.columns) == {"doc_id", "score", "payload"}
+
+    def test_no_pairs_returns_docs(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.cluster import dedup_keep_best
+
+        docs = pd.DataFrame({"doc_id": [1, 2], "score": [0.5, 0.6]})
+        pairs = pd.DataFrame(
+            {"id_a": pd.array([], dtype="Int64"), "id_b": pd.array([], dtype="Int64")}
+        )
+        kept = dedup_keep_best(
+            rd.from_pandas(docs), rd.from_pandas(pairs),
+            id_col="doc_id", score_col="score", id_type=pa.int64(),
+        ).to_pandas()
+        assert sorted(kept["doc_id"].tolist()) == [1, 2]
