@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
     out["line_filter_frequent_documents"] = _line_filter_frequent_documents
+    out["pack_texts_documents"] = _pack_texts_documents
+    out["mix_sources_documents"] = _mix_sources_documents
+    out["json_field_events"] = _json_field_events
 
     # -- oracled via SQL derivation / bound predicates --------------------
     out["conversation_features"] = _conversation_features
@@ -2434,6 +2437,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
             "WHERE doc_id NOT IN (SELECT doc_id FROM losers) ORDER BY doc_id"
         ),
+        "pack_texts_documents": (
+            "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "COALESCE(text, ''), '\\s+'), t -> t <> '') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, COALESCE(SUM(len(ws)) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM w), "
+            "t AS (SELECT c.off + generate_subscripts(ws, 1) - 1 AS gidx, "
+            "UNNEST(ws) AS tok FROM c) "
+            "SELECT CAST(gidx // 512 AS BIGINT) AS seq_id, "
+            "CAST(count(*) AS BIGINT) AS n_tokens, "
+            "string_agg(tok, ' ' ORDER BY gidx) AS text "
+            "FROM t GROUP BY 1 ORDER BY 1"
+        ),
+        "mix_sources_documents": (
+            "WITH tok AS (SELECT doc_id, source, CAST(len(regexp_extract_all("
+            "text, '\\S+')) AS BIGINT) AS n_tokens FROM documents), "
+            "r AS (SELECT doc_id, source, n_tokens, CAST(concat('0x', "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS rk FROM tok), "
+            "c AS (SELECT doc_id, source, CAST(SUM(n_tokens) OVER "
+            "(PARTITION BY source ORDER BY rk, doc_id ROWS UNBOUNDED PRECEDING) "
+            "AS BIGINT) AS cum_tokens FROM r) "
+            "SELECT doc_id, source, cum_tokens FROM c "
+            "WHERE cum_tokens <= 700 ORDER BY doc_id"
+        ),
+        "json_field_events": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
+            "AS k FROM events ORDER BY event_id"
+        ),
     }
 
 
@@ -2634,3 +2664,40 @@ def _keep_best_dedup_documents(sf_dir: str):
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
     df["doc_id"] = df["doc_id"].astype("int64")
     return df.sort_values("doc_id", ignore_index=True)
+
+
+def _pack_texts_documents(sf_dir: str):
+    """Materialized sequence packing: 512-token training sequences from the
+    id-ordered global token stream (the writer counterpart of
+    pack_sequences_documents' plan table)."""
+    from hooqu_ray.pipelines.packing import pack_texts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = pack_texts(ds, "doc_id", "text", 512).to_pandas()
+    df = df.astype({"seq_id": "int64", "n_tokens": "int64"})
+    return df.sort_values("seq_id", ignore_index=True)
+
+
+def _mix_sources_documents(sf_dir: str):
+    """Deterministic data-mixing selection: per source keep docs in
+    md5(doc_id) rank order while the running token total stays ≤ 700."""
+    from hooqu_ray.pipelines.relational import mix_sources
+    from hooqu_ray.pipelines.textstats import token_count_stage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    counted = ds.map_batches(token_count_stage, batch_format="pyarrow")
+    df = mix_sources(
+        counted, "source", "doc_id", "n_tokens", default_budget=700
+    ).to_pandas()
+    df = df.astype({"doc_id": "int64", "cum_tokens": "int64"})
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def _json_field_events(sf_dir: str):
+    """Vectorized JSON field extraction from the events props payload."""
+    from hooqu_ray.functions.jsonx import json_field
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    df = json_field(ds, "props", "k", arrow_type=pa.int64()).to_pandas()
+    df = df[["event_id", "k"]].astype({"event_id": "int64", "k": "int64"})
+    return df.sort_values("event_id", ignore_index=True)

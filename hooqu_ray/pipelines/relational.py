@@ -1042,3 +1042,66 @@ def pack_sequences(ds, id_col: str, tokens_col: str, max_len: int):
         )
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def mix_sources(ds, source_col: str, id_col: str, tokens_col: str,
+                budgets: "Optional[dict]" = None, default_budget: int = 0):
+    """Deterministic data-MIXING executor: per source, keep documents in
+    md5(id)-rank order while the source's running token total stays within
+    its budget — the selection step that turns a mixture plan (per-source
+    token budgets, cf. ``textstats.split_token_budget``) into an actual
+    training subset, reproducible across runs and cluster sizes.
+
+    Shape: stamp an ``md5_bucket`` rank (SQL-reproducible, see that
+    docstring), then ONE :func:`~hooqu_ray.pipelines.windows.running_agg`
+    (range sort + vectorized block cumsums + O(#blocks) boundary merge)
+    gives each document its inclusive per-source running token count; a
+    vectorized broadcast-budget filter keeps rows with ``cum ≤ budget``.
+    Budgets are a tiny driver-side dict (#sources entries, shipped in the
+    task closure); sources absent from ``budgets`` get ``default_budget``
+    (0 ⇒ dropped).  A document whose tokens alone overflow the remaining
+    budget is dropped and so is everything after it in rank order — the
+    greedy prefix rule, exactly SQL's ``cum <= budget`` on the UNBOUNDED
+    PRECEDING window.  Returns ``(id_col, source_col, cum_tokens)``."""
+    from .windows import running_agg
+
+    budgets = dict(budgets or {})
+
+    def stamp(t: pa.Table) -> pa.Table:
+        sub = t.select([source_col, id_col, tokens_col])
+        return sub.append_column(
+            "__rank", pa.array(md5_bucket(t.column(id_col)), pa.int64())
+        )
+
+    ranked = ds.map_batches(stamp, batch_format="pyarrow")
+    run = running_agg(ranked, source_col, "__rank", id_col, tokens_col)
+
+    def keep(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([]),
+                    source_col: pa.array([], pa.string()),
+                    "cum_tokens": pa.array([], pa.int64()),
+                }
+            )
+        src = t.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        lut = np.array(
+            [float(budgets.get(v, default_budget)) for v in enc.dictionary.to_pylist()],
+            dtype=np.float64,
+        )
+        bud = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        cum = t.column("run_sum").to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array(cum <= bud))
+        return pa.table(
+            {
+                id_col: kept.column(id_col),
+                source_col: kept.column(source_col),
+                "cum_tokens": pc.cast(kept.column("run_sum"), pa.int64()),
+            }
+        )
+
+    return run.map_batches(keep, batch_format="pyarrow")

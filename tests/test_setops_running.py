@@ -320,3 +320,148 @@ class TestDedupKeepBest:
             id_col="doc_id", score_col="score", id_type=pa.int64(),
         ).to_pandas()
         assert sorted(kept["doc_id"].tolist()) == [1, 2]
+
+
+class TestPackTexts:
+    def _docs(self):
+        rng = np.random.RandomState(21)
+        words = np.array([f"w{i}" for i in range(50)])
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(300, dtype=np.int64),
+                "text": [
+                    " ".join(rng.choice(words, rng.randint(0, 40)))
+                    for _ in range(300)
+                ],
+            }
+        )
+
+    def test_matches_sql_packing(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.packing import pack_texts
+
+        docs = self._docs()
+        got = pack_texts(
+            rd.from_pandas(docs).repartition(5), "doc_id", "text", 64
+        ).to_pandas().sort_values("seq_id", ignore_index=True)
+        con = duckdb.connect()
+        con.register("d", docs)
+        exp = con.execute(
+            """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(
+                 COALESCE(text,''),'\\s+'), t->t<>'') AS ws FROM d),
+               c AS (SELECT doc_id, ws, COALESCE(SUM(len(ws)) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS off FROM w),
+               t AS (SELECT c.off + generate_subscripts(ws,1) - 1 AS gidx,
+                 UNNEST(ws) AS tok FROM c)
+               SELECT CAST(gidx // 64 AS BIGINT) AS seq_id,
+                      CAST(count(*) AS BIGINT) AS n_tokens,
+                      string_agg(tok, ' ' ORDER BY gidx) AS text
+               FROM t GROUP BY 1 ORDER BY 1"""
+        ).df()
+        assert got["seq_id"].tolist() == exp["seq_id"].tolist()
+        assert got["n_tokens"].tolist() == exp["n_tokens"].tolist()
+        assert got["text"].tolist() == exp["text"].tolist()
+        # every sequence except the last is exactly full
+        assert (got["n_tokens"].to_numpy()[:-1] == 64).all()
+
+    def test_empty_and_null_docs(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.packing import pack_texts
+
+        docs = pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4], "text": ["a b c", "", None, "d e"]}
+        )
+        got = pack_texts(
+            rd.from_pandas(docs).repartition(2), "doc_id", "text", 4
+        ).to_pandas().sort_values("seq_id", ignore_index=True)
+        assert got["text"].tolist() == ["a b c d", "e"]
+        assert got["n_tokens"].tolist() == [4, 1]
+
+
+class TestMixSources:
+    def test_matches_sql_budget_selection(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import mix_sources
+
+        rng = np.random.RandomState(2)
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(400, dtype=np.int64),
+                "source": [f"s{i % 4}" for i in range(400)],
+                "n_tokens": rng.randint(1, 60, 400).astype(np.int64),
+            }
+        )
+        got = mix_sources(
+            rd.from_pandas(docs).repartition(5), "source", "doc_id", "n_tokens",
+            budgets={"s0": 500, "s1": 300}, default_budget=200,
+        ).to_pandas().sort_values("doc_id", ignore_index=True)
+        con = duckdb.connect()
+        con.register("d", docs)
+        exp = con.execute(
+            """WITH r AS (SELECT doc_id, source, n_tokens,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+                      AS BIGINT) AS rk FROM d),
+               c AS (SELECT doc_id, source, CAST(SUM(n_tokens) OVER
+                 (PARTITION BY source ORDER BY rk, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM r)
+               SELECT doc_id, source, cum_tokens FROM c
+               WHERE cum_tokens <= CASE source WHEN 's0' THEN 500
+                                   WHEN 's1' THEN 300 ELSE 200 END
+               ORDER BY doc_id"""
+        ).df()
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert got["cum_tokens"].tolist() == exp["cum_tokens"].astype(int).tolist()
+        # budgets respected per source
+        tot = got.groupby("source")["cum_tokens"].max()
+        assert tot.get("s0", 0) <= 500 and tot.get("s1", 0) <= 300
+        for s in ("s2", "s3"):
+            assert tot.get(s, 0) <= 200
+
+    def test_zero_default_drops_unbudgeted(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import mix_sources
+
+        docs = pd.DataFrame(
+            {"doc_id": [1, 2], "source": ["a", "b"], "n_tokens": [5, 5]}
+        )
+        got = mix_sources(
+            rd.from_pandas(docs), "source", "doc_id", "n_tokens",
+            budgets={"a": 10},
+        ).to_pandas()
+        assert got["source"].tolist() == ["a"]
+
+
+class TestJsonField:
+    def test_matches_duckdb_json_extract(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.functions.jsonx import json_field
+
+        ev = pd.DataFrame(
+            {
+                "event_id": np.arange(100, dtype=np.int64),
+                "props": [
+                    f'{{"k": {i * 3}}}' if i % 10 else None for i in range(100)
+                ],
+            }
+        )
+        got = json_field(
+            rd.from_pandas(ev).repartition(3), "props", "k", arrow_type=pa.int64()
+        ).to_pandas().sort_values("event_id", ignore_index=True)
+        con = duckdb.connect()
+        con.register("e", ev)
+        exp = con.execute(
+            "SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) "
+            "AS k FROM e ORDER BY event_id"
+        ).df()
+        assert got["k"].fillna(-1).tolist() == exp["k"].fillna(-1).tolist()
+
+    def test_missing_key_and_invalid_json(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.functions.jsonx import json_field
+
+        ev = pd.DataFrame(
+            {"event_id": [1, 2, 3], "props": ['{"x": 1}', "notjson", '{"k": "s"}']}
+        )
+        got = json_field(rd.from_pandas(ev), "props", "k").to_pandas()
+        got = got.sort_values("event_id")["k"].tolist()
+        assert got[0] is None and got[1] is None and got[2] == "s"
