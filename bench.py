@@ -409,6 +409,65 @@ def main() -> None:
                   "event_id", ["value"], n_buckets=32).count()
     queries["snapshot_diff"] = round(time.time() - t0, 3)
 
+    from hooqu_ray.pipelines.windows import running_agg
+
+    t0 = time.time()
+    running_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts", "user_id", "value"]),
+        "user_id", "ts", "event_id", "value",
+    ).count()
+    queries["running_sum"] = round(time.time() - t0, 3)
+
+    from hooqu_ray.pipelines.setops import intersect_distinct
+
+    ev4 = rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["user_id", "event_type"])
+
+    def slice_users(etype):
+        return ev4.map_batches(
+            lambda t, _e=etype: t.filter(
+                pc.equal(t.column("event_type"), _e)
+            ).select(["user_id"]),
+            batch_format="pyarrow",
+        )
+
+    t0 = time.time()
+    intersect_distinct(slice_users("click"), slice_users("purchase")).count()
+    queries["setop_intersect"] = round(time.time() - t0, 3)
+
+    from hooqu_ray.pipelines.packing import pack_texts
+
+    t0 = time.time()
+    pack_texts(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        "doc_id", "text", 2048,
+    ).count()
+    queries["pack_texts"] = round(time.time() - t0, 3)
+
+    from hooqu_ray.pipelines.relational import mix_sources
+    from hooqu_ray.pipelines.textstats import token_count_stage
+
+    t0 = time.time()
+    mix_sources(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text", "source"]).map_batches(
+            token_count_stage, batch_format="pyarrow"),
+        "source", "doc_id", "n_tokens", default_budget=50_000,
+    ).count()
+    queries["mix_sources"] = round(time.time() - t0, 3)
+
+    from hooqu_ray.pipelines.relational import grouped_approx_count_distinct
+
+    t0 = time.time()
+    grouped_approx_count_distinct(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_returnflag", "l_orderkey"]),
+        "l_returnflag", "l_orderkey", p=12,
+    ).count()
+    queries["grouped_hll"] = round(time.time() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "end-to-end transcript filter+scrub wall time "
