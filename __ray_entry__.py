@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["except_pairs_low_value"] = _except_pairs_low_value
     out["full_join_orders_customer"] = _full_join_orders_customer
     out["running_sum_events"] = _running_sum_events
+    out["lag_delta_events"] = _lag_delta_events
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
     out["line_filter_frequent_documents"] = _line_filter_frequent_documents
@@ -2464,6 +2465,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
             "AS k FROM events ORDER BY event_id"
         ),
+        "lag_delta_events": (
+            "SELECT event_id, "
+            "ROUND(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) "
+            "AS prev_value, "
+            "ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) "
+            "AS delta FROM events ORDER BY event_id"
+        ),
     }
 
 
@@ -2700,4 +2708,18 @@ def _json_field_events(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "props"])
     df = json_field(ds, "props", "k", arrow_type=pa.int64()).to_pandas()
     df = df[["event_id", "k"]].astype({"event_id": "int64", "k": "int64"})
+    return df.sort_values("event_id", ignore_index=True)
+
+
+def _lag_delta_events(sf_dir: str):
+    """Per-user LAG(value) + delta in (ts, event_id) order — exact parity
+    with the SQL LAG window, rounded to 6 decimals on both sides."""
+    from hooqu_ray.pipelines.windows import lag_delta
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    df = lag_delta(ds, "user_id", "ts", "event_id", "value").to_pandas()
+    df = df[["event_id", "prev_value", "delta"]]
+    df["prev_value"] = df["prev_value"].round(6)
+    df["delta"] = df["delta"].round(6)
+    df["event_id"] = df["event_id"].astype("int64")
     return df.sort_values("event_id", ignore_index=True)

@@ -271,7 +271,8 @@ def cluster_representatives(components):
 def dedup_keep_best(docs, pairs, id_col: str = "doc_id",
                     score_col: str = "score", id_a: str = "id_a",
                     id_b: str = "id_b", id_type: Optional[pa.DataType] = None,
-                    rows_per_shard: int = 4_000_000):
+                    rows_per_shard: int = 4_000_000, max_iters: int = 25,
+                    n_buckets: int = 64):
     """End-to-end near-dup cluster collapse: given a document corpus and its
     verified near-duplicate PAIRS (``verify_pairs`` / ``simhash_near_pairs``
     output), keep only the highest-``score_col`` member of every connected
@@ -304,7 +305,10 @@ def dedup_keep_best(docs, pairs, id_col: str = "doc_id",
     from ..util import BroadcastIsInFilter, collect_arrow, sharded_value_refs
     from .relational import grouped_top_k
 
-    comp = connected_components(pairs, id_a, id_b, id_type=id_type).materialize()
+    comp = connected_components(
+        pairs, id_a, id_b, id_type=id_type, max_iters=max_iters,
+        n_buckets=n_buckets,
+    ).materialize()
     comp_tbl = collect_arrow(comp)
     if comp_tbl is None or len(comp_tbl) == 0:
         return docs

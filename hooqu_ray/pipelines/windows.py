@@ -523,3 +523,115 @@ def running_agg(ds, key: str, ts_col: str, tie: str, value_col: str):
         lambda g, _m=merge: _m(g), batch_format="pyarrow"
     )
     return finals.union(merged)
+
+
+def _lag_block(t: pa.Table, key: str, value_col: str, periods: int,
+               emit: str) -> pa.Table:
+    """One vectorized pass over a (key, ts, tie)-sorted block for LAG.
+
+    ``emit='finals'``: rows with their in-block predecessor resolved (the
+    first ``periods`` rows of the block's FIRST key are pending — their
+    predecessor may sit in the previous block).  ``emit='pendctx'``: those
+    pending rows (``__emit`` true) plus the last ``periods`` rows of the
+    block's LAST key as context (``__emit`` false)."""
+    n = len(t)
+    if n == 0:
+        if emit == "finals":
+            return t.append_column(
+                "prev_value", pa.array([], pa.float64())
+            ).append_column("delta", pa.array([], pa.float64()))
+        return t.append_column("__emit", pa.array([], pa.bool_()))
+    keys = t.column(key).to_numpy(zero_copy_only=False)
+    arange = np.arange(n, dtype=np.int64)
+    pending = (keys == keys[0]) & (arange < periods)
+
+    if emit == "pendctx":
+        mask = pending.copy()
+        ctx = np.flatnonzero(keys == keys[-1])[-periods:]
+        mask[ctx] = True
+        sub = t.filter(pa.array(mask))
+        return sub.append_column("__emit", pa.array(pending[mask]))
+
+    vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False
+    )
+    new_key = np.r_[True, keys[1:] != keys[:-1]]
+    run_start = np.flatnonzero(new_key)[np.cumsum(new_key) - 1]
+    src = arange - periods
+    ok = src >= run_start
+    prev = np.where(ok, vals[np.maximum(src, 0)], np.nan)
+    final = ~pending
+    sub = t.filter(pa.array(final))
+    prev_a = pa.array(prev[final], pa.float64(), from_pandas=True)
+    return sub.append_column("prev_value", prev_a).append_column(
+        "delta", pa.array((vals - prev)[final], pa.float64(), from_pandas=True)
+    )
+
+
+class _MergeBoundaryLag:
+    """groupby(key) repair: order one boundary key's pending + context rows
+    and re-resolve the lag over the group, emitting only pending rows."""
+
+    def __init__(self, ts_col: str, tie: str, value_col: str, periods: int):
+        self.ts_col = ts_col
+        self.tie = tie
+        self.value_col = value_col
+        self.periods = periods
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        g = g.sort_by([(self.ts_col, "ascending"), (self.tie, "ascending")])
+        vals = g.column(self.value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
+        )
+        n = len(g)
+        src = np.arange(n, dtype=np.int64) - self.periods
+        prev = np.where(src >= 0, vals[np.maximum(src, 0)], np.nan)
+        emit = g.column("__emit").to_numpy(zero_copy_only=False)
+        sub = g.filter(pa.array(emit)).drop_columns(["__emit"])
+        return sub.append_column(
+            "prev_value", pa.array(prev[emit], pa.float64(), from_pandas=True)
+        ).append_column(
+            "delta",
+            pa.array((vals - prev)[emit], pa.float64(), from_pandas=True),
+        )
+
+
+def lag_delta(ds, key: str, ts_col: str, tie: str, value_col: str,
+              periods: int = 1):
+    """Per-key LAG + delta — SQL ``LAG(v, periods) OVER (PARTITION BY key
+    ORDER BY ts, tie)`` and ``v − LAG(v)`` — inter-arrival deltas, spend
+    changes, monotonicity checks.
+
+    Same sort-based discipline as :func:`rolling_mean`: one range sort of a
+    4-column projection, a vectorized per-block shift, and a boundary
+    repair touching only the first ``periods`` rows of each block's first
+    key (context = the last ``periods`` rows of the previous block's last
+    key).  The first ``periods`` rows of each key get null ``prev_value``
+    and ``delta`` (SQL LAG default).  Rows with a null key or ts are
+    dropped; ``tie`` must be unique per key.  Returns
+    ``[key, ts_col, tie, value_col, prev_value, delta]``."""
+    if periods < 1:
+        raise ValueError(f"lag_delta: periods must be ≥ 1, got {periods}")
+
+    def project(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t.column(key)), pc.is_valid(t.column(ts_col)))
+        return t.select([key, ts_col, tie, value_col]).filter(mask)
+
+    sorted_ds = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .sort([key, ts_col, tie])
+        .materialize()  # shared by the two block passes
+    )
+    finals = sorted_ds.map_batches(
+        lambda t: _lag_block(t, key, value_col, periods, "finals"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pendctx = sorted_ds.map_batches(
+        lambda t: _lag_block(t, key, value_col, periods, "pendctx"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    merge = _MergeBoundaryLag(ts_col, tie, value_col, periods)
+    merged = pendctx.groupby(key).map_groups(
+        lambda g, _m=merge: _m(g), batch_format="pyarrow"
+    )
+    return finals.union(merged)

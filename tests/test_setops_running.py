@@ -465,3 +465,179 @@ class TestJsonField:
         got = json_field(rd.from_pandas(ev), "props", "k").to_pandas()
         got = got.sort_values("event_id")["k"].tolist()
         assert got[0] is None and got[1] is None and got[2] == "s"
+
+
+class TestLagDelta:
+    def test_matches_sql_lag(self, ray_session, events):
+        import ray.data as rd
+        from hooqu_ray.pipelines.windows import lag_delta
+
+        con = duckdb.connect()
+        con.register("t", events)
+        for p in (1, 3):
+            got = lag_delta(
+                rd.from_pandas(events).repartition(7), "k", "ts", "id", "v",
+                periods=p,
+            ).to_pandas().sort_values(["k", "ts", "id"], ignore_index=True)
+            exp = con.execute(
+                f"""SELECT k, ts, id,
+                    LAG(v, {p}) OVER (PARTITION BY k ORDER BY ts, id) AS pv,
+                    v - LAG(v, {p}) OVER (PARTITION BY k ORDER BY ts, id) AS d
+                    FROM t ORDER BY k, ts, id"""
+            ).df()
+            assert len(got) == len(exp)
+            assert np.allclose(
+                got["prev_value"].to_numpy(), exp["pv"].to_numpy(), equal_nan=True
+            ), p
+            assert np.allclose(
+                got["delta"].to_numpy(), exp["d"].to_numpy(), equal_nan=True
+            ), p
+
+    def test_key_spanning_blocks(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.windows import lag_delta
+
+        df = pd.DataFrame(
+            {
+                "k": np.zeros(400, dtype=np.int64),
+                "ts": pd.to_datetime(np.arange(400), unit="s"),
+                "id": np.arange(400, dtype=np.int64),
+                "v": np.arange(400, dtype=np.float64),
+            }
+        )
+        got = lag_delta(
+            rd.from_pandas(df).repartition(5), "k", "ts", "id", "v", 2
+        ).to_pandas().sort_values("id", ignore_index=True)
+        assert got["prev_value"].isna().tolist()[:3] == [True, True, False]
+        assert np.allclose(got["delta"].to_numpy()[2:], 2.0)
+
+    def test_bad_periods(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.windows import lag_delta
+
+        d = rd.from_pandas(pd.DataFrame({"k": [1], "ts": [1], "id": [1], "v": [1.0]}))
+        with pytest.raises(ValueError):
+            lag_delta(d, "k", "ts", "id", "v", periods=0)
+
+
+class TestKeepBestForcedShards:
+    def test_many_losers_forced_multi_shard(self, ray_session):
+        """Loser broadcast sharded (rows_per_shard below the loser count):
+        chained anti-membership filters must equal the one-shot semantics."""
+        import ray.data as rd
+        from hooqu_ray.pipelines.cluster import dedup_keep_best
+
+        n = 60
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "score": np.arange(n, dtype=np.float64) % 7,
+            }
+        )
+        # chain 0-1-2-...-29 (one big cluster) plus 15 two-doc clusters
+        pairs = pd.DataFrame(
+            {
+                "id_a": np.r_[np.arange(29), np.arange(30, 60, 2)].astype(np.int64),
+                "id_b": np.r_[np.arange(1, 30), np.arange(31, 60, 2)].astype(np.int64),
+            }
+        )
+        kept_sharded = dedup_keep_best(
+            rd.from_pandas(docs).repartition(4),
+            rd.from_pandas(pairs).repartition(3),
+            id_col="doc_id", score_col="score", id_type=pa.int64(),
+            rows_per_shard=5, max_iters=40, n_buckets=8,
+        ).to_pandas()
+        kept_one = dedup_keep_best(
+            rd.from_pandas(docs).repartition(4),
+            rd.from_pandas(pairs).repartition(3),
+            id_col="doc_id", score_col="score", id_type=pa.int64(),
+            max_iters=40, n_buckets=8,
+        ).to_pandas()
+        assert sorted(kept_sharded["doc_id"]) == sorted(kept_one["doc_id"])
+        # big cluster keeps exactly one member: max score 6, tie → min id 6
+        big = [d for d in kept_sharded["doc_id"] if d < 30]
+        assert big == [6]
+
+
+class TestHypothesisDifferentials:
+    def test_running_block_vs_pandas(self, ray_session):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from hooqu_ray.pipelines.windows import _running_block
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(0, 3),
+                    st.one_of(st.none(), st.floats(-1e6, 1e6)),
+                ),
+                min_size=1, max_size=60,
+            )
+        )
+        def prop(rows):
+            df = pd.DataFrame(
+                {
+                    "k": [r[0] for r in rows],
+                    "ts": pd.to_datetime(range(len(rows)), unit="s"),
+                    "id": range(len(rows)),
+                    "v": [r[1] for r in rows],
+                }
+            ).sort_values(["k", "ts", "id"], ignore_index=True)
+            t = pa.Table.from_pandas(df, preserve_index=False)
+            finals = _running_block(t, "k", "v", "finals").to_pandas()
+            pend = _running_block(t, "k", "v", "pend").to_pandas()
+            # finals ∪ pend covers every row exactly once
+            assert len(finals) + len(pend) == len(df)
+            if len(finals):
+                exp = (
+                    df.assign(
+                        run_sum=df.groupby("k")["v"].cumsum(),
+                        run_n=df.groupby("k").cumcount() + 1,
+                    )
+                    .merge(finals[["k", "id"]], on=["k", "id"])
+                )
+                got = finals.sort_values(["k", "id"], ignore_index=True)
+                exp = exp.sort_values(["k", "id"], ignore_index=True)
+                assert np.allclose(
+                    got["run_sum"].to_numpy(), exp["run_sum"].to_numpy(),
+                    equal_nan=True, atol=1e-9,
+                )
+                assert (got["run_n"].to_numpy() == exp["run_n"].to_numpy()).all()
+
+        prop()
+
+    def test_pack_fragments_token_conservation(self, ray_session):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from hooqu_ray.pipelines.packing import _block_tokens, _fragments_block
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.lists(
+                st.text(alphabet=" ab\t\n", max_size=20),
+                min_size=0, max_size=20,
+            ),
+            st.integers(1, 7),
+            st.integers(0, 100),
+        )
+        def prop(texts, max_len, base):
+            t = pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+            n_tok = len(_block_tokens(t, "text")) if len(texts) else 0
+            offsets = {0: base} if len(texts) else {}
+            frags = _fragments_block(t, "text", max_len, offsets, "doc_id")
+            assert int(frags["n_tokens"].to_pandas().sum()) == n_tok
+            # every fragment respects the max_len cut
+            fd = frags.to_pandas()
+            for _, row in fd.iterrows():
+                assert row["frag_start"] // max_len == row["seq_id"]
+                assert (row["frag_start"] + row["n_tokens"] - 1) // max_len == row["seq_id"]
+
+        prop()
