@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["running_sum_events"] = _running_sum_events
     out["lag_delta_events"] = _lag_delta_events
     out["zscore_events_by_type"] = _zscore_events_by_type
+    out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
     out["line_filter_frequent_documents"] = _line_filter_frequent_documents
     out["pack_texts_documents"] = _pack_texts_documents
@@ -207,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["percentile_rank_events"] = _percentile_rank_events
     out["approx_distinct_users_per_type"] = _approx_distinct_users_per_type
     out["keep_best_dedup_documents"] = _keep_best_dedup_documents
+    out["heavy_hitter_tokens"] = _heavy_hitter_tokens
 
     # -- bound-style oracles for the non-SQL-expressible ops --------------
     out["minhash_lsh_pairs_documents"] = _minhash_pairs
@@ -2465,6 +2467,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
             "AS k FROM events ORDER BY event_id"
         ),
+        "minmax_events_by_type": (
+            "SELECT event_id, ROUND((value - MIN(value) OVER (PARTITION BY "
+            "event_type)) / NULLIF(MAX(value) OVER (PARTITION BY event_type) "
+            "- MIN(value) OVER (PARTITION BY event_type), 0), 6) AS minmax "
+            "FROM events ORDER BY event_id"
+        ),
+        "heavy_hitter_tokens": (
+            "SELECT CAST(20 AS BIGINT) AS k, TRUE AS recall_ok, TRUE AS all_ge"
+        ),
         "lag_delta_events": (
             "SELECT event_id, "
             "ROUND(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) "
@@ -2721,5 +2732,67 @@ def _lag_delta_events(sf_dir: str):
     df = df[["event_id", "prev_value", "delta"]]
     df["prev_value"] = df["prev_value"].round(6)
     df["delta"] = df["delta"].round(6)
+    df["event_id"] = df["event_id"].astype("int64")
+    return df.sort_values("event_id", ignore_index=True)
+
+
+def _heavy_hitter_tokens(sf_dir: str):
+    """Bound-style oracle for the count-min-sketch heavy hitters: every
+    estimate must be ≥ its exact count (CMS never undercounts) and the
+    reported top-20 tokens must cover ≥ 0.9 of the exact top-20 (tie
+    boundaries may legitimately differ by one)."""
+    from hooqu_ray.pipelines.cms import heavy_hitters
+    from hooqu_ray.util import collect_arrow
+
+    def explode(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lists = pc.split_pattern_regex(pc.fill_null(text, ""), pattern=r"\s+")
+        flat = lists.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"tok": flat})
+
+    toks = _read(sf_dir, "documents", ["text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    hh = heavy_hitters(toks, "tok", 20, width=8192, depth=4)
+
+    from ray.data.aggregate import Count
+
+    exact_tbl = collect_arrow(toks.groupby("tok").aggregate(Count()))
+    import pandas as pd
+
+    exact = (
+        exact_tbl.to_pandas()
+        .rename(columns={"count()": "n"})
+        .sort_values(["n", "tok"], ascending=[False, True], ignore_index=True)
+    )
+    top_exact = set(exact.head(20)["tok"])
+    exact_counts = dict(zip(exact["tok"], exact["n"]))
+    got = hh.to_pandas()
+    recall = len(set(got["tok"]) & top_exact) / 20.0
+    all_ge = bool(
+        all(int(e) >= int(exact_counts.get(t, 0))
+            for t, e in zip(got["tok"], got["est_count"]))
+    )
+    return pa.table(
+        {
+            "k": pa.array([20], pa.int64()),
+            "recall_ok": pa.array([recall >= 0.9], pa.bool_()),
+            "all_ge": pa.array([all_ge], pa.bool_()),
+        }
+    )
+
+
+def _minmax_events_by_type(sf_dir: str):
+    """Per-event-type min-max scaling of value to [0, 1] — parity with the
+    SQL window form, rounded to 6 decimals on both sides."""
+    from hooqu_ray.pipelines.relational import grouped_minmax
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    df = grouped_minmax(ds, "event_type", "value").to_pandas()
+    df = df[["event_id", "minmax"]]
+    df["minmax"] = df["minmax"].round(6)
     df["event_id"] = df["event_id"].astype("int64")
     return df.sort_values("event_id", ignore_index=True)

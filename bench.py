@@ -468,6 +468,35 @@ def main() -> None:
     ).count()
     queries["grouped_hll"] = round(time.time() - t0, 3)
 
+    from hooqu_ray.pipelines.windows import lag_delta
+
+    t0 = time.time()
+    lag_delta(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts", "user_id", "value"]),
+        "user_id", "ts", "event_id", "value",
+    ).count()
+    queries["lag_delta"] = round(time.time() - t0, 3)
+
+    from hooqu_ray.pipelines.cms import heavy_hitters
+
+    def explode_toks(t):
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lists = pc.split_pattern_regex(pc.fill_null(text, ""), pattern=r"\s+")
+        flat = lists.flatten()
+        return pa.table({"tok": flat.filter(pc.not_equal(flat, ""))})
+
+    t0 = time.time()
+    heavy_hitters(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["text"]).map_batches(
+            explode_toks, batch_format="pyarrow"),
+        "tok", 50, width=16384, depth=4,
+    )
+    queries["heavy_hitters"] = round(time.time() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "end-to-end transcript filter+scrub wall time "

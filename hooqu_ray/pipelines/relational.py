@@ -1105,3 +1105,63 @@ def mix_sources(ds, source_col: str, id_col: str, tokens_col: str,
         )
 
     return run.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_minmax(ds, group_col: str, value_col: str,
+                   out_col: str = "minmax"):
+    """Per-group min-max scaling to [0, 1]: ``(v − min_g) / (max_g −
+    min_g)`` — the bounded companion of :func:`grouped_zscore`, same shape:
+    a per-block Arrow ``group_by`` min/max combiner, one slim
+    ``groupby(group)`` fold, and a broadcast ``enrich_join`` stamp (fact
+    rows never shuffle; #groups-row stats table, shard by group-hash range
+    at extreme cardinality).  Null values get a null output and don't
+    contribute to the extrema; a constant group (range 0) or an all-null
+    group yields null — SQL ``NULLIF(max − min, 0)`` semantics."""
+    from ray.data.aggregate import Max, Min
+
+    from ..functions.joins import enrich_join
+
+    def partials(t: pa.Table) -> pa.Table:
+        sub = pa.table(
+            {
+                group_col: t.column(group_col),
+                "__v": pc.cast(t.column(value_col), pa.float64()),
+            }
+        )
+        return sub.group_by([group_col], use_threads=False).aggregate(
+            [("__v", "min"), ("__v", "max")]
+        )
+
+    stats = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Min("__v_min"), Max("__v_max"))
+    )
+
+    def finish_stats(t: pa.Table) -> pa.Table:
+        if "min(__v_min)" not in t.column_names:  # schema-less empty block
+            return pa.table(
+                {
+                    group_col: pa.array([]),
+                    "__lo": pa.array([], pa.float64()),
+                    "__rng": pa.array([], pa.float64()),
+                }
+            )
+        lo = pc.cast(t.column("min(__v_min)"), pa.float64())
+        rng = pc.subtract(pc.cast(t.column("max(__v_max)"), pa.float64()), lo)
+        rng = pc.if_else(
+            pc.greater(rng, 0.0), rng, pa.scalar(None, pa.float64())
+        )
+        return pa.table({group_col: t.column(group_col), "__lo": lo, "__rng": rng})
+
+    stats_ds = stats.map_batches(finish_stats, batch_format="pyarrow")
+    enriched = enrich_join(
+        ds, stats_ds, on=group_col, dim_key=group_col, cols=["__lo", "__rng"]
+    )
+
+    def stamp(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value_col), pa.float64())
+        scaled = pc.divide(pc.subtract(v, t.column("__lo")), t.column("__rng"))
+        return t.drop_columns(["__lo", "__rng"]).append_column(out_col, scaled)
+
+    return enriched.map_batches(stamp, batch_format="pyarrow")

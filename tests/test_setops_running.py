@@ -582,7 +582,7 @@ class TestHypothesisDifferentials:
                     "k": [r[0] for r in rows],
                     "ts": pd.to_datetime(range(len(rows)), unit="s"),
                     "id": range(len(rows)),
-                    "v": [r[1] for r in rows],
+                    "v": pd.Series([r[1] for r in rows], dtype="float64"),
                 }
             ).sort_values(["k", "ts", "id"], ignore_index=True)
             t = pa.Table.from_pandas(df, preserve_index=False)
@@ -591,9 +591,13 @@ class TestHypothesisDifferentials:
             # finals ∪ pend covers every row exactly once
             assert len(finals) + len(pend) == len(df)
             if len(finals):
+                # SQL running-sum semantics: a null row carries the sum of
+                # prior non-nulls (pandas cumsum would emit NaN AT the row)
+                s = df["v"].fillna(0.0).groupby(df["k"]).cumsum()
+                c = df["v"].notna().groupby(df["k"]).cumsum()
                 exp = (
                     df.assign(
-                        run_sum=df.groupby("k")["v"].cumsum(),
+                        run_sum=s.where(c > 0),
                         run_n=df.groupby("k").cumcount() + 1,
                     )
                     .merge(finals[["k", "id"]], on=["k", "id"])
@@ -641,3 +645,65 @@ class TestHypothesisDifferentials:
                 assert (row["frag_start"] + row["n_tokens"] - 1) // max_len == row["seq_id"]
 
         prop()
+
+
+class TestGroupedMinmax:
+    def test_matches_sql_window(self, ray_session, events):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import grouped_minmax
+
+        got = grouped_minmax(
+            rd.from_pandas(events).repartition(6), "k", "v"
+        ).to_pandas().sort_values("id", ignore_index=True)
+        con = duckdb.connect()
+        con.register("t", events)
+        exp = con.execute(
+            """SELECT id, (v - MIN(v) OVER (PARTITION BY k))
+               / NULLIF(MAX(v) OVER (PARTITION BY k)
+                        - MIN(v) OVER (PARTITION BY k), 0) AS m
+               FROM t ORDER BY id"""
+        ).df()
+        assert np.allclose(
+            got["minmax"].to_numpy(), exp["m"].to_numpy(),
+            equal_nan=True, atol=1e-12,
+        )
+
+    def test_constant_group_yields_null(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import grouped_minmax
+
+        df = pd.DataFrame({"k": [1, 1, 2, 2], "v": [3.0, 3.0, 0.0, 10.0]})
+        got = grouped_minmax(rd.from_pandas(df), "k", "v").to_pandas()
+        assert got.loc[got["k"] == 1, "minmax"].isna().all()
+        assert sorted(got.loc[got["k"] == 2, "minmax"]) == [0.0, 1.0]
+
+
+class TestHeavyHitters:
+    def test_zipfian_recall_and_overcount(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.cms import heavy_hitters
+
+        rng = np.random.RandomState(3)
+        vals = np.floor(rng.pareto(1.1, 100000)).astype(np.int64) % 3000
+        df = pd.DataFrame({"tok": [f"t{v}" for v in vals]})
+        hh = heavy_hitters(
+            rd.from_pandas(df).repartition(6), "tok", 20, width=8192, depth=4
+        ).to_pandas()
+        exact = df["tok"].value_counts()
+        top_exact = set(exact.head(20).index)
+        assert len(set(hh["tok"]) & top_exact) >= 18
+        for t, e in zip(hh["tok"], hh["est_count"]):
+            assert e >= exact[t]  # CMS never undercounts
+
+    def test_deterministic_and_bounded(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.cms import heavy_hitters
+
+        df = pd.DataFrame({"tok": ["a"] * 50 + ["b"] * 30 + ["c"] * 5})
+        ds = rd.from_pandas(df).repartition(2)
+        r1 = heavy_hitters(ds, "tok", 2, width=256, depth=4).to_pandas()
+        r2 = heavy_hitters(ds, "tok", 2, width=256, depth=4).to_pandas()
+        assert r1["tok"].tolist() == r2["tok"].tolist() == ["a", "b"]
+        assert r1["est_count"].tolist() == [50, 30]
+        with pytest.raises(ValueError):
+            heavy_hitters(ds, "tok", 0)
