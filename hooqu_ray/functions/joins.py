@@ -218,7 +218,9 @@ def _filler_array(typ: pa.DataType, n: int) -> pa.Array:
 
 
 def hash_join(left, right, on: str, right_on: Optional[str] = None,
-              how: str = "inner", suffix: str = "_r", n_buckets: int = 64):
+              how: str = "inner", suffix: str = "_r", n_buckets: int = 64,
+              bloom_prefilter: Optional[str] = None,
+              bloom_m_bits: int = 1 << 22):
     """General distributed equi-join of TWO LARGE datasets — the exchange
     (shuffle) join Ray Data 2.49 lacks a usable native form of (its
     ``Dataset.join`` hash-partitions via a per-row Python loop and crashes
@@ -248,8 +250,22 @@ def hash_join(left, right, on: str, right_on: Optional[str] = None,
     - Many-to-many keys multiply output rows inside the bucket merge,
       exactly as in SQL.
     - Column dtypes with REAL nulls follow pandas block promotion
-      (int64+null → float64), matching a DuckDB ``.df()`` oracle."""
-    from ..util import dataset_arrow_schema, shard_codes
+      (int64+null → float64), matching a DuckDB ``.df()`` oracle.
+
+    ``bloom_prefilter`` (``'left'``, ``'right'`` or ``'both'``): before the
+    exchange, summarize the OTHER side's keys into a Bloom bitmap
+    (``pipelines/bloom.py``, ``bloom_m_bits`` sized to its key count) and
+    drop rows that provably cannot match.  A 100-TB lever for SELECTIVE
+    joins: the dropped rows never enter the shuffle.  Bloom has no false
+    negatives, so results are exactly unchanged; a side may only be
+    prefiltered when its unmatched rows wouldn't be retained anyway
+    (left needs ``how ∈ {inner, right}``, right needs ``how ∈ {inner,
+    left}`` — violating that raises).  Costs one extra pruned scan of the
+    summarized side; off by default."""
+    import ray
+
+    from ..pipelines.bloom import _probe_positions, _test_bits, build_bloom
+    from ..util import dataset_arrow_schema, shard_codes, stable_hash64
 
     if how not in ("inner", "left", "right", "full"):
         raise ValueError(
@@ -276,6 +292,65 @@ def hash_join(left, right, on: str, right_on: Optional[str] = None,
         hash_cast = pa.int64()
     else:
         hash_cast = None  # same-family types (e.g. string/string)
+    if bloom_prefilter is not None:
+        import numpy as np
+
+        if bloom_prefilter not in ("left", "right", "both"):
+            raise ValueError(
+                "hash_join: bloom_prefilter must be 'left', 'right' or 'both', "
+                f"got {bloom_prefilter!r}"
+            )
+        want = ("left", "right") if bloom_prefilter == "both" else (bloom_prefilter,)
+        allowed = {"left": ("inner", "right"), "right": ("inner", "left")}
+        for side in want:
+            if how not in allowed[side]:
+                raise ValueError(
+                    f"hash_join: bloom_prefilter={side!r} would drop retained "
+                    f"{side}-side rows under how={how!r}"
+                )
+
+        def _key_proj(ds_, keycol):
+            def f(t: pa.Table) -> pa.Table:
+                key = t.column(keycol)
+                hk = key.cast(hash_cast) if hash_cast is not None else key
+                return pa.table({"__k": hk})
+
+            return ds_.map_batches(f, batch_format="pyarrow")
+
+        class _KeepMaybeMatching:
+            """Drop rows whose key is provably absent from the other side
+            (Bloom has no false negatives → join output is unchanged)."""
+
+            def __init__(self, ref, keycol):
+                self.ref = ref
+                self.keycol = keycol
+                self._bm = None
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if self._bm is None:
+                    obj = self.ref
+                    self._bm = obj if isinstance(obj, np.ndarray) else ray.get(obj)
+                if len(t) == 0:
+                    return t
+                key = t.column(self.keycol)
+                hk = key.cast(hash_cast) if hash_cast is not None else key
+                h = stable_hash64(hk)
+                maybe = _test_bits(
+                    self._bm, _probe_positions(h, bloom_m_bits, 4)
+                )
+                return t.filter(pa.array(maybe))
+
+        if "left" in want:
+            bm = build_bloom(_key_proj(right, rkey), "__k", m_bits=bloom_m_bits)
+            left = left.map_batches(
+                _KeepMaybeMatching(ray.put(bm), on), batch_format="pyarrow"
+            )
+        if "right" in want:
+            bm = build_bloom(_key_proj(left, on), "__k", m_bits=bloom_m_bits)
+            right = right.map_batches(
+                _KeepMaybeMatching(ray.put(bm), rkey), batch_format="pyarrow"
+            )
+
     rout = []  # (source_name, out_name) for non-key right columns
     for nm in rschema.names:
         if nm == rkey:

@@ -707,3 +707,30 @@ class TestHeavyHitters:
         assert r1["est_count"].tolist() == [50, 30]
         with pytest.raises(ValueError):
             heavy_hitters(ds, "tok", 0)
+
+
+class TestBloomPrefilterJoin:
+    def test_results_identical_and_guarded(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.functions.joins import hash_join
+
+        rng = np.random.RandomState(4)
+        l = pd.DataFrame({"k": rng.randint(0, 50000, 20000), "lv": rng.randn(20000)})
+        r = pd.DataFrame({"k": rng.randint(0, 1000, 400), "rv": rng.randn(400)})
+        dl = rd.from_pandas(l).repartition(5)
+        dr = rd.from_pandas(r).repartition(2)
+
+        def key(df):
+            return sorted(map(str, df.round(9).itertuples(index=False)))
+
+        base = hash_join(dl, dr, on="k", how="inner", n_buckets=8).to_pandas()
+        for pf in ("left", "both"):
+            got = hash_join(
+                dl, dr, on="k", how="inner", n_buckets=8, bloom_prefilter=pf
+            ).to_pandas()
+            assert key(got) == key(base), pf
+        # a retained side must not be prefiltered
+        with pytest.raises(ValueError):
+            hash_join(dl, dr, on="k", how="left", bloom_prefilter="left")
+        with pytest.raises(ValueError):
+            hash_join(dl, dr, on="k", how="inner", bloom_prefilter="nope")
