@@ -220,7 +220,8 @@ def _filler_array(typ: pa.DataType, n: int) -> pa.Array:
 def hash_join(left, right, on: str, right_on: Optional[str] = None,
               how: str = "inner", suffix: str = "_r", n_buckets: int = 64,
               bloom_prefilter: Optional[str] = None,
-              bloom_m_bits: int = 1 << 22):
+              bloom_m_bits: int = 1 << 22,
+              salt_keys=None, salt_factor: int = 8):
     """General distributed equi-join of TWO LARGE datasets — the exchange
     (shuffle) join Ray Data 2.49 lacks a usable native form of (its
     ``Dataset.join`` hash-partitions via a per-row Python loop and crashes
@@ -251,6 +252,17 @@ def hash_join(left, right, on: str, right_on: Optional[str] = None,
       exactly as in SQL.
     - Column dtypes with REAL nulls follow pandas block promotion
       (int64+null → float64), matching a DuckDB ``.df()`` oracle.
+
+    ``salt_keys`` + ``salt_factor``: split each listed HOT key across
+    ``salt_factor`` sub-buckets — left rows of a hot key take a
+    deterministic salt in ``[0, S)`` (bucket = key-hash + salt) and the
+    right side REPLICATES its hot-key rows once per salt, so every
+    (key, salt) pair still co-locates and the hot key's work spreads over
+    S buckets instead of melting one task.  Only valid for ``how ∈
+    {inner, left}`` (a replicated right row that found no match would
+    otherwise appear S times); find candidates with
+    :func:`detect_hot_keys` (count-min heavy hitters).  Null keys are
+    never hot.
 
     ``bloom_prefilter`` (``'left'``, ``'right'`` or ``'both'``): before the
     exchange, summarize the OTHER side's keys into a Bloom bitmap
@@ -362,7 +374,37 @@ def hash_join(left, right, on: str, right_on: Optional[str] = None,
         + [(out, rschema.field(src).type) for src, out in rout]
     )
 
+    salt_list = list(salt_keys) if salt_keys is not None else []
+    if salt_list:
+        import numpy as np
+
+        if salt_factor < 2:
+            raise ValueError(
+                f"hash_join: salt_factor must be ≥ 2, got {salt_factor}"
+            )
+        if how not in ("inner", "left"):
+            raise ValueError(
+                "hash_join: salt_keys requires how ∈ {'inner', 'left'} — a "
+                f"replicated unmatched right row would be retained under {how!r}"
+            )
+
+    def _hot_mask(hk):
+        hot = pa.array(salt_list).cast(hk.type)
+        return pc.fill_null(pc.is_in(hk, value_set=hot), False).to_numpy(
+            zero_copy_only=False
+        )
+
+    def _buckets(hk, salt=None):
+        h = stable_hash64(hk)
+        if salt is not None:
+            h = h + salt.astype("uint64")
+        import numpy as _np
+
+        return pa.array((h % _np.uint64(n_buckets)).astype(_np.int64))
+
     def left_side(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         key = t.column(on)
         # null keys never match; drop them unless this side is retained
         if how in ("inner", "right") and key.null_count:
@@ -370,8 +412,13 @@ def hash_join(left, right, on: str, right_on: Optional[str] = None,
             key = t.column(on)
         n = len(t)
         hk = key.cast(hash_cast) if hash_cast is not None else key
+        salt = None
+        if salt_list and n:
+            salt = np.zeros(n, dtype=np.int64)
+            idx = np.flatnonzero(_hot_mask(hk))
+            salt[idx] = np.arange(idx.size) % salt_factor  # even spread
         cols = {
-            "__bucket": pa.array(shard_codes(hk, n_buckets)),
+            "__bucket": _buckets(hk, salt),
             "__slot": pa.repeat(pa.scalar(0, pa.int32()), n),
             "__rkey": _filler_array(rschema.field(rkey).type, n),
         }
@@ -382,14 +429,35 @@ def hash_join(left, right, on: str, right_on: Optional[str] = None,
         return pa.table(cols)
 
     def right_side(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         key = t.column(rkey)
         if how in ("inner", "left") and key.null_count:  # null keys never match
             t = t.filter(pc.is_valid(key))
             key = t.column(rkey)
+        salt = None
+        if salt_list and len(t):
+            hk0 = key.cast(hash_cast) if hash_cast is not None else key
+            hot_idx = np.flatnonzero(_hot_mask(hk0))
+            if hot_idx.size:
+                # replicate each hot row once per extra salt so every
+                # (key, salt) bucket sees the full right side of that key
+                sel = np.r_[
+                    np.arange(len(t), dtype=np.int64),
+                    np.tile(hot_idx, salt_factor - 1),
+                ]
+                salt = np.r_[
+                    np.zeros(len(t), dtype=np.int64),
+                    np.repeat(
+                        np.arange(1, salt_factor, dtype=np.int64), hot_idx.size
+                    ),
+                ]
+                t = t.take(pa.array(sel, pa.int64()))
+                key = t.column(rkey)
         n = len(t)
         hk = key.cast(hash_cast) if hash_cast is not None else key
         cols = {
-            "__bucket": pa.array(shard_codes(hk, n_buckets)),
+            "__bucket": _buckets(hk, salt),
             "__slot": pa.repeat(pa.scalar(1, pa.int32()), n),
             "__rkey": key,
         }
@@ -436,3 +504,25 @@ def hash_join(left, right, on: str, right_on: Optional[str] = None,
     return unioned.groupby("__bucket").map_groups(
         lambda g: bucket_merge(g), batch_format="pandas"
     )
+
+
+def detect_hot_keys(ds, col: str, n_buckets: int = 64, factor: float = 4.0,
+                    k: int = 64):
+    """Skew-key candidates for ``hash_join(salt_keys=...)``: the values
+    whose estimated frequency (count-min heavy hitters — never an
+    undercount, so no hot key is missed) exceeds ``factor ×`` the even
+    per-bucket share ``N / n_buckets``.  Diagnostic helper: costs one
+    sketch pass + one count of ``ds``; run it once on a sample or a prior
+    snapshot and reuse the list."""
+    from ..pipelines.cms import heavy_hitters
+
+    hh = heavy_hitters(ds, col, k)
+    total = ds.count()
+    threshold = factor * total / max(n_buckets, 1)
+    return [
+        v
+        for v, e in zip(
+            hh.column(col).to_pylist(), hh.column("est_count").to_pylist()
+        )
+        if e >= threshold
+    ]

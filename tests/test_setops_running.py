@@ -734,3 +734,37 @@ class TestBloomPrefilterJoin:
             hash_join(dl, dr, on="k", how="left", bloom_prefilter="left")
         with pytest.raises(ValueError):
             hash_join(dl, dr, on="k", how="inner", bloom_prefilter="nope")
+
+
+class TestSaltedHashJoin:
+    def test_salted_equals_unsalted_and_guards(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.functions.joins import detect_hot_keys, hash_join
+
+        rng = np.random.RandomState(8)
+        k = np.where(rng.rand(8000) < 0.7, 7, rng.randint(0, 300, 8000))
+        l = pd.DataFrame({"k": k.astype(np.int64), "lv": rng.randn(8000)})
+        r = pd.DataFrame({"k": np.arange(300, dtype=np.int64), "rv": rng.randn(300)})
+        # duplicate the hot key on the right: many-to-many under salting
+        r = pd.concat(
+            [r, pd.DataFrame({"k": [7, 7], "rv": [1.5, -2.5]})], ignore_index=True
+        )
+        dl = rd.from_pandas(l).repartition(5)
+        dr = rd.from_pandas(r).repartition(2)
+        hot = detect_hot_keys(dl, "k", n_buckets=8)
+        assert 7 in hot
+
+        def key(df):
+            return sorted(map(str, df.round(9).itertuples(index=False)))
+
+        for how in ("inner", "left"):
+            base = hash_join(dl, dr, on="k", how=how, n_buckets=8).to_pandas()
+            salted = hash_join(
+                dl, dr, on="k", how=how, n_buckets=8,
+                salt_keys=hot, salt_factor=4,
+            ).to_pandas()
+            assert key(base) == key(salted), how
+        with pytest.raises(ValueError):
+            hash_join(dl, dr, on="k", how="full", salt_keys=[7])
+        with pytest.raises(ValueError):
+            hash_join(dl, dr, on="k", how="inner", salt_keys=[7], salt_factor=1)
