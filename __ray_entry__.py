@@ -193,6 +193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["pack_texts_documents"] = _pack_texts_documents
     out["mix_sources_documents"] = _mix_sources_documents
     out["json_field_events"] = _json_field_events
+    out["explode_embeddings"] = _explode_embeddings
+    out["rollup_events_type_day"] = _rollup_events_type_day
+    out["cohort_retention_events"] = _cohort_retention_events
 
     # -- oracled via SQL derivation / bound predicates --------------------
     out["conversation_features"] = _conversation_features
@@ -2467,6 +2470,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
             "AS k FROM events ORDER BY event_id"
         ),
+        "explode_embeddings": (
+            # WITH ORDINALITY spelled the DuckDB-sandbox way:
+            # UNNEST + generate_subscripts zip positionally
+            "SELECT vec_id, (generate_subscripts(embedding, 1) - 1)::BIGINT "
+            "AS pos, ROUND(UNNEST(embedding)::DOUBLE, 6) AS el "
+            "FROM embeddings ORDER BY vec_id, pos"
+        ),
+        "rollup_events_type_day": (
+            "SELECT COALESCE(event_type, 'ALL') AS event_type, "
+            "COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS d, "
+            "(2 - GROUPING(event_type) "
+            " - GROUPING(strftime(date_trunc('day', ts), '%Y-%m-%d')))::BIGINT "
+            "AS level, ROUND(SUM(value), 6) AS sum_value, "
+            "COUNT(value)::BIGINT AS n FROM events "
+            "GROUP BY ROLLUP(event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')) "
+            "ORDER BY level, event_type, d"
+        ),
+        "cohort_retention_events": (
+            "WITH p AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS per "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "f AS (SELECT user_id, min(per) AS coh FROM p GROUP BY user_id) "
+            "SELECT strftime(f.coh, '%Y-%m-%d') AS cohort, "
+            "strftime(p.per, '%Y-%m-%d') AS period, count(*)::BIGINT AS n_users "
+            "FROM p JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "minmax_events_by_type": (
             "SELECT event_id, ROUND((value - MIN(value) OVER (PARTITION BY "
             "event_type)) / NULLIF(MAX(value) OVER (PARTITION BY event_type) "
@@ -2720,6 +2748,61 @@ def _json_field_events(sf_dir: str):
     df = json_field(ds, "props", "k", arrow_type=pa.int64()).to_pandas()
     df = df[["event_id", "k"]].astype({"event_id": "int64", "k": "int64"})
     return df.sort_values("event_id", ignore_index=True)
+
+
+def _explode_embeddings(sf_dir: str):
+    """UNNEST-with-ordinality over a real list<float> column: one shuffle-
+    free map_batches (Arrow list offsets → parent indices + positions)."""
+    from hooqu_ray.functions.lists import explode
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = explode(ds, "embedding", ["vec_id"]).to_pandas()
+    df["el"] = df["el"].astype("float64").round(6)
+    df = df[["vec_id", "pos", "el"]].astype(
+        {"vec_id": "int64", "pos": "int64"}
+    )
+    return df.sort_values(["vec_id", "pos"], ignore_index=True)
+
+
+def _rollup_events_type_day(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day): finest level from one combiner +
+    one shuffle, coarser levels re-aggregate the finest aggregate."""
+    from hooqu_ray.pipelines.relational import rollup_agg
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "d": pc.strftime(
+                    pc.floor_temporal(t.column("ts"), unit="day"),
+                    format="%Y-%m-%d",
+                ),
+                "value": t.column("value"),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        add_day, batch_format="pyarrow"
+    )
+    df = rollup_agg(ds, ["event_type", "d"], "value").to_pandas()
+    df["sum_value"] = df["sum_value"].round(6)
+    df = df.astype({"level": "int64", "n": "int64"})
+    return df.sort_values(
+        ["level", "event_type", "d"], ignore_index=True
+    )[["event_type", "d", "level", "sum_value", "n"]]
+
+
+def _cohort_retention_events(sf_dir: str):
+    """Weekly cohort retention matrix over events (distinct-pair combiner,
+    slim shuffles, broadcast cohort stamp)."""
+    from hooqu_ray.pipelines.relational import cohort_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    df = cohort_retention(
+        ds, "user_id", "ts", unit="week", fmt="%Y-%m-%d"
+    ).to_pandas()
+    df["n_users"] = df["n_users"].astype("int64")
+    return df.sort_values(["cohort", "period"], ignore_index=True)
 
 
 def _lag_delta_events(sf_dir: str):

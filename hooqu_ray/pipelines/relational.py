@@ -1165,3 +1165,211 @@ def grouped_minmax(ds, group_col: str, value_col: str,
         return t.drop_columns(["__lo", "__rng"]).append_column(out_col, scaled)
 
     return enriched.map_batches(stamp, batch_format="pyarrow")
+
+
+def rollup_agg(ds, group_cols, value_col: str, sentinel: str = "ALL"):
+    """Multi-level aggregation — SQL ``GROUP BY ROLLUP(g1, .., gk)``: one
+    row per group at EVERY prefix level (g1..gk, g1..g(k-1), .., grand
+    total), with rolled-up columns set to ``sentinel`` and a ``level``
+    column (number of grouping columns kept, ROLLUP's ``k - GROUPING(..)``).
+
+    Scale shape: the raw data is reduced ONCE — a per-block Arrow
+    ``Table.group_by`` combiner then one ``groupby(g1..gk)`` shuffle build
+    the finest-grain aggregate; every coarser level re-aggregates THAT
+    (sums and counts compose), so level 2..0 cost shuffles of the finest
+    aggregate's cardinality, never a second pass over the input.  Group
+    columns are emitted as strings (the sentinel must share a type with
+    real values); null group keys are dropped by the Ray groupby
+    (documented divergence shared with the other grouped ops — SQL ROLLUP
+    would keep them as their own group).
+
+    Returns a Dataset with columns ``g1..gk`` (string), ``level`` (int64),
+    ``sum_value`` (float64) and ``n`` (int64)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise ValueError("rollup_agg: need at least one group column")
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        cols = {
+            c: pc.cast(t.column(c), pa.string()) for c in group_cols
+        }
+        cols["__v"] = pc.cast(t.column(value_col), pa.float64())
+        flat = pa.table(cols)
+        agg = flat.group_by(group_cols).aggregate(
+            [("__v", "sum"), ("__v", "count")]
+        )
+        return agg.rename_columns(group_cols + ["__sum", "__n"])
+
+    finest = (
+        ds.map_batches(block_partial, batch_format="pyarrow")
+        .groupby(group_cols)
+        .aggregate(Sum("__sum"), Sum("__n"))
+    )
+
+    def _finish(keep_cols):
+        """Rename the Ray aggregate's sum(..) columns and stamp the level
+        + sentinel fills; tolerant of schema-less empty blocks."""
+
+        def f(t: pa.Table) -> pa.Table:
+            if "sum(__sum)" not in t.column_names:
+                return pa.table(
+                    {
+                        **{c: pa.array([], pa.string()) for c in group_cols},
+                        "level": pa.array([], pa.int64()),
+                        "sum_value": pa.array([], pa.float64()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            n = len(t)
+            cols = {}
+            for c in group_cols:
+                if c in keep_cols:
+                    cols[c] = pc.cast(t.column(c), pa.string())
+                else:
+                    cols[c] = pa.array([sentinel] * n, pa.string())
+            cols["level"] = pa.array([len(keep_cols)] * n, pa.int64())
+            cols["sum_value"] = pc.cast(t.column("sum(__sum)"), pa.float64())
+            cols["n"] = pc.cast(t.column("sum(__n)"), pa.int64())
+            return pa.table(cols)
+
+        return f
+
+    out = finest.map_batches(_finish(group_cols), batch_format="pyarrow")
+    # coarser levels re-aggregate the (small) finest aggregate
+    base = finest.map_batches(
+        lambda t: (
+            t.rename_columns(group_cols + ["__sum", "__n"])
+            if "sum(__sum)" in t.column_names
+            else pa.table(
+                {
+                    **{c: pa.array([], pa.string()) for c in group_cols},
+                    "__sum": pa.array([], pa.float64()),
+                    "__n": pa.array([], pa.int64()),
+                }
+            )
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    for i in range(len(group_cols) - 1, 0, -1):
+        lvl = (
+            base.groupby(group_cols[:i])
+            .aggregate(Sum("__sum"), Sum("__n"))
+            .map_batches(_finish(group_cols[:i]), batch_format="pyarrow")
+        )
+        out = out.union(lvl)
+    # grand total: driver fold of the (tiny) finest aggregate
+    tot = base.sum(["__sum", "__n"]) or {"sum(__sum)": 0.0, "sum(__n)": 0}
+    grand = pa.table(
+        {
+            **{c: pa.array([sentinel], pa.string()) for c in group_cols},
+            "level": pa.array([0], pa.int64()),
+            "sum_value": pa.array(
+                [float(tot["sum(__sum)"] or 0.0)], pa.float64()
+            ),
+            "n": pa.array([int(tot["sum(__n)"] or 0)], pa.int64()),
+        }
+    )
+    return out.union(rd.from_arrow(grand))
+
+
+def cohort_retention(ds, key_col: str, ts_col: str, unit: str = "month",
+                     fmt: str = "%Y-%m"):
+    """Cohort retention matrix: distinct active keys per (first-seen
+    period, activity period) — the training-corpus freshness/retention
+    report (``cohort``, ``period``, ``n_users``).  ``unit`` is any
+    ``pc.floor_temporal`` unit ('day', 'week', 'month', ..; week starts
+    Monday, matching SQL ``date_trunc('week', ..)``), ``fmt`` the output
+    label format.
+
+    Combiner-first and slim end-to-end: each block reduces to its distinct
+    ``(key, month)`` pairs (dictionary-code lexsort, no Python per row),
+    one ``groupby(key, month)`` dedupes globally, ``groupby(key).min``
+    derives each key's cohort month, a broadcast enrichment join stamps it
+    back onto the pair rows (dim side = one row per key — switch to
+    ``functions.joins.hash_join`` beyond broadcast size), and a final
+    ``groupby(cohort, month).count`` emits the matrix.  Only distinct
+    pairs ever shuffle; the month is carried as an int64 epoch value and
+    formatted '%Y-%m' once at the end."""
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.joins import enrich_join
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        k = t.column(key_col)
+        ts = t.column(ts_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        keep = pc.and_(pc.is_valid(k), pc.is_valid(ts))
+        k, ts = k.filter(keep), ts.filter(keep)
+        # normalize to µs BEFORE the int64 carry (pandas-sourced blocks
+        # arrive as timestamp[ns]; the final label cast assumes µs)
+        per = pc.cast(
+            pc.cast(pc.floor_temporal(ts, unit=unit), pa.timestamp("us")),
+            pa.int64(),
+        )
+        if len(k) == 0:
+            return pa.table(
+                {key_col: k.slice(0, 0), "__per": per.slice(0, 0)}
+            )
+        ki = k.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        pi = per.to_numpy(zero_copy_only=False)
+        order = np.lexsort((pi, ki))
+        ks, ps = ki[order], pi[order]
+        first = np.r_[True, (ks[1:] != ks[:-1]) | (ps[1:] != ps[:-1])]
+        sel = pa.array(order[first], pa.int64())
+        return pa.table({key_col: k.take(sel), "__per": per.take(sel)})
+
+    pairs = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby([key_col, "__per"])
+        .aggregate(Count())
+        .drop_columns(["count()"])
+        .materialize()  # consumed twice (cohort derivation + join probe)
+    )
+    cohorts = pairs.groupby(key_col).aggregate(Min("__per"))
+
+    def rename_cohort(t: pa.Table) -> pa.Table:
+        if "min(__per)" not in t.column_names:
+            return pa.table(
+                {key_col: pa.array([]), "__coh": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {key_col: t.column(key_col), "__coh": t.column("min(__per)")}
+        )
+
+    stamped = enrich_join(
+        pairs,
+        cohorts.map_batches(rename_cohort, batch_format="pyarrow"),
+        on=key_col,
+        dim_key=key_col,
+        cols=["__coh"],
+        how="inner",
+    )
+    matrix = stamped.groupby(["__coh", "__per"]).aggregate(Count())
+
+    def _fmt(col):
+        return pc.strftime(pc.cast(col, pa.timestamp("us")), format=fmt)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if "count()" not in t.column_names:
+            return pa.table(
+                {
+                    "cohort": pa.array([], pa.string()),
+                    "period": pa.array([], pa.string()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "cohort": _fmt(t.column("__coh")),
+                "period": _fmt(t.column("__per")),
+                "n_users": pc.cast(t.column("count()"), pa.int64()),
+            }
+        )
+
+    return matrix.map_batches(finish, batch_format="pyarrow")
