@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["explode_embeddings"] = _explode_embeddings
     out["rollup_events_type_day"] = _rollup_events_type_day
     out["cohort_retention_events"] = _cohort_retention_events
+    out["psi_drift_events"] = _psi_drift_events
 
     # -- oracled via SQL derivation / bound predicates --------------------
     out["conversation_features"] = _conversation_features
@@ -2487,6 +2488,35 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY ROLLUP(event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')) "
             "ORDER BY level, event_type, d"
         ),
+        "psi_drift_events": (
+            "WITH r AS (SELECT value FROM events WHERE event_id % 5 <> 0 "
+            "AND value IS NOT NULL), "
+            "nw AS (SELECT value FROM events WHERE event_id % 5 = 0 "
+            "AND value IS NOT NULL), "
+            "p AS (SELECT min(value) AS lo, (max(value) - min(value)) / 10.0 "
+            "AS w FROM r), "
+            "rc AS (SELECT LEAST(GREATEST(CAST(floor((value - p.lo) / p.w) AS "
+            "BIGINT), 0), 9) AS bucket, count(*) AS n FROM r, p GROUP BY 1), "
+            "nc AS (SELECT LEAST(GREATEST(CAST(floor((value - p.lo) / p.w) AS "
+            "BIGINT), 0), 9) AS bucket, count(*) AS n FROM nw, p GROUP BY 1), "
+            "tot AS (SELECT (SELECT count(*) FROM r) AS tr, "
+            "(SELECT count(*) FROM nw) AS tn), "
+            "g AS (SELECT bucket FROM range(0, 10) t(bucket)), "
+            "j AS (SELECT g.bucket, COALESCE(rc.n, 0) AS n_ref, "
+            "COALESCE(nc.n, 0) AS n_new, "
+            "COALESCE(rc.n, 0)::DOUBLE / tot.tr AS p_ref, "
+            "COALESCE(nc.n, 0)::DOUBLE / tot.tn AS p_new "
+            "FROM g LEFT JOIN rc USING (bucket) LEFT JOIN nc USING (bucket), tot) "
+            "SELECT j.bucket, ROUND(p.lo + p.w * j.bucket, 6) AS lo, "
+            "ROUND(p.lo + p.w * (j.bucket + 1), 6) AS hi, "
+            "j.n_ref, j.n_new, ROUND(j.p_ref, 6) AS p_ref, "
+            "ROUND(j.p_new, 6) AS p_new, "
+            "ROUND(((CASE WHEN j.p_ref = 0 THEN 1e-6 ELSE j.p_ref END) - "
+            "(CASE WHEN j.p_new = 0 THEN 1e-6 ELSE j.p_new END)) * "
+            "ln((CASE WHEN j.p_ref = 0 THEN 1e-6 ELSE j.p_ref END) / "
+            "(CASE WHEN j.p_new = 0 THEN 1e-6 ELSE j.p_new END)), 6) AS psi "
+            "FROM j, p ORDER BY j.bucket"
+        ),
         "cohort_retention_events": (
             "WITH p AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS per "
             "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
@@ -2803,6 +2833,30 @@ def _cohort_retention_events(sf_dir: str):
     ).to_pandas()
     df["n_users"] = df["n_users"].astype("int64")
     return df.sort_values(["cohort", "period"], ignore_index=True)
+
+
+def _psi_drift_events(sf_dir: str):
+    """PSI distribution drift of events.value between two derived
+    snapshots (event_id % 5 != 0 as reference, == 0 as new): equal-width
+    buckets over the reference range, per-bucket counts via bincount
+    combiners, the proportions/PSI arithmetic mirrored exactly in SQL."""
+    from hooqu_ray.pipelines.drift import drift_report
+
+    def shard(keep_new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("event_id").to_numpy(zero_copy_only=False)
+            is_new = (ids % 5) == 0
+            return t.filter(pa.array(is_new if keep_new else ~is_new))
+
+        return f
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    ref = ds.map_batches(shard(False), batch_format="pyarrow")
+    new = ds.map_batches(shard(True), batch_format="pyarrow")
+    df = drift_report(ref, new, "value", n_buckets=10).to_pandas()
+    for c in ("lo", "hi", "p_ref", "p_new", "psi"):
+        df[c] = df[c].round(6)
+    return df.sort_values("bucket", ignore_index=True)
 
 
 def _lag_delta_events(sf_dir: str):

@@ -165,3 +165,38 @@ def test_cohort_retention_null_keys_dropped(ray_session):
     )
     out = cohort_retention(rd.from_pandas(df), "user_id", "ts").to_pandas()
     assert out["n_users"].sum() == 1
+
+
+# -- drift (PSI) ---------------------------------------------------------------
+
+def test_drift_report_psi_semantics(ray_session):
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.drift import drift_report
+
+    ref = pd.DataFrame({"v": [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 10.0]})
+    # new snapshot: mass shifted up, one value beyond the ref range (clamps
+    # into the top bucket), one below (clamps into bucket 0)
+    new = pd.DataFrame({"v": [9.0, 9.5, 12.0, -3.0]})
+    out = drift_report(
+        rd.from_pandas(ref), rd.from_pandas(new), "v", n_buckets=5
+    ).to_pandas()
+    assert out["bucket"].tolist() == [0, 1, 2, 3, 4]
+    assert out["n_ref"].sum() == 10 and out["n_new"].sum() == 4
+    # clamped rows: -3.0 → bucket 0, 12.0 → bucket 4
+    assert out["n_new"].tolist() == [1, 0, 0, 0, 3]
+    # PSI contribution formula: (pr - pn) * ln(pr / pn) with eps for zeros
+    pr = np.where(out["p_ref"].to_numpy() == 0, 1e-6, out["p_ref"].to_numpy())
+    pn = np.where(out["p_new"].to_numpy() == 0, 1e-6, out["p_new"].to_numpy())
+    np.testing.assert_allclose(out["psi"].to_numpy(), (pr - pn) * np.log(pr / pn))
+    assert out["psi"].sum() > 0.25  # an obvious drift trips the retrain gate
+
+
+def test_drift_report_rejects_constant_reference(ray_session):
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.drift import drift_report
+
+    const = pd.DataFrame({"v": [1.0, 1.0, 1.0]})
+    with pytest.raises(ValueError, match="no bucketable"):
+        drift_report(rd.from_pandas(const), rd.from_pandas(const), "v")
