@@ -1276,7 +1276,7 @@ def rollup_agg(ds, group_cols, value_col: str, sentinel: str = "ALL"):
 
 
 def cohort_retention(ds, key_col: str, ts_col: str, unit: str = "month",
-                     fmt: str = "%Y-%m"):
+                     fmt: str = "%Y-%m", broadcast_max_keys: int = 5_000_000):
     """Cohort retention matrix: distinct active keys per (first-seen
     period, activity period) — the training-corpus freshness/retention
     report (``cohort``, ``period``, ``n_users``).  ``unit`` is any
@@ -1287,12 +1287,16 @@ def cohort_retention(ds, key_col: str, ts_col: str, unit: str = "month",
     Combiner-first and slim end-to-end: each block reduces to its distinct
     ``(key, month)`` pairs (dictionary-code lexsort, no Python per row),
     one ``groupby(key, month)`` dedupes globally, ``groupby(key).min``
-    derives each key's cohort month, a broadcast enrichment join stamps it
-    back onto the pair rows (dim side = one row per key — switch to
-    ``functions.joins.hash_join`` beyond broadcast size), and a final
-    ``groupby(cohort, month).count`` emits the matrix.  Only distinct
-    pairs ever shuffle; the month is carried as an int64 epoch value and
-    formatted '%Y-%m' once at the end."""
+    derives each key's cohort month, the cohort is stamped back onto the
+    pair rows, and a final ``groupby(cohort, month).count`` emits the
+    matrix.  Only distinct pairs ever shuffle; the month is carried as an
+    int64 epoch value and formatted once at the end.
+
+    The cohort stamp is size-gated: the cohort table is one row per KEY
+    (unbounded on a web corpus), so at ≤ ``broadcast_max_keys`` rows it
+    ships once as a broadcast enrichment join, and above the gate it
+    switches to the fully distributed bucketed ``hash_join`` — nothing
+    key-shaped is collected to the driver on the scale path."""
     from ray.data.aggregate import Count, Min
 
     from ..functions.joins import enrich_join
@@ -1342,14 +1346,16 @@ def cohort_retention(ds, key_col: str, ts_col: str, unit: str = "month",
             {key_col: t.column(key_col), "__coh": t.column("min(__per)")}
         )
 
-    stamped = enrich_join(
-        pairs,
-        cohorts.map_batches(rename_cohort, batch_format="pyarrow"),
-        on=key_col,
-        dim_key=key_col,
-        cols=["__coh"],
-        how="inner",
-    )
+    cohort_ds = cohorts.map_batches(rename_cohort, batch_format="pyarrow")
+    if cohort_ds.count() <= broadcast_max_keys:
+        stamped = enrich_join(
+            pairs, cohort_ds, on=key_col, dim_key=key_col,
+            cols=["__coh"], how="inner",
+        )
+    else:
+        from ..functions.joins import hash_join
+
+        stamped = hash_join(pairs, cohort_ds, on=key_col, how="inner")
     matrix = stamped.groupby(["__coh", "__per"]).aggregate(Count())
 
     def _fmt(col):

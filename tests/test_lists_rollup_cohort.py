@@ -200,3 +200,31 @@ def test_drift_report_rejects_constant_reference(ray_session):
     const = pd.DataFrame({"v": [1.0, 1.0, 1.0]})
     with pytest.raises(ValueError, match="no bucketable"):
         drift_report(rd.from_pandas(const), rd.from_pandas(const), "v")
+
+
+def test_cohort_retention_forced_hash_join_gate(ray_session):
+    """broadcast_max_keys=0 forces the distributed hash_join stamp; the
+    matrix must be identical to the broadcast path."""
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.relational import cohort_retention
+
+    base = np.datetime64("2024-01-01T12:00:00", "us")
+    wk = np.timedelta64(7, "D")
+    rows = [(u, base + (u % 3) * wk) for u in range(1, 30)] + [
+        (u, base + 3 * wk) for u in range(1, 30, 2)
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    kw = dict(unit="week", fmt="%Y-%m-%d")
+    a = (
+        cohort_retention(rd.from_pandas(df), "user_id", "ts", **kw)
+        .to_pandas().sort_values(["cohort", "period"], ignore_index=True)
+    )
+    b = (
+        cohort_retention(
+            rd.from_pandas(df), "user_id", "ts", broadcast_max_keys=0, **kw
+        )
+        .to_pandas().sort_values(["cohort", "period"], ignore_index=True)
+    )
+    assert a.equals(b)
+    assert a["n_users"].sum() == len(rows)  # every (user, week) distinct here
