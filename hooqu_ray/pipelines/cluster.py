@@ -57,9 +57,13 @@ def _empty_components(id_type) -> "pa.Table":
 
 def _bucket_join(g: pa.Table) -> pa.Table:
     """One bucket: attach each source node's current label to its outgoing
-    edges with a local Acero hash join, and emit label candidates:
+    edges with a local Acero hash join, emit label candidates —
     ``(dst, label(src))`` per edge plus the self candidate
-    ``(node, label)`` per node."""
+    ``(node, label)`` per node — then COMBINE locally: one Arrow
+    ``group_by(node).min`` per bucket, so the following global
+    ``groupby(node).Min`` shuffle moves one row per (bucket, node)
+    instead of one per edge endpoint (≈ (V + 2E) → ≤ V·avg-buckets-
+    per-node rows; ~4× slimmer on near-clique dedup graphs)."""
     lab = g.filter(
         pc.equal(g.column("slot"), _SLOT_LABEL)
     ).select(["node", "lbl"])
@@ -74,7 +78,7 @@ def _bucket_join(g: pa.Table) -> pa.Table:
     else:
         peer = pa.array([], id_type)
         peer_lbl = pa.array([], id_type)
-    return pa.table(
+    cand = pa.table(
         {
             "node": pa.concat_arrays(
                 [lab.column("node").combine_chunks(), peer]
@@ -83,6 +87,9 @@ def _bucket_join(g: pa.Table) -> pa.Table:
                 [lab.column("lbl").combine_chunks(), peer_lbl]
             ),
         }
+    )
+    return cand.group_by("node").aggregate([("cand", "min")]).rename_columns(
+        ["node", "cand"]
     )
 
 
