@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # -- oracled via SQL derivation / bound predicates --------------------
     out["conversation_features"] = _conversation_features
+    out["truncate_conversations_transcripts"] = _truncate_conversations
     out["grouped_quantile_price_by_flag"] = _grouped_quantile_by_flag
     out["profile_events"] = _profile_events
     out["near_dup_pairs_documents"] = _near_dup_pairs
@@ -1537,6 +1538,29 @@ def _conversation_features(sf_dir: str):
     return tp.conversation_features(tp.transcripts_from_documents(docs))
 
 
+def _truncate_conversations(sf_dir: str):
+    """Context-window truncation over the deterministic transcript table:
+    keep each conversation's maximal turn SUFFIX fitting a 96-token budget
+    (exact SQL: descending running SUM over re-derived 12-word chunks)."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tp.truncate_conversations(tp.transcripts_from_documents(docs), 96)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+                "role": t.column("role"),
+                "text": t.column("text"),
+                "suffix_tokens": t.column("suffix_tokens"),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -1925,6 +1949,27 @@ def oracle_sql() -> dict[str, str]:
             "ELSE COALESCE(string_agg(CASE WHEN keep THEN line END, ' ' "
             "ORDER BY line_idx), '') END AS text "
             "FROM m GROUP BY doc_id"
+        ),
+        "truncate_conversations_transcripts": (
+            # re-derive the documents→transcripts explosion (12-word chunks,
+            # alternating roles) and apply the suffix-budget window: keep
+            # turns whose descending running token total fits 96
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, "
+            "CAST(i AS BIGINT) AS turn_idx, "
+            "CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "tok AS (SELECT *, len(regexp_extract_all(text, '\\S+')) AS ntok "
+            "FROM turn), "
+            "rc AS (SELECT conv_id, turn_idx, role, text, "
+            "CAST(SUM(ntok) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+            "DESC) AS BIGINT) AS suffix_tokens FROM tok) "
+            "SELECT conv_id, turn_idx, role, text, suffix_tokens FROM rc "
+            "WHERE suffix_tokens <= 96"
         ),
         "conversation_features": (
             # re-derive the deterministic documents→transcripts explosion in

@@ -874,3 +874,87 @@ def quality_report(ds):
     check = check.has_completeness("text", lambda v: v > 0.9)
     scored = score_turns(ds)
     return VerificationSuite().on_data(scored).add_check(check).run()
+
+
+def truncate_conversations(ds, max_tokens: int, *, conv_col: str = "conv_id",
+                           idx_col: str = "turn_idx", text_col: str = "text"):
+    """Context-window truncation: per conversation, keep the maximal SUFFIX
+    of turns (highest ``turn_idx``) whose total whitespace-token count fits
+    ``max_tokens`` — the standard "keep the most recent context" trim run
+    before packing multi-turn transcripts into fixed training sequences.
+
+    Exact SQL semantics::
+
+        SUM(n_tok) OVER (PARTITION BY conv ORDER BY turn_idx DESC) <= budget
+
+    so a single turn longer than the budget is dropped together with every
+    turn before it (its running suffix total already exceeds the budget).
+
+    Same discipline as :func:`~hooqu_ray.pipelines.windows.running_agg`:
+    ONE distributed range sort on ``(conv, -turn_idx)``, a fully vectorized
+    per-block padded-cumsum pass (``_running_block``), and a
+    ``groupby(conv)`` boundary merge that touches only each block's
+    first/last conversation — O(#blocks) merge groups, not O(#convs).
+    Rows with a null conv id or turn idx are dropped; ``n_tok`` counts
+    ``\\S+`` runs (``textstats.TOKEN_PATTERN``), nulls count 0.
+
+    Returns the input columns plus ``suffix_tokens`` (the running
+    suffix-token total including the row itself, int64).  Scale note: the
+    sort moves the turn text once (range sort streams + spills).  At
+    extreme scale a slimmer plan projects ``(conv, idx, n_tok)`` only,
+    derives one cutoff row per conversation, and stamps it back with the
+    size-gated broadcast/hash join used by ``relational.cohort_retention``
+    — half the data movement, at the cost of a join; not needed below
+    ~10^11 turns."""
+    from .textstats import TOKEN_PATTERN
+    from .windows import _MergeBoundaryRunning, _running_block
+
+    if max_tokens < 0:
+        raise ValueError(f"truncate_conversations: max_tokens must be >= 0,"
+                         f" got {max_tokens}")
+
+    def attach(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t.column(conv_col)),
+                       pc.is_valid(t.column(idx_col)))
+        t = t.filter(mask)
+        ntok = pc.cast(
+            pc.fill_null(
+                pc.count_substring_regex(t.column(text_col),
+                                         pattern=TOKEN_PATTERN), 0),
+            pa.float64())
+        neg = pc.negate_checked(pc.cast(t.column(idx_col), pa.int64()))
+        return t.append_column("__ntok", ntok).append_column("__negidx", neg)
+
+    sorted_ds = (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .sort([conv_col, "__negidx"])
+        .materialize()  # shared by the finals and pending block passes
+    )
+    out_schema = pa.schema(
+        [f for f in sorted_ds.schema().base_schema
+         if f.name not in ("__ntok", "__negidx")]
+        + [pa.field("suffix_tokens", pa.int64())]
+    )
+    finals = sorted_ds.map_batches(
+        lambda t: _running_block(t, conv_col, "__ntok", "finals"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pend = sorted_ds.map_batches(
+        lambda t: _running_block(t, conv_col, "__ntok", "pend"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    merge = _MergeBoundaryRunning("__negidx", idx_col, "__ntok")
+    merged = pend.groupby(conv_col).map_groups(
+        lambda g, _m=merge: _m(g), batch_format="pyarrow"
+    )
+
+    def trim(t: pa.Table) -> pa.Table:
+        if "run_sum" not in t.column_names:  # schema-less empty block
+            return out_schema.empty_table()
+        t = t.filter(pc.less_equal(t.column("run_sum"),
+                                   pa.scalar(float(max_tokens))))
+        suffix = pc.cast(t.column("run_sum"), pa.int64())
+        return t.drop_columns(["__negidx", "run_sum", "run_n"]).append_column(
+            "suffix_tokens", suffix).select(out_schema.names)
+
+    return finals.union(merged).map_batches(trim, batch_format="pyarrow")

@@ -281,3 +281,81 @@ def test_mega_conversation_salted_branch(ray_session, monkeypatch):
     )
     assert agg["conv-mega"] == n_mega  # every turn kept, conv kept
     assert agg["conv-junk"] == 0       # junk turns dropped -> conv dropped
+
+
+class TestTruncateConversations:
+    """Context-window suffix truncation: exact descending-running-SUM
+    semantics vs a pandas re-derivation, plus edge cases."""
+
+    @staticmethod
+    def _run(rows, budget, **kw):
+        import pyarrow as pa
+        import ray.data as rd
+
+        cols = {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+        ds = rd.from_arrow(pa.table(cols)).repartition(3)
+        out = tp.truncate_conversations(ds, budget, **kw)
+        import pandas as pd
+
+        got = out.to_pandas()
+        return got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    @staticmethod
+    def _oracle(rows, budget):
+        import pandas as pd
+
+        df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+        df = df.dropna(subset=["conv_id", "turn_idx"])
+        df["ntok"] = df["text"].fillna("").str.split().str.len()
+        df = df.sort_values(["conv_id", "turn_idx"],
+                            ascending=[True, False])
+        df["suffix_tokens"] = df.groupby("conv_id")["ntok"].cumsum()
+        df = df[df["suffix_tokens"] <= budget].drop(columns=["ntok"])
+        return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    def test_matches_pandas_window(self, ray_session):
+        import pandas as pd
+
+        rows = []
+        rng = np.random.RandomState(7)
+        for c in range(20):
+            for i in range(rng.randint(1, 12)):
+                ntok = int(rng.randint(0, 9))
+                rows.append((f"c{c:03d}", i, " ".join(["w"] * ntok)))
+        got = self._run(rows, 20)
+        exp = self._oracle(rows, 20)
+        got["turn_idx"] = got["turn_idx"].astype("int64")
+        exp["turn_idx"] = exp["turn_idx"].astype("int64")
+        got["suffix_tokens"] = got["suffix_tokens"].astype("int64")
+        exp["suffix_tokens"] = exp["suffix_tokens"].astype("int64")
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_oversized_turn_blocks_prefix(self, ray_session):
+        # turn 2 alone exceeds the budget -> it AND turns 0..1 drop; only
+        # the suffix after it survives (exact SQL window semantics)
+        rows = [("c", 0, "a b"), ("c", 1, "a"), ("c", 2, " ".join(["x"] * 50)),
+                ("c", 3, "a b c"), ("c", 4, "d")]
+        got = self._run(rows, 10)
+        assert got["turn_idx"].tolist() == [3, 4]
+        assert got["suffix_tokens"].tolist() == [4, 1]
+
+    def test_null_and_empty_text(self, ray_session):
+        rows = [("c", 0, None), ("c", 1, ""), ("c", 2, "one two")]
+        got = self._run(rows, 2)
+        # null/empty turns cost 0 tokens and are kept within the suffix
+        assert got["turn_idx"].tolist() == [0, 1, 2]
+
+    def test_null_conv_dropped_budget_zero(self, ray_session):
+        rows = [(None, 0, "a"), ("c", 0, "a"), ("c", 1, "")]
+        got = self._run(rows, 0)
+        # budget 0: only zero-token suffixes survive; null conv dropped
+        assert got["conv_id"].tolist() == ["c"]
+        assert got["turn_idx"].tolist() == [1]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._run(rows, -1)
