@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- oracled via SQL derivation / bound predicates --------------------
     out["conversation_features"] = _conversation_features
     out["truncate_conversations_transcripts"] = _truncate_conversations
+    out["boilerplate_turns_transcripts"] = _boilerplate_turns
     out["grouped_quantile_price_by_flag"] = _grouped_quantile_by_flag
     out["profile_events"] = _profile_events
     out["near_dup_pairs_documents"] = _near_dup_pairs
@@ -1561,6 +1562,29 @@ def _truncate_conversations(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def _boilerplate_turns(sf_dir: str):
+    """Cross-conversation boilerplate removal over the deterministic
+    transcript table: drop every turn whose exact text (>= 10 chars)
+    appears in >= 2 distinct conversations."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tp.drop_boilerplate_turns(
+        tp.transcripts_from_documents(docs), min_convs=2)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+                "role": t.column("role"),
+                "text": t.column("text"),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -1949,6 +1973,23 @@ def oracle_sql() -> dict[str, str]:
             "ELSE COALESCE(string_agg(CASE WHEN keep THEN line END, ' ' "
             "ORDER BY line_idx), '') END AS text "
             "FROM m GROUP BY doc_id"
+        ),
+        "boilerplate_turns_transcripts": (
+            # re-derive the transcript explosion and remove every turn whose
+            # exact text (>= 10 chars) spans >= 2 distinct conversations
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, "
+            "CAST(i AS BIGINT) AS turn_idx, "
+            "CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "hot AS (SELECT text FROM turn WHERE length(text) >= 10 "
+            "GROUP BY text HAVING count(DISTINCT conv_id) >= 2) "
+            "SELECT conv_id, turn_idx, role, text FROM turn "
+            "WHERE text NOT IN (SELECT text FROM hot)"
         ),
         "truncate_conversations_transcripts": (
             # re-derive the documents→transcripts explosion (12-word chunks,

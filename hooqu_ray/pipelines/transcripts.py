@@ -958,3 +958,73 @@ def truncate_conversations(ds, max_tokens: int, *, conv_col: str = "conv_id",
             "suffix_tokens", suffix).select(out_schema.names)
 
     return finals.union(merged).map_batches(trim, batch_format="pyarrow")
+
+
+def drop_boilerplate_turns(ds, min_convs: int = 2, *, conv_col: str = "conv_id",
+                           text_col: str = "text", min_chars: int = 10,
+                           rows_per_shard: int = 4_000_000):
+    """Cross-conversation boilerplate-turn removal: every turn whose exact
+    text (of at least ``min_chars`` characters) appears in at least
+    ``min_convs`` DISTINCT conversations is dropped from ALL of them —
+    templated greetings, canned tool banners, repeated system blurbs (the
+    turn-granularity analogue of ``dedup.line_filter_frequent``, which
+    counts occurrences; this counts conversations, so a text repeated many
+    times inside ONE conversation is not boilerplate).
+
+    Scale shape: a slim ``(text_hash, conv_id)`` projection (63-bit polars
+    content hash — turn text never shuffles) is block-deduped and counted
+    with :func:`~hooqu_ray.pipelines.relational.grouped_count_distinct`
+    (two slim pair shuffles); the hot-hash set — O(#boilerplate texts),
+    far smaller than the corpus — collects in hash-range shards
+    (``util.sharded_value_refs``) and the filter pass chains one broadcast
+    NOT-IN probe per shard.  Turns shorter than ``min_chars`` (or with a
+    null text/conv) are never candidates and always survive: they take the
+    ``-1`` sentinel hash, which the 63-bit (non-negative) hot set cannot
+    contain, and the NOT-IN probe keeps them."""
+    from .dedup import _text_hash63
+    from .relational import grouped_count_distinct
+    from ..util import BroadcastIsInFilter, sharded_value_refs
+
+    if min_convs < 1:
+        raise ValueError(
+            f"drop_boilerplate_turns: min_convs must be >= 1, got {min_convs}")
+
+    def _eligible_mask(t: pa.Table):
+        ln = pc.fill_null(pc.utf8_length(t.column(text_col)), 0)
+        return pc.and_(pc.greater_equal(ln, pa.scalar(min_chars)),
+                       pc.is_valid(t.column(conv_col)))
+
+    def pair_proj(t: pa.Table) -> pa.Table:
+        t = t.filter(_eligible_mask(t))
+        return pa.table({
+            "__th": pa.array(_text_hash63(t.column(text_col)), pa.int64()),
+            conv_col: t.column(conv_col),
+        })
+
+    counts = grouped_count_distinct(
+        ds.map_batches(pair_proj, batch_format="pyarrow"), "__th", conv_col)
+
+    def hot_only(t: pa.Table) -> pa.Table:
+        if "n_distinct" not in t.column_names:  # schema-less empty block
+            return pa.table({"__th": pa.array([], pa.int64())})
+        return t.filter(
+            pc.greater_equal(t.column("n_distinct"), pa.scalar(min_convs))
+        ).select(["__th"])
+
+    refs = sharded_value_refs(
+        counts.map_batches(hot_only, batch_format="pyarrow"),
+        "__th", rows_per_shard)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = np.asarray(_text_hash63(t.column(text_col)))
+        elig = _eligible_mask(t).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__th", pa.array(np.where(elig, h, np.int64(-1)), pa.int64()))
+
+    out = ds.map_batches(add_hash, batch_format="pyarrow")
+    for ref in refs:
+        out = out.map_batches(
+            BroadcastIsInFilter(ref, "__th", invert=True),
+            batch_format="pyarrow")
+    return out.map_batches(lambda t: t.drop_columns(["__th"]),
+                           batch_format="pyarrow")

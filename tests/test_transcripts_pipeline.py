@@ -359,3 +359,63 @@ class TestTruncateConversations:
 
         with _pytest.raises(ValueError):
             self._run(rows, -1)
+
+
+class TestDropBoilerplateTurns:
+    """Distinct-conversation counting semantics + sentinel/shard edges."""
+
+    @staticmethod
+    def _run(rows, **kw):
+        import pyarrow as pa
+        import ray.data as rd
+
+        cols = {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+        ds = rd.from_arrow(pa.table(cols)).repartition(3)
+        got = tp.drop_boilerplate_turns(ds, **kw).to_pandas()
+        return got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    def test_distinct_convs_not_occurrences(self, ray_session):
+        # "the same banner here" repeats 3x inside conv a (NOT boilerplate:
+        # one conversation) but "shared canned greeting!" spans a and b
+        rows = [
+            ("a", 0, "the same banner here"), ("a", 1, "the same banner here"),
+            ("a", 2, "the same banner here"), ("a", 3, "shared canned greeting!"),
+            ("b", 0, "shared canned greeting!"), ("b", 1, "unique content b"),
+        ]
+        got = self._run(rows, min_convs=2)
+        assert got[got.conv_id == "a"]["turn_idx"].tolist() == [0, 1, 2]
+        assert got[got.conv_id == "b"]["turn_idx"].tolist() == [1]
+
+    def test_short_null_and_nullconv_survive(self, ray_session):
+        # texts under min_chars (even cross-conv) and null texts are never
+        # candidates; null conv rows pass through untouched
+        rows = [("a", 0, "hi"), ("b", 0, "hi"), ("a", 1, None),
+                ("b", 1, None), (None, 0, "this crosses nothing at all")]
+        got = self._run(rows, min_convs=2, min_chars=10)
+        assert len(got) == 5
+
+    def test_forced_sharding_matches_unsharded(self, ray_session):
+        rows = []
+        for c in range(6):
+            for i in range(4):
+                # texts 0/1 span all convs (boilerplate); 2/3 are unique
+                shared = i < 2
+                txt = (f"shared boilerplate text {i}" if shared
+                       else f"unique text {c}-{i} padded out")
+                rows.append((f"c{c}", i, txt))
+        one = self._run(rows, min_convs=2)
+        many = self._run(rows, min_convs=2, rows_per_shard=1)  # >= 2 shards
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(one, many)
+        assert sorted(one["turn_idx"].unique().tolist()) == [2, 3]
+
+    def test_min_convs_validation(self, ray_session):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._run([("a", 0, "x")], min_convs=0)
