@@ -497,6 +497,20 @@ def main() -> None:
     )
     queries["heavy_hitters"] = round(time.time() - t0, 3)
 
+    # -- transcript hygiene over the REPLICATED multi-file transcript input
+    t0 = time.time()
+    tp.truncate_conversations(rd.read_parquet(bench_input), 96).count()
+    queries["truncate_conversations"] = round(time.time() - t0, 3)
+
+    # replicate=R copies every conversation R times, so min_convs > R makes
+    # "boilerplate" = texts spanning >= 2 ORIGINAL conversations (realistic
+    # duplicated-tail rate); min_convs=2 would mark EVERY eligible text hot
+    t0 = time.time()
+    tp.drop_boilerplate_turns(
+        rd.read_parquet(bench_input), min_convs=max(2, replicate + 1)
+    ).count()
+    queries["boilerplate_turns"] = round(time.time() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "end-to-end transcript filter+scrub wall time "

@@ -960,6 +960,38 @@ def truncate_conversations(ds, max_tokens: int, *, conv_col: str = "conv_id",
     return finals.union(merged).map_batches(trim, batch_format="pyarrow")
 
 
+class _IsInAnyShard:
+    """``map_batches`` stage keeping rows whose ``col`` is in ANY of the
+    broadcast hash-range shards (OR of per-shard membership masks — the
+    IN-probe counterpart of chaining ``BroadcastIsInFilter(invert=True)``,
+    which ANDs NOT-IN masks).  Shard arrays are plasma-shared zero-copy
+    reads cached once per actor/worker process."""
+
+    def __init__(self, refs, col: str):
+        self.refs = refs
+        self.col = col
+        self._vals = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..util import isin_mask
+
+        if self._vals is None:
+            import ray
+
+            self._vals = [r if isinstance(r, pa.Array) else ray.get(r)
+                          for r in self.refs]
+        col = t.column(self.col)
+        mask = None
+        for v in self._vals:
+            m = isin_mask(col, v)
+            mask = m if mask is None else pc.or_(mask, m)
+        return t.filter(mask)
+
+
+def _union_shard_members(ds, refs, col: str):
+    return ds.map_batches(_IsInAnyShard(refs, col), batch_format="pyarrow")
+
+
 def drop_boilerplate_turns(ds, min_convs: int = 2, *, conv_col: str = "conv_id",
                            text_col: str = "text", min_chars: int = 10,
                            rows_per_shard: int = 4_000_000):
@@ -971,16 +1003,29 @@ def drop_boilerplate_turns(ds, min_convs: int = 2, *, conv_col: str = "conv_id",
     counts occurrences; this counts conversations, so a text repeated many
     times inside ONE conversation is not boilerplate).
 
-    Scale shape: a slim ``(text_hash, conv_id)`` projection (63-bit polars
-    content hash — turn text never shuffles) is block-deduped and counted
-    with :func:`~hooqu_ray.pipelines.relational.grouped_count_distinct`
-    (two slim pair shuffles); the hot-hash set — O(#boilerplate texts),
-    far smaller than the corpus — collects in hash-range shards
-    (``util.sharded_value_refs``) and the filter pass chains one broadcast
-    NOT-IN probe per shard.  Turns shorter than ``min_chars`` (or with a
-    null text/conv) are never candidates and always survive: they take the
-    ``-1`` sentinel hash, which the 63-bit (non-negative) hot set cannot
-    contain, and the NOT-IN probe keeps them."""
+    Scale shape, cheapest-pass-first (turn text never shuffles):
+
+    1. OCCURRENCE prefilter: a text cannot span ``min_convs`` conversations
+       with fewer than ``min_convs`` total occurrences, so a per-block
+       ``value_counts`` combiner + one ``groupby(hash).sum`` over slim
+       ``(int64, int64)`` rows yields a conservative CANDIDATE hash set —
+       O(#duplicated texts), which on a typical corpus (most turn texts
+       unique) prunes the expensive distinct-conversation pass to the
+       duplicated tail, and skips it entirely when no text repeats.
+    2. Candidate-only ``(text_hash, conv_id)`` pairs are block-deduped and
+       counted with
+       :func:`~hooqu_ray.pipelines.relational.grouped_count_distinct`.
+    3. The hot-hash set — O(#boilerplate texts) — collects in hash-range
+       shards (``util.sharded_value_refs``) and the filter pass chains one
+       broadcast NOT-IN probe per shard.
+
+    The prefilter trades one extra pruned streaming read of the text
+    column for a much smaller pair shuffle — the same read-again-rather-
+    than-shuffle trade ``dedup.exact_dedup`` documents.  Turns shorter
+    than ``min_chars`` (or with a null text/conv) are never candidates and
+    always survive: they take the ``-1`` sentinel hash, which the 63-bit
+    (non-negative) hash sets cannot contain, and the membership probes
+    treat them accordingly."""
     from .dedup import _text_hash63
     from .relational import grouped_count_distinct
     from ..util import BroadcastIsInFilter, sharded_value_refs
@@ -994,6 +1039,28 @@ def drop_boilerplate_turns(ds, min_convs: int = 2, *, conv_col: str = "conv_id",
         return pc.and_(pc.greater_equal(ln, pa.scalar(min_chars)),
                        pc.is_valid(t.column(conv_col)))
 
+    def occ_partials(t: pa.Table) -> pa.Table:
+        t = t.filter(_eligible_mask(t))
+        vc = pa.array(_text_hash63(t.column(text_col)), pa.int64()).value_counts()
+        return pa.table({"__th": vc.field("values"),
+                         "__n": pc.cast(vc.field("counts"), pa.int64())})
+
+    occ = (
+        ds.map_batches(occ_partials, batch_format="pyarrow")
+        .groupby("__th").sum("__n")
+    )
+
+    def cand_only(t: pa.Table) -> pa.Table:
+        if "sum(__n)" not in t.column_names:  # schema-less empty block
+            return pa.table({"__th": pa.array([], pa.int64())})
+        return t.filter(
+            pc.greater_equal(t.column("sum(__n)"), pa.scalar(min_convs))
+        ).select(["__th"])
+
+    cand_refs = sharded_value_refs(
+        occ.map_batches(cand_only, batch_format="pyarrow"),
+        "__th", rows_per_shard)
+
     def pair_proj(t: pa.Table) -> pa.Table:
         t = t.filter(_eligible_mask(t))
         return pa.table({
@@ -1001,8 +1068,19 @@ def drop_boilerplate_turns(ds, min_convs: int = 2, *, conv_col: str = "conv_id",
             conv_col: t.column(conv_col),
         })
 
-    counts = grouped_count_distinct(
-        ds.map_batches(pair_proj, batch_format="pyarrow"), "__th", conv_col)
+    pairs = ds.map_batches(pair_proj, batch_format="pyarrow")
+    if not cand_refs:  # nothing repeats >= min_convs times anywhere
+        return ds
+    # keep only candidate hashes: each chained IN-probe keeps one shard's
+    # members, so the UNION of shards needs a keep-any OR — emulate it by
+    # filtering per shard and unioning (a value lives in exactly one shard)
+    if len(cand_refs) == 1:
+        pairs = pairs.map_batches(
+            BroadcastIsInFilter(cand_refs[0], "__th"), batch_format="pyarrow")
+    else:
+        pairs = _union_shard_members(pairs, cand_refs, "__th")
+
+    counts = grouped_count_distinct(pairs, "__th", conv_col)
 
     def hot_only(t: pa.Table) -> pa.Table:
         if "n_distinct" not in t.column_names:  # schema-less empty block
