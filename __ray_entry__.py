@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["conversation_features"] = _conversation_features
     out["truncate_conversations_transcripts"] = _truncate_conversations
     out["boilerplate_turns_transcripts"] = _boilerplate_turns
+    out["merge_turns_transcripts"] = _merge_turns
     out["grouped_quantile_price_by_flag"] = _grouped_quantile_by_flag
     out["profile_events"] = _profile_events
     out["near_dup_pairs_documents"] = _near_dup_pairs
@@ -1585,6 +1586,40 @@ def _boilerplate_turns(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def _merge_turns(sf_dir: str):
+    """Alternation normalization: merge consecutive same-role turns.  The
+    synthetic transcripts alternate strictly, so roles are re-derived as
+    ``turn_idx % 3`` (user, assistant, assistant, ...) on BOTH sides to
+    exercise real multi-turn runs."""
+    import numpy as np
+
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def reroll(t: pa.Table) -> pa.Table:
+        mod = np.asarray(t.column("turn_idx"), dtype=np.int64) % 3
+        role = pa.array(np.where(mod == 0, "user", "assistant"), pa.string())
+        return t.set_column(t.schema.get_field_index("role"), "role", role)
+
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        reroll, batch_format="pyarrow")
+    out = tp.merge_consecutive_turns(tr, ts_col=None)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+                "role": t.column("role"),
+                "text": t.column("text"),
+                "n_merged": t.column("n_merged"),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -1973,6 +2008,30 @@ def oracle_sql() -> dict[str, str]:
             "ELSE COALESCE(string_agg(CASE WHEN keep THEN line END, ' ' "
             "ORDER BY line_idx), '') END AS text "
             "FROM m GROUP BY doc_id"
+        ),
+        "merge_turns_transcripts": (
+            # re-derive transcripts with turn_idx%3 roles, then the segment
+            # window: a segment breaks where the lagged role differs; merge
+            # each segment (first idx/role, texts joined by \n, run length)
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, "
+            "CAST(i AS BIGINT) AS turn_idx, "
+            "CASE WHEN i % 3 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "l AS (SELECT *, CASE WHEN lag(role) OVER (PARTITION BY conv_id "
+            "ORDER BY turn_idx) IS DISTINCT FROM role THEN 1 ELSE 0 END AS "
+            "brk FROM turn), "
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY conv_id ORDER BY "
+            "turn_idx) AS seg FROM l) "
+            "SELECT conv_id, CAST(MIN(turn_idx) AS BIGINT) AS turn_idx, "
+            "MIN(role) AS role, "
+            "string_agg(COALESCE(text, ''), chr(10) ORDER BY turn_idx) AS text, "
+            "CAST(COUNT(*) AS BIGINT) AS n_merged "
+            "FROM s GROUP BY conv_id, seg"
         ),
         "boilerplate_turns_transcripts": (
             # re-derive the transcript explosion and remove every turn whose

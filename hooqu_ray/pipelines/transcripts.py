@@ -1106,3 +1106,118 @@ def drop_boilerplate_turns(ds, min_convs: int = 2, *, conv_col: str = "conv_id",
             batch_format="pyarrow")
     return out.map_batches(lambda t: t.drop_columns(["__th"]),
                            batch_format="pyarrow")
+
+
+def _merge_runs_table(t: pa.Table, conv_col: str, idx_col: str, role_col: str,
+                      text_col: str, ts_col, sep: str) -> pa.Table:
+    """Vectorized same-role run merge over a (conv, idx)-sorted table: run
+    detection via dictionary codes (null role == null role -> same run),
+    per-run text join through a zero-copy ListArray + ``binary_join``,
+    first idx/role/ts per run, summed ``n_merged``.  Works for raw turns
+    (``n_merged`` absent -> counts rows) and for re-merging partially
+    merged segments (``n_merged`` present -> sums)."""
+    n = len(t)
+    if n == 0:
+        cols = {
+            conv_col: t.column(conv_col) if conv_col in t.column_names
+            else pa.array([], pa.string()),
+            idx_col: pa.array([], pa.int64()),
+            role_col: pa.array([], pa.string()),
+            text_col: pa.array([], pa.string()),
+            "n_merged": pa.array([], pa.int64()),
+        }
+        if ts_col:
+            cols[ts_col] = pa.array([], pa.timestamp("us"))
+        return pa.table(cols)
+
+    def codes(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = col.dictionary_encode()
+        idx = enc.indices
+        return np.asarray(pc.fill_null(idx, -1), dtype=np.int64)
+
+    cc = codes(t.column(conv_col))
+    rc = codes(t.column(role_col))
+    brk = np.r_[True, (cc[1:] != cc[:-1]) | (rc[1:] != rc[:-1])]
+    starts = np.flatnonzero(brk)
+    offsets = pa.array(np.r_[starts, n].astype(np.int32))
+    text = t.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(offsets, pc.fill_null(text, "")), sep)
+    if "n_merged" in t.column_names:
+        cnt = np.asarray(t.column("n_merged"), dtype=np.int64)
+        merged_n = np.add.reduceat(cnt, starts)
+    else:
+        merged_n = np.diff(np.r_[starts, n])
+    first = pa.array(starts.astype(np.int64))
+    cols = {
+        conv_col: t.column(conv_col).take(first),
+        idx_col: pc.cast(t.column(idx_col).take(first), pa.int64()),
+        role_col: t.column(role_col).take(first),
+        text_col: joined,
+        "n_merged": pa.array(merged_n, pa.int64()),
+    }
+    if ts_col:
+        cols[ts_col] = t.column(ts_col).take(first)
+    return pa.table(cols)
+
+
+def merge_consecutive_turns(ds, *, conv_col: str = "conv_id",
+                            idx_col: str = "turn_idx", role_col: str = "role",
+                            text_col: str = "text",
+                            ts_col: Optional[str] = "ts", sep: str = "\n"):
+    """Merge each run of CONSECUTIVE same-role turns within a conversation
+    into one turn — the alternation-normalization pass run before training
+    on role-structured transcripts (repeated assistant tool steps, split
+    user messages).  Output per run: the first turn's ``turn_idx`` /
+    ``role`` / ``ts``, the run's texts joined with ``sep`` (nulls join as
+    ``''``), and ``n_merged`` (run length).  A null role equals a null
+    role (they form one run); rows with a null conv or idx are dropped.
+
+    Same discipline as :func:`truncate_conversations`: one distributed
+    range sort on ``(conv, idx)``, a fully vectorized per-block run merge
+    (dictionary-code break detection, zero-copy ListArray text join), and
+    a ``groupby(conv)`` boundary repair for each block's first/last
+    conversation — whose partially merged segments re-enter the SAME
+    vectorized kernel (``n_merged`` sums), so a conversation spanning many
+    blocks costs one slim re-merge, never per-row Python."""
+    proj = [conv_col, idx_col, role_col, text_col] + ([ts_col] if ts_col else [])
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t.column(conv_col)),
+                       pc.is_valid(t.column(idx_col)))
+        return t.select(proj).filter(mask)
+
+    sorted_ds = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .sort([conv_col, idx_col])
+        .materialize()  # shared by the finals and pending passes
+    )
+
+    def block_pass(t: pa.Table, emit: str) -> pa.Table:
+        merged = _merge_runs_table(t, conv_col, idx_col, role_col, text_col,
+                                   ts_col, sep)
+        if len(t) == 0:
+            return merged
+        keys = merged.column(conv_col)
+        pending = pc.or_(pc.equal(keys, keys[0]), pc.equal(keys, keys[-1]))
+        return merged.filter(pending if emit == "pend" else pc.invert(pending))
+
+    finals = sorted_ds.map_batches(
+        lambda t: block_pass(t, "finals"), batch_format="pyarrow",
+        batch_size=None)
+    pend = sorted_ds.map_batches(
+        lambda t: block_pass(t, "pend"), batch_format="pyarrow",
+        batch_size=None)
+
+    def remerge(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(idx_col, "ascending")])
+        return _merge_runs_table(g, conv_col, idx_col, role_col, text_col,
+                                 ts_col, sep)
+
+    merged = pend.groupby(conv_col).map_groups(
+        lambda g: remerge(g), batch_format="pyarrow")
+    return finals.union(merged)

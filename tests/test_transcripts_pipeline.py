@@ -419,3 +419,54 @@ class TestDropBoilerplateTurns:
 
         with _pytest.raises(ValueError):
             self._run([("a", 0, "x")], min_convs=0)
+
+
+class TestMergeConsecutiveTurns:
+    """Run-merge semantics: null-role runs, cross-block conversations,
+    separator joins, n_merged accounting."""
+
+    @staticmethod
+    def _run(rows, n_parts=4, **kw):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "ts": pa.array([r[4] for r in rows], pa.timestamp("us")),
+        })
+        ds = rd.from_arrow(t).repartition(n_parts)
+        got = tp.merge_consecutive_turns(ds, **kw).to_pandas()
+        return got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    def test_runs_merge_with_metadata(self, ray_session):
+        rows = [
+            ("a", 0, "user", "u0", 100), ("a", 1, "assistant", "a1", 200),
+            ("a", 2, "assistant", "a2", 300), ("a", 3, "assistant", None, 400),
+            ("a", 4, "user", "u4", 500),
+            ("b", 0, None, "x0", 10), ("b", 1, None, "x1", 20),
+            ("b", 2, "user", "u2", 30), (None, 0, "user", "drop", 1),
+        ]
+        got = self._run(rows)
+        assert got["text"].tolist() == ["u0", "a1\na2\n", "u4", "x0\nx1", "u2"]
+        assert got["n_merged"].tolist() == [1, 3, 1, 2, 1]
+        assert got["turn_idx"].tolist() == [0, 1, 4, 0, 2]
+        # first turn's ts survives per run
+        assert got["ts"].astype("int64").tolist() == [100, 200, 500, 10, 30]
+
+    def test_single_run_conversation_across_blocks(self, ray_session):
+        # one conversation, one role, spread over many blocks: the boundary
+        # re-merge must collapse it into exactly ONE row
+        rows = [("mono", i, "assistant", f"t{i}", i) for i in range(40)]
+        got = self._run(rows, n_parts=8)
+        assert len(got) == 1
+        assert got["n_merged"].iloc[0] == 40
+        assert got["text"].iloc[0] == "\n".join(f"t{i}" for i in range(40))
+
+    def test_custom_separator_no_ts(self, ray_session):
+        rows = [("a", 0, "u", "x", 1), ("a", 1, "u", "y", 2)]
+        got = self._run(rows, sep=" | ", ts_col=None)
+        assert got["text"].tolist() == ["x | y"]
+        assert "ts" not in got.columns
