@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["truncate_conversations_transcripts"] = _truncate_conversations
     out["boilerplate_turns_transcripts"] = _boilerplate_turns
     out["merge_turns_transcripts"] = _merge_turns
+    out["training_examples_transcripts"] = _training_examples
     out["grouped_quantile_price_by_flag"] = _grouped_quantile_by_flag
     out["profile_events"] = _profile_events
     out["near_dup_pairs_documents"] = _near_dup_pairs
@@ -1620,6 +1621,16 @@ def _merge_turns(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def _training_examples(sf_dir: str):
+    """SFT example extraction: one (prompt, target) pair per assistant turn
+    with budget-bounded preceding context (48 tokens incl. the target)."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tp.extract_training_examples(
+        tp.transcripts_from_documents(docs), 48)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -2008,6 +2019,33 @@ def oracle_sql() -> dict[str, str]:
             "ELSE COALESCE(string_agg(CASE WHEN keep THEN line END, ' ' "
             "ORDER BY line_idx), '') END AS text "
             "FROM m GROUP BY doc_id"
+        ),
+        "training_examples_transcripts": (
+            # one example per assistant turn; prompt = maximal preceding run
+            # with prompt+target <= 48 tokens (self-join on running sums; a
+            # target alone over budget joins nothing and drops)
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, "
+            "CAST(i AS BIGINT) AS turn_idx, "
+            "CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "tok AS (SELECT *, len(regexp_extract_all(text, '\\S+')) AS ntok "
+            "FROM turn), "
+            "rc AS (SELECT *, SUM(ntok) OVER (PARTITION BY conv_id ORDER BY "
+            "turn_idx) AS c FROM tok) "
+            "SELECT a.conv_id, a.turn_idx, "
+            "COALESCE(string_agg(CASE WHEN b.turn_idx < a.turn_idx THEN "
+            "b.text END, chr(10) ORDER BY b.turn_idx), '') AS prompt, "
+            "ANY_VALUE(a.text) AS target, "
+            "CAST(COUNT(*) - 1 AS BIGINT) AS n_context_turns, "
+            "CAST(SUM(b.ntok) AS BIGINT) AS n_tokens "
+            "FROM rc a JOIN rc b ON a.conv_id = b.conv_id "
+            "AND b.turn_idx <= a.turn_idx AND a.c - b.c + b.ntok <= 48 "
+            "WHERE a.role = 'assistant' GROUP BY a.conv_id, a.turn_idx"
         ),
         "merge_turns_transcripts": (
             # re-derive transcripts with turn_idx%3 roles, then the segment

@@ -1221,3 +1221,140 @@ def merge_consecutive_turns(ds, *, conv_col: str = "conv_id",
     merged = pend.groupby(conv_col).map_groups(
         lambda g: remerge(g), batch_format="pyarrow")
     return finals.union(merged)
+
+
+def _context_examples_table(t: pa.Table, conv_col: str, idx_col: str,
+                            role_col: str, text_col: str, target_role: str,
+                            max_tokens: int, sep: str) -> pa.Table:
+    """Vectorized SFT-example extraction over a (conv, idx)-sorted table:
+    one row per ``target_role`` turn whose own token count fits
+    ``max_tokens``; its prompt is the maximal contiguous run of preceding
+    same-conversation turns such that prompt + target stays within the
+    budget.  Window starts come from ONE ``np.searchsorted`` over the
+    padded global token cumsum (monotone, so per-target binary search
+    needs no per-conv loop); prompt joins materialize through a gather
+    index + ListArray + ``binary_join`` — output-sized, never per-row
+    Python."""
+    from .textstats import TOKEN_PATTERN
+
+    empty = pa.table({
+        conv_col: pa.array([], pa.string()),
+        idx_col: pa.array([], pa.int64()),
+        "prompt": pa.array([], pa.string()),
+        "target": pa.array([], pa.string()),
+        "n_context_turns": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+    })
+    n = len(t)
+    if n == 0:
+        return empty
+    text = t.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    ntok = np.asarray(
+        pc.cast(pc.count_substring_regex(text, pattern=TOKEN_PATTERN),
+                pa.int64()))
+    conv = t.column(conv_col)
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    cc = np.asarray(pc.fill_null(conv.dictionary_encode().indices, -1),
+                    dtype=np.int64)
+    new_conv = np.r_[True, cc[1:] != cc[:-1]]
+    run_start = np.flatnonzero(new_conv)[np.cumsum(new_conv) - 1]
+    cs = np.r_[0, np.cumsum(ntok)]  # cs[j] = tokens before row j
+
+    role = t.column(role_col)
+    if isinstance(role, pa.ChunkedArray):
+        role = role.combine_chunks()
+    is_target = pc.fill_null(pc.equal(role, pa.scalar(target_role)),
+                             False).to_numpy(zero_copy_only=False)
+    tgt = np.flatnonzero(is_target & (ntok <= max_tokens))
+    if tgt.size == 0:
+        return empty
+    # first j with cs[j] >= cs[i+1] - budget, clamped into the target's conv
+    lo = np.searchsorted(cs, cs[tgt + 1] - max_tokens, side="left")
+    lo = np.maximum(lo, run_start[tgt])
+    ctx_len = tgt - lo
+    total = int(ctx_len.sum())
+    cum0 = np.r_[0, np.cumsum(ctx_len)[:-1]]
+    gather = (np.arange(total, dtype=np.int64)
+              - np.repeat(cum0, ctx_len) + np.repeat(lo, ctx_len))
+    prompts = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(np.r_[cum0, total].astype(np.int32)),
+            text.take(pa.array(gather))),
+        sep)
+    tgt_pa = pa.array(tgt)
+    return pa.table({
+        conv_col: conv.take(tgt_pa),
+        idx_col: pc.cast(t.column(idx_col).take(tgt_pa), pa.int64()),
+        "prompt": prompts,
+        "target": text.take(tgt_pa),
+        "n_context_turns": pa.array(ctx_len, pa.int64()),
+        "n_tokens": pa.array(
+            (cs[tgt + 1] - cs[lo]).astype(np.int64), pa.int64()),
+    })
+
+
+def extract_training_examples(ds, max_tokens: int, *,
+                              target_role: str = "assistant",
+                              conv_col: str = "conv_id",
+                              idx_col: str = "turn_idx",
+                              role_col: str = "role",
+                              text_col: str = "text", sep: str = "\n"):
+    """Turn transcripts into supervised (prompt, target) pairs: one example
+    per ``target_role`` turn, its prompt the maximal run of immediately
+    preceding same-conversation turns such that prompt + target fits
+    ``max_tokens`` whitespace tokens — the extraction step between corpus
+    hygiene and sequence packing.  Targets whose own token count exceeds
+    the budget are dropped (SQL inner-join semantics); a target whose
+    context is fully squeezed out keeps an empty prompt.  Null texts count
+    0 tokens and join as ``''``; rows with a null conv or idx are dropped.
+
+    Output blows up to the sum of window lengths by design (that is what
+    SFT extraction produces); everything else follows the
+    :func:`truncate_conversations` discipline — one range sort on
+    ``(conv, idx)``, a vectorized per-block kernel, and a ``groupby(conv)``
+    boundary repair for each block's first/last conversation through the
+    SAME kernel."""
+    if max_tokens < 0:
+        raise ValueError(
+            f"extract_training_examples: max_tokens must be >= 0, got {max_tokens}")
+
+    proj = [conv_col, idx_col, role_col, text_col]
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t.column(conv_col)),
+                       pc.is_valid(t.column(idx_col)))
+        return t.select(proj).filter(mask)
+
+    sorted_ds = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .sort([conv_col, idx_col])
+        .materialize()
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        return _context_examples_table(t, conv_col, idx_col, role_col,
+                                       text_col, target_role, max_tokens, sep)
+
+    def block_pass(t: pa.Table, emit: str) -> pa.Table:
+        if len(t) == 0:
+            return kernel(t) if emit == "finals" else t
+        keys = t.column(conv_col)
+        pending = pc.or_(pc.equal(keys, keys[0]), pc.equal(keys, keys[-1]))
+        if emit == "pend":
+            return t.filter(pending)
+        return kernel(t.filter(pc.invert(pending)))
+
+    finals = sorted_ds.map_batches(
+        lambda t: block_pass(t, "finals"), batch_format="pyarrow",
+        batch_size=None)
+    pend = sorted_ds.map_batches(
+        lambda t: block_pass(t, "pend"), batch_format="pyarrow",
+        batch_size=None)
+    merged = pend.groupby(conv_col).map_groups(
+        lambda g: kernel(g.sort_by([(idx_col, "ascending")])),
+        batch_format="pyarrow")
+    return finals.union(merged)

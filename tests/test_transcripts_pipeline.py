@@ -470,3 +470,71 @@ class TestMergeConsecutiveTurns:
         got = self._run(rows, sep=" | ", ts_col=None)
         assert got["text"].tolist() == ["x | y"]
         assert "ts" not in got.columns
+
+
+class TestExtractTrainingExamples:
+    """Budget-bounded SFT window extraction: context clamping, over-budget
+    target drop, cross-block conversations."""
+
+    @staticmethod
+    def _run(rows, budget, n_parts=3, **kw):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        })
+        ds = rd.from_arrow(t).repartition(n_parts)
+        got = tp.extract_training_examples(ds, budget, **kw).to_pandas()
+        return got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    def test_window_clamps_to_budget_and_conv(self, ray_session):
+        rows = [
+            ("a", 0, "user", "one two three"),        # 3 tokens
+            ("a", 1, "assistant", "four five"),       # 2 tokens
+            ("a", 2, "user", "six"),                  # 1 token
+            ("a", 3, "assistant", "seven eight nine"),  # 3 tokens
+            ("b", 0, "assistant", "solo answer"),     # context empty: new conv
+        ]
+        got = self._run(rows, budget=6)
+        # a@1: ctx=turn0 (3+2=5<=6); a@3: 3 tokens target, ctx turns 1-2
+        # (2+1+3=6<=6, turn0 would make 9); b@0: no context
+        assert got["turn_idx"].tolist() == [1, 3, 0]
+        assert got["prompt"].tolist() == [
+            "one two three", "four five\nsix", ""]
+        assert got["target"].tolist() == [
+            "four five", "seven eight nine", "solo answer"]
+        assert got["n_context_turns"].tolist() == [1, 2, 0]
+        assert got["n_tokens"].tolist() == [5, 6, 2]
+
+    def test_overbudget_target_dropped_empty_prompt_kept(self, ray_session):
+        rows = [
+            ("a", 0, "user", "w w w w w"),
+            ("a", 1, "assistant", "x x x x x x"),   # 6 tokens > 5: dropped
+            ("a", 2, "assistant", "y y y y y"),     # 5 tokens: fits alone
+        ]
+        got = self._run(rows, budget=5)
+        assert got["turn_idx"].tolist() == [2]
+        assert got["prompt"].tolist() == [""]
+        assert got["n_tokens"].tolist() == [5]
+
+    def test_long_conversation_across_blocks(self, ray_session):
+        # every turn has 1 token; budget 4 -> each assistant turn takes
+        # exactly 3 context turns (after warmup), across 6 blocks
+        rows = [("long", i, "assistant" if i % 2 else "user", f"t{i}")
+                for i in range(60)]
+        got = self._run(rows, budget=4, n_parts=6)
+        odd = [i for i in range(60) if i % 2]
+        assert got["turn_idx"].tolist() == odd
+        expect_ctx = [min(i, 3) for i in odd]
+        assert got["n_context_turns"].tolist() == expect_ctx
+        assert got.loc[got.turn_idx == 7, "prompt"].iloc[0] == "t4\nt5\nt6"
+
+    def test_budget_validation(self, ray_session):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._run([("a", 0, "assistant", "x")], budget=-1)
