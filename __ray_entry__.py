@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["boilerplate_turns_transcripts"] = _boilerplate_turns
     out["merge_turns_transcripts"] = _merge_turns
     out["training_examples_transcripts"] = _training_examples
+    out["dedup_conversations_transcripts"] = _dedup_conversations
     out["grouped_quantile_price_by_flag"] = _grouped_quantile_by_flag
     out["profile_events"] = _profile_events
     out["near_dup_pairs_documents"] = _near_dup_pairs
@@ -1631,6 +1632,41 @@ def _training_examples(sf_dir: str):
         tp.transcripts_from_documents(docs), 48)
 
 
+def _dedup_conversations(sf_dir: str):
+    """Whole-conversation exact dedup.  The corpus has no natural duplicate
+    texts, so duplicates are injected deterministically on BOTH sides:
+    documents with ``doc_id % 7 = 0`` are re-added under ``doc_id + 10^7``,
+    producing conversations with identical (turn_idx, text) sequences whose
+    lexically-minimum conv id (the original) must win."""
+    import numpy as np
+
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def dup_shard(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        sub = t.filter(pa.array(ids % 7 == 0))
+        return sub.set_column(
+            sub.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(sub.column("doc_id"), pa.scalar(10_000_000)))
+
+    both = docs.union(docs.map_batches(dup_shard, batch_format="pyarrow"))
+    out = tp.dedup_conversations(tp.transcripts_from_documents(both))
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+                "role": t.column("role"),
+                "text": t.column("text"),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -2019,6 +2055,31 @@ def oracle_sql() -> dict[str, str]:
             "ELSE COALESCE(string_agg(CASE WHEN keep THEN line END, ' ' "
             "ORDER BY line_idx), '') END AS text "
             "FROM m GROUP BY doc_id"
+        ),
+        "dedup_conversations_transcripts": (
+            # inject duplicate docs (doc_id%7=0 re-added at +10^7), explode
+            # to transcripts, keep only each identical (turn_idx, text)
+            # sequence's minimum conv id
+            "WITH d AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 10000000, text FROM documents WHERE "
+            "doc_id % 7 = 0), "
+            "w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM d), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, "
+            "CAST(i AS BIGINT) AS turn_idx, "
+            "CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "sig AS (SELECT conv_id, string_agg(turn_idx || ':' || "
+            "COALESCE(text, ''), chr(31) ORDER BY turn_idx) AS s FROM turn "
+            "GROUP BY conv_id), "
+            "win AS (SELECT s, MIN(conv_id) AS wc FROM sig GROUP BY s), "
+            "keep AS (SELECT sig.conv_id FROM sig JOIN win ON sig.s = win.s "
+            "WHERE sig.conv_id = win.wc) "
+            "SELECT t.conv_id, t.turn_idx, t.role, t.text FROM turn t "
+            "JOIN keep USING (conv_id)"
         ),
         "training_examples_transcripts": (
             # one example per assistant turn; prompt = maximal preceding run

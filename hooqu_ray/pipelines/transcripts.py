@@ -1358,3 +1358,160 @@ def extract_training_examples(ds, max_tokens: int, *,
         lambda g: kernel(g.sort_by([(idx_col, "ascending")])),
         batch_format="pyarrow")
     return finals.union(merged)
+
+
+_FP_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_FP_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_FP_MIX3 = np.uint64(0x165667B19E3779F9)
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def dedup_conversations(ds, *, conv_col: str = "conv_id",
+                        idx_col: str = "turn_idx", text_col: str = "text",
+                        rows_per_shard: int = 4_000_000):
+    """Drop duplicate CONVERSATIONS: when two or more conversations have the
+    identical (turn_idx, text) sequence, only the one with the minimum conv
+    id keeps its turns — whole-transcript exact dedup, the conversation
+    analogue of ``dedup.exact_dedup``.
+
+    Scale shape — the corpus never sorts and turn text never shuffles:
+
+    1. Each turn hashes ORDER-SENSITIVELY (63-bit polars text hash mixed
+       with its ``turn_idx``); a per-block Arrow ``group_by(conv)`` sums
+       the hashes split into two int32 halves (so int64 sums cannot
+       overflow below 2^31 turns per conversation) — one slim partial row
+       per (block, conv).
+    2. ``groupby(conv).sum`` folds the partials; each conversation's
+       fingerprint mixes (sum_lo, sum_hi, n_turns) into one int64 key.
+       Equal sequences ⇒ equal fingerprints; the converse holds up to the
+       same hash-collision class every 63-bit dedup op here documents.
+    3. ``groupby(fp).aggregate(Min(conv), Count)`` finds duplicate groups;
+       the winner table — O(#duplicate groups) — broadcasts in hash-range
+       shards (``dedup._sharded_refs``), losers are extracted per batch
+       (``index_in`` + winner compare), and the loser conv set drives one
+       NOT-IN pass over the original turns.  Rows with a null conv are
+       never candidates and always survive."""
+    import ray
+    from ray.data.aggregate import Count, Min, Sum
+
+    from .dedup import _sharded_refs, _text_hash63
+    from ..util import isin_mask, sharded_value_refs
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(conv_col)))
+        th = _text_hash63(t.column(text_col)).astype(np.uint64)
+        ix = np.asarray(
+            pc.fill_null(pc.cast(t.column(idx_col), pa.int64()), -1)
+        ).astype(np.uint64)
+        x = _splitmix(th ^ (ix * _FP_MIX1))
+        sub = pa.table({
+            conv_col: t.column(conv_col),
+            "__lo": pa.array((x & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+            "__hi": pa.array((x >> np.uint64(32)).astype(np.int64)),
+            "__n": pa.array(np.ones(len(t), np.int64)),
+        })
+        return sub.group_by(conv_col).aggregate(
+            [("__lo", "sum"), ("__hi", "sum"), ("__n", "sum")]
+        ).rename_columns([conv_col, "__lo", "__hi", "__n"])
+
+    folded = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(conv_col)
+        .aggregate(Sum("__lo"), Sum("__hi"), Sum("__n"))
+    )
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        if f"sum(__lo)" not in t.column_names:  # schema-less empty block
+            return pa.table({conv_col: pa.array([], pa.string()),
+                             "__fp": pa.array([], pa.int64())})
+        lo = np.asarray(t.column("sum(__lo)")).astype(np.uint64)
+        hi = np.asarray(t.column("sum(__hi)")).astype(np.uint64)
+        n = np.asarray(t.column("sum(__n)")).astype(np.uint64)
+        fp = _splitmix(lo * _FP_MIX1 ^ hi * _FP_MIX2 ^ n * _FP_MIX3)
+        fp = (fp & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        return pa.table({conv_col: t.column(conv_col),
+                         "__fp": pa.array(fp, pa.int64())})
+
+    fp_rows = folded.map_batches(fingerprint, batch_format="pyarrow") \
+                    .materialize()  # consumed by winners AND loser probe
+
+    dups = (
+        fp_rows.groupby("__fp").aggregate(Min(conv_col), Count())
+        .map_batches(
+            lambda t: (
+                t.filter(pc.greater(t.column("count()"), pa.scalar(1)))
+                .select(["__fp", f"min({conv_col})"])
+                if "count()" in t.column_names
+                else pa.table({"__fp": pa.array([], pa.int64()),
+                               f"min({conv_col})": pa.array([], pa.string())})
+            ),
+            batch_format="pyarrow")
+    )
+    empty = pa.table({"__fp": pa.array([], pa.int64()),
+                      f"min({conv_col})": pa.array([], pa.string())})
+    win_refs = _sharded_refs(dups.materialize(), "__fp", rows_per_shard, empty)
+
+    class _LoserProbe:
+        """Per-batch: conv loses if its fingerprint is in a duplicate group
+        whose winner is a DIFFERENT conv (shards partition fp space)."""
+
+        def __init__(self, refs):
+            self.refs = refs
+            self._tbls = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._tbls is None:
+                self._tbls = [r if isinstance(r, pa.Table) else ray.get(r)
+                              for r in self.refs]
+            lose = np.zeros(len(t), dtype=bool)
+            fp = t.column("__fp")
+            conv = t.column(conv_col)
+            for w in self._tbls:
+                if len(w) == 0:
+                    continue
+                pos = pc.index_in(fp, value_set=w.column("__fp"))
+                hit = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+                if not hit.any():
+                    continue
+                winner = w.column(f"min({conv_col})").take(
+                    pc.fill_null(pos, 0))
+                ne = pc.not_equal(conv, winner).to_numpy(
+                    zero_copy_only=False)
+                lose |= hit & ne
+            return t.filter(pa.array(lose)).select([conv_col])
+
+    losers = fp_rows.map_batches(_LoserProbe(win_refs),
+                                 batch_format="pyarrow")
+    loser_refs = sharded_value_refs(losers, conv_col, rows_per_shard)
+    if not loser_refs:
+        return ds
+
+    class _KeepFilter:
+        """NOT-IN over the loser conv set, null convs kept."""
+
+        def __init__(self, ref):
+            self.ref = ref
+            self._vals = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._vals is None:
+                obj = self.ref
+                self._vals = obj if isinstance(obj, pa.Array) else ray.get(obj)
+            col = t.column(conv_col)
+            drop = isin_mask(col, self._vals)
+            return t.filter(pc.or_kleene(pc.invert(drop),
+                                         pc.is_null(col)))
+
+    out = ds
+    for ref in loser_refs:
+        out = out.map_batches(_KeepFilter(ref), batch_format="pyarrow")
+    return out

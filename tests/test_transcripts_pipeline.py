@@ -538,3 +538,54 @@ class TestExtractTrainingExamples:
 
         with _pytest.raises(ValueError):
             self._run([("a", 0, "assistant", "x")], budget=-1)
+
+
+class TestDedupConversations:
+    """Whole-conversation dedup: winner-by-min-conv, order sensitivity,
+    forced sharding, null-conv survival."""
+
+    @staticmethod
+    def _run(rows, n_parts=4, **kw):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        })
+        ds = rd.from_arrow(t).repartition(n_parts)
+        got = tp.dedup_conversations(ds, **kw).to_pandas()
+        return got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    def test_min_conv_wins_order_matters(self, ray_session):
+        rows = [
+            ("b", 0, "hello"), ("b", 1, "world"),      # dup of a -> dropped
+            ("a", 0, "hello"), ("a", 1, "world"),      # winner
+            ("c", 0, "world"), ("c", 1, "hello"),      # same texts, other
+                                                        # order -> distinct
+            ("d", 0, "hello"),                          # prefix only -> kept
+            (None, 0, "hello"), (None, 1, "world"),     # null conv survives
+        ]
+        got = self._run(rows)
+        assert got["conv_id"].fillna("~null~").tolist() == [
+            "a", "a", "c", "c", "d", "~null~", "~null~"]
+
+    def test_forced_sharding_matches(self, ray_session):
+        import pandas as pd
+
+        rows = []
+        for c in range(8):
+            src = c % 4  # 4 distinct conversations, each duplicated once
+            for i in range(3):
+                rows.append((f"c{c}", i, f"text {src} {i}"))
+        one = self._run(rows)
+        many = self._run(rows, rows_per_shard=1)
+        pd.testing.assert_frame_equal(one, many)
+        assert sorted(one["conv_id"].unique().tolist()) == [
+            "c0", "c1", "c2", "c3"]
+
+    def test_no_duplicates_identity(self, ray_session):
+        rows = [("a", 0, "x"), ("b", 0, "y")]
+        got = self._run(rows)
+        assert got["conv_id"].tolist() == ["a", "b"]
