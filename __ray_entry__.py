@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["merge_turns_transcripts"] = _merge_turns
     out["training_examples_transcripts"] = _training_examples
     out["dedup_conversations_transcripts"] = _dedup_conversations
+    out["near_dup_conversations_transcripts"] = _near_dup_conversations
     out["grouped_quantile_price_by_flag"] = _grouped_quantile_by_flag
     out["profile_events"] = _profile_events
     out["near_dup_pairs_documents"] = _near_dup_pairs
@@ -1667,6 +1668,35 @@ def _dedup_conversations(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def _near_dup_conversations(sf_dir: str):
+    """Conversation-granularity near-dup: turns assemble into one text per
+    conversation (``conversation_texts``), then the SAME high-recall LSH +
+    exact word-3-gram Jaccard pipeline used for documents runs over them.
+    Joining chunks with a whitespace separator preserves the original word
+    sequence, so the oracle is the document all-pairs Jaccard self-join
+    with conv-numbered ids."""
+    from hooqu_ray.pipelines import transcripts as tp
+    from hooqu_ray.pipelines.dedup import minhash_lsh_pairs, verify_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ct = tp.conversation_texts(tp.transcripts_from_documents(docs))
+
+    def addnum(t: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 99),
+                      pa.int64())
+        return t.append_column("conv_num", num)
+
+    ct = ct.map_batches(addnum, batch_format="pyarrow").materialize()
+    cands = minhash_lsh_pairs(ct, text_col="text", id_col="conv_num",
+                              num_perm=128, bands=64, threshold=0.0)
+    ver = verify_pairs(ct, cands, text_col="text", id_col="conv_num",
+                       threshold=0.5).to_pandas()
+    ver["jaccard"] = ver["jaccard"].round(6)
+    ver["id_a"] = ver["id_a"].astype("int64")
+    ver["id_b"] = ver["id_b"].astype("int64")
+    return ver.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -2055,6 +2085,25 @@ def oracle_sql() -> dict[str, str]:
             "ELSE COALESCE(string_agg(CASE WHEN keep THEN line END, ' ' "
             "ORDER BY line_idx), '') END AS text "
             "FROM m GROUP BY doc_id"
+        ),
+        "near_dup_conversations_transcripts": (
+            # conversation text = doc words rejoined (chunk boundaries add
+            # only whitespace), so the exact all-pairs word-3-gram Jaccard
+            # over documents IS the conversation-granularity ground truth
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), "
+            "'\\S+') AS ws FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN []::VARCHAR[] "
+            "WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+            "ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+            "for i in range(1, len(ws) - 1)] END AS s FROM w), "
+            "d AS (SELECT doc_id, list_distinct(s) AS s FROM sh), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0 "
+            "ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1) END AS jaccard "
+            "FROM d a JOIN d b ON a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM p "
+            "WHERE jaccard >= 0.5"
         ),
         "dedup_conversations_transcripts": (
             # inject duplicate docs (doc_id%7=0 re-added at +10^7), explode

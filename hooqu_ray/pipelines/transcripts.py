@@ -1515,3 +1515,34 @@ def dedup_conversations(ds, *, conv_col: str = "conv_id",
     for ref in loser_refs:
         out = out.map_batches(_KeepFilter(ref), batch_format="pyarrow")
     return out
+
+
+def conversation_texts(ds, *, conv_col: str = "conv_id",
+                       idx_col: str = "turn_idx", text_col: str = "text",
+                       sep: str = "\n"):
+    """Assemble ONE text row per conversation (turns joined in ``idx``
+    order with ``sep``) — the adapter that lets every document-granularity
+    operator (MinHash LSH, SimHash, embedding dedup, quality filters) run
+    at conversation granularity.  Reuses
+    :func:`merge_consecutive_turns` with a constant role, so each
+    conversation collapses to a single run under the same sort + vectorized
+    block + boundary-repair machinery.  Returns
+    ``(conv_col, text, n_turns)``."""
+
+    def addconst(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__r", pa.array(np.full(len(t), "x"), pa.string()))
+
+    merged = merge_consecutive_turns(
+        ds.map_batches(addconst, batch_format="pyarrow"),
+        conv_col=conv_col, idx_col=idx_col, role_col="__r",
+        text_col=text_col, ts_col=None, sep=sep)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            conv_col: t.column(conv_col),
+            text_col: t.column(text_col),
+            "n_turns": t.column("n_merged"),
+        })
+
+    return merged.map_batches(proj, batch_format="pyarrow")

@@ -589,3 +589,24 @@ class TestDedupConversations:
         rows = [("a", 0, "x"), ("b", 0, "y")]
         got = self._run(rows)
         assert got["conv_id"].tolist() == ["a", "b"]
+
+
+class TestConversationTexts:
+    def test_assembles_in_turn_order_across_blocks(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = [("a", i, f"t{i}") for i in range(30)] + [
+            ("b", 1, "y"), ("b", 0, "x"), (None, 0, "dropped")]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        })
+        got = tp.conversation_texts(
+            rd.from_arrow(t).repartition(5)).to_pandas()
+        got = got.sort_values("conv_id").reset_index(drop=True)
+        assert got["conv_id"].tolist() == ["a", "b"]
+        assert got["text"].tolist() == [
+            "\n".join(f"t{i}" for i in range(30)), "x\ny"]
+        assert got["n_turns"].tolist() == [30, 2]
