@@ -86,3 +86,86 @@ class TestNgramHashProperties:
             else:
                 seen[window] = h
         assert len(set(seen.values())) == len(seen)
+
+
+# -- transcript-kernel differentials (pure pa.Table kernels, no Ray) --------
+
+_turns = st.lists(
+    st.tuples(
+        st.sampled_from(["c0", "c1", "c2"]),                    # conv
+        st.integers(0, 50),                                      # idx
+        st.sampled_from(["user", "assistant", None]),            # role
+        st.one_of(st.none(),                                     # text
+                  st.text(alphabet=" abX", min_size=0, max_size=12)),
+    ),
+    min_size=0, max_size=40,
+    unique_by=lambda r: (r[0], r[1]),  # (conv, idx) unique, like real data
+)
+
+
+def _turn_table(rows):
+    rows = sorted(rows)  # kernels require (conv, idx)-sorted input
+    return pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+    })
+
+
+class TestMergeRunsKernelDifferential:
+    @HYPO
+    @given(_turns)
+    def test_matches_pandas(self, rows):
+        from hooqu_ray.pipelines.transcripts import _merge_runs_table
+
+        t = _turn_table(rows)
+        got = _merge_runs_table(
+            t, "conv_id", "turn_idx", "role", "text", None, "\n").to_pandas()
+
+        # independent pandas re-derivation
+        df = t.to_pandas()
+        exp_rows = []
+        prev = None
+        for _, r in df.iterrows():
+            key = (r.conv_id, r.role if r.role is not None else "\0NULL")
+            if prev != key:
+                exp_rows.append([r.conv_id, r.turn_idx, r.role, [], 0])
+                prev = key
+            exp_rows[-1][3].append(r.text if r.text is not None else "")
+            exp_rows[-1][4] += 1
+        assert got["conv_id"].tolist() == [e[0] for e in exp_rows]
+        assert got["turn_idx"].tolist() == [e[1] for e in exp_rows]
+        assert got["text"].tolist() == ["\n".join(e[3]) for e in exp_rows]
+        assert got["n_merged"].tolist() == [e[4] for e in exp_rows]
+
+
+class TestContextExamplesKernelDifferential:
+    @HYPO
+    @given(_turns, st.integers(0, 12))
+    def test_matches_bruteforce(self, rows, budget):
+        from hooqu_ray.pipelines.transcripts import _context_examples_table
+
+        t = _turn_table(rows)
+        got = _context_examples_table(
+            t, "conv_id", "turn_idx", "role", "text", "assistant", budget,
+            "\n").to_pandas()
+
+        df = t.to_pandas()
+        df["ntok"] = [len((x or "").split()) for x in df["text"]]
+        exp = []
+        for conv, g in df.groupby("conv_id", sort=True):
+            g = g.reset_index(drop=True)
+            for i in range(len(g)):
+                if g.role[i] != "assistant" or g.ntok[i] > budget:
+                    continue
+                j = i
+                tot = int(g.ntok[i])
+                while j > 0 and tot + g.ntok[j - 1] <= budget:
+                    j -= 1
+                    tot += int(g.ntok[j])
+                exp.append((conv, int(g.turn_idx[i]),
+                            "\n".join((x or "") for x in g.text[j:i]),
+                            g.text[i] or "", i - j, tot))
+        got_t = list(got.itertuples(index=False, name=None))
+        assert sorted(got_t) == sorted(exp)
