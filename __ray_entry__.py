@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["training_examples_transcripts"] = _training_examples
     out["dedup_conversations_transcripts"] = _dedup_conversations
     out["near_dup_conversations_transcripts"] = _near_dup_conversations
+    out["tool_usage_transcripts"] = _tool_usage
     out["grouped_quantile_price_by_flag"] = _grouped_quantile_by_flag
     out["profile_events"] = _profile_events
     out["near_dup_pairs_documents"] = _near_dup_pairs
@@ -1697,6 +1698,33 @@ def _near_dup_conversations(sf_dir: str):
     return ver.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
+def _tool_usage(sf_dir: str):
+    """Per-conversation tool-usage stats.  The synthetic transcripts carry a
+    null tool everywhere, so tools are derived deterministically on BOTH
+    sides: assistant turns get 'search' when turn_idx % 3 == 1 and
+    'python' when turn_idx % 3 == 2."""
+    import numpy as np
+
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def derive_tool(t: pa.Table) -> pa.Table:
+        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+        role = t.column("role").to_numpy(zero_copy_only=False)
+        mod = idx % 3
+        tool = np.where(mod == 1, "search",
+                        np.where(mod == 2, "python", None))
+        tool = np.where(role == "assistant", tool, None)
+        return t.set_column(
+            t.schema.get_field_index("tool"), "tool",
+            pa.array(tool.tolist(), pa.string()))
+
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        derive_tool, batch_format="pyarrow")
+    return tp.tool_usage_stats(tr)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -2085,6 +2113,24 @@ def oracle_sql() -> dict[str, str]:
             "ELSE COALESCE(string_agg(CASE WHEN keep THEN line END, ' ' "
             "ORDER BY line_idx), '') END AS text "
             "FROM m GROUP BY doc_id"
+        ),
+        "tool_usage_transcripts": (
+            # derive tools on assistant turns (idx%3: 1->search, 2->python)
+            # and count calls + distinct tools per conversation
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, i, "
+            "CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role "
+            "FROM t), "
+            "tt AS (SELECT conv_id, CASE WHEN role = 'assistant' AND "
+            "i % 3 = 1 THEN 'search' WHEN role = 'assistant' AND i % 3 = 2 "
+            "THEN 'python' END AS tool FROM turn) "
+            "SELECT conv_id, CAST(COUNT(tool) AS BIGINT) AS n_tool_calls, "
+            "CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_distinct_tools "
+            "FROM tt WHERE tool IS NOT NULL GROUP BY conv_id"
         ),
         "near_dup_conversations_transcripts": (
             # conversation text = doc words rejoined (chunk boundaries add

@@ -1546,3 +1546,61 @@ def conversation_texts(ds, *, conv_col: str = "conv_id",
         })
 
     return merged.map_batches(proj, batch_format="pyarrow")
+
+
+def tool_usage_stats(ds, *, conv_col: str = "conv_id",
+                     tool_col: str = "tool"):
+    """Per-conversation tool-usage profile over agent transcripts:
+    ``(conv, n_tool_calls, n_distinct_tools)`` counting turns with a
+    non-null ``tool``.  Conversations without tool calls are absent (SQL
+    ``GROUP BY`` over non-null tools).
+
+    One streaming pass: each block pre-aggregates distinct
+    ``(conv, tool, n)`` triples with Arrow ``group_by`` (vectorized C),
+    ``groupby(conv, tool).sum`` folds them across blocks, and a final slim
+    ``groupby(conv)`` turns pair rows into the distinct count (row count)
+    and call count (sum) — the shuffles move one row per distinct
+    (conv, tool) pair, never per turn."""
+    from ray.data.aggregate import Count, Sum
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t.column(conv_col)),
+                       pc.is_valid(t.column(tool_col)))
+        sub = t.select([conv_col, tool_col]).filter(mask)
+        return sub.group_by([conv_col, tool_col]).aggregate(
+            [([], "count_all")]
+        ).rename_columns([conv_col, tool_col, "__n"])
+
+    pairs = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby([conv_col, tool_col])
+        .aggregate(Sum("__n"))
+    )
+
+    def pair_proj(t: pa.Table) -> pa.Table:
+        if "sum(__n)" not in t.column_names:  # schema-less empty block
+            return pa.table({conv_col: pa.array([], pa.string()),
+                             "__n": pa.array([], pa.int64())})
+        return pa.table({conv_col: t.column(conv_col),
+                         "__n": pc.cast(t.column("sum(__n)"), pa.int64())})
+
+    folded = (
+        pairs.map_batches(pair_proj, batch_format="pyarrow")
+        .groupby(conv_col)
+        .aggregate(Sum("__n"), Count())
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        if "count()" not in t.column_names:
+            return pa.table({
+                conv_col: pa.array([], pa.string()),
+                "n_tool_calls": pa.array([], pa.int64()),
+                "n_distinct_tools": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            conv_col: t.column(conv_col),
+            "n_tool_calls": pc.cast(t.column("sum(__n)"), pa.int64()),
+            "n_distinct_tools": pc.cast(t.column("count()"), pa.int64()),
+        })
+
+    return folded.map_batches(rename, batch_format="pyarrow")

@@ -610,3 +610,26 @@ class TestConversationTexts:
         assert got["text"].tolist() == [
             "\n".join(f"t{i}" for i in range(30)), "x\ny"]
         assert got["n_turns"].tolist() == [30, 2]
+
+
+class TestToolUsageStats:
+    def test_counts_and_distinct(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = [
+            ("a", 0, "search"), ("a", 1, "search"), ("a", 2, "python"),
+            ("a", 3, None),                       # null tool not counted
+            ("b", 0, None),                       # conv with no calls: absent
+            ("c", 0, "bash"), (None, 0, "bash"),  # null conv dropped
+        ]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "tool": pa.array([r[2] for r in rows], pa.string()),
+        })
+        got = tp.tool_usage_stats(
+            rd.from_arrow(t).repartition(3)).to_pandas()
+        got = got.sort_values("conv_id").reset_index(drop=True)
+        assert got["conv_id"].tolist() == ["a", "c"]
+        assert got["n_tool_calls"].tolist() == [3, 1]
+        assert got["n_distinct_tools"].tolist() == [2, 1]
