@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["dedup_conversations_transcripts"] = _dedup_conversations
     out["near_dup_conversations_transcripts"] = _near_dup_conversations
     out["tool_usage_transcripts"] = _tool_usage
+    out["pack_sft_transcripts"] = _pack_sft
     out["grouped_quantile_price_by_flag"] = _grouped_quantile_by_flag
     out["profile_events"] = _profile_events
     out["near_dup_pairs_documents"] = _near_dup_pairs
@@ -1725,6 +1726,25 @@ def _tool_usage(sf_dir: str):
     return tp.tool_usage_stats(tr)
 
 
+def _pack_sft(sf_dir: str):
+    """Loss-mask packing plan over the extracted SFT examples: 48-token
+    windows packed into 256-token sequences, target spans recorded."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ex = tp.extract_training_examples(tp.transcripts_from_documents(docs), 48)
+
+    def addid(t: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 99),
+                      pa.int64())
+        ex_id = pc.add(pc.multiply(num, pa.scalar(100_000, pa.int64())),
+                       pc.cast(t.column("turn_idx"), pa.int64()))
+        return t.append_column("example_id", ex_id)
+
+    return tp.pack_sft_examples(
+        ex.map_batches(addid, batch_format="pyarrow"), 256)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -2113,6 +2133,37 @@ def oracle_sql() -> dict[str, str]:
             "ELSE COALESCE(string_agg(CASE WHEN keep THEN line END, ' ' "
             "ORDER BY line_idx), '') END AS text "
             "FROM m GROUP BY doc_id"
+        ),
+        "pack_sft_transcripts": (
+            # the training_examples derivation + deterministic id, then the
+            # global pack: exclusive running token sum in example_id order,
+            # target span = [start + prompt_tokens, start + total)
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT doc_id, CAST(i AS BIGINT) AS turn_idx, "
+            "CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "tok AS (SELECT *, len(regexp_extract_all(text, '\\S+')) AS ntok "
+            "FROM turn), "
+            "rc AS (SELECT *, SUM(ntok) OVER (PARTITION BY doc_id ORDER BY "
+            "turn_idx) AS c FROM tok), "
+            "ex AS (SELECT a.doc_id * 100000 + a.turn_idx AS example_id, "
+            "CAST(SUM(b.ntok) - ANY_VALUE(a.ntok) AS BIGINT) AS n_p, "
+            "CAST(SUM(b.ntok) AS BIGINT) AS n "
+            "FROM rc a JOIN rc b ON a.doc_id = b.doc_id "
+            "AND b.turn_idx <= a.turn_idx AND a.c - b.c + b.ntok <= 48 "
+            "WHERE a.role = 'assistant' GROUP BY a.doc_id, a.turn_idx), "
+            "pk AS (SELECT example_id, n_p, n, "
+            "CAST(COALESCE(SUM(n) OVER (ORDER BY example_id ROWS UNBOUNDED "
+            "PRECEDING), 0) - n AS BIGINT) AS st FROM ex) "
+            "SELECT example_id, n_p AS n_prompt_tokens, n AS n_tokens, "
+            "st AS token_start, st + n_p AS target_start, st + n AS "
+            "target_end, st // 256 AS seq_start, "
+            "CAST(CASE WHEN n > 0 THEN (st + n - 1) // 256 ELSE st // 256 "
+            "END AS BIGINT) AS seq_end FROM pk"
         ),
         "tool_usage_transcripts": (
             # derive tools on assistant turns (idx%3: 1->search, 2->python)

@@ -1604,3 +1604,101 @@ def tool_usage_stats(ds, *, conv_col: str = "conv_id",
         })
 
     return folded.map_batches(rename, batch_format="pyarrow")
+
+
+def pack_sft_examples(ds, max_len: int, *, id_col: str = "example_id",
+                      prompt_col: str = "prompt", target_col: str = "target"):
+    """Loss-mask-aware packing PLAN for SFT examples: concatenate
+    (prompt, target) pairs in deterministic ``id_col`` order into one
+    global token stream cut into ``max_len``-token sequences, and record
+    each example's TARGET token interval — the span a trainer unmasks for
+    loss while the prompt stays masked.  Returns one row per example:
+    ``(id, n_prompt_tokens, n_tokens, token_start, target_start,
+    target_end, seq_start, seq_end)`` with ``target_*`` absolute offsets in
+    the stream (``seq_* = offset // max_len``).
+
+    Same shape as :func:`~hooqu_ray.pipelines.relational.pack_sequences`
+    (its docstring explains the O(#blocks) summary/offset mechanics): one
+    range sort of a THREE-column projection, per-block exclusive cumsums,
+    a #blocks-row driver prefix sum, broadcast offsets.  ``id_col`` must
+    be unique and non-null; null prompts/targets count 0 tokens."""
+    from .textstats import TOKEN_PATTERN
+    from ..util import collect_arrow
+
+    if max_len < 1:
+        raise ValueError(
+            f"pack_sft_examples: max_len must be >= 1, got {max_len}")
+
+    def proj(t: pa.Table) -> pa.Table:
+        def toks(col):
+            return pc.cast(
+                pc.fill_null(
+                    pc.count_substring_regex(pc.fill_null(t.column(col), ""),
+                                             pattern=TOKEN_PATTERN), 0),
+                pa.int64())
+
+        return pa.table({
+            id_col: t.column(id_col),
+            "__np": toks(prompt_col),
+            "__nt": toks(target_col),
+        })
+
+    sorted_ds = ds.map_batches(proj, batch_format="pyarrow") \
+                  .sort(id_col).materialize()
+
+    def summary(t: pa.Table) -> pa.Table:
+        if id_col not in t.column_names or len(t) == 0:
+            return pa.table({"__fid": pa.array([]),
+                             "__tok": pa.array([], pa.int64())})
+        total = (pc.sum(t.column("__np")).as_py() or 0) + (
+            pc.sum(t.column("__nt")).as_py() or 0)
+        return pa.table({"__fid": t.column(id_col).slice(0, 1),
+                         "__tok": pa.array([total], pa.int64())})
+
+    summ = collect_arrow(
+        sorted_ds.map_batches(summary, batch_format="pyarrow",
+                              batch_size=None))
+    if summ is None or len(summ) == 0:
+        e = pa.array([], pa.int64())
+        return sorted_ds.map_batches(
+            lambda t: pa.table({id_col: e, "n_prompt_tokens": e,
+                                "n_tokens": e, "token_start": e,
+                                "target_start": e, "target_end": e,
+                                "seq_start": e, "seq_end": e}),
+            batch_format="pyarrow")
+    summ = summ.sort_by([("__fid", "ascending")])
+    toks = summ.column("__tok").to_numpy(zero_copy_only=False)
+    offs = np.concatenate([[0], np.cumsum(toks)[:-1]]).astype(np.int64)
+    offsets = {fid: int(off) for fid, off in
+               zip(summ.column("__fid").to_pylist(), offs)}
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            e = pa.array([], pa.int64())
+            ids = (t.column(id_col).slice(0, 0)
+                   if id_col in t.column_names else e)
+            return pa.table({id_col: ids, "n_prompt_tokens": e,
+                             "n_tokens": e, "token_start": e,
+                             "target_start": e, "target_end": e,
+                             "seq_start": e, "seq_end": e})
+        base = offsets[t.column(id_col)[0].as_py()]
+        np_ = np.asarray(t.column("__np"), dtype=np.int64)
+        nt = np.asarray(t.column("__nt"), dtype=np.int64)
+        n = np_ + nt
+        start = base + np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+        end = start + n
+        seq_start = start // max_len
+        seq_end = np.where(n > 0, (end - 1) // max_len, seq_start)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_prompt_tokens": pa.array(np_),
+            "n_tokens": pa.array(n),
+            "token_start": pa.array(start),
+            "target_start": pa.array(start + np_),
+            "target_end": pa.array(end),
+            "seq_start": pa.array(seq_start),
+            "seq_end": pa.array(seq_end),
+        })
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow",
+                                 batch_size=None)

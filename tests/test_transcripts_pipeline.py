@@ -633,3 +633,35 @@ class TestToolUsageStats:
         assert got["conv_id"].tolist() == ["a", "c"]
         assert got["n_tool_calls"].tolist() == [3, 1]
         assert got["n_distinct_tools"].tolist() == [2, 1]
+
+
+class TestPackSftExamples:
+    def test_plan_offsets_and_masks(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = [
+            (1, "a b c", "d e"),      # 3+2 -> [0,5), target [3,5)
+            (2, "", "x y z"),         # 0+3 -> [5,8), target [5,8)
+            (3, None, "q"),           # null prompt: 0+1 -> [8,9)
+            (4, "w " * 3, ""),        # 3+0 -> [9,12), empty target [12,12)
+        ]
+        t = pa.table({
+            "example_id": pa.array([r[0] for r in rows], pa.int64()),
+            "prompt": pa.array([r[1] for r in rows], pa.string()),
+            "target": pa.array([r[2] for r in rows], pa.string()),
+        })
+        got = tp.pack_sft_examples(
+            rd.from_arrow(t).repartition(2), max_len=4).to_pandas()
+        got = got.sort_values("example_id").reset_index(drop=True)
+        assert got["token_start"].tolist() == [0, 5, 8, 9]
+        assert got["target_start"].tolist() == [3, 5, 8, 12]
+        assert got["target_end"].tolist() == [5, 8, 9, 12]
+        assert got["seq_start"].tolist() == [0, 1, 2, 2]
+        assert got["seq_end"].tolist() == [1, 1, 2, 2]
+
+    def test_validation(self, ray_session):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            tp.pack_sft_examples(None, max_len=0)
