@@ -1645,7 +1645,9 @@ def _dedup_conversations(sf_dir: str):
 
     from hooqu_ray.pipelines import transcripts as tp
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # consumed four times (union of two branches, then partials + filter
+    # passes) — materialize the tiny input once instead of re-reading
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
 
     def dup_shard(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("doc_id"), dtype=np.int64)

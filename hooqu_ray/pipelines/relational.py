@@ -982,29 +982,11 @@ def pack_sequences(ds, id_col: str, tokens_col: str, max_len: int):
     )
     sorted_ds = proj.sort(id_col).materialize()
 
-    def summary(t: pa.Table) -> pa.Table:
-        if id_col not in t.column_names or len(t) == 0:
-            return pa.table({"__fid": pa.array([]), "__tok": pa.array([], pa.int64())})
-        return pa.table(
-            {
-                "__fid": t.column(id_col).slice(0, 1),
-                "__tok": pa.array(
-                    [pc.sum(t.column(tokens_col)).as_py() or 0], pa.int64()
-                ),
-            }
-        )
+    from ..util import global_stream_offsets
 
-    summ = collect_arrow(
-        sorted_ds.map_batches(summary, batch_format="pyarrow", batch_size=None)
-    )
-    if summ is None or len(summ) == 0:
+    offsets = global_stream_offsets(sorted_ds, id_col, [tokens_col])
+    if offsets is None:
         return sorted_ds
-    summ = summ.sort_by([("__fid", "ascending")])
-    toks = summ.column("__tok").to_numpy(zero_copy_only=False)
-    offs = np.concatenate([[0], np.cumsum(toks)[:-1]]).astype(np.int64)
-    offsets = {
-        fid: int(off) for fid, off in zip(summ.column("__fid").to_pylist(), offs)
-    }
 
     def assign(t: pa.Table) -> pa.Table:
         if len(t) == 0:

@@ -930,8 +930,10 @@ def truncate_conversations(ds, max_tokens: int, *, conv_col: str = "conv_id",
         .sort([conv_col, "__negidx"])
         .materialize()  # shared by the finals and pending block passes
     )
+    from ..util import dataset_arrow_schema
+
     out_schema = pa.schema(
-        [f for f in sorted_ds.schema().base_schema
+        [f for f in dataset_arrow_schema(sorted_ds)
          if f.name not in ("__ntok", "__negidx")]
         + [pa.field("suffix_tokens", pa.int64())]
     )
@@ -1118,16 +1120,19 @@ def _merge_runs_table(t: pa.Table, conv_col: str, idx_col: str, role_col: str,
     merged segments (``n_merged`` present -> sums)."""
     n = len(t)
     if n == 0:
+        def typed(col, default):  # keep empty blocks union-compatible
+            return (t.column(col).slice(0, 0) if col in t.column_names
+                    else pa.array([], default))
+
         cols = {
-            conv_col: t.column(conv_col) if conv_col in t.column_names
-            else pa.array([], pa.string()),
+            conv_col: typed(conv_col, pa.string()),
             idx_col: pa.array([], pa.int64()),
-            role_col: pa.array([], pa.string()),
-            text_col: pa.array([], pa.string()),
+            role_col: typed(role_col, pa.string()),
+            text_col: typed(text_col, pa.string()),
             "n_merged": pa.array([], pa.int64()),
         }
         if ts_col:
-            cols[ts_col] = pa.array([], pa.timestamp("us"))
+            cols[ts_col] = typed(ts_col, pa.timestamp("us"))
         return pa.table(cols)
 
     def codes(col) -> np.ndarray:
@@ -1225,20 +1230,28 @@ def merge_consecutive_turns(ds, *, conv_col: str = "conv_id",
 
 def _context_examples_table(t: pa.Table, conv_col: str, idx_col: str,
                             role_col: str, text_col: str, target_role: str,
-                            max_tokens: int, sep: str) -> pa.Table:
+                            max_tokens: int, sep: str,
+                            max_context_turns=None) -> pa.Table:
     """Vectorized SFT-example extraction over a (conv, idx)-sorted table:
     one row per ``target_role`` turn whose own token count fits
     ``max_tokens``; its prompt is the maximal contiguous run of preceding
     same-conversation turns such that prompt + target stays within the
-    budget.  Window starts come from ONE ``np.searchsorted`` over the
-    padded global token cumsum (monotone, so per-target binary search
-    needs no per-conv loop); prompt joins materialize through a gather
-    index + ListArray + ``binary_join`` — output-sized, never per-row
-    Python."""
+    budget (also capped at ``max_context_turns`` turns when given — the
+    guard against zero-token turns, which cost no budget and would
+    otherwise stretch windows quadratically).  Window starts come from ONE
+    ``np.searchsorted`` over the padded global token cumsum (monotone, so
+    per-target binary search needs no per-conv loop); prompt joins
+    materialize through a gather index + int64-offset ``LargeListArray`` +
+    ``binary_join`` — output-sized, never per-row Python, and safe past
+    2^31 total gathered context rows."""
     from .textstats import TOKEN_PATTERN
 
+    # typed from the input schema so empty blocks union cleanly with real
+    # ones whatever the conv/idx types are
+    conv_type = (t.schema.field(conv_col).type
+                 if conv_col in t.column_names else pa.string())
     empty = pa.table({
-        conv_col: pa.array([], pa.string()),
+        conv_col: pa.array([], conv_type),
         idx_col: pa.array([], pa.int64()),
         "prompt": pa.array([], pa.string()),
         "target": pa.array([], pa.string()),
@@ -1275,14 +1288,16 @@ def _context_examples_table(t: pa.Table, conv_col: str, idx_col: str,
     # first j with cs[j] >= cs[i+1] - budget, clamped into the target's conv
     lo = np.searchsorted(cs, cs[tgt + 1] - max_tokens, side="left")
     lo = np.maximum(lo, run_start[tgt])
+    if max_context_turns is not None:
+        lo = np.maximum(lo, tgt - int(max_context_turns))
     ctx_len = tgt - lo
     total = int(ctx_len.sum())
-    cum0 = np.r_[0, np.cumsum(ctx_len)[:-1]]
+    cum0 = np.r_[0, np.cumsum(ctx_len)[:-1]].astype(np.int64)
     gather = (np.arange(total, dtype=np.int64)
               - np.repeat(cum0, ctx_len) + np.repeat(lo, ctx_len))
     prompts = pc.binary_join(
-        pa.ListArray.from_arrays(
-            pa.array(np.r_[cum0, total].astype(np.int32)),
+        pa.LargeListArray.from_arrays(
+            pa.array(np.r_[cum0, total].astype(np.int64)),
             text.take(pa.array(gather))),
         sep)
     tgt_pa = pa.array(tgt)
@@ -1302,7 +1317,8 @@ def extract_training_examples(ds, max_tokens: int, *,
                               conv_col: str = "conv_id",
                               idx_col: str = "turn_idx",
                               role_col: str = "role",
-                              text_col: str = "text", sep: str = "\n"):
+                              text_col: str = "text", sep: str = "\n",
+                              max_context_turns=None):
     """Turn transcripts into supervised (prompt, target) pairs: one example
     per ``target_role`` turn, its prompt the maximal run of immediately
     preceding same-conversation turns such that prompt + target fits
@@ -1337,7 +1353,8 @@ def extract_training_examples(ds, max_tokens: int, *,
 
     def kernel(t: pa.Table) -> pa.Table:
         return _context_examples_table(t, conv_col, idx_col, role_col,
-                                       text_col, target_role, max_tokens, sep)
+                                       text_col, target_role, max_tokens, sep,
+                                       max_context_turns)
 
     def block_pass(t: pa.Table, emit: str) -> pa.Table:
         if len(t) == 0:
@@ -1360,19 +1377,11 @@ def extract_training_examples(ds, max_tokens: int, *,
     return finals.union(merged)
 
 
+# odd multipliers for combining (idx, lo, hi, n) into fingerprints; the
+# mixing tail itself is the ONE shared util.splitmix64
 _FP_MIX1 = np.uint64(0x9E3779B97F4A7C15)
 _FP_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
 _FP_MIX3 = np.uint64(0x165667B19E3779F9)
-
-
-def _splitmix(x: np.ndarray) -> np.ndarray:
-    x = x.astype(np.uint64, copy=True)
-    x ^= x >> np.uint64(30)
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    x ^= x >> np.uint64(27)
-    x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
-    return x
 
 
 def dedup_conversations(ds, *, conv_col: str = "conv_id",
@@ -1404,7 +1413,13 @@ def dedup_conversations(ds, *, conv_col: str = "conv_id",
     from ray.data.aggregate import Count, Min, Sum
 
     from .dedup import _sharded_refs, _text_hash63
-    from ..util import isin_mask, sharded_value_refs
+    from ..util import (dataset_arrow_schema, isin_mask, sharded_value_refs,
+                        splitmix64)
+
+    in_schema = dataset_arrow_schema(ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
 
     def partials(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column(conv_col)))
@@ -1412,7 +1427,7 @@ def dedup_conversations(ds, *, conv_col: str = "conv_id",
         ix = np.asarray(
             pc.fill_null(pc.cast(t.column(idx_col), pa.int64()), -1)
         ).astype(np.uint64)
-        x = _splitmix(th ^ (ix * _FP_MIX1))
+        x = splitmix64(th ^ (ix * _FP_MIX1))
         sub = pa.table({
             conv_col: t.column(conv_col),
             "__lo": pa.array((x & np.uint64(0xFFFFFFFF)).astype(np.int64)),
@@ -1430,13 +1445,13 @@ def dedup_conversations(ds, *, conv_col: str = "conv_id",
     )
 
     def fingerprint(t: pa.Table) -> pa.Table:
-        if f"sum(__lo)" not in t.column_names:  # schema-less empty block
-            return pa.table({conv_col: pa.array([], pa.string()),
+        if "sum(__lo)" not in t.column_names:  # schema-less empty block
+            return pa.table({conv_col: pa.array([], conv_type),
                              "__fp": pa.array([], pa.int64())})
         lo = np.asarray(t.column("sum(__lo)")).astype(np.uint64)
         hi = np.asarray(t.column("sum(__hi)")).astype(np.uint64)
         n = np.asarray(t.column("sum(__n)")).astype(np.uint64)
-        fp = _splitmix(lo * _FP_MIX1 ^ hi * _FP_MIX2 ^ n * _FP_MIX3)
+        fp = splitmix64(lo * _FP_MIX1 ^ hi * _FP_MIX2 ^ n * _FP_MIX3)
         fp = (fp & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         return pa.table({conv_col: t.column(conv_col),
                          "__fp": pa.array(fp, pa.int64())})
@@ -1452,12 +1467,12 @@ def dedup_conversations(ds, *, conv_col: str = "conv_id",
                 .select(["__fp", f"min({conv_col})"])
                 if "count()" in t.column_names
                 else pa.table({"__fp": pa.array([], pa.int64()),
-                               f"min({conv_col})": pa.array([], pa.string())})
+                               f"min({conv_col})": pa.array([], conv_type)})
             ),
             batch_format="pyarrow")
     )
     empty = pa.table({"__fp": pa.array([], pa.int64()),
-                      f"min({conv_col})": pa.array([], pa.string())})
+                      f"min({conv_col})": pa.array([], conv_type)})
     win_refs = _sharded_refs(dups.materialize(), "__fp", rows_per_shard, empty)
 
     class _LoserProbe:
@@ -1563,6 +1578,13 @@ def tool_usage_stats(ds, *, conv_col: str = "conv_id",
     (conv, tool) pair, never per turn."""
     from ray.data.aggregate import Count, Sum
 
+    from ..util import dataset_arrow_schema
+
+    in_schema = dataset_arrow_schema(ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
+
     def pair_partials(t: pa.Table) -> pa.Table:
         mask = pc.and_(pc.is_valid(t.column(conv_col)),
                        pc.is_valid(t.column(tool_col)))
@@ -1579,7 +1601,7 @@ def tool_usage_stats(ds, *, conv_col: str = "conv_id",
 
     def pair_proj(t: pa.Table) -> pa.Table:
         if "sum(__n)" not in t.column_names:  # schema-less empty block
-            return pa.table({conv_col: pa.array([], pa.string()),
+            return pa.table({conv_col: pa.array([], conv_type),
                              "__n": pa.array([], pa.int64())})
         return pa.table({conv_col: t.column(conv_col),
                          "__n": pc.cast(t.column("sum(__n)"), pa.int64())})
@@ -1593,7 +1615,7 @@ def tool_usage_stats(ds, *, conv_col: str = "conv_id",
     def rename(t: pa.Table) -> pa.Table:
         if "count()" not in t.column_names:
             return pa.table({
-                conv_col: pa.array([], pa.string()),
+                conv_col: pa.array([], conv_type),
                 "n_tool_calls": pa.array([], pa.int64()),
                 "n_distinct_tools": pa.array([], pa.int64()),
             })
@@ -1623,7 +1645,7 @@ def pack_sft_examples(ds, max_len: int, *, id_col: str = "example_id",
     a #blocks-row driver prefix sum, broadcast offsets.  ``id_col`` must
     be unique and non-null; null prompts/targets count 0 tokens."""
     from .textstats import TOKEN_PATTERN
-    from ..util import collect_arrow
+    from ..util import global_stream_offsets
 
     if max_len < 1:
         raise ValueError(
@@ -1646,19 +1668,8 @@ def pack_sft_examples(ds, max_len: int, *, id_col: str = "example_id",
     sorted_ds = ds.map_batches(proj, batch_format="pyarrow") \
                   .sort(id_col).materialize()
 
-    def summary(t: pa.Table) -> pa.Table:
-        if id_col not in t.column_names or len(t) == 0:
-            return pa.table({"__fid": pa.array([]),
-                             "__tok": pa.array([], pa.int64())})
-        total = (pc.sum(t.column("__np")).as_py() or 0) + (
-            pc.sum(t.column("__nt")).as_py() or 0)
-        return pa.table({"__fid": t.column(id_col).slice(0, 1),
-                         "__tok": pa.array([total], pa.int64())})
-
-    summ = collect_arrow(
-        sorted_ds.map_batches(summary, batch_format="pyarrow",
-                              batch_size=None))
-    if summ is None or len(summ) == 0:
+    offsets = global_stream_offsets(sorted_ds, id_col, ["__np", "__nt"])
+    if offsets is None:
         e = pa.array([], pa.int64())
         return sorted_ds.map_batches(
             lambda t: pa.table({id_col: e, "n_prompt_tokens": e,
@@ -1666,11 +1677,6 @@ def pack_sft_examples(ds, max_len: int, *, id_col: str = "example_id",
                                 "target_start": e, "target_end": e,
                                 "seq_start": e, "seq_end": e}),
             batch_format="pyarrow")
-    summ = summ.sort_by([("__fid", "ascending")])
-    toks = summ.column("__tok").to_numpy(zero_copy_only=False)
-    offs = np.concatenate([[0], np.cumsum(toks)[:-1]]).astype(np.int64)
-    offsets = {fid: int(off) for fid, off in
-               zip(summ.column("__fid").to_pylist(), offs)}
 
     def assign(t: pa.Table) -> pa.Table:
         if len(t) == 0:

@@ -665,3 +665,33 @@ class TestPackSftExamples:
 
         with _pytest.raises(ValueError):
             tp.pack_sft_examples(None, max_len=0)
+
+
+class TestNonStringConvIds:
+    """Review regression: empty-block fallbacks must carry the INPUT's conv
+    id type (int64 here), or unions emit mixed-schema blocks that strict
+    consumers (write_parquet, schema-validating unions) reject."""
+
+    def test_extract_and_merge_with_int64_conv(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = [(c, i, "assistant" if i % 2 else "user", f"w{c} t{i}")
+                for c in range(6) for i in range(4)]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.int64()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        })
+        ds = rd.from_arrow(t).repartition(4)
+        ex = tp.extract_training_examples(ds, 8)
+        schemas = {
+            str(pa.table(b).schema)
+            for b in ex.iter_batches(batch_format="pyarrow") if len(b["conv_id"])
+        }
+        assert len(schemas) == 1 and "int64" in next(iter(schemas))
+        got = tp.merge_consecutive_turns(ds, ts_col=None).to_pandas()
+        assert got["conv_id"].dtype.kind == "i"
+        kept = tp.dedup_conversations(ds).to_pandas()
+        assert len(kept) == len(rows)  # all distinct, int ids round-trip
