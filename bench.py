@@ -39,7 +39,8 @@ def _scaling() -> None:
     conv broadcast) amortize as they would on a real long-running job."""
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_HEADLINE_ONLY="1")
         env.setdefault("BENCH_REPLICATE", os.environ.get("SCALING_REPLICATE", "1024"))
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
@@ -116,6 +117,30 @@ def main() -> None:
     kept = out.map_batches(_count_kept, batch_format="pyarrow").sum("kept")
     headline = time.time() - t0
     queries["filter_scrub"] = round(headline, 3)
+
+    def emit() -> None:
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        print(json.dumps({
+            "metric": "end-to-end transcript filter+scrub wall time "
+                      f"({n_turns} turns, replicate={replicate})",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "num_cpus": num_cpus,
+            "n_turns": int(n_turns),
+            "kept_turns": int(kept),
+            "turns_per_sec": round(n_turns / headline, 1),
+        }))
+
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        # --scaling legs: the north-rule criterion measures the flagship;
+        # the per-operator suite (incl. the replicate-scaled transcript
+        # hygiene queries, which would otherwise process 25M turns per leg)
+        # runs only in the plain per-round bench
+        emit()
+        ray.shutdown()
+        return
 
     # -- analyzer suite: ONE shared scan over lineitem --------------------
     li = rd.read_parquet(
@@ -511,19 +536,7 @@ def main() -> None:
     ).count()
     queries["boilerplate_turns"] = round(time.time() - t0, 3)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
-        "metric": "end-to-end transcript filter+scrub wall time "
-                  f"({n_turns} turns, replicate={replicate})",
-        "value": round(headline, 3),
-        "unit": "sec",
-        "queries": queries,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "num_cpus": num_cpus,
-        "n_turns": int(n_turns),
-        "kept_turns": int(kept),
-        "turns_per_sec": round(n_turns / headline, 1),
-    }))
+    emit()
     ray.shutdown()
 
 
