@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["near_dup_conversations_transcripts"] = _near_dup_conversations
     out["tool_usage_transcripts"] = _tool_usage
     out["pack_sft_transcripts"] = _pack_sft
+    out["dedup_turns_transcripts"] = _dedup_turns
     out["grouped_quantile_price_by_flag"] = _grouped_quantile_by_flag
     out["profile_events"] = _profile_events
     out["near_dup_pairs_documents"] = _near_dup_pairs
@@ -1747,6 +1748,41 @@ def _pack_sft(sf_dir: str):
         ex.map_batches(addid, batch_format="pyarrow"), 256)
 
 
+def _dedup_turns(sf_dir: str):
+    """Within-conversation turn dedup.  Turns with turn_idx % 4 == 1 are
+    re-injected at turn_idx + 1000 on BOTH sides (same conv, same text —
+    the retried-tool-call shape); the first occurrence must win."""
+    import numpy as np
+
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tr = tp.transcripts_from_documents(docs)
+
+    def inject(t: pa.Table) -> pa.Table:
+        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+        sub = t.filter(pa.array(idx % 4 == 1))
+        dup = sub.set_column(
+            sub.schema.get_field_index("turn_idx"), "turn_idx",
+            pc.cast(pc.add(sub.column("turn_idx"), pa.scalar(1000)),
+                    pa.int32()))
+        return pa.concat_tables([t, dup])
+
+    out = tp.dedup_turns(tr.map_batches(inject, batch_format="pyarrow"))
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+                "role": t.column("role"),
+                "text": t.column("text"),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -2135,6 +2171,25 @@ def oracle_sql() -> dict[str, str]:
             "ELSE COALESCE(string_agg(CASE WHEN keep THEN line END, ' ' "
             "ORDER BY line_idx), '') END AS text "
             "FROM m GROUP BY doc_id"
+        ),
+        "dedup_turns_transcripts": (
+            # inject duplicate turns (idx%4=1 re-added at idx+1000), then
+            # keep the first occurrence of each (conv, text)
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "base AS (SELECT printf('conv-%08d', doc_id) AS conv_id, "
+            "CAST(i AS BIGINT) AS turn_idx, "
+            "CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "turn AS (SELECT * FROM base UNION ALL "
+            "SELECT conv_id, turn_idx + 1000, role, text FROM base "
+            "WHERE turn_idx % 4 = 1), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY conv_id, text "
+            "ORDER BY turn_idx) AS rn FROM turn) "
+            "SELECT conv_id, turn_idx, role, text FROM r WHERE rn = 1"
         ),
         "pack_sft_transcripts": (
             # the training_examples derivation + deterministic id, then the

@@ -1708,3 +1708,35 @@ def pack_sft_examples(ds, max_len: int, *, id_col: str = "example_id",
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow",
                                  batch_size=None)
+
+
+def dedup_turns(ds, *, conv_col: str = "conv_id", idx_col: str = "turn_idx",
+                text_col: str = "text"):
+    """Within-conversation exact turn dedup: keep only the FIRST occurrence
+    (minimum ``idx_col``) of each exact turn text inside a conversation —
+    retried tool calls, repeated error banners, duplicated user sends.
+    Cross-conversation repeats are untouched (that is
+    :func:`drop_boilerplate_turns`'s job).
+
+    Pure composition: a compound ``conv\\x1ftext`` key column feeds
+    :func:`~hooqu_ray.pipelines.dedup.exact_dedup` with the turn index as
+    the winner id, inheriting its combiner shuffle + sharded
+    winner-broadcast scale shape (one slim row per (block, dup key); turn
+    text never shuffles).  Null texts dedup within their conversation via
+    a sentinel; null conv ids form ONE group (SQL ``GROUP BY`` null
+    semantics).  Key caveat: a conv id containing ``\\x1f`` or a text
+    equal to the null sentinel can alias — the same class of documented
+    risk as the 63-bit content hashes."""
+    from .dedup import exact_dedup
+
+    def addkey(t: pa.Table) -> pa.Table:
+        ct = pc.binary_join_element_wise(
+            pc.cast(t.column(conv_col), pa.string()),
+            pc.fill_null(t.column(text_col), "\x00<null-text>"),
+            "\x1f")
+        return t.append_column("__ct", ct)
+
+    out = exact_dedup(ds.map_batches(addkey, batch_format="pyarrow"),
+                      text_col="__ct", id_col=idx_col)
+    return out.map_batches(lambda t: t.drop_columns(["__ct"]),
+                           batch_format="pyarrow")

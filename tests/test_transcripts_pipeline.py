@@ -695,3 +695,27 @@ class TestNonStringConvIds:
         assert got["conv_id"].dtype.kind == "i"
         kept = tp.dedup_conversations(ds).to_pandas()
         assert len(kept) == len(rows)  # all distinct, int ids round-trip
+
+
+class TestDedupTurns:
+    def test_first_occurrence_wins_within_conv_only(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = [
+            ("a", 0, "retry tool call"), ("a", 3, "retry tool call"),
+            ("a", 1, "unique turn a"),
+            ("b", 0, "retry tool call"),       # cross-conv repeat kept
+            ("b", 2, None), ("b", 5, None),    # null texts dedup in-conv
+            ("c", 0, None),                    # other conv's null kept
+        ]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        })
+        got = tp.dedup_turns(
+            rd.from_arrow(t).repartition(3)).to_pandas()
+        got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert list(zip(got["conv_id"], got["turn_idx"])) == [
+            ("a", 0), ("a", 1), ("b", 0), ("b", 2), ("c", 0)]
