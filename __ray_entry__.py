@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["tool_usage_transcripts"] = _tool_usage
     out["pack_sft_transcripts"] = _pack_sft
     out["dedup_turns_transcripts"] = _dedup_turns
+    out["sft_pipeline_transcripts"] = _sft_pipeline
     out["grouped_quantile_price_by_flag"] = _grouped_quantile_by_flag
     out["profile_events"] = _profile_events
     out["near_dup_pairs_documents"] = _near_dup_pairs
@@ -1783,6 +1784,17 @@ def _dedup_turns(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def _sft_pipeline(sf_dir: str):
+    """Composed end-to-end SFT preparation: boilerplate removal (>= 2
+    convs) -> 96-token context truncation -> 48-token example extraction.
+    Every stage changes the output at sf0.01, so the oracle exercises the
+    composition, not three identities."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tp.sft_prepare(tp.transcripts_from_documents(docs))
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -2171,6 +2183,40 @@ def oracle_sql() -> dict[str, str]:
             "ELSE COALESCE(string_agg(CASE WHEN keep THEN line END, ' ' "
             "ORDER BY line_idx), '') END AS text "
             "FROM m GROUP BY doc_id"
+        ),
+        "sft_pipeline_transcripts": (
+            # the composed DAG: boilerplate NOT IN -> descending running-sum
+            # suffix filter -> running-sum self-join example extraction
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, "
+            "CAST(i AS BIGINT) AS turn_idx, "
+            "CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "hot AS (SELECT text FROM turn WHERE length(text) >= 10 "
+            "GROUP BY text HAVING count(DISTINCT conv_id) >= 2), "
+            "clean AS (SELECT * FROM turn WHERE text NOT IN "
+            "(SELECT text FROM hot)), "
+            "ct AS (SELECT *, len(regexp_extract_all(text, '\\S+')) AS ntok "
+            "FROM clean), "
+            "rs AS (SELECT *, SUM(ntok) OVER (PARTITION BY conv_id ORDER BY "
+            "turn_idx DESC) AS sfx FROM ct), "
+            "kept AS (SELECT conv_id, turn_idx, role, text, ntok FROM rs "
+            "WHERE sfx <= 96), "
+            "rc AS (SELECT *, SUM(ntok) OVER (PARTITION BY conv_id ORDER BY "
+            "turn_idx) AS c2 FROM kept) "
+            "SELECT a.conv_id, a.turn_idx, "
+            "COALESCE(string_agg(CASE WHEN b.turn_idx < a.turn_idx THEN "
+            "b.text END, chr(10) ORDER BY b.turn_idx), '') AS prompt, "
+            "ANY_VALUE(a.text) AS target, "
+            "CAST(COUNT(*) - 1 AS BIGINT) AS n_context_turns, "
+            "CAST(SUM(b.ntok) AS BIGINT) AS n_tokens "
+            "FROM rc a JOIN rc b ON a.conv_id = b.conv_id "
+            "AND b.turn_idx <= a.turn_idx AND a.c2 - b.c2 + b.ntok <= 48 "
+            "WHERE a.role = 'assistant' GROUP BY a.conv_id, a.turn_idx"
         ),
         "dedup_turns_transcripts": (
             # inject duplicate turns (idx%4=1 re-added at idx+1000), then

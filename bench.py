@@ -536,6 +536,15 @@ def main() -> None:
     ).count()
     queries["boilerplate_turns"] = round(time.time() - t0, 3)
 
+    # the composed SFT preparation DAG end-to-end (boilerplate -> truncate
+    # -> example extraction), same realistic min_convs
+    t0 = time.time()
+    tp.sft_prepare(
+        rd.read_parquet(bench_input),
+        boilerplate_min_convs=max(2, replicate + 1),
+    ).count()
+    queries["sft_pipeline"] = round(time.time() - t0, 3)
+
     emit()
     ray.shutdown()
 

@@ -1740,3 +1740,27 @@ def dedup_turns(ds, *, conv_col: str = "conv_id", idx_col: str = "turn_idx",
                       text_col="__ct", id_col=idx_col)
     return out.map_batches(lambda t: t.drop_columns(["__ct"]),
                            batch_format="pyarrow")
+
+
+def sft_prepare(ds, *, boilerplate_min_convs: int = 2,
+                context_budget: int = 96, example_budget: int = 48,
+                target_role: str = "assistant"):
+    """End-to-end SFT data preparation over raw transcripts — the
+    composed preprocessing DAG, each stage streaming into the next:
+
+    1. :func:`drop_boilerplate_turns` — remove turns whose exact text
+       spans ``boilerplate_min_convs`` conversations (templates, banners);
+    2. :func:`truncate_conversations` — keep each conversation's most
+       recent ``context_budget``-token suffix;
+    3. :func:`extract_training_examples` — one (prompt, target) pair per
+       ``target_role`` turn within ``example_budget`` tokens.
+
+    Returns the example Dataset (``conv_id, turn_idx, prompt, target,
+    n_context_turns, n_tokens``).  Feed it to :func:`pack_sft_examples`
+    for the loss-mask packing plan.  Exact-dedup stages
+    (:func:`dedup_conversations`, :func:`dedup_turns`) compose in front
+    when the corpus needs them."""
+    clean = drop_boilerplate_turns(ds, boilerplate_min_convs)
+    kept = truncate_conversations(clean, context_budget)
+    return extract_training_examples(kept, example_budget,
+                                     target_role=target_role)
