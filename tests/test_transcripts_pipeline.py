@@ -719,3 +719,34 @@ class TestDedupTurns:
         got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
         assert list(zip(got["conv_id"], got["turn_idx"])) == [
             ("a", 0), ("a", 1), ("b", 0), ("b", 2), ("c", 0)]
+
+
+class TestSftPrepare:
+    def test_stages_compose(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = []
+        # two convs sharing a boilerplate banner; long enough to truncate
+        for c in ("a", "b"):
+            rows.append((c, 0, "user", "shared cookie banner text"))
+            for i in range(1, 9):
+                rows.append((c, i, "assistant" if i % 2 else "user",
+                             " ".join([f"{c}{i}w{k}" for k in range(4)])))
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        })
+        got = tp.sft_prepare(
+            rd.from_arrow(t).repartition(3),
+            boilerplate_min_convs=2, context_budget=16, example_budget=12,
+        ).to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        # banner removed (not in any prompt), truncation keeps the last 4
+        # turns (16 tokens), targets are assistant turns within 12 tokens
+        assert not got["prompt"].str.contains("banner").any()
+        assert not (got["target"] == "shared cookie banner text").any()
+        assert set(got["turn_idx"]) <= {5, 7}     # assistant turns kept
+        assert (got["n_tokens"] <= 12).all()
+        assert len(got) == 4                      # 2 per conversation
