@@ -56,11 +56,20 @@ def _scaling() -> None:
     # from any single leg's repeats.
     lo = int(os.environ.get("SCALING_LO", "4"))
     hi = int(os.environ.get("SCALING_HI", "16"))
-    repeats = int(os.environ.get("SCALING_REPEATS", "3"))
+    # asymmetric repeats: the low-parallelism leg rides below the box's
+    # bandwidth noise and is near bit-stable (273.03/273.04 s observed),
+    # while the high leg swings 63-141 s across one hour — so sample the
+    # noisy leg more and the stable one less, interleaved, for a better
+    # per-leg minimum in LESS total wall time than symmetric repeats
+    repeats = os.environ.get("SCALING_REPEATS")
+    lo_reps = int(os.environ.get("SCALING_REPEATS_LO", repeats or "2"))
+    hi_reps = int(os.environ.get("SCALING_REPEATS_HI", repeats or "5"))
     lo_runs, hi_runs = [], []
-    for _ in range(repeats):
-        lo_runs.append(run_once(lo))
-        hi_runs.append(run_once(hi))
+    for i in range(max(lo_reps, hi_reps)):
+        if i < lo_reps:
+            lo_runs.append(run_once(lo))
+        if i < hi_reps:
+            hi_runs.append(run_once(hi))
     r_lo = min(lo_runs, key=lambda r: r["value"])
     r_hi = min(hi_runs, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
