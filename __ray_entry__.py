@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # -- oracled via SQL derivation / bound predicates --------------------
     out["conversation_features"] = _conversation_features
+    out["validate_conversations_transcripts"] = _validate_conversations_q
     out["truncate_conversations_transcripts"] = _truncate_conversations
     out["boilerplate_turns_transcripts"] = _boilerplate_turns
     out["merge_turns_transcripts"] = _merge_turns
@@ -1547,6 +1548,40 @@ def _conversation_features(sf_dir: str):
     return tp.conversation_features(tp.transcripts_from_documents(docs))
 
 
+def _validate_conversations_q(sf_dir: str):
+    """Conversation schema-validation report.  The synthetic transcripts
+    are uniformly well-formed, so deterministic corruption is injected on
+    BOTH sides to exercise every flag: drop turn 0 where doc_id%5=0
+    (breaks starts_with_user + dense_index), drop turn 2 where doc_id%11=0
+    (breaks dense_index mid-conversation), blank turn 1's text where
+    doc_id%7=0 (sets has_empty_text)."""
+    import numpy as np
+
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        doc = pc.cast(
+            pc.utf8_slice_codeunits(t.column("conv_id"), 5), pa.int64()
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+        keep = ~(((doc % 5 == 0) & (idx == 0)) | ((doc % 11 == 0) & (idx == 2)))
+        t = t.filter(pa.array(keep))
+        blank = (doc[keep] % 7 == 0) & (idx[keep] == 1)
+        if blank.any():
+            text = t.column("text").to_numpy(zero_copy_only=False).astype(object)
+            text[blank] = ""
+            t = t.set_column(
+                t.schema.get_field_index("text"), "text", pa.array(text, pa.string())
+            )
+        return t
+
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        corrupt, batch_format="pyarrow")
+    return tp.validate_conversations(tr)
+
+
 def _truncate_conversations(sf_dir: str):
     """Context-window truncation over the deterministic transcript table:
     keep each conversation's maximal turn SUFFIX fitting a 96-token budget
@@ -2397,6 +2432,35 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY text HAVING count(DISTINCT conv_id) >= 2) "
             "SELECT conv_id, turn_idx, role, text FROM turn "
             "WHERE text NOT IN (SELECT text FROM hot)"
+        ),
+        "validate_conversations_transcripts": (
+            # re-derive the documents→transcripts explosion, apply the SAME
+            # deterministic corruption as the query wrapper, then the
+            # per-conversation validation aggregates
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT doc_id, printf('conv-%08d', doc_id) AS conv_id, "
+            "CAST(i AS BIGINT) AS turn_idx, "
+            "CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "corr AS (SELECT conv_id, turn_idx, role, "
+            "CASE WHEN doc_id % 7 = 0 AND turn_idx = 1 THEN '' ELSE text END "
+            "AS text FROM turn WHERE NOT ((doc_id % 5 = 0 AND turn_idx = 0) "
+            "OR (doc_id % 11 = 0 AND turn_idx = 2))), "
+            "agg AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+            "arg_min(role, turn_idx) = 'user' AS starts_with_user, "
+            "arg_max(role, turn_idx) = 'assistant' AS ends_with_assistant, "
+            "(min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1 AND "
+            "count(DISTINCT turn_idx) = count(*)) AS dense_index, "
+            "bool_or(COALESCE(text, '') = '') AS has_empty_text "
+            "FROM corr GROUP BY conv_id) "
+            "SELECT conv_id, n_turns, starts_with_user, ends_with_assistant, "
+            "dense_index, has_empty_text, (starts_with_user AND "
+            "ends_with_assistant AND dense_index AND NOT has_empty_text) "
+            "AS valid FROM agg"
         ),
         "truncate_conversations_transcripts": (
             # re-derive the documents→transcripts explosion (12-word chunks,

@@ -800,6 +800,160 @@ def conversation_features(ds):
     return interior.union(merged)
 
 
+_VALIDATE_COLS = [
+    "conv_id", "n_turns", "starts_with_user", "ends_with_assistant",
+    "dense_index", "has_empty_text", "valid",
+]
+
+
+def _validate_partials_block(batch: pa.Table) -> pa.Table:
+    """Vectorized per-block schema-validation partials over a
+    (conv_id, turn_idx)-sorted block — same segment/boundary shape as
+    ``_conv_feature_partials_block``.  Per conversation SEGMENT:
+    turn count, first/last turn_idx + role, whether turn_idx values are
+    strictly consecutive within the segment, and whether any turn has
+    null/empty text."""
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_turns", pa.int64()),
+            ("has_empty_text", pa.bool_()),
+            ("__dense_in", pa.bool_()),
+            ("__idx_first", pa.int64()),
+            ("__idx_last", pa.int64()),
+            ("__role_first", pa.string()),
+            ("__role_last", pa.string()),
+            ("__pending", pa.bool_()),
+        ]
+    )
+    n = len(batch)
+    if n == 0:
+        return schema.empty_table()
+    keys = batch.column("conv_id").to_numpy(zero_copy_only=False)
+    roles = batch.column("role").to_numpy(zero_copy_only=False)
+    tidx = batch.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+    text = batch.column("text")
+    empty = pc.or_kleene(
+        pc.is_null(text), pc.equal(pc.utf8_length(text), 0)
+    ).to_numpy(zero_copy_only=False).astype(bool)
+    new_key = np.r_[True, keys[1:] != keys[:-1]]
+    starts = np.flatnonzero(new_key)
+    ends = np.r_[starts[1:], n]
+    # consecutive turn_idx within segment (junctions repaired in the merge)
+    ok_adj = np.r_[True, tidx[1:] == tidx[:-1] + 1] | new_key
+    dense_in = np.logical_and.reduceat(ok_adj, starts)
+    has_empty = np.logical_or.reduceat(empty, starts)
+    pending = (keys[starts] == keys[0]) | (keys[starts] == keys[-1])
+    return pa.table(
+        {
+            "conv_id": pa.array(keys[starts]),
+            "n_turns": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            "has_empty_text": pa.array(has_empty, pa.bool_()),
+            "__dense_in": pa.array(dense_in, pa.bool_()),
+            "__idx_first": pa.array(tidx[starts], pa.int64()),
+            "__idx_last": pa.array(tidx[ends - 1], pa.int64()),
+            "__role_first": pa.array(roles[starts].astype(object), pa.string()),
+            "__role_last": pa.array(roles[ends - 1].astype(object), pa.string()),
+            "__pending": pa.array(pending, pa.bool_()),
+        },
+        schema=schema,
+    )
+
+
+def _validate_finalize(t: pa.Table) -> pa.Table:
+    """Partial segment rows → final per-conversation validation rows
+    (works for single-segment interior conversations and for merged
+    boundary conversations alike)."""
+    swu = pc.equal(t.column("__role_first"), "user")
+    ewa = pc.equal(t.column("__role_last"), "assistant")
+    dense = pc.and_(t.column("__dense_in"), pc.equal(t.column("__idx_first"), 0))
+    valid = pc.and_(
+        pc.and_(swu, ewa),
+        pc.and_(dense, pc.invert(t.column("has_empty_text"))),
+    )
+    return pa.table(
+        {
+            "conv_id": t.column("conv_id"),
+            "n_turns": t.column("n_turns"),
+            "starts_with_user": swu,
+            "ends_with_assistant": ewa,
+            "dense_index": dense,
+            "has_empty_text": t.column("has_empty_text"),
+            "valid": valid,
+        }
+    )
+
+
+def _merge_boundary_validate(group):
+    """groupby(conv_id) merge of one boundary conversation's segment
+    partials: order segments by first turn_idx, sum counts, OR the empty
+    flag, AND the dense verdicts plus the junction condition (next
+    segment's first idx == previous segment's last idx + 1)."""
+    import pandas as pd
+
+    g = group.sort_values("__idx_first", ignore_index=True)
+    idx_first = g["__idx_first"].to_numpy()
+    idx_last = g["__idx_last"].to_numpy()
+    dense = bool(g["__dense_in"].all()) and bool(
+        (idx_first[1:] == idx_last[:-1] + 1).all()
+    )
+    merged = pd.DataFrame(
+        {
+            "conv_id": [g["conv_id"].iloc[0]],
+            "n_turns": [int(g["n_turns"].sum())],
+            "has_empty_text": [bool(g["has_empty_text"].any())],
+            "__dense_in": [dense],
+            "__idx_first": [int(idx_first[0])],
+            "__idx_last": [int(idx_last[-1])],
+            "__role_first": [g["__role_first"].iloc[0]],
+            "__role_last": [g["__role_last"].iloc[-1]],
+            "__pending": [False],
+        }
+    )
+    return _validate_finalize(pa.Table.from_pandas(merged, preserve_index=False))
+
+
+def validate_conversations(ds):
+    """Per-conversation schema-validation report for transcript tables:
+
+    - ``starts_with_user`` / ``ends_with_assistant`` — role at the
+      first / last turn_idx,
+    - ``dense_index`` — turn_idx is exactly 0..n_turns-1 (no gap, no
+      duplicate; equivalently min=0, max=n-1, all distinct),
+    - ``has_empty_text`` — any turn with null or zero-length text,
+    - ``valid`` — all of the above hold (and no empty turn).
+
+    Same scale shape as ``conversation_features``: ONE range
+    ``sort(conv_id, turn_idx)`` over a four-column projection, a fully
+    vectorized per-block segment pass, and a boundary merge touching at
+    most 2 conversations per block.  Rows with null conv_id/turn_idx are
+    dropped (SQL GROUP BY semantics)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.is_valid(t.column("conv_id")), pc.is_valid(t.column("turn_idx"))
+        )
+        return t.select(["conv_id", "turn_idx", "role", "text"]).filter(mask)
+
+    partials = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .sort(["conv_id", "turn_idx"])
+        .map_batches(_validate_partials_block, batch_format="pyarrow")
+        .materialize()
+    )
+    interior = partials.map_batches(
+        lambda t: _validate_finalize(t.filter(pc.invert(t.column("__pending")))),
+        batch_format="pyarrow",
+    )
+    boundary = partials.map_batches(
+        lambda t: t.filter(t.column("__pending")), batch_format="pyarrow"
+    )
+    merged = boundary.groupby("conv_id").map_groups(
+        lambda g: _merge_boundary_validate(g), batch_format="pandas"
+    )
+    return interior.union(merged)
+
+
 def conversation_features_grouped(ds, max_group_rows: int = 1_000_000):
     """Round-2 shape: guarded ``groupby(conv_id)`` sequence apply (see
     functions.shuffle), kept for differential testing — pays ~100 µs of

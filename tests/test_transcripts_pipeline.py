@@ -612,6 +612,112 @@ class TestConversationTexts:
         assert got["n_turns"].tolist() == [30, 2]
 
 
+class TestValidateConversations:
+    @staticmethod
+    def _turns(rows):
+        import pyarrow as pa
+
+        return pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        })
+
+    def test_flags_each_violation(self, ray_session):
+        import ray.data as rd
+
+        rows = [
+            # ok: user/assistant alternating, dense from 0, non-empty
+            ("ok", 0, "user", "hi"), ("ok", 1, "assistant", "hello"),
+            # gap: missing turn 1
+            ("gap", 0, "user", "a"), ("gap", 2, "assistant", "b"),
+            # dup: duplicate turn_idx 0 (min=0, max=1, but 3 rows)
+            ("dup", 0, "user", "a"), ("dup", 0, "user", "a2"),
+            ("dup", 1, "assistant", "b"),
+            # late: starts at 1 (turn 0 missing)
+            ("late", 1, "assistant", "b"), ("late", 2, "user", "c"),
+            # empty: blank + null texts
+            ("empty", 0, "user", ""), ("empty", 1, "assistant", None),
+            # tail: ends with a user turn
+            ("tail", 0, "user", "a"), ("tail", 1, "assistant", "b"),
+            ("tail", 2, "user", "c"),
+            (None, 0, "user", "null conv dropped"),
+        ]
+        got = tp.validate_conversations(
+            rd.from_arrow(self._turns(rows)).repartition(4)
+        ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+        by = got.set_index("conv_id")
+        assert by.loc["ok"].tolist() == [2, True, True, True, False, True]
+        assert by.loc["gap"].tolist() == [2, True, True, False, False, False]
+        assert by.loc["dup"].tolist() == [3, True, True, False, False, False]
+        assert by.loc["late"].tolist() == [2, False, False, False, False, False]
+        assert by.loc["empty"].tolist() == [2, True, True, True, True, False]
+        assert by.loc["tail"].tolist() == [3, True, False, True, False, False]
+        assert "None" not in by.index and None not in by.index
+
+    def test_boundary_conversation_across_blocks(self, ray_session):
+        import ray.data as rd
+
+        # one 40-turn dense conversation split across many blocks, plus a
+        # conversation whose gap sits exactly at a block seam
+        rows = [("big", i, "user" if i % 2 == 0 else "assistant", f"t{i}")
+                for i in range(40)]
+        rows += [("seam", 0, "user", "a"), ("seam", 1, "assistant", "b"),
+                 ("seam", 5, "assistant", "c")]
+        got = tp.validate_conversations(
+            rd.from_arrow(self._turns(rows)).repartition(8)
+        ).to_pandas().set_index("conv_id")
+        assert got.loc["big", "n_turns"] == 40
+        assert bool(got.loc["big", "dense_index"])
+        assert bool(got.loc["big", "valid"])
+        assert got.loc["seam", "n_turns"] == 3
+        assert not bool(got.loc["seam", "dense_index"])
+
+    def test_matches_duckdb_on_synthetic_corruption(self, ray_session):
+        """End-to-end differential vs the oracle SQL shape on a tiny
+        deterministic corpus (mirrors the driver-contract query)."""
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        rng = np.random.RandomState(7)
+        rows = []
+        for conv in range(25):
+            n = int(rng.randint(1, 9))
+            for i in range(n):
+                if conv % 5 == 0 and i == 0:
+                    continue
+                if conv % 11 == 0 and i == 2:
+                    continue
+                txt = "" if (conv % 7 == 0 and i == 1) else f"w{conv}-{i}"
+                rows.append((f"conv-{conv:08d}", i,
+                             "user" if i % 2 == 0 else "assistant", txt))
+        if not rows:
+            return
+        t = self._turns(rows)
+        got = tp.validate_conversations(
+            rd.from_arrow(t).repartition(5)
+        ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("turns", t)
+        want = con.execute(
+            "WITH agg AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+            "arg_min(role, turn_idx) = 'user' AS starts_with_user, "
+            "arg_max(role, turn_idx) = 'assistant' AS ends_with_assistant, "
+            "(min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1 AND "
+            "count(DISTINCT turn_idx) = count(*)) AS dense_index, "
+            "bool_or(COALESCE(text, '') = '') AS has_empty_text "
+            "FROM turns GROUP BY conv_id) "
+            "SELECT conv_id, n_turns, starts_with_user, ends_with_assistant, "
+            "dense_index, has_empty_text, (starts_with_user AND "
+            "ends_with_assistant AND dense_index AND NOT has_empty_text) AS "
+            "valid FROM agg ORDER BY conv_id"
+        ).df().reset_index(drop=True)
+        assert got[want.columns.tolist()].equals(want)
+
+
 class TestToolUsageStats:
     def test_counts_and_distinct(self, ray_session):
         import pyarrow as pa
