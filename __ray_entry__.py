@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["dedup_conversations_transcripts"] = _dedup_conversations
     out["near_dup_conversations_transcripts"] = _near_dup_conversations
     out["tool_usage_transcripts"] = _tool_usage
+    out["pii_stats_transcripts"] = _pii_stats
     out["pack_sft_transcripts"] = _pack_sft
     out["dedup_turns_transcripts"] = _dedup_turns
     out["sft_pipeline_transcripts"] = _sft_pipeline
@@ -1765,6 +1766,42 @@ def _tool_usage(sf_dir: str):
     return tp.tool_usage_stats(tr)
 
 
+def _pii_stats(sf_dir: str):
+    """Per-conversation PII exposure report.  The synthetic transcripts are
+    clean, so PII is injected deterministically on BOTH sides: turns with
+    turn_idx % 5 == 1 gain ' contact user<doc_id>@example.com', turns with
+    turn_idx % 11 == 3 gain ' card 4000 1234 5678 9010'; URL hits come from
+    the raw document text.  Engine counts via RE2 (pyarrow
+    count_substring_regex), oracle via DuckDB regexp_extract_all — the SAME
+    pattern strings, both RE2."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+        doc = pc.cast(
+            pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13), pa.int64()
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        text = t.column("text").to_numpy(zero_copy_only=False).astype(object)
+        m5 = idx % 5 == 1
+        if m5.any():
+            sfx = np.char.add(
+                np.char.add(" contact user", doc[m5].astype(str)),
+                "@example.com").astype(object)
+            text[m5] = text[m5] + sfx
+        m11 = idx % 11 == 3
+        if m11.any():
+            text[m11] = text[m11] + " card 4000 1234 5678 9010"
+        return t.set_column(
+            t.schema.get_field_index("text"), "text",
+            pa.array(text, pa.string()))
+
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        inject, batch_format="pyarrow")
+    return tp.pii_stats(tr)
+
+
 def _pack_sft(sf_dir: str):
     """Loss-mask packing plan over the extracted SFT examples: 48-token
     windows packed into 256-token sequences, target spans recorded."""
@@ -1897,6 +1934,13 @@ SELECT ROUND(v, 6) AS {name} FROM r, kk WHERE rn = k + 1
 
 
 def oracle_sql() -> dict[str, str]:
+    from hooqu_ray import patterns as _pats
+
+    # the SAME RE2 pattern strings the engine's pii_stats uses, single
+    # quotes doubled for SQL literals (DuckDB regexp is RE2 too)
+    email_pat = _pats.EMAIL.pattern.replace("'", "''")
+    url_pat = _pats.URL.pattern.replace("'", "''")
+    cc_pat = _pats.CREDITCARD_RE2.replace("'", "''")
     uniq_sql = (
         "WITH f AS (SELECT {cols}, count(*) AS cnt FROM {table} "
         "WHERE {notnull} GROUP BY {cols}) "
@@ -2320,6 +2364,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, CAST(COUNT(tool) AS BIGINT) AS n_tool_calls, "
             "CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_distinct_tools "
             "FROM tt WHERE tool IS NOT NULL GROUP BY conv_id"
+        ),
+        "pii_stats_transcripts": (
+            # same turn explosion + deterministic PII injection as the
+            # engine side; counts per category with the engine's own RE2
+            # pattern strings; only conversations with >= 1 match emitted
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, doc_id, "
+            "i, array_to_string(ws[i*12+1:i*12+12], ' ') AS base FROM t), "
+            "inj AS (SELECT conv_id, base || "
+            "CASE WHEN i % 5 = 1 THEN ' contact user' || doc_id || "
+            "'@example.com' ELSE '' END || "
+            "CASE WHEN i % 11 = 3 THEN ' card 4000 1234 5678 9010' "
+            "ELSE '' END AS text FROM turn), "
+            "m AS (SELECT conv_id, "
+            "len(regexp_extract_all(text, '" + email_pat + "')) AS e, "
+            "len(regexp_extract_all(text, '" + url_pat + "')) AS u, "
+            "len(regexp_extract_all(text, '" + cc_pat + "')) AS cc "
+            "FROM inj), "
+            "agg AS (SELECT conv_id, CAST(SUM(e) AS BIGINT) AS n_email, "
+            "CAST(SUM(u) AS BIGINT) AS n_url, CAST(SUM(cc) AS BIGINT) AS "
+            "n_cc, CAST(SUM(CASE WHEN e + u + cc > 0 THEN 1 ELSE 0 END) AS "
+            "BIGINT) AS n_pii_turns FROM m GROUP BY conv_id) "
+            "SELECT conv_id, n_email, n_url, n_cc, n_pii_turns FROM agg "
+            "WHERE n_email + n_url + n_cc > 0"
         ),
         "near_dup_conversations_transcripts": (
             # conversation text = doc words rejoined (chunk boundaries add

@@ -24,3 +24,15 @@ URL = re.compile(r"""(https?|ftp)://[^\s/$.?#].[^\s]*""")
 CREDITCARD = re.compile(
     r"""\b(?:3[47]\d{2}([\ \-]?)\d{6}\1\d|(?:(?:4\d|5[1-5]|65)\d{2}|6011)([\ \-]?)\d{4}\2\d{4}\2)\d{4}\b"""
 )
+
+
+# Backreference-free CREDITCARD variant for RE2 engines (pyarrow.compute,
+# DuckDB): the original pattern's \1/\2 backrefs only enforce that the
+# separator is CONSISTENT ("4000 1234-5678 9010" is rejected); this variant
+# accepts mixed separators — strictly higher recall, which is the right
+# trade for a DETECTION report (the scrub path keeps the strict Python-re
+# pattern above for byte parity with the reference).
+CREDITCARD_RE2 = (
+    r"\b(?:3[47]\d{2}[ \-]?\d{6}[ \-]?\d"
+    r"|(?:(?:4\d|5[1-5]|65)\d{2}|6011)(?:[ \-]?\d{4}){2}[ \-]?)\d{4}\b"
+)

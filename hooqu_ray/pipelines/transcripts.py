@@ -1975,3 +1975,91 @@ def sft_prepare(ds, *, boilerplate_min_convs: int = 2,
     return _per_conversation_apply(
         clean, ["conv_id", "turn_idx", "role", "text"], "conv_id",
         "turn_idx", kernel)
+
+
+# -- PII detection report ---------------------------------------------------
+
+# Detection patterns: EMAIL/URL are the reference's public patterns verbatim
+# (``patterns.py``; both are backref-free, so RE2-safe); CREDITCARD uses the
+# RE2 variant (``patterns.CREDITCARD_RE2``) because pyarrow's
+# ``count_substring_regex`` — the vectorized scale path — cannot run the
+# backreferenced original.  Keys double as output column names.
+def _pii_detect_patterns() -> "Dict[str, str]":
+    from .. import patterns
+
+    return {
+        "n_email": patterns.EMAIL.pattern,
+        "n_url": patterns.URL.pattern,
+        "n_cc": patterns.CREDITCARD_RE2,
+    }
+
+
+def pii_stats(ds, *, conv_col: str = "conv_id", text_col: str = "text"):
+    """Per-conversation PII detection report over transcript turns:
+    ``(conv, n_email, n_url, n_cc, n_pii_turns)`` counting regex matches
+    per category plus the number of turns containing ANY match.  Only
+    conversations with at least one match are emitted (the report is
+    O(PII incidence), not O(corpus) — at web scale most conversations are
+    clean and would bloat the output with zero rows).
+
+    This is the REPORT side of the flagship's scrub (north-star rule:
+    "PII/toxicity scrub"; reference patterns ``hooqu/patterns.py:5-12``):
+    the scrub rewrites text, this measures exposure without touching it —
+    the audit you run BEFORE deciding scrub policy.
+
+    One streaming pass: per block, ``pc.count_substring_regex`` (RE2,
+    vectorized C) counts each category over the raw ``text_col``, an Arrow
+    ``group_by`` folds the block's turns to per-conversation partials, and
+    a final ``groupby(conv).sum`` merges across blocks — the shuffle moves
+    one slim count row per (block, conversation), never the text."""
+    from ray.data.aggregate import Sum
+
+    from ..util import dataset_arrow_schema
+
+    pats = _pii_detect_patterns()
+    cat_cols = list(pats)
+    in_schema = dataset_arrow_schema(ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
+
+    def block_partials(t: pa.Table) -> pa.Table:
+        sub = t.select([conv_col, text_col]).filter(
+            pc.is_valid(t.column(conv_col)))
+        text = pc.fill_null(pc.cast(sub.column(text_col), pa.string()), "")
+        counts = {
+            k: pc.cast(pc.count_substring_regex(text, pattern=p), pa.int64())
+            for k, p in pats.items()
+        }
+        total = counts[cat_cols[0]]
+        for k in cat_cols[1:]:
+            total = pc.add(total, counts[k])
+        pii_turn = pc.cast(pc.greater(total, 0), pa.int64())
+        flat = pa.table({conv_col: sub.column(conv_col), **counts,
+                         "n_pii_turns": pii_turn})
+        agg = flat.group_by([conv_col]).aggregate(
+            [(c, "sum") for c in cat_cols + ["n_pii_turns"]])
+        return agg.rename_columns([conv_col] + cat_cols + ["n_pii_turns"])
+
+    out_cols = cat_cols + ["n_pii_turns"]
+
+    def project(t: pa.Table) -> pa.Table:
+        if f"sum({cat_cols[0]})" not in t.column_names:  # schema-less empty
+            return pa.table(
+                {conv_col: pa.array([], conv_type),
+                 **{c: pa.array([], pa.int64()) for c in out_cols}})
+        cols = {conv_col: t.column(conv_col)}
+        for c in out_cols:
+            cols[c] = pc.cast(t.column(f"sum({c})"), pa.int64())
+        out = pa.table(cols)
+        total = out.column(cat_cols[0])
+        for c in cat_cols[1:]:
+            total = pc.add(total, out.column(c))
+        return out.filter(pc.greater(total, 0))
+
+    return (
+        ds.map_batches(block_partials, batch_format="pyarrow")
+        .groupby(conv_col)
+        .aggregate(*[Sum(c) for c in out_cols])
+        .map_batches(project, batch_format="pyarrow")
+    )

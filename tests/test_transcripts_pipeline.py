@@ -856,3 +856,62 @@ class TestSftPrepare:
         assert set(got["turn_idx"]) <= {5, 7}     # assistant turns kept
         assert (got["n_tokens"] <= 12).all()
         assert len(got) == 4                      # 2 per conversation
+
+
+class TestPiiStats:
+    def test_counts_match_duckdb(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray import patterns
+
+        rows = [
+            ("a", "mail bob@example.com and card 4000 1234 5678 9010"),
+            ("a", "see https://x.io/a and ftp://files.example.org/x"),
+            ("b", "perfectly clean text"),          # absent from report
+            ("c", "two mails x@y.io z@w.io"),
+            ("c", "amex 3412 123456 12345 mixed 4000 1234-5678 9010"),
+            (None, "dropped@null.conv"),             # null conv dropped
+        ]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        })
+        got = tp.pii_stats(rd.from_arrow(t).repartition(3)).to_pandas()
+        got = got.sort_values("conv_id").reset_index(drop=True)
+
+        con = duckdb.connect()
+        con.register("turns", t)
+        pats = {"n_email": patterns.EMAIL.pattern,
+                "n_url": patterns.URL.pattern,
+                "n_cc": patterns.CREDITCARD_RE2}
+        sel = ", ".join(
+            "len(regexp_extract_all(text, '%s')) AS %s"
+            % (p.replace("'", "''"), k) for k, p in pats.items())
+        want = con.execute(
+            f"WITH m AS (SELECT conv_id, {sel} FROM turns "
+            "WHERE conv_id IS NOT NULL) "
+            "SELECT conv_id, CAST(SUM(n_email) AS BIGINT) AS n_email, "
+            "CAST(SUM(n_url) AS BIGINT) AS n_url, "
+            "CAST(SUM(n_cc) AS BIGINT) AS n_cc, "
+            "CAST(SUM(CASE WHEN n_email + n_url + n_cc > 0 THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_pii_turns FROM m GROUP BY conv_id "
+            "HAVING SUM(n_email) + SUM(n_url) + SUM(n_cc) > 0 "
+            "ORDER BY conv_id"
+        ).df().reset_index(drop=True)
+        assert got[want.columns.tolist()].equals(want)
+        assert set(got["conv_id"]) == {"a", "c"}
+
+    def test_null_text_and_empty_blocks(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array(["a", "a"], pa.string()),
+            "text": pa.array([None, "ok bob@example.com"], pa.string()),
+        })
+        got = tp.pii_stats(rd.from_arrow(t).repartition(4)).to_pandas()
+        assert got["conv_id"].tolist() == ["a"]
+        assert got["n_email"].tolist() == [1]
+        assert got["n_pii_turns"].tolist() == [1]
