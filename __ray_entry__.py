@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["near_dup_conversations_transcripts"] = _near_dup_conversations
     out["tool_usage_transcripts"] = _tool_usage
     out["pii_stats_transcripts"] = _pii_stats
+    out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["pack_sft_transcripts"] = _pack_sft
     out["dedup_turns_transcripts"] = _dedup_turns
     out["sft_pipeline_transcripts"] = _sft_pipeline
@@ -3073,6 +3074,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
             "WHERE doc_id NOT IN (SELECT doc_id FROM losers) ORDER BY doc_id"
         ),
+        "split_by_cluster_documents": (
+            # recursive reachability closure over verified Jaccard>=0.5
+            # pairs -> each doc's split = md5 bucket of its cluster-min id
+            # (singletons: own id), same 80/10/10 CASE as split_assign
+            "WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), "
+            "'\\S+') AS ws FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN []::VARCHAR[] "
+            "WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+            "ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+            "for i in range(1, len(ws) - 1)] END AS s FROM w), "
+            "d AS (SELECT doc_id, list_distinct(s) AS s FROM sh), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0 "
+            "ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1) END AS jaccard "
+            "FROM d a JOIN d b ON a.doc_id < b.doc_id), "
+            "pr AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.5), "
+            "e AS (SELECT id_a AS u, id_b AS v FROM pr "
+            "UNION SELECT id_b, id_a FROM pr), "
+            "walk(node, reach) AS (SELECT u, u FROM e "
+            "UNION SELECT wk.node, e.v FROM walk wk JOIN e ON e.u = wk.reach), "
+            "comp AS (SELECT node AS doc_id, min(reach) AS cluster_id "
+            "FROM walk GROUP BY node), "
+            "rep AS (SELECT dd.doc_id, COALESCE(c.cluster_id, dd.doc_id) AS r "
+            "FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id), "
+            "b AS (SELECT doc_id, CAST(concat('0x', "
+            "substr(md5(CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bk "
+            "FROM rep) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' "
+            "ELSE 'test' END AS split FROM b ORDER BY doc_id"
+        ),
         "pack_texts_documents": (
             "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
             "COALESCE(text, ''), '\\s+'), t -> t <> '') AS ws FROM documents), "
@@ -3368,6 +3401,25 @@ def _keep_best_dedup_documents(sf_dir: str):
     df = kept.to_pandas()[["doc_id"]]
     if len(df) == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def _split_by_cluster_documents(sf_dir: str):
+    """Leakage-safe split: every verified (Jaccard >= 0.5) near-dup cluster
+    lands in ONE split — split = md5 bucket of the cluster's minimum
+    doc_id; singletons use their own id.  Oracle: recursive-CTE
+    reachability closure + the split_assign md5-percentile CASE."""
+    import pandas as pd
+
+    from hooqu_ray.pipelines.cluster import split_by_cluster
+    from hooqu_ray.pipelines.dedup import minhash_lsh_pairs, verify_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = minhash_lsh_pairs(docs, num_perm=128, bands=64, threshold=0.0)
+    ver = verify_pairs(docs, cands, threshold=0.5)
+    out = split_by_cluster(docs, ver, id_col="doc_id", id_type=pa.int64())
+    df = out.to_pandas()[["doc_id", "split"]]
     df["doc_id"] = df["doc_id"].astype("int64")
     return df.sort_values("doc_id", ignore_index=True)
 

@@ -346,3 +346,71 @@ def dedup_keep_best(docs, pairs, id_col: str = "doc_id",
             BroadcastIsInFilter(ref, id_col, invert=True), batch_format="pyarrow"
         )
     return out
+
+
+def split_by_cluster(docs, pairs, id_col: str = "doc_id", *,
+                     splits=(("train", 80), ("val", 10), ("test", 10)),
+                     out_col: str = "split",
+                     id_type: Optional[pa.DataType] = None,
+                     max_iters: int = 25, n_buckets: int = 64):
+    """Leakage-safe train/val/test split: near-duplicate documents NEVER
+    straddle splits.  Plain content-hash splitting
+    (:func:`~hooqu_ray.pipelines.relational.split_assign`) sends a test
+    document's 0.9-Jaccard near-copy to train with probability ~0.9 — the
+    classic train/test contamination.  Here every document's split is the
+    md5 bucket of its near-dup CLUSTER's canonical id (the component
+    minimum from :func:`connected_components`; documents in no pair use
+    their own id), so a whole near-dup cluster always lands in ONE split.
+
+    Composition of existing scale-shaped stages:
+
+    1. :func:`connected_components` labels the verified pair graph (slim
+       int shuffles only, never text);
+    2. the component table — O(#near-dup docs), the same size class as the
+       accepted winner broadcasts — ships once via ``ray.put`` and a
+       left :func:`~hooqu_ray.functions.joins.enrich_join` stamps each
+       row's cluster id (null = singleton, falls back to its own id);
+       for adversarial duplicate cardinality shard it by key hash range
+       (``util.shard_codes``) and union per-shard passes;
+    3. the split is the same md5-percentile bucket convention as
+       ``split_assign``, so a pair-free corpus reduces to it EXACTLY.
+
+    The corpus itself never shuffles — one broadcast-lookup pass appends
+    ``out_col``.  Deterministic across runs, engines and data orderings."""
+    from ..functions.joins import enrich_join
+    from ..util import collect_arrow
+    from .relational import md5_bucket
+
+    names = [s[0] for s in splits]
+    bounds = np.cumsum([int(s[1]) for s in splits])
+    if bounds[-1] > 100:
+        raise ValueError("split weights must sum to <= 100")
+    bounds = bounds[:-1]  # last split takes the remainder
+    names_arr = np.array(names, dtype=object)
+
+    comp = connected_components(
+        pairs, id_type=id_type, max_iters=max_iters, n_buckets=n_buckets
+    ).materialize()
+    comp_tbl = collect_arrow(comp)
+    have_clusters = comp_tbl is not None and len(comp_tbl) > 0
+    if have_clusters:
+        labeled = enrich_join(
+            docs, comp_tbl.rename_columns([id_col, "__cluster_rep"]),
+            on=id_col, dim_key=id_col, cols=["__cluster_rep"], how="left",
+        )
+    else:
+        labeled = docs
+
+    def assign(t: pa.Table) -> pa.Table:
+        if "__cluster_rep" in t.column_names:
+            rep = pc.coalesce(
+                pc.cast(t.column("__cluster_rep"), t.schema.field(id_col).type),
+                t.column(id_col))
+            t = t.drop_columns(["__cluster_rep"])
+        else:
+            rep = t.column(id_col)
+        b = md5_bucket(rep) % 100
+        idx = np.searchsorted(bounds, b, side="right")
+        return t.append_column(out_col, pa.array(names_arr[idx], pa.string()))
+
+    return labeled.map_batches(assign, batch_format="pyarrow")

@@ -154,3 +154,55 @@ class TestConnectedComponents:
         a = _components(pairs, ray_session)
         b = _components(pairs, ray_session)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSplitByCluster:
+    def test_clusters_never_straddle_splits(self, ray_session):
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.cluster import split_by_cluster
+
+        # 40 docs; pairs chain 0-1-2, 10-11, 20-21-22-23
+        docs = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64)})
+        pairs = pd.DataFrame({
+            "id_a": [0, 1, 10, 20, 21, 22],
+            "id_b": [1, 2, 11, 21, 22, 23],
+        })
+        out = split_by_cluster(
+            rd.from_pandas(docs).repartition(4),
+            rd.from_pandas(pairs),
+            id_col="doc_id", id_type=pa.int64(),
+        ).to_pandas().sort_values("doc_id", ignore_index=True)
+        assert len(out) == 40 and set(out.columns) == {"doc_id", "split"}
+        for cluster in ([0, 1, 2], [10, 11], [20, 21, 22, 23]):
+            sp = out[out.doc_id.isin(cluster)]["split"].unique()
+            assert len(sp) == 1, (cluster, sp)
+
+    def test_pair_free_corpus_equals_split_assign(self, ray_session):
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.cluster import split_by_cluster
+        from hooqu_ray.pipelines.relational import split_assign
+
+        docs = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64)})
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
+        got = split_by_cluster(
+            rd.from_pandas(docs), rd.from_pandas(empty),
+            id_col="doc_id", id_type=pa.int64(),
+        ).to_pandas().sort_values("doc_id", ignore_index=True)
+        want = split_assign(
+            rd.from_pandas(docs), "doc_id"
+        ).to_pandas().sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_weight_validation(self, ray_session):
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.cluster import split_by_cluster
+
+        docs = rd.from_pandas(pd.DataFrame({"doc_id": [1]}))
+        pairs = rd.from_pandas(pd.DataFrame({"id_a": [1], "id_b": [1]}))
+        with pytest.raises(ValueError):
+            split_by_cluster(docs, pairs,
+                             splits=(("a", 80), ("b", 30)))
