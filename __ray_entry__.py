@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["tool_usage_transcripts"] = _tool_usage
     out["pii_stats_transcripts"] = _pii_stats
     out["split_by_cluster_documents"] = _split_by_cluster_documents
+    out["vocab_stats_documents"] = _vocab_stats_documents
     out["pack_sft_transcripts"] = _pack_sft
     out["dedup_turns_transcripts"] = _dedup_turns
     out["sft_pipeline_transcripts"] = _sft_pipeline
@@ -3074,6 +3075,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
             "WHERE doc_id NOT IN (SELECT doc_id FROM losers) ORDER BY doc_id"
         ),
+        "vocab_stats_documents": (
+            # explode whitespace tokens, count per (source, token), then
+            # per-source totals / distinct types / hapax + ratios
+            "WITH tok AS (SELECT source, UNNEST(regexp_extract_all("
+            "COALESCE(text, ''), '\\S+')) AS tk FROM documents "
+            "WHERE source IS NOT NULL), "
+            "c AS (SELECT source, tk, count(*) AS n FROM tok "
+            "GROUP BY source, tk) "
+            "SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens, "
+            "CAST(COUNT(*) AS BIGINT) AS n_types, "
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS "
+            "n_hapax, "
+            "ROUND(COUNT(*) / CAST(SUM(n) AS DOUBLE), 6) AS "
+            "type_token_ratio, "
+            "ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) / "
+            "CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio "
+            "FROM c GROUP BY source ORDER BY source"
+        ),
         "split_by_cluster_documents": (
             # recursive reachability closure over verified Jaccard>=0.5
             # pairs -> each doc's split = md5 bucket of its cluster-min id
@@ -3403,6 +3422,15 @@ def _keep_best_dedup_documents(sf_dir: str):
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
     df["doc_id"] = df["doc_id"].astype("int64")
     return df.sort_values("doc_id", ignore_index=True)
+
+
+def _vocab_stats_documents(sf_dir: str):
+    """Per-source vocabulary profile: tokens, types, hapax, TTR."""
+    from hooqu_ray.pipelines.textstats import vocab_stats
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    df = vocab_stats(docs, "text", "source").to_pandas()
+    return df.sort_values("source", ignore_index=True)
 
 
 def _split_by_cluster_documents(sf_dir: str):

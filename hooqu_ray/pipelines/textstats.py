@@ -686,3 +686,107 @@ def top_terms(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
     return ds.map_batches(
         _TopTermsBatch(ref, text_col, id_col, k), batch_format="pyarrow"
     )
+
+
+def vocab_stats(ds, text_col: str = "text", group_col: str = "source"):
+    """Per-``group_col`` vocabulary profile: total token count, distinct
+    token count (types), hapax count (tokens seen exactly once in the
+    group), type/token ratio and hapax/type ratio — the lexical-diversity
+    view of a corpus (low TTR = TEMPLATED/boilerplate-heavy source, high
+    hapax ratio = noisy OCR or unseen-domain text; both standard
+    quality-triage signals next to :func:`quality_by_source`).
+
+    Combiner-first, two slim shuffles, token VOLUME never shuffles:
+    each block explodes whitespace tokens vectorized (``utf8_split_
+    whitespace`` + ``list_parent_indices``, zero Python per token) and
+    pre-aggregates (group, token, n) with Arrow ``group_by``;
+    ``groupby(group, token).sum`` folds vocabulary-sized rows; a per-block
+    projection then reduces each vocabulary row to (group, tokens, types,
+    hapax) partials and ``groupby(group).sum`` finishes.  Null groups are
+    dropped (documented: SQL parity keeps ``WHERE group IS NOT NULL``);
+    groups whose texts have no tokens are absent, as in SQL GROUP BY over
+    the exploded token table."""
+    from ray.data.aggregate import Sum
+
+    from ..util import dataset_arrow_schema
+
+    in_schema = dataset_arrow_schema(ds)
+    grp_type = (in_schema.field(group_col).type
+                if in_schema is not None and group_col in in_schema.names
+                else pa.string())
+
+    def token_partials(t: pa.Table) -> pa.Table:
+        sub = t.select([group_col, text_col]).filter(
+            pc.is_valid(t.column(group_col)))
+        texts = sub.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        empty = pa.table({group_col: pa.array([], grp_type),
+                          "__tk": pa.array([], pa.string()),
+                          "__n": pa.array([], pa.int64())})
+        if len(flat) == 0:
+            return empty
+        parent = pc.list_parent_indices(words)
+        keep = pc.invert(pc.equal(flat, ""))
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        if len(flat) == 0:
+            return empty
+        grp = sub.column(group_col).take(parent)
+        agg = pa.table({group_col: grp, "__tk": flat}).group_by(
+            [group_col, "__tk"]).aggregate([([], "count_all")])
+        return agg.rename_columns([group_col, "__tk", "__n"])
+
+    vocab = (
+        ds.map_batches(token_partials, batch_format="pyarrow")
+        .groupby([group_col, "__tk"])
+        .aggregate(Sum("__n"))
+    )
+
+    def group_partials(t: pa.Table) -> pa.Table:
+        if "sum(__n)" not in t.column_names:  # schema-less empty agg block
+            return pa.table({group_col: pa.array([], grp_type),
+                             "__tok": pa.array([], pa.int64()),
+                             "__typ": pa.array([], pa.int64()),
+                             "__hap": pa.array([], pa.int64())})
+        n = pc.cast(t.column("sum(__n)"), pa.int64())
+        flat_tbl = pa.table({
+            group_col: t.column(group_col),
+            "__tok": n,
+            "__typ": pa.array(np.ones(len(t), dtype=np.int64)),
+            "__hap": pc.cast(pc.equal(n, 1), pa.int64()),
+        })
+        agg = flat_tbl.group_by([group_col]).aggregate(
+            [("__tok", "sum"), ("__typ", "sum"), ("__hap", "sum")])
+        return agg.rename_columns([group_col, "__tok", "__typ", "__hap"])
+
+    folded = (
+        vocab.map_batches(group_partials, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("__tok"), Sum("__typ"), Sum("__hap"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if "sum(__tok)" not in t.column_names:
+            return pa.table({group_col: pa.array([], grp_type),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "n_types": pa.array([], pa.int64()),
+                             "n_hapax": pa.array([], pa.int64()),
+                             "type_token_ratio": pa.array([], pa.float64()),
+                             "hapax_ratio": pa.array([], pa.float64())})
+        tok = pc.cast(t.column("sum(__tok)"), pa.int64())
+        typ = pc.cast(t.column("sum(__typ)"), pa.int64())
+        hap = pc.cast(t.column("sum(__hap)"), pa.int64())
+        ttr = pc.round(pc.divide(pc.cast(typ, pa.float64()),
+                                 pc.cast(tok, pa.float64())), ndigits=6)
+        hr = pc.round(pc.divide(pc.cast(hap, pa.float64()),
+                                pc.cast(typ, pa.float64())), ndigits=6)
+        return pa.table({group_col: t.column(group_col), "n_tokens": tok,
+                         "n_types": typ, "n_hapax": hap,
+                         "type_token_ratio": ttr, "hapax_ratio": hr})
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -190,3 +190,68 @@ class TestTopTerms:
             .sort_values("term", ignore_index=True)
         )
         assert out.values.tolist() == [["dup", 2], ["once", 1]]
+
+
+class TestVocabStats:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.textstats import vocab_stats
+
+        rows = [
+            ("web", "the cat sat on the mat"),       # 'the' twice
+            ("web", "a cat ran"),
+            ("books", "lorem ipsum lorem"),
+            ("books", ""),                            # empty text: no tokens
+            ("empty_src", "   "),                     # whitespace-only: absent
+            (None, "dropped tokens here"),            # null group dropped
+        ]
+        t = pa.table({
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        })
+        got = vocab_stats(
+            rd.from_arrow(t).repartition(3), "text", "source"
+        ).to_pandas().sort_values("source", ignore_index=True)
+
+        con = duckdb.connect()
+        con.register("docs", t)
+        want = con.execute(
+            "WITH tok AS (SELECT source, UNNEST(regexp_extract_all("
+            "COALESCE(text, ''), '\\S+')) AS tk FROM docs "
+            "WHERE source IS NOT NULL), "
+            "c AS (SELECT source, tk, count(*) AS n FROM tok GROUP BY source, tk) "
+            "SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens, "
+            "CAST(COUNT(*) AS BIGINT) AS n_types, "
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, "
+            "ROUND(COUNT(*) / CAST(SUM(n) AS DOUBLE), 6) AS type_token_ratio, "
+            "ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) / "
+            "CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio "
+            "FROM c GROUP BY source ORDER BY source"
+        ).df().reset_index(drop=True)
+        got["type_token_ratio"] = got["type_token_ratio"].round(6)
+        got["hapax_ratio"] = got["hapax_ratio"].round(6)
+        assert got[want.columns.tolist()].equals(want)
+        assert set(got["source"]) == {"web", "books"}
+
+    def test_split_across_blocks_hapax_correct(self, ray_session):
+        # a token appearing once in each of two blocks is NOT a hapax —
+        # only the cross-block fold can know that
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.textstats import vocab_stats
+
+        t = pa.table({
+            "source": pa.array(["s"] * 4, pa.string()),
+            "text": pa.array(["alpha beta", "alpha gamma",
+                              "delta", "epsilon"], pa.string()),
+        })
+        got = vocab_stats(
+            rd.from_arrow(t).repartition(4), "text", "source"
+        ).to_pandas()
+        assert got["n_tokens"].tolist() == [6]
+        assert got["n_types"].tolist() == [5]
+        assert got["n_hapax"].tolist() == [4]  # alpha (x2) is not hapax
