@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["near_dup_conversations_transcripts"] = _near_dup_conversations
     out["tool_usage_transcripts"] = _tool_usage
     out["pii_stats_transcripts"] = _pii_stats
+    out["toxicity_stats_transcripts"] = _toxicity_stats
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
     out["pack_sft_transcripts"] = _pack_sft
@@ -1804,6 +1805,34 @@ def _pii_stats(sf_dir: str):
     return tp.pii_stats(tr)
 
 
+def _toxicity_stats(sf_dir: str):
+    """Per-conversation toxicity exposure report.  The synthetic corpus is
+    clean, so toxic terms are injected deterministically on BOTH sides:
+    turns with turn_idx % 7 == 2 gain ' utterly frakking broken', turns
+    with turn_idx % 13 == 5 gain ' you scuzzbucket'.  Engine counts via
+    RE2 (?i) pattern, oracle the SAME string in DuckDB."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+        text = t.column("text").to_numpy(zero_copy_only=False).astype(object)
+        m7 = idx % 7 == 2
+        if m7.any():
+            text[m7] = text[m7] + " utterly frakking broken"
+        m13 = idx % 13 == 5
+        if m13.any():
+            text[m13] = text[m13] + " you scuzzbucket"
+        return t.set_column(
+            t.schema.get_field_index("text"), "text",
+            pa.array(text, pa.string()))
+
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        inject, batch_format="pyarrow")
+    return tp.toxicity_stats(tr)
+
+
 def _pack_sft(sf_dir: str):
     """Loss-mask packing plan over the extracted SFT examples: 48-token
     windows packed into 256-token sequences, target spans recorded."""
@@ -1943,6 +1972,9 @@ def oracle_sql() -> dict[str, str]:
     email_pat = _pats.EMAIL.pattern.replace("'", "''")
     url_pat = _pats.URL.pattern.replace("'", "''")
     cc_pat = _pats.CREDITCARD_RE2.replace("'", "''")
+    from hooqu_ray.stages import spec as _spec
+
+    tox_pat = ("(?i)" + _spec.TOXIC_RE.pattern).replace("'", "''")
     uniq_sql = (
         "WITH f AS (SELECT {cols}, count(*) AS cnt FROM {table} "
         "WHERE {notnull} GROUP BY {cols}) "
@@ -2394,6 +2426,30 @@ def oracle_sql() -> dict[str, str]:
             "BIGINT) AS n_pii_turns FROM m GROUP BY conv_id) "
             "SELECT conv_id, n_email, n_url, n_cc, n_pii_turns FROM agg "
             "WHERE n_email + n_url + n_cc > 0"
+        ),
+        "toxicity_stats_transcripts": (
+            # same turn explosion + deterministic toxic-term injection as
+            # the engine side; counts with the engine's own (?i) RE2 string
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, i, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS base FROM t), "
+            "inj AS (SELECT conv_id, base || "
+            "CASE WHEN i % 7 = 2 THEN ' utterly frakking broken' "
+            "ELSE '' END || "
+            "CASE WHEN i % 13 = 5 THEN ' you scuzzbucket' ELSE '' END AS "
+            "text FROM turn), "
+            "m AS (SELECT conv_id, "
+            "len(regexp_extract_all(text, '" + tox_pat + "')) AS x "
+            "FROM inj), "
+            "agg AS (SELECT conv_id, CAST(SUM(x) AS BIGINT) AS n_toxic, "
+            "CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT) AS "
+            "n_toxic_turns FROM m GROUP BY conv_id) "
+            "SELECT conv_id, n_toxic, n_toxic_turns FROM agg "
+            "WHERE n_toxic > 0"
         ),
         "near_dup_conversations_transcripts": (
             # conversation text = doc words rejoined (chunk boundaries add

@@ -1994,18 +1994,12 @@ def _pii_detect_patterns() -> "Dict[str, str]":
     }
 
 
-def pii_stats(ds, *, conv_col: str = "conv_id", text_col: str = "text"):
-    """Per-conversation PII detection report over transcript turns:
-    ``(conv, n_email, n_url, n_cc, n_pii_turns)`` counting regex matches
-    per category plus the number of turns containing ANY match.  Only
-    conversations with at least one match are emitted (the report is
-    O(PII incidence), not O(corpus) — at web scale most conversations are
-    clean and would bloat the output with zero rows).
-
-    This is the REPORT side of the flagship's scrub (north-star rule:
-    "PII/toxicity scrub"; reference patterns ``hooqu/patterns.py:5-12``):
-    the scrub rewrites text, this measures exposure without touching it —
-    the audit you run BEFORE deciding scrub policy.
+def _regex_report(ds, pats: "Dict[str, str]", turns_col: str, *,
+                  conv_col: str = "conv_id", text_col: str = "text"):
+    """Shared core of :func:`pii_stats` / :func:`toxicity_stats`: count
+    each RE2 pattern's matches per conversation plus the number of turns
+    containing ANY match (``turns_col``); emit only conversations with at
+    least one match — the report is O(match incidence), not O(corpus).
 
     One streaming pass: per block, ``pc.count_substring_regex`` (RE2,
     vectorized C) counts each category over the raw ``text_col``, an Arrow
@@ -2016,7 +2010,6 @@ def pii_stats(ds, *, conv_col: str = "conv_id", text_col: str = "text"):
 
     from ..util import dataset_arrow_schema
 
-    pats = _pii_detect_patterns()
     cat_cols = list(pats)
     in_schema = dataset_arrow_schema(ds)
     conv_type = (in_schema.field(conv_col).type
@@ -2034,14 +2027,14 @@ def pii_stats(ds, *, conv_col: str = "conv_id", text_col: str = "text"):
         total = counts[cat_cols[0]]
         for k in cat_cols[1:]:
             total = pc.add(total, counts[k])
-        pii_turn = pc.cast(pc.greater(total, 0), pa.int64())
+        hit_turn = pc.cast(pc.greater(total, 0), pa.int64())
         flat = pa.table({conv_col: sub.column(conv_col), **counts,
-                         "n_pii_turns": pii_turn})
+                         turns_col: hit_turn})
         agg = flat.group_by([conv_col]).aggregate(
-            [(c, "sum") for c in cat_cols + ["n_pii_turns"]])
-        return agg.rename_columns([conv_col] + cat_cols + ["n_pii_turns"])
+            [(c, "sum") for c in cat_cols + [turns_col]])
+        return agg.rename_columns([conv_col] + cat_cols + [turns_col])
 
-    out_cols = cat_cols + ["n_pii_turns"]
+    out_cols = cat_cols + [turns_col]
 
     def project(t: pa.Table) -> pa.Table:
         if f"sum({cat_cols[0]})" not in t.column_names:  # schema-less empty
@@ -2063,3 +2056,33 @@ def pii_stats(ds, *, conv_col: str = "conv_id", text_col: str = "text"):
         .aggregate(*[Sum(c) for c in out_cols])
         .map_batches(project, batch_format="pyarrow")
     )
+
+
+def pii_stats(ds, *, conv_col: str = "conv_id", text_col: str = "text"):
+    """Per-conversation PII detection report over transcript turns:
+    ``(conv, n_email, n_url, n_cc, n_pii_turns)`` counting regex matches
+    per category plus turns containing ANY match; only conversations with
+    at least one match are emitted.
+
+    This is the REPORT side of the flagship's scrub (north-star rule:
+    "PII/toxicity scrub"; reference patterns ``hooqu/patterns.py:5-12``):
+    the scrub rewrites text, this measures exposure without touching it —
+    the audit you run BEFORE deciding scrub policy.  Execution shape:
+    :func:`_regex_report`."""
+    return _regex_report(ds, _pii_detect_patterns(), "n_pii_turns",
+                         conv_col=conv_col, text_col=text_col)
+
+
+def toxicity_stats(ds, *, conv_col: str = "conv_id", text_col: str = "text"):
+    """Per-conversation toxicity exposure report:
+    ``(conv, n_toxic, n_toxic_turns)`` counting matches of the spec's
+    toxic-term lexicon (``stages/spec.py TOXIC_WORDS`` — the same terms
+    the flagship scrubs to ``[TOX]``), case-insensitively via an inline
+    ``(?i)`` RE2 flag.  Only conversations with at least one hit are
+    emitted.  Execution shape: :func:`_regex_report` (vectorized RE2 +
+    per-block conversation combiner, text never shuffles)."""
+    from ..stages import spec
+
+    return _regex_report(ds, {"n_toxic": "(?i)" + spec.TOXIC_RE.pattern},
+                         "n_toxic_turns", conv_col=conv_col,
+                         text_col=text_col)

@@ -915,3 +915,24 @@ class TestPiiStats:
         assert got["conv_id"].tolist() == ["a"]
         assert got["n_email"].tolist() == [1]
         assert got["n_pii_turns"].tolist() == [1]
+
+
+class TestToxicityStats:
+    def test_counts_case_insensitive(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array(["a", "a", "b", "c"], pa.string()),
+            "text": pa.array([
+                "you Frakking tool",
+                "DANGBLAST it all dangblast",
+                "clean conversation",
+                "scuzzbucketed is no word-boundary match",
+            ], pa.string()),
+        })
+        got = tp.toxicity_stats(rd.from_arrow(t).repartition(2)).to_pandas()
+        got = got.sort_values("conv_id").reset_index(drop=True)
+        assert got["conv_id"].tolist() == ["a"]
+        assert got["n_toxic"].tolist() == [3]
+        assert got["n_toxic_turns"].tolist() == [2]
