@@ -107,9 +107,18 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
+    def bench_read(path, **kw):
+        # A single parquet file reads as ONE task, and map stages fuse into
+        # it (serializing the op under test — see CLAUDE.md).  Real inputs
+        # at scale are always multi-file, so fan the micro-query tables out
+        # to num_cpus blocks; the flagship's pre-materialized multi-file
+        # input (bench_input) keeps its natural block count.
+        kw.setdefault("override_num_blocks", num_cpus)
+        return rd.read_parquet(path, **kw)
+
     # warm the OS page cache (untimed)
     for t in ("lineitem", "documents"):
-        rd.read_parquet(f"{sf_dir}/{t}.parquet").count()
+        bench_read(f"{sf_dir}/{t}.parquet").count()
 
     # -- headline: transcript filter + scrub ------------------------------
     # Input prep (untimed, cached): materialize the replicated transcript
@@ -152,7 +161,7 @@ def main() -> None:
         return
 
     # -- analyzer suite: ONE shared scan over lineitem --------------------
-    li = rd.read_parquet(
+    li = bench_read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"],
     )
@@ -170,7 +179,7 @@ def main() -> None:
     queries["analyzer_scan"] = round(time.time() - t0, 3)
 
     # -- shuffle: uniqueness on the 2-col key -----------------------------
-    li2 = rd.read_parquet(
+    li2 = bench_read(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
     )
     t0 = time.time()
@@ -178,7 +187,7 @@ def main() -> None:
     queries["uniqueness_shuffle"] = round(time.time() - t0, 3)
 
     # -- exact quantile (selection passes) --------------------------------
-    li3 = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    li3 = bench_read(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
     t0 = time.time()
     do_analysis_run(li3, [hq.Quantile("l_extendedprice", 0.5),
                           hq.Quantile("l_extendedprice", 0.9)])
@@ -186,13 +195,13 @@ def main() -> None:
 
     # -- dedup ------------------------------------------------------------
     t0 = time.time()
-    exact_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet",
+    exact_dedup(bench_read(f"{sf_dir}/documents.parquet",
                                 columns=["doc_id", "text"])).count()
     queries["exact_dedup"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     minhash_lsh_pairs(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        bench_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
         threshold=0.5,
     ).count()
     queries["minhash_lsh"] = round(time.time() - t0, 3)
@@ -203,9 +212,9 @@ def main() -> None:
 
     t0 = time.time()
     asof_join(
-        rd.read_parquet(f"{sf_dir}/events.parquet",
+        bench_read(f"{sf_dir}/events.parquet",
                         columns=["event_id", "ts", "user_id"]),
-        rd.read_parquet(f"{sf_dir}/orders.parquet",
+        bench_read(f"{sf_dir}/orders.parquet",
                         columns=["o_orderkey", "o_custkey", "o_orderdate"]),
         "user_id", "o_custkey", "ts", "o_orderdate",
         ["event_id"], ["o_orderkey"],
@@ -214,7 +223,7 @@ def main() -> None:
 
     t0 = time.time()
     rolling_mean(
-        rd.read_parquet(f"{sf_dir}/events.parquet",
+        bench_read(f"{sf_dir}/events.parquet",
                         columns=["event_id", "ts", "user_id", "value"]),
         "user_id", "ts", "event_id", "value", 3,
     ).count()
@@ -236,7 +245,7 @@ def main() -> None:
             "error_id": t.column("event_id"),
         })
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = bench_read(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id", "event_type"])
     t0 = time.time()
     interval_join(ev, ev.map_batches(mk_windows, batch_format="pyarrow"),
@@ -245,7 +254,7 @@ def main() -> None:
     queries["interval_join"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    profile(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+    profile(bench_read(f"{sf_dir}/documents.parquet"))
     queries["profile_documents"] = round(time.time() - t0, 3)
 
     # -- round-3b operators ------------------------------------------------
@@ -257,9 +266,9 @@ def main() -> None:
 
     t0 = time.time()
     hash_join(
-        rd.read_parquet(f"{sf_dir}/orders.parquet",
+        bench_read(f"{sf_dir}/orders.parquet",
                         columns=["o_orderkey", "o_custkey"]),
-        rd.read_parquet(f"{sf_dir}/customer.parquet",
+        bench_read(f"{sf_dir}/customer.parquet",
                         columns=["c_custkey", "c_acctbal"]),
         on="o_custkey", right_on="c_custkey", n_buckets=32,
     ).count()
@@ -267,13 +276,13 @@ def main() -> None:
 
     t0 = time.time()
     repetition_stats(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        bench_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ).count()
     queries["repetition_stats"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     top_terms(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        bench_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
         k=3,
     ).count()
     queries["top_terms"] = round(time.time() - t0, 3)
@@ -283,7 +292,7 @@ def main() -> None:
     from hooqu_ray.pipelines.decontam import contamination_stats, dup_ngram_stats
     from hooqu_ray.pipelines.scoring import domain_llr_score
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = bench_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def bench_rows(t):
         import numpy as np
@@ -320,7 +329,7 @@ def main() -> None:
                            pa.scalar(1 << 40, pa.int64())),
         })
 
-    edges = rd.read_parquet(
+    edges = bench_read(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
     ).map_batches(to_edges, batch_format="pyarrow")
     t0 = time.time()
@@ -333,7 +342,7 @@ def main() -> None:
         mod = np.asarray(t.column("event_id")) % 5 == 0
         return t.filter(pa.array(mod if keep_new else ~mod))
 
-    ev2 = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev2 = bench_read(f"{sf_dir}/events.parquet",
                           columns=["event_id", "value"])
     t0 = time.time()
     bloom_new_rows(
@@ -345,7 +354,7 @@ def main() -> None:
 
     t0 = time.time()
     quantile_buckets(
-        rd.read_parquet(f"{sf_dir}/events.parquet",
+        bench_read(f"{sf_dir}/events.parquet",
                         columns=["event_id", "value"]),
         "value", n_buckets=10, keep_cols=["event_id"],
     ).count()
@@ -353,7 +362,7 @@ def main() -> None:
 
     t0 = time.time()
     quantile_buckets(
-        rd.read_parquet(f"{sf_dir}/events.parquet",
+        bench_read(f"{sf_dir}/events.parquet",
                         columns=["event_id", "value"]),
         "value", n_buckets=10, keep_cols=["event_id"], approx=True,
     ).count()
@@ -363,7 +372,7 @@ def main() -> None:
 
     t0 = time.time()
     _, assign, _ = kmeans(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+        bench_read(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"]),
         n_clusters=16, n_iters=4,
     )
@@ -378,7 +387,7 @@ def main() -> None:
 
     t0 = time.time()
     grouped_count_distinct(
-        rd.read_parquet(f"{sf_dir}/events.parquet",
+        bench_read(f"{sf_dir}/events.parquet",
                         columns=["event_type", "user_id"]),
         "event_type", "user_id",
     ).count()
@@ -397,7 +406,7 @@ def main() -> None:
 
     t0 = time.time()
     global_row_number(
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+        bench_read(f"{sf_dir}/lineitem.parquet",
                         columns=["l_extendedprice", "l_orderkey",
                                  "l_linenumber"]).map_batches(
             li_uid, batch_format="pyarrow"
@@ -408,7 +417,7 @@ def main() -> None:
 
     t0 = time.time()
     percentile_rank(
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+        bench_read(f"{sf_dir}/lineitem.parquet",
                         columns=["l_extendedprice", "l_orderkey"]),
         "l_extendedprice", keep_cols=["l_orderkey"],
     ).count()
@@ -418,7 +427,7 @@ def main() -> None:
 
     t0 = time.time()
     hopping_window_agg(
-        rd.read_parquet(f"{sf_dir}/events.parquet",
+        bench_read(f"{sf_dir}/events.parquet",
                         columns=["event_type", "ts", "value"]),
         "event_type", "ts", "value", 7_200_000_000, 3_600_000_000,
     ).count()
@@ -436,7 +445,7 @@ def main() -> None:
             "value": pa.array(np.where(ids % 7 == 0, vals * 2, vals)),
         })
 
-    ev3 = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev3 = bench_read(f"{sf_dir}/events.parquet",
                           columns=["event_id", "value"])
     t0 = time.time()
     snapshot_diff(ev3, ev3.map_batches(bump, batch_format="pyarrow"),
@@ -447,7 +456,7 @@ def main() -> None:
 
     t0 = time.time()
     running_agg(
-        rd.read_parquet(f"{sf_dir}/events.parquet",
+        bench_read(f"{sf_dir}/events.parquet",
                         columns=["event_id", "ts", "user_id", "value"]),
         "user_id", "ts", "event_id", "value",
     ).count()
@@ -455,7 +464,7 @@ def main() -> None:
 
     from hooqu_ray.pipelines.setops import intersect_distinct
 
-    ev4 = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev4 = bench_read(f"{sf_dir}/events.parquet",
                           columns=["user_id", "event_type"])
 
     def slice_users(etype):
@@ -474,7 +483,7 @@ def main() -> None:
 
     t0 = time.time()
     pack_texts(
-        rd.read_parquet(f"{sf_dir}/documents.parquet",
+        bench_read(f"{sf_dir}/documents.parquet",
                         columns=["doc_id", "text"]),
         "doc_id", "text", 2048,
     ).count()
@@ -485,7 +494,7 @@ def main() -> None:
 
     t0 = time.time()
     mix_sources(
-        rd.read_parquet(f"{sf_dir}/documents.parquet",
+        bench_read(f"{sf_dir}/documents.parquet",
                         columns=["doc_id", "text", "source"]).map_batches(
             token_count_stage, batch_format="pyarrow"),
         "source", "doc_id", "n_tokens", default_budget=50_000,
@@ -496,7 +505,7 @@ def main() -> None:
 
     t0 = time.time()
     grouped_approx_count_distinct(
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+        bench_read(f"{sf_dir}/lineitem.parquet",
                         columns=["l_returnflag", "l_orderkey"]),
         "l_returnflag", "l_orderkey", p=12,
     ).count()
@@ -506,7 +515,7 @@ def main() -> None:
 
     t0 = time.time()
     lag_delta(
-        rd.read_parquet(f"{sf_dir}/events.parquet",
+        bench_read(f"{sf_dir}/events.parquet",
                         columns=["event_id", "ts", "user_id", "value"]),
         "user_id", "ts", "event_id", "value",
     ).count()
@@ -524,7 +533,7 @@ def main() -> None:
 
     t0 = time.time()
     heavy_hitters(
-        rd.read_parquet(f"{sf_dir}/documents.parquet",
+        bench_read(f"{sf_dir}/documents.parquet",
                         columns=["text"]).map_batches(
             explode_toks, batch_format="pyarrow"),
         "tok", 50, width=16384, depth=4,
