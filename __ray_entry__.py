@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["toxicity_stats_transcripts"] = _toxicity_stats
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
+    out["jsonl_roundtrip_documents"] = _jsonl_roundtrip_documents
+    out["vector_mean_embeddings"] = _grouped_vector_mean
     out["pack_sft_transcripts"] = _pack_sft
     out["dedup_turns_transcripts"] = _dedup_turns
     out["sft_pipeline_transcripts"] = _sft_pipeline
@@ -3131,6 +3133,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
             "WHERE doc_id NOT IN (SELECT doc_id FROM losers) ORDER BY doc_id"
         ),
+        "vector_mean_embeddings": (
+            # per-label per-position mean over the exploded list column
+            # (UNNEST + generate_subscripts; no WITH ORDINALITY in this
+            # DuckDB build).  float32 storage is cast to DOUBLE before the
+            # fold on BOTH sides.
+            "WITH x AS (SELECT CAST(label AS BIGINT) AS label, "
+            "generate_subscripts(embedding, 1) - 1 AS pos, "
+            "CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings "
+            "WHERE label IS NOT NULL AND embedding IS NOT NULL) "
+            "SELECT label, CAST(pos AS BIGINT) AS pos, "
+            "ROUND(SUM(v) / COUNT(*), 6) AS mean FROM x "
+            "GROUP BY label, pos ORDER BY label, pos"
+        ),
+        "jsonl_roundtrip_documents": (
+            # the engine writes documents to JSONL and reads them back; a
+            # value-hash match against the source table proves losslessness
+            "SELECT doc_id, text, lang, source, n_chars FROM documents "
+            "ORDER BY doc_id"
+        ),
         "vocab_stats_documents": (
             # explode whitespace tokens, count per (source, token), then
             # per-source totals / distinct types / hapax + ratios
@@ -3477,6 +3498,38 @@ def _keep_best_dedup_documents(sf_dir: str):
     if len(df) == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
     df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def _grouped_vector_mean(sf_dir: str):
+    """Per-label mean embedding (centroid) in exploded (label, pos, mean)
+    form — fully distributed vector aggregate."""
+    from hooqu_ray.pipelines.similarity import grouped_vector_mean
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+    df = grouped_vector_mean(ds, "embedding", "label").to_pandas()
+    df["label"] = df["label"].astype("int64")
+    return df.sort_values(["label", "pos"], ignore_index=True)
+
+
+def _jsonl_roundtrip_documents(sf_dir: str):
+    """JSONL sink→source round trip: documents written as JSONL and read
+    back must be value-identical (unicode, quotes, newlines, empty
+    strings).  Oracle: the original table — a value-hash match proves the
+    boundary is lossless."""
+    import shutil
+    import tempfile
+
+    from hooqu_ray.sources.io import read_jsonl, write_jsonl
+
+    docs = _read(sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="hooqu_jsonl_rt_")
+    try:
+        write_jsonl(docs, d, min_rows_per_file=200)
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        df = read_jsonl(d).to_pandas()[cols]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return df.sort_values("doc_id", ignore_index=True)
 
 

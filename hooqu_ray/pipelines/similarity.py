@@ -15,6 +15,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -459,3 +460,83 @@ def kmeans(ds, n_clusters: int, n_iters: int = 5,
         batch_format="pyarrow",
     )
     return cent, assignments, history
+
+
+def grouped_vector_mean(ds, vec_col: str = "embedding",
+                        group_col: str = "label"):
+    """Per-group mean embedding in EXPLODED form — one row per
+    ``(group, pos)`` with the mean of that vector position.  This is the
+    centroid computation every embedding pipeline needs (class prototypes,
+    cluster re-centering, per-source embedding drift) expressed as a fully
+    distributed aggregate: no step ever holds a vector per GROUP MEMBER,
+    only per group.
+
+    Per block: zero-copy matrix ingestion (``util.embedding_matrix``,
+    FixedSizeList flatten-reshape), a stable argsort by group and ONE
+    ``np.add.reduceat`` produce per-(block, group) sum vectors; those
+    explode to slim ``(group, pos, s, n)`` rows — #groups_in_block × dim
+    per block, never #rows × dim — and ``groupby(group, pos).sum``
+    finishes.  Rows with a null group or null vector are dropped (SQL
+    GROUP BY over an UNNEST join).  Downstream consumers that want the
+    vector form re-assemble with a slim O(#groups × dim) collect or a
+    ``sort(group, pos)`` + block rebuild."""
+    from ray.data.aggregate import Sum
+
+    from ..util import dataset_arrow_schema, embedding_matrix
+
+    in_schema = dataset_arrow_schema(ds)
+    grp_type = (in_schema.field(group_col).type
+                if in_schema is not None and group_col in in_schema.names
+                else pa.int64())
+
+    def block_partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], grp_type),
+                          "pos": pa.array([], pa.int64()),
+                          "__s": pa.array([], pa.float64()),
+                          "__n": pa.array([], pa.int64())})
+        mask = pc.and_(pc.is_valid(t.column(group_col)),
+                       pc.is_valid(t.column(vec_col)))
+        sub = t.select([group_col, vec_col]).filter(mask)
+        if len(sub) == 0:
+            return empty
+        m = embedding_matrix(sub.column(vec_col), dtype=np.float64)
+        if m.size == 0:
+            return empty
+        grp = sub.column(group_col)
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        enc = grp.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        c_s = codes[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        sums = np.add.reduceat(m[order], starts, axis=0)  # (g, dim)
+        counts = np.diff(np.r_[starts, len(c_s)])
+        g, dim = sums.shape
+        grp_keys = enc.dictionary.take(pa.array(c_s[starts], pa.int64()))
+        rep = np.repeat(np.arange(g, dtype=np.int64), dim)
+        return pa.table({
+            group_col: grp_keys.take(pa.array(rep, pa.int64())),
+            "pos": pa.array(np.tile(np.arange(dim, dtype=np.int64), g)),
+            "__s": pa.array(sums.ravel()),
+            "__n": pa.array(np.repeat(counts.astype(np.int64), dim)),
+        })
+
+    folded = (
+        ds.map_batches(block_partials, batch_format="pyarrow")
+        .groupby([group_col, "pos"])
+        .aggregate(Sum("__s"), Sum("__n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if "sum(__s)" not in t.column_names:  # schema-less empty agg block
+            return pa.table({group_col: pa.array([], grp_type),
+                             "pos": pa.array([], pa.int64()),
+                             "mean": pa.array([], pa.float64())})
+        s = pc.cast(t.column("sum(__s)"), pa.float64())
+        n = pc.cast(t.column("sum(__n)"), pa.float64())
+        return pa.table({group_col: t.column(group_col),
+                         "pos": pc.cast(t.column("pos"), pa.int64()),
+                         "mean": pc.round(pc.divide(s, n), ndigits=6)})
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -56,3 +56,15 @@ def write_partitioned(ds, out_dir: str, min_rows_per_file: int = 200_000):
     except TypeError:  # older Ray releases
         ds.write_parquet(out_dir, num_rows_per_file=min_rows_per_file)
     return out_dir
+
+
+def write_jsonl(ds, out_dir: str, min_rows_per_file: int = 200_000):
+    """Streaming JSONL write (one JSON object per line, the interchange
+    format most text-corpus tooling speaks), bounded file sizes like
+    :func:`write_partitioned`.  Returns ``out_dir``; read back with
+    :func:`read_jsonl`."""
+    try:
+        ds.write_json(out_dir, min_rows_per_file=min_rows_per_file)
+    except TypeError:  # older Ray releases
+        ds.write_json(out_dir, num_rows_per_file=min_rows_per_file)
+    return out_dir

@@ -631,3 +631,73 @@ class TestSnapshotDiff:
         # ''<->NULL is a change (IS DISTINCT FROM); 'x'=='x' is not
         assert got["key"].tolist() == [1, 3]
         assert set(got["status"]) == {"changed"}
+
+
+class TestGroupedVectorMean:
+    def test_matches_numpy_across_blocks(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.similarity import grouped_vector_mean
+
+        rng = np.random.default_rng(7)
+        n, dim = 50, 4
+        m = rng.normal(size=(n, dim))
+        labels = rng.integers(0, 3, size=n)
+        t = pa.table({
+            "label": pa.array(labels, pa.int32()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.astype(np.float32).ravel()), dim),
+        })
+        got = grouped_vector_mean(
+            rd.from_arrow(t).repartition(5), "embedding", "label"
+        ).to_pandas().sort_values(["label", "pos"], ignore_index=True)
+        for lab in range(3):
+            want = m[labels == lab].astype(np.float32).astype(np.float64)
+            want = want.mean(axis=0).round(6)
+            sub = got[got.label == lab]["mean"].to_numpy()
+            np.testing.assert_allclose(sub, want, atol=2e-6)
+
+    def test_null_rows_dropped(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.similarity import grouped_vector_mean
+
+        t = pa.table({
+            "label": pa.array([1, 1, None, 2], pa.int32()),
+            "embedding": pa.array(
+                [[1.0, 3.0], [3.0, 5.0], [9.0, 9.0], None],
+                pa.list_(pa.float32())),
+        })
+        got = grouped_vector_mean(
+            rd.from_arrow(t), "embedding", "label"
+        ).to_pandas().sort_values(["label", "pos"], ignore_index=True)
+        assert got["label"].tolist() == [1, 1]   # label 2: null vec dropped
+        assert got["mean"].tolist() == [2.0, 4.0]
+
+
+class TestJsonlRoundtrip:
+    def test_lossless(self, ray_session):
+        import shutil
+        import tempfile
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.sources.io import read_jsonl, write_jsonl
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ['a "quoted"\nnewline', "ünïcodé ✓", ""], pa.string()),
+        })
+        d = tempfile.mkdtemp(prefix="hooqu_jsonl_test_")
+        try:
+            write_jsonl(rd.from_arrow(t), d, min_rows_per_file=2)
+            back = read_jsonl(d).to_pandas().sort_values(
+                "doc_id", ignore_index=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        assert back.equals(t.to_pandas())
