@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["tool_usage_transcripts"] = _tool_usage
     out["pii_stats_transcripts"] = _pii_stats
     out["toxicity_stats_transcripts"] = _toxicity_stats
+    out["majority_lang_transcripts"] = _conv_majority_lang
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
     out["jsonl_roundtrip_documents"] = _jsonl_roundtrip_documents
@@ -1835,6 +1836,37 @@ def _toxicity_stats(sf_dir: str):
     return tp.toxicity_stats(tr)
 
 
+def _conv_majority_lang(sf_dir: str):
+    """Bound-style oracle (model-based op): one majority row per
+    conversation (n_convs hash-matches SQL count(*)), every majority
+    language from the model's closed set, and the pigeonhole invariant
+    3 × n_major_turns >= n_turns per conversation (3 languages)."""
+    from hooqu_ray.pipelines import transcripts as tp
+    from hooqu_ray.stages.models import TrigramLangID
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tr = tp.transcripts_from_documents(docs)
+    top = tp.conversation_majority_lang(tr)
+    if not isinstance(top, pa.Table):
+        top = pa.Table.from_pylist(top.take_all())
+    counts = tp.transcripts_from_documents(docs).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("conv_id")], names=["conv_id"]),
+        batch_format="pyarrow",
+    ).groupby("conv_id").count().to_pandas()
+    top_df = top.to_pandas().merge(
+        counts.rename(columns={"count()": "n_turns"}), on="conv_id")
+    langs = set(TrigramLangID().langs)
+    ok_pigeon = bool(
+        (3 * top_df["n_major_turns"] >= top_df["n_turns"]).all())
+    return pa.table({
+        "n_convs": pa.array([len(top)], pa.int64()),
+        "langs_valid": pa.array(
+            [all(p in langs for p in top_df["major_lang"])], pa.bool_()),
+        "pigeonhole_ok": pa.array([ok_pigeon], pa.bool_()),
+    })
+
+
 def _pack_sft(sf_dir: str):
     """Loss-mask packing plan over the extracted SFT examples: 48-token
     windows packed into 256-token sequences, target spans recorded."""
@@ -2428,6 +2460,12 @@ def oracle_sql() -> dict[str, str]:
             "BIGINT) AS n_pii_turns FROM m GROUP BY conv_id) "
             "SELECT conv_id, n_email, n_url, n_cc, n_pii_turns FROM agg "
             "WHERE n_email + n_url + n_cc > 0"
+        ),
+        "majority_lang_transcripts": (
+            # bound oracle: one majority row per conversation; validity and
+            # the 3-language pigeonhole invariant asserted engine-side
+            "SELECT CAST(count(*) AS BIGINT) AS n_convs, "
+            "true AS langs_valid, true AS pigeonhole_ok FROM documents"
         ),
         "toxicity_stats_transcripts": (
             # same turn explosion + deterministic toxic-term injection as

@@ -2086,3 +2086,76 @@ def toxicity_stats(ds, *, conv_col: str = "conv_id", text_col: str = "text"):
     return _regex_report(ds, {"n_toxic": "(?i)" + spec.TOXIC_RE.pattern},
                          "n_toxic_turns", conv_col=conv_col,
                          text_col=text_col)
+
+
+def conversation_majority_lang(ds, *, conv_col: str = "conv_id",
+                               text_col: str = "text",
+                               concurrency=(1, 8)):
+    """Per-conversation dominant language over transcript turns:
+    ``(conv, major_lang, n_major_turns)`` — the trigram language-ID model
+    (north-star rule: "fastText langid" stand-in, ``stages/models``)
+    scores every turn in an actor pool (model built once per actor,
+    zero-copy byte-codes scoring), a block combiner + ``groupby(conv,
+    lang).sum`` folds to slim language counts (≤ #langs rows per
+    conversation — the text never shuffles), and
+    :func:`~hooqu_ray.pipelines.relational.grouped_top_k` (k=1, ties to
+    the lexicographically smallest language) picks each conversation's
+    majority with its scale-gated merge.
+
+    Mixed-language detection composes without new machinery:
+    ``tool_usage_stats(scored, tool_col='pred_lang')`` yields per-conv
+    distinct-language counts.  Returns whatever ``grouped_top_k``
+    returns (Arrow table under the driver gate, Dataset above it) with
+    columns renamed."""
+    from ray.data.aggregate import Sum
+
+    from ..util import dataset_arrow_schema
+    from .relational import grouped_top_k
+    from .textstats import LangIdStage
+
+    in_schema = dataset_arrow_schema(ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
+
+    scored = ds.map_batches(
+        LangIdStage, fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        sub = t.select([conv_col, "pred_lang"]).filter(
+            pc.is_valid(t.column(conv_col)))
+        agg = sub.group_by([conv_col, "pred_lang"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns([conv_col, "pred_lang", "__n"])
+
+    pairs = (
+        scored.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby([conv_col, "pred_lang"])
+        .aggregate(Sum("__n"))
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        if "sum(__n)" not in t.column_names:  # schema-less empty agg block
+            return pa.table({conv_col: pa.array([], conv_type),
+                             "pred_lang": pa.array([], pa.string()),
+                             "__n": pa.array([], pa.int64())})
+        return pa.table({conv_col: t.column(conv_col),
+                         "pred_lang": t.column("pred_lang"),
+                         "__n": pc.cast(t.column("sum(__n)"), pa.int64())})
+
+    top = grouped_top_k(
+        pairs.map_batches(proj, batch_format="pyarrow"),
+        conv_col, "__n", 1, tie_col="pred_lang",
+    )
+    out_names = {conv_col: conv_col, "pred_lang": "major_lang",
+                 "__n": "n_major_turns"}
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({out_names[c]: t.column(c)
+                         for c in [conv_col, "pred_lang", "__n"]})
+
+    if isinstance(top, pa.Table):
+        return rename(top)
+    return top.map_batches(rename, batch_format="pyarrow")

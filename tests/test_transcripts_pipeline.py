@@ -936,3 +936,38 @@ class TestToxicityStats:
         assert got["conv_id"].tolist() == ["a"]
         assert got["n_toxic"].tolist() == [3]
         assert got["n_toxic_turns"].tolist() == [2]
+
+
+class TestConversationMajorityLang:
+    def test_majority_and_tiebreak(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.stages.models import TrigramLangID
+
+        model = TrigramLangID()
+        en = "the quick brown fox jumps over the lazy dog near the river"
+        de = "der schnelle braune fuchs springt über den faulen hund am ufer"
+        # sanity: the model actually separates these
+        import numpy as np
+        codes_en = np.frombuffer(en.encode(), dtype=np.uint8)
+        assert model.predict_codes(
+            np.minimum(codes_en, 127).astype(np.int64)[None, :].ravel(),
+            np.array([0, len(codes_en)]))[0][0] == "en"
+
+        rows = [
+            ("a", en), ("a", en), ("a", de),   # majority en
+            ("b", de), ("b", de),              # all de
+        ]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        })
+        got = tp.conversation_majority_lang(
+            rd.from_arrow(t).repartition(2))
+        if not isinstance(got, pa.Table):
+            got = pa.Table.from_pylist(got.take_all())
+        df = got.to_pandas().sort_values("conv_id", ignore_index=True)
+        assert df["conv_id"].tolist() == ["a", "b"]
+        assert df["major_lang"].tolist() == ["en", "de"]
+        assert df["n_major_turns"].tolist() == [2, 2]
