@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["vocab_stats_documents"] = _vocab_stats_documents
     out["jsonl_roundtrip_documents"] = _jsonl_roundtrip_documents
     out["vector_mean_embeddings"] = _grouped_vector_mean
+    out["length_bucket_batches_documents"] = _length_bucket_batches
     out["pack_sft_transcripts"] = _pack_sft
     out["dedup_turns_transcripts"] = _dedup_turns
     out["sft_pipeline_transcripts"] = _sft_pipeline
@@ -3171,6 +3172,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
             "WHERE doc_id NOT IN (SELECT doc_id FROM losers) ORDER BY doc_id"
         ),
+        "length_bucket_batches_documents": (
+            # token-count length buckets (searchsorted right: n < 64 -> 0,
+            # n < 128 -> 1, else 2), batch of 8 within bucket by doc_id
+            "WITH tk AS (SELECT doc_id, len(regexp_extract_all("
+            "COALESCE(text, ''), '\\S+')) AS n FROM documents), "
+            "b AS (SELECT doc_id, CASE WHEN n < 64 THEN 0 "
+            "WHEN n < 128 THEN 1 ELSE 2 END AS bucket FROM tk), "
+            "r AS (SELECT doc_id, bucket, row_number() OVER "
+            "(PARTITION BY bucket ORDER BY doc_id) AS rn FROM b) "
+            "SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, "
+            "CAST((rn - 1) // 8 AS BIGINT) AS batch_idx FROM r "
+            "ORDER BY doc_id"
+        ),
         "vector_mean_embeddings": (
             # per-label per-position mean over the exploded list column
             # (UNNEST + generate_subscripts; no WITH ORDINALITY in this
@@ -3548,6 +3562,18 @@ def _grouped_vector_mean(sf_dir: str):
     df = grouped_vector_mean(ds, "embedding", "label").to_pandas()
     df["label"] = df["label"].astype("int64")
     return df.sort_values(["label", "pos"], ignore_index=True)
+
+
+def _length_bucket_batches(sf_dir: str):
+    """Padding-efficient batching plan: length buckets at [64, 128) tokens,
+    batch of 8 within bucket in doc_id order."""
+    from hooqu_ray.pipelines.packing import length_bucket_batches
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = length_bucket_batches(ds, "doc_id", "text", [64, 128], 8).to_pandas()
+    return df.astype({"doc_id": "int64", "bucket": "int64",
+                      "batch_idx": "int64"}).sort_values(
+        "doc_id", ignore_index=True)
 
 
 def _jsonl_roundtrip_documents(sf_dir: str):

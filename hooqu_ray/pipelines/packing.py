@@ -178,3 +178,68 @@ def pack_texts(ds, id_col: str, text_col: str, max_len: int):
         lambda g, _m=merge: _m(g), batch_format="pyarrow"
     )
     return interior.union(merged)
+
+
+def length_bucket_batches(ds, id_col: str, text_col: str,
+                          boundaries, batch_size: int):
+    """Length-bucketed BATCHING plan: assign every document a length
+    bucket (token count vs sorted ``boundaries``, ``searchsorted`` right —
+    bucket i holds ``boundaries[i-1] <= n < boundaries[i]``) and a batch
+    index within its bucket in deterministic ``id_col`` order —
+    ``row_number() OVER (PARTITION BY bucket ORDER BY id) // batch_size``.
+    Batching same-length documents together is the standard padding-
+    efficiency lever for training/inference (a batch's pad waste is
+    bounded by its bucket width instead of the corpus max length).
+
+    Composition of existing scale-shaped stages: a vectorized token-count
+    + bucket pass (RE2 ``count_substring_regex``, ``np.searchsorted``),
+    then :func:`~hooqu_ray.pipelines.windows.running_agg` for the
+    per-bucket running row number (ONE range sort + boundary merge that
+    touches ≤ 2 buckets per block — never a per-group shuffle).  Returns
+    ``(id, n_tokens, bucket, batch_idx)``; deterministic across runs and
+    data orderings."""
+    from .textstats import TOKEN_PATTERN
+    from .windows import running_agg
+
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    bounds = np.asarray(sorted(boundaries), dtype=np.int64)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+        n_tok = pc.fill_null(
+            pc.count_substring_regex(text, pattern=TOKEN_PATTERN), 0
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = np.searchsorted(bounds, n_tok, side="right")
+        return pa.table({
+            id_col: t.column(id_col),
+            "__tie": t.column(id_col),
+            "n_tokens": pa.array(n_tok),
+            "bucket": pa.array(bucket.astype(np.int64)),
+        })
+
+    run = running_agg(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        key="bucket", ts_col=id_col, tie="__tie", value_col="n_tokens",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # running_agg returns [key, ts, tie, run_sum, run_n]; the per-row
+        # token count is not carried through — the plan is (id, bucket,
+        # batch_idx), re-derive n_tokens downstream if needed
+        if "run_n" not in t.column_names:  # schema-less empty block
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "batch_idx": pa.array([], pa.int64())})
+        rn = pc.cast(t.column("run_n"), pa.int64())
+        # integer (rn - 1) // batch_size without a float round trip
+        batch_idx = pc.cast(
+            pc.divide(pc.subtract(rn, 1), pa.scalar(batch_size, pa.int64())),
+            pa.int64())
+        return pa.table({
+            id_col: t.column(id_col),
+            "bucket": pc.cast(t.column("bucket"), pa.int64()),
+            "batch_idx": batch_idx,
+        })
+
+    return run.map_batches(finish, batch_format="pyarrow")

@@ -768,3 +768,49 @@ class TestSaltedHashJoin:
             hash_join(dl, dr, on="k", how="full", salt_keys=[7])
         with pytest.raises(ValueError):
             hash_join(dl, dr, on="k", how="inner", salt_keys=[7], salt_factor=1)
+
+
+class TestLengthBucketBatches:
+    def test_matches_window_sql(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.packing import length_bucket_batches
+
+        t = pa.table({
+            "doc_id": pa.array(list(range(12)), pa.int64()),
+            "text": pa.array(
+                ["w " * n for n in [1, 2, 3, 70, 80, 90, 200, 300, 5, 6,
+                                    0, 64]], pa.string()),
+        })
+        got = length_bucket_batches(
+            rd.from_arrow(t).repartition(4), "doc_id", "text", [64, 128], 2
+        ).to_pandas().sort_values("doc_id", ignore_index=True)
+        con = duckdb.connect()
+        con.register("docs", t)
+        want = con.execute(
+            "WITH tk AS (SELECT doc_id, len(regexp_extract_all("
+            "COALESCE(text, ''), '\\S+')) AS n FROM docs), "
+            "b AS (SELECT doc_id, CASE WHEN n < 64 THEN 0 "
+            "WHEN n < 128 THEN 1 ELSE 2 END AS bucket FROM tk), "
+            "r AS (SELECT doc_id, bucket, row_number() OVER "
+            "(PARTITION BY bucket ORDER BY doc_id) AS rn FROM b) "
+            "SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, "
+            "CAST((rn - 1) // 2 AS BIGINT) AS batch_idx FROM r "
+            "ORDER BY doc_id"
+        ).df().reset_index(drop=True)
+        assert got[want.columns.tolist()].equals(want)
+
+    def test_batch_size_validation(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.packing import length_bucket_batches
+
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["x"], pa.string())})
+        with pytest.raises(ValueError):
+            length_bucket_batches(rd.from_arrow(t), "doc_id", "text",
+                                  [64], 0)
