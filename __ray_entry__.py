@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["jsonl_roundtrip_documents"] = _jsonl_roundtrip_documents
     out["vector_mean_embeddings"] = _grouped_vector_mean
     out["length_bucket_batches_documents"] = _length_bucket_batches
+    out["blocklist_filter_documents"] = _blocklist_filter_documents
     out["pack_sft_transcripts"] = _pack_sft
     out["dedup_turns_transcripts"] = _dedup_turns
     out["sft_pipeline_transcripts"] = _sft_pipeline
@@ -2010,6 +2011,9 @@ def oracle_sql() -> dict[str, str]:
     from hooqu_ray.stages import spec as _spec
 
     tox_pat = ("(?i)" + _spec.TOXIC_RE.pattern).replace("'", "''")
+    from hooqu_ray.pipelines.filters import blocklist_pattern as _blp
+
+    block_pat = _blp(_BLOCKLIST_TERMS).replace("'", "''")
     uniq_sql = (
         "WITH f AS (SELECT {cols}, count(*) AS cnt FROM {table} "
         "WHERE {notnull} GROUP BY {cols}) "
@@ -3172,6 +3176,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
             "WHERE doc_id NOT IN (SELECT doc_id FROM losers) ORDER BY doc_id"
         ),
+        "blocklist_filter_documents": (
+            # keep = NOT match of the engine's own blocklist alternation
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
+            "WHERE NOT regexp_matches(COALESCE(text, ''), '" + block_pat
+            + "') ORDER BY doc_id"
+        ),
         "length_bucket_batches_documents": (
             # token-count length buckets (searchsorted right: n < 64 -> 0,
             # n < 128 -> 1, else 2), batch of 8 within bucket by doc_id
@@ -3562,6 +3572,25 @@ def _grouped_vector_mean(sf_dir: str):
     df = grouped_vector_mean(ds, "embedding", "label").to_pandas()
     df["label"] = df["label"].astype("int64")
     return df.sort_values(["label", "pos"], ignore_index=True)
+
+
+def _blocklist_filter_documents(sf_dir: str):
+    """C4-style blocklist filter: drop documents containing any listed
+    phrase (word-boundary, case-insensitive).  Terms chosen so the filter
+    actually drops rows on this corpus.  Oracle: NOT regexp_matches with
+    the engine's own pattern string."""
+    from hooqu_ray.pipelines.filters import blocklist_filter
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = blocklist_filter(docs, _BLOCKLIST_TERMS)
+    df = kept.to_pandas()[["doc_id"]]
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+# a bare word, a multi-word phrase, and an absent term — kept
+# rate ~22% on this corpus, so the filter is exercised both ways
+_BLOCKLIST_TERMS = ["spark", "slow merge", "scuzzbucket"]
 
 
 def _length_bucket_batches(sf_dir: str):

@@ -77,3 +77,54 @@ class TestQualityFilter:
         assert (got["kept"] == (got["reason"] == "")).all()
         # the filter splits the corpus non-trivially at these thresholds
         assert 0 < got["kept"].sum() < len(got)
+
+
+class TestBlocklistFilter:
+    def test_word_boundary_case_and_phrase(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.filters import blocklist_filter
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array([
+                "a BADWORD here",            # case-insensitive hit
+                "badwords is a longer word",  # boundary: no hit
+                "two part phrase inside",     # phrase hit
+                "clean text",
+                None,                         # null text: kept
+            ], pa.string()),
+        })
+        kept = blocklist_filter(
+            rd.from_arrow(t).repartition(2), ["badword", "part phrase"]
+        ).to_pandas().sort_values("doc_id")
+        assert kept["doc_id"].tolist() == [2, 4, 5]
+        audit = blocklist_filter(
+            rd.from_arrow(t), ["badword", "part phrase"], invert=True
+        ).to_pandas().sort_values("doc_id")
+        assert audit["doc_id"].tolist() == [1, 3]
+
+    def test_regex_metachars_escaped(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.filters import blocklist_filter
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["price (a.b) listed", "price aXb listed"],
+                             pa.string()),
+        })
+        kept = blocklist_filter(
+            rd.from_arrow(t), ["(a.b)"], word_boundary=False
+        ).to_pandas()
+        assert kept["doc_id"].tolist() == [2]  # dot escaped, not wildcard
+
+    def test_empty_terms_raise(self, ray_session):
+        import pytest
+
+        from hooqu_ray.pipelines.filters import blocklist_pattern
+
+        with pytest.raises(ValueError):
+            blocklist_pattern([])
