@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["vector_mean_embeddings"] = _grouped_vector_mean
     out["length_bucket_batches_documents"] = _length_bucket_batches
     out["blocklist_filter_documents"] = _blocklist_filter_documents
+    out["dup_rate_by_source_documents"] = _dup_rate_by_source
     out["pack_sft_transcripts"] = _pack_sft
     out["dedup_turns_transcripts"] = _dedup_turns
     out["sft_pipeline_transcripts"] = _sft_pipeline
@@ -3176,6 +3177,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
             "WHERE doc_id NOT IN (SELECT doc_id FROM losers) ORDER BY doc_id"
         ),
+        "dup_rate_by_source_documents": (
+            # same duplicate injection (doc_id % 7 == 0 re-appended), then
+            # per-source distinct-fingerprint counting
+            "WITH d AS (SELECT source, text FROM documents UNION ALL "
+            "SELECT source, text FROM documents WHERE doc_id % 7 = 0), "
+            "h AS (SELECT source, md5(COALESCE(text, '')) AS fp FROM d "
+            "WHERE source IS NOT NULL), "
+            "c AS (SELECT source, fp, count(*) AS n FROM h "
+            "GROUP BY source, fp) "
+            "SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(*) AS BIGINT) AS n_unique, "
+            "ROUND(1 - COUNT(*) / CAST(SUM(n) AS DOUBLE), 6) AS dup_frac "
+            "FROM c GROUP BY source ORDER BY source"
+        ),
         "blocklist_filter_documents": (
             # keep = NOT match of the engine's own blocklist alternation
             "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
@@ -3572,6 +3587,22 @@ def _grouped_vector_mean(sf_dir: str):
     df = grouped_vector_mean(ds, "embedding", "label").to_pandas()
     df["label"] = df["label"].astype("int64")
     return df.sort_values(["label", "pos"], ignore_index=True)
+
+
+def _dup_rate_by_source(sf_dir: str):
+    """Per-source duplication rate.  Duplicates are injected on BOTH sides
+    (docs with doc_id % 7 == 0 re-appended) so the metric is non-trivial."""
+    from hooqu_ray.pipelines.dedup import dup_rate_by_source
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def dup_shard(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        return t.filter(pa.array(ids % 7 == 0))
+
+    dups = docs.map_batches(dup_shard, batch_format="pyarrow")
+    df = dup_rate_by_source(docs.union(dups), "text", "source").to_pandas()
+    return df.sort_values("source", ignore_index=True)
 
 
 def _blocklist_filter_documents(sf_dir: str):

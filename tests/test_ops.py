@@ -701,3 +701,26 @@ class TestJsonlRoundtrip:
         finally:
             shutil.rmtree(d, ignore_errors=True)
         assert back.equals(t.to_pandas())
+
+
+class TestDupRateBySource:
+    def test_cross_block_duplicates_counted(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.dedup import dup_rate_by_source
+
+        # "same" appears twice in DIFFERENT blocks — only the cross-block
+        # fold can see the duplication
+        t = pa.table({
+            "source": pa.array(["a", "a", "a", "b", None], pa.string()),
+            "text": pa.array(["same", "other", "same", "x", "dropped"],
+                             pa.string()),
+        })
+        got = dup_rate_by_source(
+            rd.from_arrow(t).repartition(5), "text", "source"
+        ).to_pandas().sort_values("source", ignore_index=True)
+        assert got["source"].tolist() == ["a", "b"]
+        assert got["n_docs"].tolist() == [3, 1]
+        assert got["n_unique"].tolist() == [2, 1]
+        assert got["dup_frac"].round(6).tolist() == [0.333333, 0.0]
