@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["pii_stats_transcripts"] = _pii_stats
     out["toxicity_stats_transcripts"] = _toxicity_stats
     out["majority_lang_transcripts"] = _conv_majority_lang
+    out["turn_gap_stats_transcripts"] = _turn_gap_stats
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
     out["jsonl_roundtrip_documents"] = _jsonl_roundtrip_documents
@@ -1870,6 +1871,28 @@ def _conv_majority_lang(sf_dir: str):
     })
 
 
+def _turn_gap_stats(sf_dir: str):
+    """Per-conversation inter-turn gap stats.  The synthetic timestamps
+    are a uniform 30 s grid, so deterministic jitter (+(i*i) % 17 seconds)
+    is injected on BOTH sides to make the deltas non-trivial."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def jitter(t: pa.Table) -> pa.Table:
+        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+        us = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        us = us + ((idx * idx) % 17) * 1_000_000
+        return t.set_column(
+            t.schema.get_field_index("ts"), "ts",
+            pa.array(us).cast(pa.timestamp("us")))
+
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        jitter, batch_format="pyarrow")
+    return tp.turn_gap_stats(tr)
+
+
 def _pack_sft(sf_dir: str):
     """Loss-mask packing plan over the extracted SFT examples: 48-token
     windows packed into 256-token sequences, target spans recorded."""
@@ -2472,6 +2495,23 @@ def oracle_sql() -> dict[str, str]:
             # the 3-language pigeonhole invariant asserted engine-side
             "SELECT CAST(count(*) AS BIGINT) AS n_convs, "
             "true AS langs_valid, true AS pigeonhole_ok FROM documents"
+        ),
+        "turn_gap_stats_transcripts": (
+            # ts grid = doc_id*60 + i*30 seconds (+ the same (i*i)%17
+            # jitter the engine injects); base epoch cancels in the deltas
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, UNNEST(range(n_turns)) AS i FROM c), "
+            "g AS (SELECT printf('conv-%08d', doc_id) AS conv_id, i, "
+            "doc_id * 60 + i * 30 + (i * i) % 17 AS sec FROM t), "
+            "l AS (SELECT conv_id, sec - LAG(sec) OVER (PARTITION BY "
+            "conv_id ORDER BY i) AS d FROM g) "
+            "SELECT conv_id, ROUND(CAST(MAX(d) AS DOUBLE), 6) AS max_gap_s, "
+            "ROUND(CAST(AVG(d) AS DOUBLE), 6) AS mean_gap_s, "
+            "CAST(COUNT(d) AS BIGINT) AS n_gaps FROM l "
+            "WHERE d IS NOT NULL GROUP BY conv_id"
         ),
         "toxicity_stats_transcripts": (
             # same turn explosion + deterministic toxic-term injection as

@@ -2159,3 +2159,74 @@ def conversation_majority_lang(ds, *, conv_col: str = "conv_id",
     if isinstance(top, pa.Table):
         return rename(top)
     return top.map_batches(rename, batch_format="pyarrow")
+
+
+def turn_gap_stats(ds, *, conv_col: str = "conv_id", ts_col: str = "ts",
+                   order_col: str = "turn_idx"):
+    """Per-conversation inter-turn latency profile: ``(conv, max_gap_s,
+    mean_gap_s, n_gaps)`` over the time deltas between consecutive turns
+    in ``order_col`` order — the response-latency / staleness signal an
+    agent-transcript pipeline filters on (a conversation resumed days
+    later is usually two sessions; sub-second uniform gaps smell like a
+    bot).
+
+    Composition: :func:`~hooqu_ray.pipelines.windows.lag_delta` (one
+    range sort + vectorized per-block shift + boundary repair) yields the
+    per-turn delta in seconds; null deltas (each conversation's first
+    turn) are filtered and a slim ``groupby(conv)`` Max/Mean/Count
+    finishes.  Single-turn conversations are absent, as in SQL ``GROUP
+    BY`` over non-null ``LAG`` deltas."""
+    from ray.data.aggregate import Count, Max, Mean
+
+    from ..util import dataset_arrow_schema
+    from .windows import lag_delta
+
+    in_schema = dataset_arrow_schema(ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
+
+    def proj(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column(ts_col), pa.int64())
+        return pa.table({
+            conv_col: t.column(conv_col),
+            order_col: t.column(order_col),
+            "__tie": t.column(order_col),
+            "__ts_s": pc.divide(pc.cast(us, pa.float64()), 1e6),
+        })
+
+    lag = lag_delta(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        key=conv_col, ts_col=order_col, tie="__tie", value_col="__ts_s",
+    )
+
+    def keep_gaps(t: pa.Table) -> pa.Table:
+        if "delta" not in t.column_names:  # schema-less empty block
+            return pa.table({conv_col: pa.array([], conv_type),
+                             "delta": pa.array([], pa.float64())})
+        sub = t.filter(pc.is_valid(t.column("delta")))
+        return pa.table({conv_col: sub.column(conv_col),
+                         "delta": pc.cast(sub.column("delta"), pa.float64())})
+
+    folded = (
+        lag.map_batches(keep_gaps, batch_format="pyarrow")
+        .groupby(conv_col)
+        .aggregate(Max("delta"), Mean("delta"), Count())
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if "max(delta)" not in t.column_names:
+            return pa.table({conv_col: pa.array([], conv_type),
+                             "max_gap_s": pa.array([], pa.float64()),
+                             "mean_gap_s": pa.array([], pa.float64()),
+                             "n_gaps": pa.array([], pa.int64())})
+        return pa.table({
+            conv_col: t.column(conv_col),
+            "max_gap_s": pc.round(
+                pc.cast(t.column("max(delta)"), pa.float64()), ndigits=6),
+            "mean_gap_s": pc.round(
+                pc.cast(t.column("mean(delta)"), pa.float64()), ndigits=6),
+            "n_gaps": pc.cast(t.column("count()"), pa.int64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -971,3 +971,30 @@ class TestConversationMajorityLang:
         assert df["conv_id"].tolist() == ["a", "b"]
         assert df["major_lang"].tolist() == ["en", "de"]
         assert df["n_major_turns"].tolist() == [2, 2]
+
+
+class TestTurnGapStats:
+    def test_gaps_across_blocks(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        base = np.datetime64("2025-01-01T00:00:00", "us")
+        rows = [
+            ("a", 0, base),
+            ("a", 1, base + np.timedelta64(10, "s")),
+            ("a", 2, base + np.timedelta64(40, "s")),   # gaps 10, 30
+            ("b", 0, base),                              # single turn: absent
+        ]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        })
+        got = tp.turn_gap_stats(
+            rd.from_arrow(t).repartition(4)).to_pandas()
+        got = got.sort_values("conv_id").reset_index(drop=True)
+        assert got["conv_id"].tolist() == ["a"]
+        assert got["max_gap_s"].tolist() == [30.0]
+        assert got["mean_gap_s"].tolist() == [20.0]
+        assert got["n_gaps"].tolist() == [2]
