@@ -563,6 +563,35 @@ def main() -> None:
     ).count()
     queries["sft_pipeline"] = round(time.time() - t0, 3)
 
+    # -- round-3f operators: reports over the REPLICATED transcript table --
+    from hooqu_ray.pipelines.dedup import dup_rate_by_source
+    from hooqu_ray.pipelines.filters import blocklist_filter
+    from hooqu_ray.pipelines.textstats import vocab_stats
+
+    t0 = time.time()
+    tp.pii_stats(rd.read_parquet(bench_input)).count()
+    queries["pii_stats"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    vocab_stats(
+        bench_read(f"{sf_dir}/documents.parquet", columns=["source", "text"]),
+        "text", "source",
+    ).count()
+    queries["vocab_stats"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dup_rate_by_source(
+        bench_read(f"{sf_dir}/documents.parquet", columns=["source", "text"]),
+        "text", "source",
+    ).count()
+    queries["dup_rate_by_source"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    blocklist_filter(
+        rd.read_parquet(bench_input), ["frakking", "slow merge"],
+    ).count()
+    queries["blocklist_filter"] = round(time.time() - t0, 3)
+
     emit()
     ray.shutdown()
 
