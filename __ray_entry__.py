@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["length_bucket_batches_documents"] = _length_bucket_batches
     out["blocklist_filter_documents"] = _blocklist_filter_documents
     out["dup_rate_by_source_documents"] = _dup_rate_by_source
+    out["l2_normalize_embeddings"] = _l2_normalize_embeddings
+    out["quantize_int8_embeddings"] = _quantize_int8_embeddings
     out["pack_sft_transcripts"] = _pack_sft
     out["dedup_turns_transcripts"] = _dedup_turns
     out["sft_pipeline_transcripts"] = _sft_pipeline
@@ -3250,6 +3252,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST((rn - 1) // 8 AS BIGINT) AS batch_idx FROM r "
             "ORDER BY doc_id"
         ),
+        "l2_normalize_embeddings": (
+            # same float64 math: norm over DOUBLE-cast elements, divide,
+            # round 6; zero-norm vectors -> all zeros; exploded form
+            "WITH n AS (SELECT vec_id, embedding, "
+            "sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) "
+            "for x in embedding], 'sum')) AS nrm FROM embeddings) "
+            "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos, "
+            "ROUND(CASE WHEN nrm > 0 THEN CAST(UNNEST(embedding) AS DOUBLE) "
+            "/ nrm ELSE 0.0 END, 6) AS value "
+            "FROM n ORDER BY vec_id, pos"
+        ),
+        "quantize_int8_embeddings": (
+            # scale = max(|v|); code = TRUNC((x / scale) * 127) — division
+            # FIRST on both sides so the max element codes exactly 127;
+            # exploded form, plus one pos = -1 row per vector carrying
+            # round(scale, 6) × 10^6 as an integer code
+            "WITH s AS (SELECT vec_id, embedding, "
+            "list_aggregate([abs(CAST(x AS DOUBLE)) for x in embedding], "
+            "'max') AS scale FROM embeddings), "
+            "codes AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos, "
+            "CAST(TRUNC(CASE WHEN scale > 0 THEN "
+            "CAST(UNNEST(embedding) AS DOUBLE) / scale ELSE 0.0 END * 127) "
+            "AS BIGINT) AS code FROM s), "
+            "sc AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            "CAST(-1 AS BIGINT) AS pos, "
+            "CAST(ROUND(ROUND(scale, 6) * 1e6) AS BIGINT) AS code FROM s) "
+            "SELECT * FROM codes UNION ALL SELECT * FROM sc "
+            "ORDER BY vec_id, pos"
+        ),
         "vector_mean_embeddings": (
             # per-label per-position mean over the exploded list column
             # (UNNEST + generate_subscripts; no WITH ORDINALITY in this
@@ -3674,6 +3707,69 @@ def _length_bucket_batches(sf_dir: str):
     return df.astype({"doc_id": "int64", "bucket": "int64",
                       "batch_idx": "int64"}).sort_values(
         "doc_id", ignore_index=True)
+
+
+def _explode_vec(t: pa.Table, id_col: str, vec_col: str, out_val: str,
+                 val_type) -> "Any":
+    """(id, list) → exploded (id, pos, value) DataFrame — the driver's
+    value hash can't digest list cells, so list-valued ops are checked in
+    exploded form (same convention as vector_mean_embeddings)."""
+    col = t.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        col = col.cast(pa.list_(col.type.value_type))
+    flat = pc.list_flatten(col)
+    parent = pc.list_parent_indices(col)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    pos = np.concatenate([np.arange(n, dtype=np.int64) for n in lens]) \
+        if len(lens) else np.array([], dtype=np.int64)
+    out = pa.table({
+        id_col: pc.cast(t.column(id_col).take(parent), pa.int64()),
+        "pos": pa.array(pos),
+        out_val: pc.cast(flat, val_type),
+    }).to_pandas()
+    return out.sort_values([id_col, "pos"], ignore_index=True)
+
+
+def _l2_normalize_embeddings(sf_dir: str):
+    """Row-wise L2 normalization; zero vectors -> all zeros.  Checked in
+    exploded (vec_id, pos, value) form."""
+    from hooqu_ray.pipelines.similarity import l2_normalize
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = pa.Table.from_pandas(l2_normalize(ds).to_pandas(),
+                             preserve_index=False)
+    t = pa.table({"vec_id": t.column("vec_id"),
+                  "embedding": pa.array(
+                      t.column("embedding").to_pylist(),
+                      pa.list_(pa.float64()))})
+    return _explode_vec(t, "vec_id", "embedding", "value", pa.float64())
+
+
+def _quantize_int8_embeddings(sf_dir: str):
+    """Symmetric per-vector int8 quantization (TRUNC toward zero).
+    Checked in exploded (vec_id, pos, code) form; the per-vector scale is
+    checked separately inside the same result (pos = -1 row carries it)."""
+    from hooqu_ray.pipelines.similarity import quantize_int8
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = quantize_int8(ds).to_pandas()[["vec_id", "qvec", "scale"]]
+    t = pa.table({"vec_id": pa.array(df["vec_id"].astype("int64")),
+                  "qvec": pa.array(df["qvec"].map(
+                      lambda v: [int(x) for x in v]),
+                      pa.list_(pa.int64()))})
+    codes = _explode_vec(t, "vec_id", "qvec", "code", pa.int64())
+    import pandas as pd
+
+    scales = pd.DataFrame({
+        "vec_id": df["vec_id"].astype("int64"),
+        "pos": np.int64(-1),
+        "code": np.round(df["scale"].astype("float64") * 1e6).astype(
+            "int64"),  # scale×10^6 as the pos=-1 code row
+    })
+    out = pd.concat([codes, scales], ignore_index=True)
+    return out.sort_values(["vec_id", "pos"], ignore_index=True)
 
 
 def _jsonl_roundtrip_documents(sf_dir: str):

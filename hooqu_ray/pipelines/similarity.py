@@ -540,3 +540,83 @@ def grouped_vector_mean(ds, vec_col: str = "embedding",
                          "mean": pc.round(pc.divide(s, n), ndigits=6)})
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def l2_normalize(ds, vec_col: str = "embedding",
+                 out_col: str = "embedding"):
+    """Row-wise L2 normalization of an embedding column — the prep step
+    cosine-similarity pipelines want exactly once, upstream, instead of
+    per-query (after it, cosine is a plain dot product).  Zero-norm
+    vectors normalize to all zeros (not NaN), matching the convention of
+    the k-NN ops here.
+
+    Embarrassingly parallel: zero-copy matrix ingestion
+    (``util.embedding_matrix``), one vectorized norm + divide in float64,
+    and a ``FixedSizeListArray`` rebuild — no shuffle at any scale.
+    Output values are rounded to 6 decimals (float64) so the transform is
+    SQL-reproducible."""
+    from ..util import embedding_matrix
+
+    def norm_block(t: pa.Table) -> pa.Table:
+        col = t.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(t)
+        if n == 0:
+            return t
+        m = embedding_matrix(col, dtype=np.float64)
+        dim = m.shape[1] if m.ndim == 2 and m.size else 0
+        if dim == 0:
+            return t
+        norms = np.sqrt((m * m).sum(axis=1))
+        out = np.divide(m, norms[:, None], out=np.zeros_like(m),
+                        where=norms[:, None] > 0)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.round(out, 6).ravel(), pa.float64()), dim)
+        if out_col in t.column_names:
+            return t.set_column(
+                t.schema.get_field_index(out_col), out_col, arr)
+        return t.append_column(out_col, arr)
+
+    return ds.map_batches(norm_block, batch_format="pyarrow")
+
+
+def quantize_int8(ds, vec_col: str = "embedding",
+                  qvec_col: str = "qvec", scale_col: str = "scale"):
+    """Symmetric per-vector int8 quantization: ``scale = max(|v|)``,
+    ``q_i = trunc(v_i / scale × 127)`` — the standard 4× memory cut for
+    ANN index storage (dequantize ≈ ``q × scale / 127``).  TRUNC (toward
+    zero) rather than round-half-even so the transform is bit-identical
+    to SQL ``TRUNC`` on every engine.  Zero vectors get scale 0 and an
+    all-zero code.
+
+    Embarrassingly parallel, zero-copy in, one vectorized pass, no
+    shuffle.  Appends ``qvec_col`` (fixed-size list<int8>) and
+    ``scale_col`` (float64, rounded to 6)."""
+    from ..util import embedding_matrix
+
+    def quant_block(t: pa.Table) -> pa.Table:
+        col = t.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(t)
+        if n == 0:
+            return t
+        m = embedding_matrix(col, dtype=np.float64)
+        dim = m.shape[1] if m.ndim == 2 and m.size else 0
+        if dim == 0:
+            return t
+        scale = np.abs(m).max(axis=1)
+        # (v / scale) * 127, in exactly this order: the max element divides
+        # to 1.0 exactly, so its code is 127 on every engine — v*127/scale
+        # can land at 126.999… and TRUNC one code lower than SQL
+        q = np.trunc(
+            np.divide(m, scale[:, None],
+                      out=np.zeros_like(m), where=scale[:, None] > 0) * 127.0
+        ).astype(np.int8)
+        qarr = pa.FixedSizeListArray.from_arrays(
+            pa.array(q.ravel(), pa.int8()), dim)
+        return t.append_column(qvec_col, qarr).append_column(
+            scale_col, pa.array(np.round(scale, 6), pa.float64()))
+
+    return ds.map_batches(quant_block, batch_format="pyarrow")

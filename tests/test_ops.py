@@ -724,3 +724,40 @@ class TestDupRateBySource:
         assert got["n_docs"].tolist() == [3, 1]
         assert got["n_unique"].tolist() == [2, 1]
         assert got["dup_frac"].round(6).tolist() == [0.333333, 0.0]
+
+
+class TestEmbeddingPrep:
+    def test_l2_normalize_norms_and_zero_vec(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.similarity import l2_normalize
+
+        t = pa.table({
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array([[3.0, 4.0], [0.0, 0.0]],
+                                  pa.list_(pa.float32())),
+        })
+        got = l2_normalize(rd.from_arrow(t)).to_pandas().sort_values(
+            "vec_id", ignore_index=True)
+        np.testing.assert_allclose(list(got["embedding"][0]), [0.6, 0.8])
+        assert list(got["embedding"][1]) == [0.0, 0.0]
+
+    def test_quantize_int8_max_codes_127(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.similarity import quantize_int8
+
+        t = pa.table({
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array([[0.5, -1.0, 0.25], [0.0, 0.0, 0.0]],
+                                  pa.list_(pa.float32())),
+        })
+        got = quantize_int8(rd.from_arrow(t)).to_pandas().sort_values(
+            "vec_id", ignore_index=True)
+        assert [int(x) for x in got["qvec"][0]] == [63, -127, 31]
+        assert got["scale"][0] == 1.0
+        assert [int(x) for x in got["qvec"][1]] == [0, 0, 0]
+        assert got["scale"][1] == 0.0
