@@ -1995,7 +1995,8 @@ def _pii_detect_patterns() -> "Dict[str, str]":
 
 
 def _regex_report(ds, pats: "Dict[str, str]", turns_col: str, *,
-                  conv_col: str = "conv_id", text_col: str = "text"):
+                  conv_col: str = "conv_id", text_col: str = "text",
+                  prefilter: "Optional[Dict[str, str]]" = None):
     """Shared core of :func:`pii_stats` / :func:`toxicity_stats`: count
     each RE2 pattern's matches per conversation plus the number of turns
     containing ANY match (``turns_col``); emit only conversations with at
@@ -2005,7 +2006,15 @@ def _regex_report(ds, pats: "Dict[str, str]", turns_col: str, *,
     vectorized C) counts each category over the raw ``text_col``, an Arrow
     ``group_by`` folds the block's turns to per-conversation partials, and
     a final ``groupby(conv).sum`` merges across blocks — the shuffle moves
-    one slim count row per (block, conversation), never the text."""
+    one slim count row per (block, conversation), never the text.
+
+    ``prefilter``: optional {category: literal} — a row whose text lacks
+    the literal cannot match the category's regex (e.g. an email needs
+    ``@``), so the expensive pattern only runs on the (vectorized,
+    ``match_substring``-selected) candidate subset.  On a mostly-clean
+    corpus this cuts the dominant regex cost to the PII incidence rate;
+    correctness is unchanged because the literal is a necessary
+    condition."""
     from ray.data.aggregate import Sum
 
     from ..util import dataset_arrow_schema
@@ -2020,16 +2029,35 @@ def _regex_report(ds, pats: "Dict[str, str]", turns_col: str, *,
         sub = t.select([conv_col, text_col]).filter(
             pc.is_valid(t.column(conv_col)))
         text = pc.fill_null(pc.cast(sub.column(text_col), pa.string()), "")
-        counts = {
-            k: pc.cast(pc.count_substring_regex(text, pattern=p), pa.int64())
-            for k, p in pats.items()
-        }
+        n = len(text)
+
+        def count_cat(k, p):
+            lit = (prefilter or {}).get(k)
+            if lit is None:
+                return pc.cast(
+                    pc.count_substring_regex(text, pattern=p), pa.int64())
+            cand = pc.match_substring(text, lit).to_numpy(
+                zero_copy_only=False)
+            idx = np.flatnonzero(cand)
+            full = np.zeros(n, dtype=np.int64)
+            if idx.size:
+                full[idx] = pc.count_substring_regex(
+                    text.take(pa.array(idx, pa.int64())), pattern=p
+                ).to_numpy(zero_copy_only=False)
+            return pa.array(full)
+
+        counts = {k: count_cat(k, p) for k, p in pats.items()}
         total = counts[cat_cols[0]]
         for k in cat_cols[1:]:
             total = pc.add(total, counts[k])
-        hit_turn = pc.cast(pc.greater(total, 0), pa.int64())
+        # rows with NO match contribute nothing to any output conversation
+        # (the report emits only convs with >= 1 hit) — drop them BEFORE
+        # the combiner so a clean corpus shuffles NOTHING: the conv-key
+        # groupby cost scales with match incidence, not corpus size
+        hit_mask = pc.greater(total, 0)
         flat = pa.table({conv_col: sub.column(conv_col), **counts,
-                         turns_col: hit_turn})
+                         turns_col: pc.cast(hit_mask, pa.int64())}
+                        ).filter(hit_mask)
         agg = flat.group_by([conv_col]).aggregate(
             [(c, "sum") for c in cat_cols + [turns_col]])
         return agg.rename_columns([conv_col] + cat_cols + [turns_col])
@@ -2069,8 +2097,13 @@ def pii_stats(ds, *, conv_col: str = "conv_id", text_col: str = "text"):
     the scrub rewrites text, this measures exposure without touching it —
     the audit you run BEFORE deciding scrub policy.  Execution shape:
     :func:`_regex_report`."""
-    return _regex_report(ds, _pii_detect_patterns(), "n_pii_turns",
-                         conv_col=conv_col, text_col=text_col)
+    return _regex_report(
+        ds, _pii_detect_patterns(), "n_pii_turns", conv_col=conv_col,
+        text_col=text_col,
+        # necessary-condition literals: an email needs '@', a URL its
+        # scheme separator (credit cards have no single literal —
+        # match_substring takes no character class)
+        prefilter={"n_email": "@", "n_url": "://"})
 
 
 def toxicity_stats(ds, *, conv_col: str = "conv_id", text_col: str = "text"):
