@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["toxicity_stats_transcripts"] = _toxicity_stats
     out["majority_lang_transcripts"] = _conv_majority_lang
     out["turn_gap_stats_transcripts"] = _turn_gap_stats
+    out["fork_groups_transcripts"] = _fork_groups
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
     out["jsonl_roundtrip_documents"] = _jsonl_roundtrip_documents
@@ -1895,6 +1896,46 @@ def _turn_gap_stats(sf_dir: str):
     return tp.turn_gap_stats(tr)
 
 
+def _fork_groups(sf_dir: str):
+    """Retry-fork detection.  Forked replicas are injected on BOTH sides:
+    every doc_id % 5 == 0 conversation gets a copy at conv id +2*10^7
+    whose turns from idx 2 on carry a ' fork-tail' marker — identical
+    2-turn prefix, diverging tail."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_forks(t: pa.Table) -> pa.Table:
+        doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        m = doc % 5 == 0
+        if not m.any():
+            return t
+        sub = t.filter(pa.array(m))
+        sdoc = doc[m]
+        idx = np.asarray(sub.column("turn_idx"), dtype=np.int64)
+        text = sub.column("text").to_numpy(zero_copy_only=False).astype(
+            object)
+        text = np.where(idx >= 2, text + " fork-tail", text)
+        conv = np.array([f"conv-{d + 20000000:08d}" for d in sdoc],
+                        dtype=object)
+        rep = pa.table({
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": sub.column("turn_idx"),
+            "role": sub.column("role"),
+            "text": pa.array(text, pa.string()),
+            "tool": sub.column("tool"),
+            "ts": sub.column("ts"),
+        })
+        return pa.concat_tables([t, rep])
+
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        add_forks, batch_format="pyarrow")
+    out = tp.conversation_fork_groups(tr, 2)
+    df = out.to_pandas()
+    return df.sort_values("conv_id", ignore_index=True)
+
+
 def _pack_sft(sf_dir: str):
     """Loss-mask packing plan over the extracted SFT examples: 48-token
     windows packed into 256-token sequences, target spans recorded."""
@@ -2497,6 +2538,31 @@ def oracle_sql() -> dict[str, str]:
             # the 3-language pigeonhole invariant asserted engine-side
             "SELECT CAST(count(*) AS BIGINT) AS n_convs, "
             "true AS langs_valid, true AS pigeonhole_ok FROM documents"
+        ),
+        "fork_groups_transcripts": (
+            # inject forked replicas (doc_id % 5 == 0 -> +2*10^7, turns
+            # i >= 2 marked), group by the exact 2-turn-prefix signature
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn0 AS (SELECT doc_id, i, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, i, "
+            "text FROM turn0 UNION ALL "
+            "SELECT printf('conv-%08d', doc_id + 20000000), i, "
+            "text || CASE WHEN i >= 2 THEN ' fork-tail' ELSE '' END "
+            "FROM turn0 WHERE doc_id % 5 = 0), "
+            "pref AS (SELECT conv_id, i, text FROM turn WHERE i < 2), "
+            "sig AS (SELECT conv_id, string_agg(i || ':' || "
+            "COALESCE(text, ''), chr(31) ORDER BY i) AS s FROM pref "
+            "GROUP BY conv_id), "
+            "g AS (SELECT s, MIN(conv_id) AS wc, COUNT(*) AS n FROM sig "
+            "GROUP BY s HAVING COUNT(*) > 1) "
+            "SELECT sig.conv_id, g.wc AS fork_group, "
+            "CAST(g.n AS BIGINT) AS n_convs FROM sig JOIN g ON sig.s = g.s "
+            "ORDER BY sig.conv_id"
         ),
         "turn_gap_stats_transcripts": (
             # ts grid = doc_id*60 + i*30 seconds (+ the same (i*i)%17

@@ -1549,6 +1549,61 @@ _FP_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
 _FP_MIX3 = np.uint64(0x165667B19E3779F9)
 
 
+def _conversation_fingerprints(ds, conv_col: str, idx_col: str,
+                               text_col: str, conv_type) -> "object":
+    """Order-sensitive per-conversation fingerprint Dataset
+    ``(conv, __fp)``: each turn hashes (63-bit polars text hash mixed
+    with its turn index), a per-block Arrow ``group_by(conv)`` sums the
+    halves (int64-overflow-safe below 2^31 turns/conv), ``groupby(conv).
+    sum`` folds across blocks, and (sum_lo, sum_hi, n_turns) mix into one
+    int64 key.  Equal (turn_idx, text) sequences ⇒ equal fingerprints;
+    the converse holds up to the 63-bit collision class every dedup op
+    here documents.  The corpus never sorts and text never shuffles.
+    Shared by :func:`dedup_conversations` (whole-sequence key) and
+    :func:`conversation_fork_groups` (prefix key)."""
+    from ray.data.aggregate import Sum
+
+    from ..util import splitmix64
+    from .dedup import _text_hash63
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(conv_col)))
+        th = _text_hash63(t.column(text_col)).astype(np.uint64)
+        ix = np.asarray(
+            pc.fill_null(pc.cast(t.column(idx_col), pa.int64()), -1)
+        ).astype(np.uint64)
+        x = splitmix64(th ^ (ix * _FP_MIX1))
+        sub = pa.table({
+            conv_col: t.column(conv_col),
+            "__lo": pa.array((x & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+            "__hi": pa.array((x >> np.uint64(32)).astype(np.int64)),
+            "__n": pa.array(np.ones(len(t), np.int64)),
+        })
+        return sub.group_by(conv_col).aggregate(
+            [("__lo", "sum"), ("__hi", "sum"), ("__n", "sum")]
+        ).rename_columns([conv_col, "__lo", "__hi", "__n"])
+
+    folded = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(conv_col)
+        .aggregate(Sum("__lo"), Sum("__hi"), Sum("__n"))
+    )
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        if "sum(__lo)" not in t.column_names:  # schema-less empty block
+            return pa.table({conv_col: pa.array([], conv_type),
+                             "__fp": pa.array([], pa.int64())})
+        lo = np.asarray(t.column("sum(__lo)")).astype(np.uint64)
+        hi = np.asarray(t.column("sum(__hi)")).astype(np.uint64)
+        n = np.asarray(t.column("sum(__n)")).astype(np.uint64)
+        fp = splitmix64(lo * _FP_MIX1 ^ hi * _FP_MIX2 ^ n * _FP_MIX3)
+        fp = (fp & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        return pa.table({conv_col: t.column(conv_col),
+                         "__fp": pa.array(fp, pa.int64())})
+
+    return folded.map_batches(fingerprint, batch_format="pyarrow")
+
+
 def dedup_conversations(ds, *, conv_col: str = "conv_id",
                         idx_col: str = "turn_idx", text_col: str = "text",
                         rows_per_shard: int = 4_000_000):
@@ -1586,43 +1641,9 @@ def dedup_conversations(ds, *, conv_col: str = "conv_id",
                  if in_schema is not None and conv_col in in_schema.names
                  else pa.string())
 
-    def partials(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t.column(conv_col)))
-        th = _text_hash63(t.column(text_col)).astype(np.uint64)
-        ix = np.asarray(
-            pc.fill_null(pc.cast(t.column(idx_col), pa.int64()), -1)
-        ).astype(np.uint64)
-        x = splitmix64(th ^ (ix * _FP_MIX1))
-        sub = pa.table({
-            conv_col: t.column(conv_col),
-            "__lo": pa.array((x & np.uint64(0xFFFFFFFF)).astype(np.int64)),
-            "__hi": pa.array((x >> np.uint64(32)).astype(np.int64)),
-            "__n": pa.array(np.ones(len(t), np.int64)),
-        })
-        return sub.group_by(conv_col).aggregate(
-            [("__lo", "sum"), ("__hi", "sum"), ("__n", "sum")]
-        ).rename_columns([conv_col, "__lo", "__hi", "__n"])
-
-    folded = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby(conv_col)
-        .aggregate(Sum("__lo"), Sum("__hi"), Sum("__n"))
-    )
-
-    def fingerprint(t: pa.Table) -> pa.Table:
-        if "sum(__lo)" not in t.column_names:  # schema-less empty block
-            return pa.table({conv_col: pa.array([], conv_type),
-                             "__fp": pa.array([], pa.int64())})
-        lo = np.asarray(t.column("sum(__lo)")).astype(np.uint64)
-        hi = np.asarray(t.column("sum(__hi)")).astype(np.uint64)
-        n = np.asarray(t.column("sum(__n)")).astype(np.uint64)
-        fp = splitmix64(lo * _FP_MIX1 ^ hi * _FP_MIX2 ^ n * _FP_MIX3)
-        fp = (fp & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
-        return pa.table({conv_col: t.column(conv_col),
-                         "__fp": pa.array(fp, pa.int64())})
-
-    fp_rows = folded.map_batches(fingerprint, batch_format="pyarrow") \
-                    .materialize()  # consumed by winners AND loser probe
+    fp_rows = _conversation_fingerprints(
+        ds, conv_col, idx_col, text_col, conv_type
+    ).materialize()  # consumed by winners AND loser probe
 
     dups = (
         fp_rows.groupby("__fp").aggregate(Min(conv_col), Count())
@@ -2263,3 +2284,113 @@ def turn_gap_stats(ds, *, conv_col: str = "conv_id", ts_col: str = "ts",
         })
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def conversation_fork_groups(ds, prefix_turns: int, *,
+                             conv_col: str = "conv_id",
+                             idx_col: str = "turn_idx",
+                             text_col: str = "text",
+                             rows_per_shard: int = 4_000_000):
+    """Retry/fork detection over agent transcripts: conversations sharing
+    an IDENTICAL first-``prefix_turns`` (turn_idx, text) sequence — the
+    signature of a retried or branched agent run (same task prompt and
+    opening exchange, diverging tails).  Returns one row per conversation
+    in a fork group: ``(conv, fork_group, n_convs)`` where ``fork_group``
+    is the group's minimum conv id and ``n_convs`` its size; singletons
+    are absent.
+
+    Scale shape: filter to ``turn_idx < prefix_turns`` (embarrassingly
+    parallel), then the shared order-sensitive fingerprint fold
+    (:func:`_conversation_fingerprints` — slim hash partials, text never
+    shuffles), ``groupby(fp).aggregate(Min, Count)`` finds groups, and
+    the O(#fork groups) winner table broadcasts in hash-range shards for
+    a per-batch membership stamp.  Conversations with FEWER than
+    ``prefix_turns`` turns key on their full (shorter) sequence — two
+    3-turn twins still group under ``prefix_turns=5``; a 3-turn
+    conversation never groups with a 5-turn one sharing those 3 turns
+    (n_turns mixes into the fingerprint)."""
+    import ray
+
+    from ..util import dataset_arrow_schema
+    from .dedup import _sharded_refs
+
+    if prefix_turns < 1:
+        raise ValueError(
+            f"prefix_turns must be >= 1, got {prefix_turns}")
+    in_schema = dataset_arrow_schema(ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
+
+    def prefix_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(pc.cast(t.column(idx_col), pa.int64()),
+                                prefix_turns))
+
+    fp_rows = _conversation_fingerprints(
+        ds.map_batches(prefix_only, batch_format="pyarrow"),
+        conv_col, idx_col, text_col, conv_type,
+    ).materialize()  # consumed by the group table AND the stamp probe
+
+    groups = fp_rows.groupby("__fp").aggregate(
+        *[a for a in _fork_aggs(conv_col)])
+
+    def keep_groups(t: pa.Table) -> pa.Table:
+        if "count()" not in t.column_names:  # schema-less empty agg block
+            return pa.table({"__fp": pa.array([], pa.int64()),
+                             "__win": pa.array([], conv_type),
+                             "__size": pa.array([], pa.int64())})
+        sub = t.filter(pc.greater(t.column("count()"), pa.scalar(1)))
+        return pa.table({
+            "__fp": sub.column("__fp"),
+            "__win": sub.column(f"min({conv_col})"),
+            "__size": pc.cast(sub.column("count()"), pa.int64()),
+        })
+
+    empty = pa.table({"__fp": pa.array([], pa.int64()),
+                      "__win": pa.array([], conv_type),
+                      "__size": pa.array([], pa.int64())})
+    refs = _sharded_refs(
+        groups.map_batches(keep_groups, batch_format="pyarrow")
+        .materialize(), "__fp", rows_per_shard, empty)
+
+    class _GroupStamp:
+        """Per-batch: stamp each conv's fork group + size, drop singletons
+        (fp space is hash-range partitioned across the shards)."""
+
+        def __init__(self, refs):
+            self.refs = refs
+            self._tbls = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._tbls is None:
+                self._tbls = [r if isinstance(r, pa.Table) else ray.get(r)
+                              for r in self.refs]
+            out = []
+            fp = t.column("__fp")
+            for w in self._tbls:
+                if len(w) == 0:
+                    continue
+                pos = pc.index_in(fp, value_set=w.column("__fp"))
+                hit = pc.is_valid(pos)
+                if not pc.any(hit).as_py():
+                    continue
+                sub = t.filter(hit)
+                pos_h = pos.filter(hit)
+                out.append(pa.table({
+                    conv_col: sub.column(conv_col),
+                    "fork_group": w.column("__win").take(pos_h),
+                    "n_convs": w.column("__size").take(pos_h),
+                }))
+            if not out:
+                return pa.table({conv_col: pa.array([], conv_type),
+                                 "fork_group": pa.array([], conv_type),
+                                 "n_convs": pa.array([], pa.int64())})
+            return pa.concat_tables(out)
+
+    return fp_rows.map_batches(_GroupStamp(refs), batch_format="pyarrow")
+
+
+def _fork_aggs(conv_col: str):
+    from ray.data.aggregate import Count, Min
+
+    return [Min(conv_col), Count()]

@@ -998,3 +998,54 @@ class TestTurnGapStats:
         assert got["max_gap_s"].tolist() == [30.0]
         assert got["mean_gap_s"].tolist() == [20.0]
         assert got["n_gaps"].tolist() == [2]
+
+
+class TestConversationForkGroups:
+    def test_prefix_groups_and_singletons(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = [
+            ("a", 0, "hello"), ("a", 1, "do x"), ("a", 2, "result 1"),
+            ("b", 0, "hello"), ("b", 1, "do x"), ("b", 2, "result 2"),
+            ("c", 0, "hello"), ("c", 1, "do y"), ("c", 2, "zzz"),
+            ("d", 0, "solo"),
+            ("e", 0, "short"), ("f", 0, "short"),  # 1-turn twins
+        ]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        })
+        got = tp.conversation_fork_groups(
+            rd.from_arrow(t).repartition(4), 2
+        ).to_pandas().sort_values("conv_id", ignore_index=True)
+        assert got["conv_id"].tolist() == ["a", "b", "e", "f"]
+        assert got["fork_group"].tolist() == ["a", "a", "e", "e"]
+        assert got["n_convs"].tolist() == [2, 2, 2, 2]
+
+    def test_short_conv_never_groups_with_longer_prefix(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        # g has 1 turn, h has 2; first turns identical — n_turns mixes
+        # into the fingerprint, so they must NOT group
+        rows = [("g", 0, "same"), ("h", 0, "same"), ("h", 1, "more")]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        })
+        got = tp.conversation_fork_groups(rd.from_arrow(t), 2).to_pandas()
+        assert len(got) == 0
+
+    def test_prefix_turns_validation(self, ray_session):
+        import pytest
+        import ray.data as rd
+        import pyarrow as pa
+
+        t = pa.table({"conv_id": pa.array(["x"], pa.string()),
+                      "turn_idx": pa.array([0], pa.int32()),
+                      "text": pa.array(["y"], pa.string())})
+        with pytest.raises(ValueError):
+            tp.conversation_fork_groups(rd.from_arrow(t), 0)
