@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["dup_rate_by_source_documents"] = _dup_rate_by_source
     out["l2_normalize_embeddings"] = _l2_normalize_embeddings
     out["quantize_int8_embeddings"] = _quantize_int8_embeddings
+    out["inverted_index_documents"] = _inverted_index_documents
     out["pack_sft_transcripts"] = _pack_sft
     out["dedup_turns_transcripts"] = _dedup_turns
     out["sft_pipeline_transcripts"] = _sft_pipeline
@@ -3368,6 +3369,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, lang, source, n_chars FROM documents "
             "ORDER BY doc_id"
         ),
+        "inverted_index_documents": (
+            # distinct (term, doc) pairs, doc-ordered rank per term,
+            # capped at 5 postings per term
+            "WITH tok AS (SELECT DISTINCT doc_id, UNNEST("
+            "regexp_extract_all(COALESCE(text, ''), '\\S+')) AS term "
+            "FROM documents), "
+            "r AS (SELECT term, doc_id, row_number() OVER (PARTITION BY "
+            "term ORDER BY doc_id) AS rank FROM tok) "
+            "SELECT term, CAST(rank AS BIGINT) AS rank, "
+            "CAST(doc_id AS BIGINT) AS doc_id FROM r WHERE rank <= 5 "
+            "ORDER BY term, rank"
+        ),
         "vocab_stats_documents": (
             # explode whitespace tokens, count per (source, token), then
             # per-source totals / distinct types / hapax + ratios
@@ -3857,6 +3870,17 @@ def _jsonl_roundtrip_documents(sf_dir: str):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return df.sort_values("doc_id", ignore_index=True)
+
+
+def _inverted_index_documents(sf_dir: str):
+    """Capped inverted-index postings (term, rank, doc_id); cap at 5 so
+    the truncation path is exercised on corpus-frequent terms."""
+    from hooqu_ray.pipelines.textstats import inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = inverted_index(ds, "text", "doc_id", max_postings=5).to_pandas()
+    return df.astype({"rank": "int64", "doc_id": "int64"}).sort_values(
+        ["term", "rank"], ignore_index=True)
 
 
 def _vocab_stats_documents(sf_dir: str):

@@ -790,3 +790,77 @@ def vocab_stats(ds, text_col: str = "text", group_col: str = "source"):
                          "type_token_ratio": ttr, "hapax_ratio": hr})
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
+                   max_postings: int = 100_000):
+    """Inverted-index postings in relational form: one row per
+    ``(term, rank, doc)`` where ``rank`` is the 1-based position in the
+    term's doc-id-sorted posting list, capped at ``max_postings`` per term
+    (stopword-class terms would otherwise emit the whole corpus; the TRUE
+    document frequency — uncapped — is :func:`doc_frequency`, which
+    composes alongside).  Rows-not-lists is the Ray-native index layout:
+    write it partitioned by term hash and a lookup reads one partition.
+
+    Scale shape: per-block DISTINCT (term, doc) pairs via dictionary
+    codes (zero Python per token, the :func:`doc_frequency` kernel), then
+    ONE range sort + vectorized per-term running row-number with a
+    boundary merge touching ≤ 2 terms per block
+    (:func:`~hooqu_ray.pipelines.windows.running_agg`) and a cap filter.
+    Assumes one document per input row, so block-local distinct pairs are
+    globally distinct."""
+    from .windows import running_agg
+
+    if max_postings < 1:
+        raise ValueError(f"max_postings must be >= 1, got {max_postings}")
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          id_col: pa.array([], pa.int64()),
+                          "__tie": pa.array([], pa.int64()),
+                          "__v": pa.array([], pa.int64())})
+        texts = t.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) == 0:
+            return empty
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        keep = pc.invert(pc.equal(flat, "")).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        if len(flat) == 0:
+            return empty
+        ids = np.asarray(t.column(id_col), dtype=np.int64)[parent]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, parent))
+        p_s, c_s = parent[order], codes[order]
+        first = np.r_[True, (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        doc = pa.array(ids[order][first])
+        return pa.table({
+            "term": enc.dictionary.take(pa.array(c_s[first], pa.int64())),
+            id_col: doc,
+            "__tie": doc,
+            "__v": doc,
+        })
+
+    run = running_agg(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow"),
+        key="term", ts_col=id_col, tie="__tie", value_col="__v",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if "run_n" not in t.column_names:  # schema-less empty block
+            return pa.table({"term": pa.array([], pa.string()),
+                             "rank": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        rn = pc.cast(t.column("run_n"), pa.int64())
+        sub = pa.table({"term": t.column("term"), "rank": rn,
+                        id_col: pc.cast(t.column(id_col), pa.int64())})
+        return sub.filter(pc.less_equal(rn, pa.scalar(max_postings)))
+
+    return run.map_batches(finish, batch_format="pyarrow")

@@ -255,3 +255,39 @@ class TestVocabStats:
         assert got["n_tokens"].tolist() == [6]
         assert got["n_types"].tolist() == [5]
         assert got["n_hapax"].tolist() == [4]  # alpha (x2) is not hapax
+
+
+class TestInvertedIndex:
+    def test_postings_capped_and_ranked(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.textstats import inverted_index
+
+        t = pa.table({
+            "doc_id": pa.array([3, 1, 2, 4], pa.int64()),
+            "text": pa.array([
+                "the cat", "the the dog", "the fish", "bird",
+            ], pa.string()),
+        })
+        got = inverted_index(
+            rd.from_arrow(t).repartition(3), "text", "doc_id",
+            max_postings=2,
+        ).to_pandas().sort_values(["term", "rank"], ignore_index=True)
+        con = duckdb.connect()
+        con.register("docs", t)
+        want = con.execute(
+            "WITH tok AS (SELECT DISTINCT doc_id, UNNEST("
+            "regexp_extract_all(COALESCE(text, ''), '\\S+')) AS term "
+            "FROM docs), "
+            "r AS (SELECT term, doc_id, row_number() OVER (PARTITION BY "
+            "term ORDER BY doc_id) AS rank FROM tok) "
+            "SELECT term, CAST(rank AS BIGINT) AS rank, "
+            "CAST(doc_id AS BIGINT) AS doc_id FROM r WHERE rank <= 2 "
+            "ORDER BY term, rank"
+        ).df().reset_index(drop=True)
+        assert got[want.columns.tolist()].equals(want)
+        # 'the' appears in docs 1,2,3 — capped at 2 postings (1, 2)
+        the = got[got.term == "the"]
+        assert the["doc_id"].tolist() == [1, 2]
