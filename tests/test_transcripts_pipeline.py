@@ -1049,3 +1049,31 @@ class TestConversationForkGroups:
                       "text": pa.array(["y"], pa.string())})
         with pytest.raises(ValueError):
             tp.conversation_fork_groups(rd.from_arrow(t), 0)
+
+
+class TestForkGroupsSharded:
+    def test_forced_multi_shard_stamping(self, ray_session):
+        # rows_per_shard=1 forces every fork group into its own broadcast
+        # shard; results must be identical to the single-shard path
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = [
+            ("a", 0, "p1"), ("b", 0, "p1"),
+            ("c", 0, "p2"), ("d", 0, "p2"), ("e", 0, "p2"),
+            ("f", 0, "solo"),
+        ]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        })
+        base = tp.conversation_fork_groups(
+            rd.from_arrow(t), 1).to_pandas().sort_values(
+            "conv_id", ignore_index=True)
+        sharded = tp.conversation_fork_groups(
+            rd.from_arrow(t), 1, rows_per_shard=1).to_pandas().sort_values(
+            "conv_id", ignore_index=True)
+        assert base.equals(sharded)
+        assert base["conv_id"].tolist() == ["a", "b", "c", "d", "e"]
+        assert base["n_convs"].tolist() == [2, 2, 3, 3, 3]
