@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["majority_lang_transcripts"] = _conv_majority_lang
     out["turn_gap_stats_transcripts"] = _turn_gap_stats
     out["fork_groups_transcripts"] = _fork_groups
+    out["preference_pairs_transcripts"] = _preference_pairs
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
     out["jsonl_roundtrip_documents"] = _jsonl_roundtrip_documents
@@ -1937,6 +1938,47 @@ def _fork_groups(sf_dir: str):
     return df.sort_values("conv_id", ignore_index=True)
 
 
+def _preference_pairs(sf_dir: str):
+    """DPO-style chosen/rejected pairs over the retry-fork groups: same
+    forked-replica injection as ``_fork_groups`` (doc_id % 5 == 0 gets a
+    copy at +2*10^7 with ' fork-tail' appended from turn 2 on), scored by
+    divergent-tail assistant char length — the replica outscores the base
+    exactly when the tail has an assistant turn."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_forks(t: pa.Table) -> pa.Table:
+        doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        m = doc % 5 == 0
+        if not m.any():
+            return t
+        sub = t.filter(pa.array(m))
+        sdoc = doc[m]
+        idx = np.asarray(sub.column("turn_idx"), dtype=np.int64)
+        text = sub.column("text").to_numpy(zero_copy_only=False).astype(
+            object)
+        text = np.where(idx >= 2, text + " fork-tail", text)
+        conv = np.array([f"conv-{d + 20000000:08d}" for d in sdoc],
+                        dtype=object)
+        rep = pa.table({
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": sub.column("turn_idx"),
+            "role": sub.column("role"),
+            "text": pa.array(text, pa.string()),
+            "tool": sub.column("tool"),
+            "ts": sub.column("ts"),
+        })
+        return pa.concat_tables([t, rep])
+
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        add_forks, batch_format="pyarrow")
+    out = tp.preference_pairs(tr, 2)
+    df = out.to_pandas()
+    return df.sort_values("rejected_conv", ignore_index=True)
+
+
 def _pack_sft(sf_dir: str):
     """Loss-mask packing plan over the extracted SFT examples: 48-token
     windows packed into 256-token sequences, target spans recorded."""
@@ -2564,6 +2606,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sig.conv_id, g.wc AS fork_group, "
             "CAST(g.n AS BIGINT) AS n_convs FROM sig JOIN g ON sig.s = g.s "
             "ORDER BY sig.conv_id"
+        ),
+        "preference_pairs_transcripts": (
+            # same fork injection; score = divergent-tail (i >= 2)
+            # assistant (i odd) char length; chosen = max score, ties to
+            # the minimum conv id; one row per rejected member
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn0 AS (SELECT doc_id, i, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, i, "
+            "text FROM turn0 UNION ALL "
+            "SELECT printf('conv-%08d', doc_id + 20000000), i, "
+            "text || CASE WHEN i >= 2 THEN ' fork-tail' ELSE '' END "
+            "FROM turn0 WHERE doc_id % 5 = 0), "
+            "pref AS (SELECT conv_id, i, text FROM turn WHERE i < 2), "
+            "sig AS (SELECT conv_id, string_agg(i || ':' || "
+            "COALESCE(text, ''), chr(31) ORDER BY i) AS s FROM pref "
+            "GROUP BY conv_id), "
+            "g AS (SELECT s, MIN(conv_id) AS wc, COUNT(*) AS n FROM sig "
+            "GROUP BY s HAVING COUNT(*) > 1), "
+            "memb AS (SELECT sig.conv_id, g.wc AS fg, g.n FROM sig "
+            "JOIN g ON sig.s = g.s), "
+            "sc AS (SELECT m.conv_id, m.fg, m.n, COALESCE(SUM(CASE WHEN "
+            "t2.i >= 2 AND t2.i % 2 = 1 THEN LENGTH(t2.text) ELSE 0 END), "
+            "0) AS score FROM memb m LEFT JOIN turn t2 "
+            "ON t2.conv_id = m.conv_id GROUP BY m.conv_id, m.fg, m.n), "
+            "ch AS (SELECT fg, conv_id, score, ROW_NUMBER() OVER ("
+            "PARTITION BY fg ORDER BY score DESC, conv_id ASC) AS rn "
+            "FROM sc), "
+            "win AS (SELECT fg, conv_id AS chosen_conv, score AS cscore "
+            "FROM ch WHERE rn = 1) "
+            "SELECT sc.fg AS fork_group, win.chosen_conv, "
+            "sc.conv_id AS rejected_conv, "
+            "CAST(win.cscore AS BIGINT) AS chosen_score, "
+            "CAST(sc.score AS BIGINT) AS rejected_score, "
+            "CAST(sc.n AS BIGINT) AS n_convs "
+            "FROM sc JOIN win ON sc.fg = win.fg "
+            "WHERE sc.conv_id <> win.chosen_conv "
+            "ORDER BY rejected_conv"
         ),
         "turn_gap_stats_transcripts": (
             # ts grid = doc_id*60 + i*30 seconds (+ the same (i*i)%17

@@ -2394,3 +2394,277 @@ def _fork_aggs(conv_col: str):
     from ray.data.aggregate import Count, Min
 
     return [Min(conv_col), Count()]
+
+
+def preference_pairs(ds, prefix_turns: int, *,
+                     conv_col: str = "conv_id",
+                     idx_col: str = "turn_idx",
+                     role_col: str = "role",
+                     text_col: str = "text",
+                     chosen_role: str = "assistant",
+                     rows_per_shard: int = 4_000_000):
+    """DPO-style preference-pair extraction from retry-fork groups: for
+    each group of conversations sharing an identical first-``prefix_turns``
+    prefix (:func:`conversation_fork_groups` — retried agent runs on the
+    same task), score every member by the total character length of its
+    ``chosen_role`` turns in the DIVERGENT tail (``turn_idx >=
+    prefix_turns``), pick the best branch (max score, ties to the minimum
+    conv id) and emit one ``(fork_group, chosen_conv, rejected_conv,
+    chosen_score, rejected_score, n_convs)`` row per non-chosen member —
+    the chosen/rejected pair table a preference-tuning run consumes.
+
+    Scale shape: two pruned-column passes over the turn table (the prefix
+    fingerprint fold inside :func:`conversation_fork_groups`, then a
+    tail-score pass pre-aggregated per block with ``pa.Table.group_by``);
+    everything downstream is slim — O(#forked convs) score rows through
+    two ``groupby`` aggregates and three hash-range-sharded broadcasts
+    (members → group-max+chosen → final stamp), never the text.  Driver
+    peak is one ``rows_per_shard`` shard, same escape hatch as every
+    winner broadcast (``dedup._sharded_refs``)."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    from ..util import dataset_arrow_schema
+    from .dedup import _sharded_refs
+
+    in_schema = dataset_arrow_schema(ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
+
+    members = conversation_fork_groups(
+        ds, prefix_turns, conv_col=conv_col, idx_col=idx_col,
+        text_col=text_col, rows_per_shard=rows_per_shard,
+    ).materialize()  # slim: one row per forked conversation
+
+    out_schema = pa.schema([
+        ("fork_group", conv_type), ("chosen_conv", conv_type),
+        ("rejected_conv", conv_type), ("chosen_score", pa.int64()),
+        ("rejected_score", pa.int64()), ("n_convs", pa.int64()),
+    ])
+    if members.count() == 0:
+        # no fork groups at all: skip the tail-score pass entirely and
+        # anchor the output schema (zero-block datasets lose it)
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+
+    member_empty = pa.table({
+        conv_col: pa.array([], conv_type),
+        "fork_group": pa.array([], conv_type),
+        "n_convs": pa.array([], pa.int64()),
+    })
+    member_refs = _sharded_refs(members, conv_col, rows_per_shard,
+                                member_empty)
+
+    part_schema = pa.schema([
+        (conv_col, conv_type), ("fork_group", conv_type),
+        ("n_convs", pa.int64()), ("__chars", pa.int64()),
+    ])
+
+    class _TailScorePartials:
+        """Per-batch: tail ``chosen_role`` char sums per conversation,
+        semi-joined against the broadcast member shards (non-forked
+        conversations never enter the shuffle)."""
+
+        def __init__(self, refs):
+            self.refs = refs
+            self._tbls = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._tbls is None:
+                self._tbls = [r if isinstance(r, pa.Table) else ray.get(r)
+                              for r in self.refs]
+            if len(t) == 0:
+                return part_schema.empty_table()
+            mask = pc.and_(
+                pc.greater_equal(pc.cast(t.column(idx_col), pa.int64()),
+                                 prefix_turns),
+                pc.equal(t.column(role_col), chosen_role))
+            sub = t.filter(mask)
+            if len(sub) == 0:
+                return part_schema.empty_table()
+            chars = pc.coalesce(
+                pc.cast(pc.utf8_length(sub.column(text_col)), pa.int64()),
+                pa.scalar(0, pa.int64()))
+            part = (pa.table({conv_col: sub.column(conv_col),
+                              "__chars": chars})
+                    .group_by(conv_col).aggregate([("__chars", "sum")]))
+            conv = part.column(conv_col)
+            out = []
+            for w in self._tbls:
+                if len(w) == 0:
+                    continue
+                pos = pc.index_in(conv, value_set=w.column(conv_col))
+                hit = pc.is_valid(pos)
+                if not pc.any(hit).as_py():
+                    continue
+                hsub = part.filter(hit)
+                pos_h = pos.filter(hit)
+                out.append(pa.table({
+                    conv_col: hsub.column(conv_col),
+                    "fork_group": w.column("fork_group").take(pos_h),
+                    "n_convs": w.column("n_convs").take(pos_h),
+                    "__chars": hsub.column("__chars_sum"),
+                }))
+            if not out:
+                return part_schema.empty_table()
+            return pa.concat_tables(out)
+
+    def member_zero(t: pa.Table) -> pa.Table:
+        # every member contributes a zero row so branches whose tail has
+        # no chosen_role turns still score (as 0) instead of vanishing
+        if len(t) == 0 or conv_col not in t.column_names:
+            return part_schema.empty_table()
+        return pa.table({
+            conv_col: t.column(conv_col),
+            "fork_group": t.column("fork_group"),
+            "n_convs": t.column("n_convs"),
+            "__chars": pa.array([0] * len(t), pa.int64()),
+        })
+
+    scores = (
+        ds.map_batches(_TailScorePartials(member_refs),
+                       batch_format="pyarrow")
+        .union(members.map_batches(member_zero, batch_format="pyarrow"))
+        .groupby(conv_col)
+        .aggregate(Sum("__chars"), Min("fork_group"), Min("n_convs"))
+    )
+
+    score_schema = pa.schema([
+        (conv_col, conv_type), ("fork_group", conv_type),
+        ("n_convs", pa.int64()), ("__score", pa.int64()),
+    ])
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        if "sum(__chars)" not in t.column_names:  # schema-less empty block
+            return score_schema.empty_table()
+        return pa.table({
+            conv_col: t.column(conv_col),
+            "fork_group": t.column("min(fork_group)"),
+            "n_convs": pc.cast(t.column("min(n_convs)"), pa.int64()),
+            "__score": pc.cast(t.column("sum(__chars)"), pa.int64()),
+        })
+
+    scores = scores.map_batches(
+        score_rows, batch_format="pyarrow").materialize()  # consumed twice
+
+    # chosen per group: max score, ties to min conv id — two slim
+    # aggregates (argmax via a negated-score pack would need one, but the
+    # score range is unbounded; two passes over O(#forked convs) is free)
+    from ray.data.aggregate import Max
+
+    gmax = scores.groupby("fork_group").aggregate(Max("__score"))
+    gmax_empty = pa.table({"fork_group": pa.array([], conv_type),
+                           "__gmax": pa.array([], pa.int64())})
+
+    def gmax_rows(t: pa.Table) -> pa.Table:
+        if "max(__score)" not in t.column_names:
+            return gmax_empty
+        return pa.table({
+            "fork_group": t.column("fork_group"),
+            "__gmax": pc.cast(t.column("max(__score)"), pa.int64()),
+        })
+
+    gmax_refs = _sharded_refs(
+        gmax.map_batches(gmax_rows, batch_format="pyarrow").materialize(),
+        "fork_group", rows_per_shard, gmax_empty)
+
+    class _StampGroupMax:
+        def __init__(self, refs):
+            self.refs = refs
+            self._tbls = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._tbls is None:
+                self._tbls = [r if isinstance(r, pa.Table) else ray.get(r)
+                              for r in self.refs]
+            out_schema = pa.schema(list(zip(t.schema.names, t.schema.types))
+                                   + [("__gmax", pa.int64())])
+            if len(t) == 0:
+                return out_schema.empty_table()
+            fg = t.column("fork_group")
+            out = []
+            for w in self._tbls:
+                if len(w) == 0:
+                    continue
+                pos = pc.index_in(fg, value_set=w.column("fork_group"))
+                hit = pc.is_valid(pos)
+                if not pc.any(hit).as_py():
+                    continue
+                out.append(t.filter(hit).append_column(
+                    "__gmax", w.column("__gmax").take(pos.filter(hit))))
+            if not out:
+                return out_schema.empty_table()
+            return pa.concat_tables(out)
+
+    stamped = scores.map_batches(_StampGroupMax(gmax_refs),
+                                 batch_format="pyarrow")
+
+    def candidates(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("__score"), t.column("__gmax")))
+
+    chosen = (stamped.map_batches(candidates, batch_format="pyarrow")
+              .groupby("fork_group").aggregate(Min(conv_col),
+                                               Min("__gmax")))
+    chosen_empty = pa.table({
+        "fork_group": pa.array([], conv_type),
+        "__chosen": pa.array([], conv_type),
+        "__cscore": pa.array([], pa.int64()),
+    })
+
+    def chosen_rows(t: pa.Table) -> pa.Table:
+        if f"min({conv_col})" not in t.column_names:
+            return chosen_empty
+        return pa.table({
+            "fork_group": t.column("fork_group"),
+            "__chosen": t.column(f"min({conv_col})"),
+            "__cscore": pc.cast(t.column("min(__gmax)"), pa.int64()),
+        })
+
+    chosen_refs = _sharded_refs(
+        chosen.map_batches(chosen_rows, batch_format="pyarrow").materialize(),
+        "fork_group", rows_per_shard, chosen_empty)
+
+    class _EmitPairs:
+        def __init__(self, refs):
+            self.refs = refs
+            self._tbls = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._tbls is None:
+                self._tbls = [r if isinstance(r, pa.Table) else ray.get(r)
+                              for r in self.refs]
+            if len(t) == 0:
+                return out_schema.empty_table()
+            fg = t.column("fork_group")
+            out = []
+            for w in self._tbls:
+                if len(w) == 0:
+                    continue
+                pos = pc.index_in(fg, value_set=w.column("fork_group"))
+                hit = pc.is_valid(pos)
+                if not pc.any(hit).as_py():
+                    continue
+                sub = t.filter(hit)
+                pos_h = pos.filter(hit)
+                cconv = w.column("__chosen").take(pos_h)
+                keep = pc.invert(pc.equal(sub.column(conv_col), cconv))
+                sub2 = sub.filter(keep)
+                if len(sub2) == 0:
+                    continue
+                out.append(pa.table({
+                    "fork_group": sub2.column("fork_group"),
+                    "chosen_conv": cconv.filter(keep),
+                    "rejected_conv": sub2.column(conv_col),
+                    "chosen_score": w.column("__cscore").take(
+                        pos_h.filter(keep)),
+                    "rejected_score": sub2.column("__score"),
+                    "n_convs": sub2.column("n_convs"),
+                }))
+            if not out:
+                return out_schema.empty_table()
+            return pa.concat_tables(out)
+
+    return scores.map_batches(_EmitPairs(chosen_refs),
+                              batch_format="pyarrow")

@@ -1077,3 +1077,70 @@ class TestForkGroupsSharded:
         assert base.equals(sharded)
         assert base["conv_id"].tolist() == ["a", "b", "c", "d", "e"]
         assert base["n_convs"].tolist() == [2, 2, 3, 3, 3]
+
+
+class TestPreferencePairs:
+    def _table(self):
+        import pyarrow as pa
+
+        rows = []
+        for conv, tail in [("a", ["long assistant answer here", "more"]),
+                           ("b", ["short"]),
+                           ("c", ["the longest assistant tail of all",
+                                  "x", "y"])]:
+            rows += [(conv, 0, "user", "task p1"),
+                     (conv, 1, "assistant", "ack p1")]
+            for i, txt in enumerate(tail):
+                rows.append((conv, 2 + i,
+                             "assistant" if i % 2 == 0 else "user", txt))
+        rows += [("d", 0, "user", "solo"), ("d", 1, "assistant", "resp")]
+        rows += [("e", 0, "user", "task p2"), ("f", 0, "user", "task p2")]
+        return pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        })
+
+    def test_chosen_rejected_semantics(self, ray_session):
+        import ray.data as rd
+
+        out = tp.preference_pairs(rd.from_arrow(self._table()), 2) \
+            .to_pandas().sort_values("rejected_conv", ignore_index=True)
+        # group (a,b,c): c has the longest assistant tail (33 + 1 chars)
+        # -> chosen; a (26) and b (5) rejected.  singleton d absent.
+        # group (e,f): both tails empty -> tie at 0, chosen = min conv id.
+        assert out["rejected_conv"].tolist() == ["a", "b", "f"]
+        assert out["chosen_conv"].tolist() == ["c", "c", "e"]
+        assert out["chosen_score"].tolist() == [34, 34, 0]
+        assert out["rejected_score"].tolist() == [26, 5, 0]
+        assert out["n_convs"].tolist() == [3, 3, 2]
+        assert out["fork_group"].tolist() == ["a", "a", "e"]
+
+    def test_forced_multi_shard_identical(self, ray_session):
+        import ray.data as rd
+
+        base = tp.preference_pairs(rd.from_arrow(self._table()), 2) \
+            .to_pandas().sort_values("rejected_conv", ignore_index=True)
+        sharded = tp.preference_pairs(
+            rd.from_arrow(self._table()), 2, rows_per_shard=1) \
+            .to_pandas().sort_values("rejected_conv", ignore_index=True)
+        assert base.equals(sharded)
+
+    def test_no_fork_groups_empty(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array(["x", "y"], pa.string()),
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": pa.array(["user", "user"], pa.string()),
+            "text": pa.array(["p", "q"], pa.string()),
+        })
+        out = tp.preference_pairs(rd.from_arrow(t), 1)
+        # the typed empty anchor keeps the schema (Ray to_pandas drops
+        # columns on empty datasets regardless)
+        assert out.schema().names == [
+            "fork_group", "chosen_conv", "rejected_conv",
+            "chosen_score", "rejected_score", "n_convs"]
+        assert out.count() == 0
