@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["turn_gap_stats_transcripts"] = _turn_gap_stats
     out["fork_groups_transcripts"] = _fork_groups
     out["preference_pairs_transcripts"] = _preference_pairs
+    out["loop_stats_transcripts"] = _loop_stats
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
     out["jsonl_roundtrip_documents"] = _jsonl_roundtrip_documents
@@ -1979,6 +1980,35 @@ def _preference_pairs(sf_dir: str):
     return df.sort_values("rejected_conv", ignore_index=True)
 
 
+def _loop_stats(sf_dir: str):
+    """Stuck-agent loop detection.  Loops are injected on BOTH sides:
+    every doc_id % 7 == 3 conversation gets its assistant turns at
+    i <= 5 overwritten with the constant 'RETRY output' — a run of up to
+    3 identical consecutive assistant texts (i = 1, 3, 5)."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_loops(t: pa.Table) -> pa.Table:
+        doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+        m = (doc % 7 == 3) & (idx % 2 == 1) & (idx <= 5)
+        if not m.any():
+            return t
+        text = t.column("text").to_numpy(zero_copy_only=False).astype(
+            object)
+        text[m] = "RETRY output"
+        return t.set_column(t.column_names.index("text"), "text",
+                            pa.array(text, pa.string()))
+
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        add_loops, batch_format="pyarrow")
+    out = tp.assistant_loop_stats(tr, 2)
+    df = out.to_pandas()
+    return df.sort_values("conv_id", ignore_index=True)
+
+
 def _pack_sft(sf_dir: str):
     """Loss-mask packing plan over the extracted SFT examples: 48-token
     windows packed into 256-token sequences, target spans recorded."""
@@ -2648,6 +2678,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc JOIN win ON sc.fg = win.fg "
             "WHERE sc.conv_id <> win.chosen_conv "
             "ORDER BY rejected_conv"
+        ),
+        "loop_stats_transcripts": (
+            # same turn explosion + injected assistant loops (doc_id % 7
+            # == 3, odd i <= 5 -> 'RETRY output'); gaps-and-islands run
+            # lengths over the assistant subsequence
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, "
+            "doc_id, i, array_to_string(ws[i*12+1:i*12+12], ' ') AS text "
+            "FROM t), "
+            "a AS (SELECT conv_id, i, CASE WHEN doc_id % 7 = 3 AND i <= 5 "
+            "THEN 'RETRY output' ELSE text END AS text FROM turn "
+            "WHERE i % 2 = 1), "
+            "r AS (SELECT conv_id, text, "
+            "ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY i) - "
+            "ROW_NUMBER() OVER (PARTITION BY conv_id, text ORDER BY i) "
+            "AS grp FROM a), "
+            "runs AS (SELECT conv_id, COUNT(*) AS rl FROM r "
+            "GROUP BY conv_id, text, grp) "
+            "SELECT conv_id, CAST(MAX(rl) AS BIGINT) AS max_run, "
+            "CAST(SUM(CASE WHEN rl >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS "
+            "n_loops, CAST(SUM(rl) AS BIGINT) AS n_role_turns "
+            "FROM runs GROUP BY conv_id ORDER BY conv_id"
         ),
         "turn_gap_stats_transcripts": (
             # ts grid = doc_id*60 + i*30 seconds (+ the same (i*i)%17

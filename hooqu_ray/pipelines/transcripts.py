@@ -2668,3 +2668,68 @@ def preference_pairs(ds, prefix_turns: int, *,
 
     return scores.map_batches(_EmitPairs(chosen_refs),
                               batch_format="pyarrow")
+
+
+def assistant_loop_stats(ds, min_run: int = 2, *,
+                         conv_col: str = "conv_id",
+                         idx_col: str = "turn_idx",
+                         role_col: str = "role",
+                         text_col: str = "text",
+                         loop_role: str = "assistant"):
+    """Stuck-agent (retry-loop) detection over agent transcripts: per
+    conversation, the longest run of CONSECUTIVE identical ``loop_role``
+    turn texts (in turn order, ignoring interleaved other-role turns) plus
+    how many maximal runs reach ``min_run`` — the signature of an agent
+    re-emitting the same output round after round.  Returns one
+    ``(conv, max_run, n_loops, n_role_turns)`` row per conversation with
+    at least one ``loop_role`` turn; null texts group together (None is
+    treated equal to None, like SQL window PARTITION BY).
+
+    Scale shape: role prefilter (embarrassingly parallel, drops ~half the
+    rows before the exchange), then the shared
+    :func:`_per_conversation_apply` scaffold — ONE range sort, a fully
+    vectorized run-length kernel per block (``np.maximum.reduceat`` over
+    run breaks, zero Python per conversation), boundary conversations
+    repaired per group."""
+    if min_run < 1:
+        raise ValueError(f"min_run must be >= 1, got {min_run}")
+
+    out_schema = pa.schema([
+        (conv_col, pa.string()), ("max_run", pa.int64()),
+        ("n_loops", pa.int64()), ("n_role_turns", pa.int64()),
+    ])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return out_schema.empty_table()
+        keys = t.column(conv_col).to_numpy(zero_copy_only=False)
+        text = t.column(text_col).to_numpy(zero_copy_only=False)
+        new_conv = np.r_[True, keys[1:] != keys[:-1]]
+        prev_eq = np.r_[False, text[1:] == text[:-1]]
+        new_run = new_conv | ~prev_eq
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_start = np.flatnonzero(new_run)
+        conv_ord = np.cumsum(new_conv) - 1
+        run_conv_ord = conv_ord[run_start]
+        first_run = np.flatnonzero(
+            np.r_[True, run_conv_ord[1:] != run_conv_ord[:-1]])
+        conv_starts = np.flatnonzero(new_conv)
+        return pa.table({
+            conv_col: pa.array(keys[conv_starts],
+                               t.schema.field(conv_col).type),
+            "max_run": pa.array(
+                np.maximum.reduceat(run_len, first_run).astype(np.int64)),
+            "n_loops": pa.array(np.add.reduceat(
+                (run_len >= min_run).astype(np.int64), first_run)),
+            "n_role_turns": pa.array(
+                np.diff(np.r_[conv_starts, n]).astype(np.int64)),
+        })
+
+    def role_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column(role_col), loop_role))
+
+    return _per_conversation_apply(
+        ds.map_batches(role_only, batch_format="pyarrow"),
+        [conv_col, idx_col, text_col], conv_col, idx_col, kernel)

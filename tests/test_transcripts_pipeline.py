@@ -1144,3 +1144,59 @@ class TestPreferencePairs:
             "fork_group", "chosen_conv", "rejected_conv",
             "chosen_score", "rejected_score", "n_convs"]
         assert out.count() == 0
+
+
+class TestAssistantLoopStats:
+    def _run(self, rows, min_run=2, n_blocks=1):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        })
+        ds = rd.from_arrow(t)
+        if n_blocks > 1:
+            ds = ds.repartition(n_blocks)
+        return tp.assistant_loop_stats(ds, min_run) \
+            .to_pandas().sort_values("conv_id", ignore_index=True)
+
+    def test_run_semantics(self, ray_session):
+        rows = [
+            ("a", 0, "user", "q"), ("a", 1, "assistant", "x"),
+            ("a", 2, "user", "q2"), ("a", 3, "assistant", "x"),
+            ("a", 4, "user", "q3"), ("a", 5, "assistant", "x"),
+            ("a", 6, "user", "q4"), ("a", 7, "assistant", "y"),
+            ("b", 1, "assistant", "x"), ("b", 3, "assistant", "y"),
+            ("b", 5, "assistant", "y"), ("b", 7, "assistant", "x"),
+            ("c", 0, "user", "only"),
+            ("d", 1, "assistant", None), ("d", 3, "assistant", None),
+        ]
+        out = self._run(rows)
+        assert out["conv_id"].tolist() == ["a", "b", "d"]  # c absent
+        assert out["max_run"].tolist() == [3, 2, 2]  # nulls group (d)
+        assert out["n_loops"].tolist() == [1, 1, 1]
+        assert out["n_role_turns"].tolist() == [4, 4, 2]
+
+    def test_boundary_straddling_blocks(self, ray_session):
+        # one conversation with a 6-run split across many tiny blocks:
+        # the boundary repair must see the complete conversation
+        rows = [("solo", i, "assistant", "same") for i in range(6)]
+        rows += [("z", 0, "assistant", "a"), ("z", 1, "assistant", "b")]
+        out = self._run(rows, n_blocks=4)
+        assert out["conv_id"].tolist() == ["solo", "z"]
+        assert out["max_run"].tolist() == [6, 1]
+        assert out["n_loops"].tolist() == [1, 0]
+
+    def test_min_run_validation(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({"conv_id": pa.array(["a"], pa.string()),
+                      "turn_idx": pa.array([0], pa.int32()),
+                      "role": pa.array(["assistant"], pa.string()),
+                      "text": pa.array(["x"], pa.string())})
+        with pytest.raises(ValueError):
+            tp.assistant_loop_stats(rd.from_arrow(t), 0)
