@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["fork_groups_transcripts"] = _fork_groups
     out["preference_pairs_transcripts"] = _preference_pairs
     out["loop_stats_transcripts"] = _loop_stats
+    out["filter_conversations_transcripts"] = _filter_conversations_q
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
     out["jsonl_roundtrip_documents"] = _jsonl_roundtrip_documents
@@ -1599,6 +1600,39 @@ def _validate_conversations_q(sf_dir: str):
     return tp.validate_conversations(tr)
 
 
+def _filter_conversations_q(sf_dir: str):
+    """Conversation-granularity keep/drop report.  Same deterministic
+    corruption as ``_validate_conversations_q`` so every reason code can
+    fire: dropped turn 0 (doc_id%5=0 → no_user_start), dropped turn 2
+    (doc_id%11=0 → sparse_index), blanked turn 1 (doc_id%7=0 →
+    empty_text); one-turn conversations → too_few_turns."""
+    import numpy as np
+
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        doc = pc.cast(
+            pc.utf8_slice_codeunits(t.column("conv_id"), 5), pa.int64()
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+        keep = ~(((doc % 5 == 0) & (idx == 0)) | ((doc % 11 == 0) & (idx == 2)))
+        t = t.filter(pa.array(keep))
+        blank = (doc[keep] % 7 == 0) & (idx[keep] == 1)
+        if blank.any():
+            text = t.column("text").to_numpy(zero_copy_only=False).astype(object)
+            text[blank] = ""
+            t = t.set_column(
+                t.schema.get_field_index("text"), "text", pa.array(text, pa.string())
+            )
+        return t
+
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        corrupt, batch_format="pyarrow")
+    return tp.conversation_filter_report(tr)
+
+
 def _truncate_conversations(sf_dir: str):
     """Context-window truncation over the deterministic transcript table:
     keep each conversation's maximal turn SUFFIX fitting a 96-token budget
@@ -2886,6 +2920,37 @@ def oracle_sql() -> dict[str, str]:
             "dense_index, has_empty_text, (starts_with_user AND "
             "ends_with_assistant AND dense_index AND NOT has_empty_text) "
             "AS valid FROM agg"
+        ),
+        "filter_conversations_transcripts": (
+            # same corruption + per-conv aggregates as validate_…, then the
+            # engine's priority-ordered reason CASE (defaults: min_turns=2,
+            # require_user_start, require_dense_index, no empty text;
+            # assistant-end not required)
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT doc_id, printf('conv-%08d', doc_id) AS conv_id, "
+            "CAST(i AS BIGINT) AS turn_idx, "
+            "CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "corr AS (SELECT conv_id, turn_idx, role, "
+            "CASE WHEN doc_id % 7 = 0 AND turn_idx = 1 THEN '' ELSE text END "
+            "AS text FROM turn WHERE NOT ((doc_id % 5 = 0 AND turn_idx = 0) "
+            "OR (doc_id % 11 = 0 AND turn_idx = 2))), "
+            "agg AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+            "arg_min(role, turn_idx) = 'user' AS swu, "
+            "(min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1 AND "
+            "count(DISTINCT turn_idx) = count(*)) AS dense, "
+            "bool_or(COALESCE(text, '') = '') AS empt "
+            "FROM corr GROUP BY conv_id), "
+            "v AS (SELECT conv_id, n_turns, CASE "
+            "WHEN n_turns < 2 THEN 'too_few_turns' "
+            "WHEN NOT swu THEN 'no_user_start' "
+            "WHEN NOT dense THEN 'sparse_index' "
+            "WHEN empt THEN 'empty_text' ELSE 'ok' END AS reason FROM agg) "
+            "SELECT conv_id, n_turns, reason = 'ok' AS keep, reason FROM v"
         ),
         "truncate_conversations_transcripts": (
             # re-derive the documents→transcripts explosion (12-word chunks,

@@ -592,6 +592,17 @@ def main() -> None:
     ).count()
     queries["blocklist_filter"] = round(time.time() - t0, 3)
 
+    # replicate=R makes every original conversation an R-member fork group
+    # (identical prefixes under distinct conv ids) — a duplicate-heavy
+    # adversarial input for the pair extractor (~R-1 rejected rows/group)
+    t0 = time.time()
+    tp.preference_pairs(rd.read_parquet(bench_input), 2).count()
+    queries["preference_pairs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    tp.assistant_loop_stats(rd.read_parquet(bench_input), 2).count()
+    queries["loop_stats"] = round(time.time() - t0, 3)
+
     emit()
     ray.shutdown()
 

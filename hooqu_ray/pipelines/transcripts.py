@@ -2733,3 +2733,89 @@ def assistant_loop_stats(ds, min_run: int = 2, *,
     return _per_conversation_apply(
         ds.map_batches(role_only, batch_format="pyarrow"),
         [conv_col, idx_col, text_col], conv_col, idx_col, kernel)
+
+
+_FILTER_REASONS = ("too_few_turns", "no_user_start", "no_assistant_end",
+                   "sparse_index", "empty_text")
+
+
+def conversation_filter_report(ds, *, min_turns: int = 2,
+                               require_user_start: bool = True,
+                               require_assistant_end: bool = False,
+                               require_dense_index: bool = True,
+                               allow_empty_text: bool = False):
+    """Conversation-granularity keep/drop report with reason codes — the
+    conversation-level analog of the document ``quality_filter``: one
+    ``(conv_id, n_turns, keep, reason)`` row per conversation, ``reason``
+    the FIRST failing rule in priority order ``too_few_turns``,
+    ``no_user_start``, ``no_assistant_end``, ``sparse_index``,
+    ``empty_text`` (``'ok'`` when kept).  Disabled rules never fire.
+
+    Scale shape: everything rides on :func:`validate_conversations` (one
+    range sort + vectorized segment pass); the verdict is a per-batch
+    ``np.select`` over the slim per-conversation report."""
+    report = validate_conversations(ds)
+    out_schema = pa.schema([
+        ("conv_id", pa.string()), ("n_turns", pa.int64()),
+        ("keep", pa.bool_()), ("reason", pa.string()),
+    ])
+
+    def verdict(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "conv_id" not in t.column_names:
+            return out_schema.empty_table()
+        n = t.column("n_turns").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        false_ = np.zeros(len(t), dtype=bool)
+        fails = [
+            n < min_turns,
+            ~t.column("starts_with_user").to_numpy(zero_copy_only=False)
+            if require_user_start else false_,
+            ~t.column("ends_with_assistant").to_numpy(zero_copy_only=False)
+            if require_assistant_end else false_,
+            ~t.column("dense_index").to_numpy(zero_copy_only=False)
+            if require_dense_index else false_,
+            t.column("has_empty_text").to_numpy(zero_copy_only=False)
+            if not allow_empty_text else false_,
+        ]
+        reason = np.select(fails, _FILTER_REASONS, default="ok")
+        keep = reason == "ok"
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "n_turns": pa.array(n),
+            "keep": pa.array(keep),
+            "reason": pa.array(reason.astype(object), pa.string()),
+        })
+
+    return report.map_batches(verdict, batch_format="pyarrow")
+
+
+def filter_conversations(ds, *, rows_per_shard: int = 4_000_000, **rules):
+    """Drop WHOLE conversations failing the structural rules of
+    :func:`conversation_filter_report` and return the surviving turn rows
+    (all columns, order preserved).  Rows with a null conv id are dropped
+    (they belong to no conversation — SQL ``NOT IN`` semantics).
+
+    Scale shape: the dropped-conversation id set is O(#dropped convs),
+    collected in hash-range shards (``sharded_value_refs``) and applied as
+    chained per-batch anti-join filters — the turn table itself never
+    shuffles."""
+    from ..util import BroadcastIsInFilter, sharded_value_refs
+
+    rep = conversation_filter_report(ds, **rules)
+    dropped = rep.map_batches(
+        lambda t: (t.filter(pc.invert(t.column("keep")))
+                   .select(["conv_id"])
+                   if "keep" in t.column_names
+                   else pa.table({"conv_id": pa.array([], pa.string())})),
+        batch_format="pyarrow")
+    refs = sharded_value_refs(dropped, "conv_id", rows_per_shard)
+    out = ds
+    if not refs:
+        # nothing dropped: still enforce the non-null conv id contract
+        return out.map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("conv_id"))),
+            batch_format="pyarrow")
+    for r in refs:
+        out = out.map_batches(BroadcastIsInFilter(r, "conv_id", invert=True),
+                              batch_format="pyarrow")
+    return out

@@ -1200,3 +1200,74 @@ class TestAssistantLoopStats:
                       "text": pa.array(["x"], pa.string())})
         with pytest.raises(ValueError):
             tp.assistant_loop_stats(rd.from_arrow(t), 0)
+
+
+class TestConversationFilter:
+    def _table(self):
+        import pyarrow as pa
+
+        rows = [
+            ("good", 0, "user", "q"), ("good", 1, "assistant", "a"),
+            ("short", 0, "user", "only"),
+            ("astart", 0, "assistant", "a"), ("astart", 1, "user", "q"),
+            ("gap", 0, "user", "q"), ("gap", 2, "assistant", "a"),
+            ("blank", 0, "user", ""), ("blank", 1, "assistant", "a"),
+            (None, 0, "user", "orphan"),
+        ]
+        return pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        })
+
+    def test_report_reason_priority(self, ray_session):
+        import ray.data as rd
+
+        rep = tp.conversation_filter_report(rd.from_arrow(self._table())) \
+            .to_pandas().sort_values("conv_id", ignore_index=True)
+        assert rep["conv_id"].tolist() == [
+            "astart", "blank", "gap", "good", "short"]
+        assert rep["reason"].tolist() == [
+            "no_user_start", "empty_text", "sparse_index", "ok",
+            "too_few_turns"]
+        assert rep["keep"].tolist() == [False, False, False, True, False]
+
+    def test_rules_toggle(self, ray_session):
+        import ray.data as rd
+
+        rep = tp.conversation_filter_report(
+            rd.from_arrow(self._table()), min_turns=1,
+            require_user_start=False, require_dense_index=False,
+            allow_empty_text=True,
+        ).to_pandas()
+        assert rep["keep"].all()  # every rule disabled -> everything kept
+        # assistant-end rule, when enabled, fires on user-ending convs
+        rep2 = tp.conversation_filter_report(
+            rd.from_arrow(self._table()), min_turns=1,
+            require_user_start=False, require_assistant_end=True,
+            require_dense_index=False, allow_empty_text=True,
+        ).to_pandas().set_index("conv_id")
+        assert rep2.loc["astart", "reason"] == "no_assistant_end"
+        assert rep2.loc["good", "reason"] == "ok"
+
+    def test_filter_drops_whole_conversations(self, ray_session):
+        import ray.data as rd
+
+        kept = tp.filter_conversations(rd.from_arrow(self._table())) \
+            .to_pandas()
+        assert sorted(kept["conv_id"].tolist()) == ["good", "good"]
+        assert list(kept.columns) == ["conv_id", "turn_idx", "role", "text"]
+
+    def test_filter_nothing_dropped_keeps_all_non_null(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array(["k", "k", None], pa.string()),
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "role": pa.array(["user", "assistant", "user"], pa.string()),
+            "text": pa.array(["q", "a", "x"], pa.string()),
+        })
+        kept = tp.filter_conversations(rd.from_arrow(t)).to_pandas()
+        assert sorted(kept["conv_id"].tolist()) == ["k", "k"]
