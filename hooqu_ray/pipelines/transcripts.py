@@ -2458,14 +2458,15 @@ def preference_pairs(ds, prefix_turns: int, *,
                                 member_empty)
 
     part_schema = pa.schema([
-        (conv_col, conv_type), ("fork_group", conv_type),
-        ("n_convs", pa.int64()), ("__chars", pa.int64()),
+        (conv_col, conv_type), ("__chars", pa.int64()),
     ])
 
     class _TailScorePartials:
         """Per-batch: tail ``chosen_role`` char sums per conversation,
         semi-joined against the broadcast member shards (non-forked
-        conversations never enter the shuffle)."""
+        conversations never enter the shuffle).  The shuffle rows carry
+        ONLY (conv, chars) — group payload re-attaches after the aggregate
+        on the slim score blocks."""
 
         def __init__(self, refs):
             self.refs = refs
@@ -2489,27 +2490,23 @@ def preference_pairs(ds, prefix_turns: int, *,
                 pa.scalar(0, pa.int64()))
             part = (pa.table({conv_col: sub.column(conv_col),
                               "__chars": chars})
-                    .group_by(conv_col).aggregate([("__chars", "sum")]))
-            conv = part.column(conv_col)
-            out = []
+                    .group_by(conv_col).aggregate([("__chars", "sum")])
+                    .rename_columns([conv_col, "__chars"]))
+            conv = part.column(conv_col).combine_chunks()
+            keep = np.zeros(len(part), dtype=bool)
             for w in self._tbls:
                 if len(w) == 0:
                     continue
-                pos = pc.index_in(conv, value_set=w.column(conv_col))
-                hit = pc.is_valid(pos)
-                if not pc.any(hit).as_py():
-                    continue
-                hsub = part.filter(hit)
-                pos_h = pos.filter(hit)
-                out.append(pa.table({
-                    conv_col: hsub.column(conv_col),
-                    "fork_group": w.column("fork_group").take(pos_h),
-                    "n_convs": w.column("n_convs").take(pos_h),
-                    "__chars": hsub.column("__chars_sum"),
-                }))
-            if not out:
-                return part_schema.empty_table()
-            return pa.concat_tables(out)
+                # INVERTED membership probe (flagship dropped-set trick):
+                # pc.index_in rebuilds the value_set hash PER CALL, so hash
+                # the block's small post-groupby key set and scan the member
+                # shard against it, scattering hits back — no O(|members|)
+                # hash build per block.
+                pos = pc.index_in(w.column(conv_col), value_set=conv)
+                hit = pos.filter(pc.is_valid(pos))
+                if len(hit):
+                    keep[hit.to_numpy(zero_copy_only=False)] = True
+            return part.filter(pa.array(keep))
 
     def member_zero(t: pa.Table) -> pa.Table:
         # every member contributes a zero row so branches whose tail has
@@ -2518,17 +2515,15 @@ def preference_pairs(ds, prefix_turns: int, *,
             return part_schema.empty_table()
         return pa.table({
             conv_col: t.column(conv_col),
-            "fork_group": t.column("fork_group"),
-            "n_convs": t.column("n_convs"),
             "__chars": pa.array([0] * len(t), pa.int64()),
         })
 
-    scores = (
+    sums = (
         ds.map_batches(_TailScorePartials(member_refs),
                        batch_format="pyarrow")
         .union(members.map_batches(member_zero, batch_format="pyarrow"))
         .groupby(conv_col)
-        .aggregate(Sum("__chars"), Min("fork_group"), Min("n_convs"))
+        .aggregate(Sum("__chars"))
     )
 
     score_schema = pa.schema([
@@ -2536,18 +2531,46 @@ def preference_pairs(ds, prefix_turns: int, *,
         ("n_convs", pa.int64()), ("__score", pa.int64()),
     ])
 
-    def score_rows(t: pa.Table) -> pa.Table:
-        if "sum(__chars)" not in t.column_names:  # schema-less empty block
-            return score_schema.empty_table()
-        return pa.table({
-            conv_col: t.column(conv_col),
-            "fork_group": t.column("min(fork_group)"),
-            "n_convs": pc.cast(t.column("min(n_convs)"), pa.int64()),
-            "__score": pc.cast(t.column("sum(__chars)"), pa.int64()),
-        })
+    class _ScoreRows:
+        """Re-attach (fork_group, n_convs) to the aggregated per-conv sums
+        from the member shards — slim blocks, one inner join each."""
 
-    scores = scores.map_batches(
-        score_rows, batch_format="pyarrow").materialize()  # consumed twice
+        def __init__(self, refs):
+            self.refs = refs
+            self._tbls = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if ("sum(__chars)" not in t.column_names  # schema-less empty
+                    or len(t) == 0):
+                return score_schema.empty_table()
+            if self._tbls is None:
+                self._tbls = [r if isinstance(r, pa.Table) else ray.get(r)
+                              for r in self.refs]
+            conv = t.column(conv_col).combine_chunks()
+            out = []
+            for w in self._tbls:
+                if len(w) == 0:
+                    continue
+                pos = pc.index_in(w.column(conv_col), value_set=conv)
+                hit = pc.is_valid(pos)
+                if not pc.any(hit).as_py():
+                    continue
+                w_hit = w.filter(hit)
+                trows = t.take(pos.filter(hit))
+                out.append(pa.table({
+                    conv_col: trows.column(conv_col),
+                    "fork_group": w_hit.column("fork_group"),
+                    "n_convs": w_hit.column("n_convs"),
+                    "__score": pc.cast(trows.column("sum(__chars)"),
+                                       pa.int64()),
+                }))
+            if not out:
+                return score_schema.empty_table()
+            return pa.concat_tables(out)
+
+    scores = sums.map_batches(
+        _ScoreRows(member_refs),
+        batch_format="pyarrow").materialize()  # consumed twice
 
     # chosen per group: max score, ties to min conv id — two slim
     # aggregates (argmax via a negated-score pack would need one, but the
