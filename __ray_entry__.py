@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["preference_pairs_transcripts"] = _preference_pairs
     out["loop_stats_transcripts"] = _loop_stats
     out["filter_conversations_transcripts"] = _filter_conversations_q
+    out["echo_stats_transcripts"] = _echo_stats
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
     out["jsonl_roundtrip_documents"] = _jsonl_roundtrip_documents
@@ -2043,6 +2044,38 @@ def _loop_stats(sf_dir: str):
     return df.sort_values("conv_id", ignore_index=True)
 
 
+def _echo_stats(sf_dir: str):
+    """Assistant-parroting report.  Echoes are injected on BOTH sides:
+    every doc_id % 9 == 4 conversation gets turn 1's text overwritten
+    with turn 0's (assistant echoing the opening user turn)."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_echoes(t: pa.Table) -> pa.Table:
+        doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+        m = (doc % 9 == 4) & (idx == 1)
+        if not m.any():
+            return t
+        conv = t.column("conv_id")
+        zero = t.filter(pa.array(idx == 0))
+        pos = pc.index_in(conv, value_set=zero.column("conv_id"))
+        text = t.column("text").to_numpy(zero_copy_only=False).astype(
+            object)
+        t0 = zero.column("text").to_numpy(zero_copy_only=False)
+        text[m] = t0[np.asarray(pos, dtype=np.int64)[m]]
+        return t.set_column(t.column_names.index("text"), "text",
+                            pa.array(text, pa.string()))
+
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        add_echoes, batch_format="pyarrow")
+    out = tp.echo_stats(tr)
+    df = out.to_pandas()
+    return df.sort_values("conv_id", ignore_index=True)
+
+
 def _pack_sft(sf_dir: str):
     """Loss-mask packing plan over the extracted SFT examples: 48-token
     windows packed into 256-token sequences, target spans recorded."""
@@ -2712,6 +2745,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc JOIN win ON sc.fg = win.fg "
             "WHERE sc.conv_id <> win.chosen_conv "
             "ORDER BY rejected_conv"
+        ),
+        "echo_stats_transcripts": (
+            # same turn explosion + injected echo (doc_id % 9 == 4 -> turn
+            # 1 copies turn 0's text); LAG window over adjacent pairs
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, i, "
+            "CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+            "CASE WHEN doc_id % 9 = 4 AND i = 1 THEN "
+            "array_to_string(ws[1:12], ' ') "
+            "ELSE array_to_string(ws[i*12+1:i*12+12], ' ') END AS text "
+            "FROM t), "
+            "l AS (SELECT conv_id, role, text, "
+            "LAG(role) OVER (PARTITION BY conv_id ORDER BY i) AS pr, "
+            "LAG(text) OVER (PARTITION BY conv_id ORDER BY i) AS pt "
+            "FROM turn), "
+            "p AS (SELECT conv_id, "
+            "CASE WHEN role = 'assistant' AND pr = 'user' THEN 1 ELSE 0 "
+            "END AS is_pair, "
+            "CASE WHEN role = 'assistant' AND pr = 'user' AND text IS NOT "
+            "NULL AND pt IS NOT NULL AND text = pt THEN 1 ELSE 0 END AS "
+            "echo FROM l) "
+            "SELECT conv_id, CAST(SUM(echo) AS BIGINT) AS n_echoes, "
+            "CAST(SUM(is_pair) AS BIGINT) AS n_pairs FROM p "
+            "GROUP BY conv_id HAVING SUM(is_pair) > 0 ORDER BY conv_id"
         ),
         "loop_stats_transcripts": (
             # same turn explosion + injected assistant loops (doc_id % 7

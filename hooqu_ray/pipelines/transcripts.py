@@ -2842,3 +2842,56 @@ def filter_conversations(ds, *, rows_per_shard: int = 4_000_000, **rules):
         out = out.map_batches(BroadcastIsInFilter(r, "conv_id", invert=True),
                               batch_format="pyarrow")
     return out
+
+
+def echo_stats(ds, *, conv_col: str = "conv_id",
+               idx_col: str = "turn_idx",
+               role_col: str = "role",
+               text_col: str = "text"):
+    """Assistant-parroting detection over agent transcripts: per
+    conversation, count assistant turns whose text EXACTLY equals the
+    immediately preceding user turn's text (an agent echoing its input —
+    a classic degenerate-output signature).  Returns one ``(conv,
+    n_echoes, n_pairs)`` row per conversation with at least one adjacent
+    user→assistant turn pair; ``n_pairs`` is the number of such adjacent
+    pairs (denominator for an echo rate).  Null texts never count as an
+    echo (SQL ``=`` three-valued semantics).
+
+    Scale shape: the shared :func:`_per_conversation_apply` scaffold —
+    four-column projection, ONE range sort, a vectorized shift-compare
+    kernel per block, boundary conversations repaired per group."""
+    out_schema = pa.schema([
+        (conv_col, pa.string()), ("n_echoes", pa.int64()),
+        ("n_pairs", pa.int64()),
+    ])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return out_schema.empty_table()
+        keys = t.column(conv_col).to_numpy(zero_copy_only=False)
+        roles = t.column(role_col).to_numpy(zero_copy_only=False)
+        text = t.column(text_col).to_numpy(zero_copy_only=False)
+        new_conv = np.r_[True, keys[1:] != keys[:-1]]
+        is_pair = np.r_[
+            False,
+            (roles[1:] == "assistant") & (roles[:-1] == "user"),
+        ] & ~new_conv
+        valid = pc.is_valid(t.column(text_col)).to_numpy(
+            zero_copy_only=False)
+        nn = np.r_[False, valid[1:] & valid[:-1]]
+        echo = is_pair & nn & np.r_[False, text[1:] == text[:-1]]
+        conv_starts = np.flatnonzero(new_conv)
+        n_pairs = np.add.reduceat(is_pair.astype(np.int64), conv_starts)
+        n_echoes = np.add.reduceat(echo.astype(np.int64), conv_starts)
+        keepc = n_pairs > 0
+        return pa.table({
+            conv_col: pa.array(keys[conv_starts][keepc],
+                               t.schema.field(conv_col).type),
+            "n_echoes": pa.array(n_echoes[keepc]),
+            "n_pairs": pa.array(n_pairs[keepc]),
+        })
+
+    return _per_conversation_apply(
+        ds, [conv_col, idx_col, role_col, text_col], conv_col, idx_col,
+        kernel)

@@ -1271,3 +1271,50 @@ class TestConversationFilter:
         })
         kept = tp.filter_conversations(rd.from_arrow(t)).to_pandas()
         assert sorted(kept["conv_id"].tolist()) == ["k", "k"]
+
+
+class TestEchoStats:
+    def test_semantics(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = [
+            ("a", 0, "user", "hello"), ("a", 1, "assistant", "hello"),
+            ("a", 2, "user", "next"), ("a", 3, "assistant", "reply"),
+            # tool interposed: no adjacent user->assistant pair
+            ("b", 0, "user", "x"), ("b", 1, "tool", "x"),
+            ("b", 2, "assistant", "x"),
+            # assistant-first: a->u is not a pair
+            ("c", 0, "assistant", "a"), ("c", 1, "user", "b"),
+            # null texts: pair but never an echo
+            ("d", 0, "user", None), ("d", 1, "assistant", None),
+        ]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        })
+        out = tp.echo_stats(rd.from_arrow(t)).to_pandas() \
+            .sort_values("conv_id", ignore_index=True)
+        assert out["conv_id"].tolist() == ["a", "d"]
+        assert out["n_echoes"].tolist() == [1, 0]
+        assert out["n_pairs"].tolist() == [2, 1]
+
+    def test_boundary_straddling_blocks(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        # echo at the very junction turns of a conversation split across
+        # blocks: the boundary repair must see the full sequence
+        rows = [("big", i, "user" if i % 2 == 0 else "assistant",
+                 "same") for i in range(8)]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        })
+        out = tp.echo_stats(rd.from_arrow(t).repartition(4)).to_pandas()
+        assert out["n_echoes"].tolist() == [4]
+        assert out["n_pairs"].tolist() == [4]
