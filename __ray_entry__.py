@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["loop_stats_transcripts"] = _loop_stats
     out["filter_conversations_transcripts"] = _filter_conversations_q
     out["echo_stats_transcripts"] = _echo_stats
+    out["clip_turns_transcripts"] = _clip_turns
+    out["role_balance_transcripts"] = _role_balance
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
     out["jsonl_roundtrip_documents"] = _jsonl_roundtrip_documents
@@ -2076,6 +2078,51 @@ def _echo_stats(sf_dir: str):
     return df.sort_values("conv_id", ignore_index=True)
 
 
+def _clip_turns(sf_dir: str):
+    """Token-budget turn clipping: 12-word turns clipped to 8 tokens."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tp.clip_turn_texts(tp.transcripts_from_documents(docs), 8)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+            "text": t.column("text"),
+            "clipped": t.column("clipped"),
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow").to_pandas() \
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+
+
+def _role_balance(sf_dir: str):
+    """Role-balance profile; 'other' roles injected on both sides (every
+    doc_id % 6 == 1 conversation's turn 1 becomes role='tool')."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def retool(t: pa.Table) -> pa.Table:
+        doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+        m = (doc % 6 == 1) & (idx == 1)
+        if not m.any():
+            return t
+        role = t.column("role").to_numpy(zero_copy_only=False).astype(
+            object)
+        role[m] = "tool"
+        return t.set_column(t.column_names.index("role"), "role",
+                            pa.array(role, pa.string()))
+
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        retool, batch_format="pyarrow")
+    return tp.role_balance_stats(tr).to_pandas() \
+        .sort_values("conv_id", ignore_index=True)
+
+
 def _pack_sft(sf_dir: str):
     """Loss-mask packing plan over the extracted SFT examples: 48-token
     windows packed into 256-token sequences, target spans recorded."""
@@ -2745,6 +2792,49 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc JOIN win ON sc.fg = win.fg "
             "WHERE sc.conv_id <> win.chosen_conv "
             "ORDER BY rejected_conv"
+        ),
+        "clip_turns_transcripts": (
+            # same turn explosion; clip = first 8 \S+ tokens joined with
+            # single spaces when the token count exceeds 8
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, "
+            "CAST(i AS BIGINT) AS turn_idx, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "n AS (SELECT conv_id, turn_idx, text, "
+            "len(regexp_extract_all(text, '\\S+')) AS nt FROM turn) "
+            "SELECT conv_id, turn_idx, CASE WHEN nt > 8 THEN "
+            "array_to_string(regexp_extract_all(text, '\\S+')[1:8], ' ') "
+            "ELSE text END AS text, nt > 8 AS clipped FROM n "
+            "ORDER BY conv_id, turn_idx"
+        ),
+        "role_balance_transcripts": (
+            # same turn explosion + injected 'tool' role (doc_id % 6 == 1,
+            # turn 1); per-conversation role-bucket counts and char sums
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, "
+            "CASE WHEN doc_id % 6 = 1 AND i = 1 THEN 'tool' "
+            "WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t) "
+            "SELECT conv_id, "
+            "CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_user, "
+            "CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS "
+            "BIGINT) AS n_assistant, "
+            "CAST(SUM(CASE WHEN role NOT IN ('user', 'assistant') THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_other, "
+            "CAST(SUM(CASE WHEN role = 'user' THEN LENGTH(text) ELSE 0 "
+            "END) AS BIGINT) AS user_chars, "
+            "CAST(SUM(CASE WHEN role = 'assistant' THEN LENGTH(text) "
+            "ELSE 0 END) AS BIGINT) AS assistant_chars "
+            "FROM turn GROUP BY conv_id ORDER BY conv_id"
         ),
         "echo_stats_transcripts": (
             # same turn explosion + injected echo (doc_id % 9 == 4 -> turn

@@ -2895,3 +2895,109 @@ def echo_stats(ds, *, conv_col: str = "conv_id",
     return _per_conversation_apply(
         ds, [conv_col, idx_col, role_col, text_col], conv_col, idx_col,
         kernel)
+
+
+def clip_turn_texts(ds, max_tokens: int, *, text_col: str = "text"):
+    """Per-turn token-budget clipping: any turn whose whitespace-token
+    count exceeds ``max_tokens`` has its text replaced by the first
+    ``max_tokens`` tokens joined with single spaces (original whitespace
+    is NOT preserved on rewritten turns — same normalization as
+    ``array_to_string(regexp_extract_all(text, '\\S+')[:n], ' ')``);
+    turns within budget pass through byte-identical.  Adds a ``clipped``
+    bool column.  Null text is never clipped.
+
+    Scale shape: embarrassingly parallel — one vectorized ``map_batches``
+    (RE2 token count, split/slice/join only on the over-budget subset),
+    no shuffle."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+
+    def clip(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ntok = pc.count_substring_regex(text, r"\S+")
+        over = pc.and_(pc.is_valid(text),
+                       pc.greater(pc.fill_null(ntok, 0), max_tokens))
+        if not pc.any(over).as_py():
+            return t.append_column(
+                "clipped", pa.array(np.zeros(len(t), dtype=bool)))
+        # rebuild only the over-budget rows: trim → split on \s+ (no empty
+        # tokens possible after the trim) → first max_tokens → join
+        sub = text.filter(over)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(sub), pattern=r"\s+")
+        short = pc.binary_join(
+            pc.list_slice(toks, 0, max_tokens), pa.scalar(" "))
+        new_text = np.asarray(text, dtype=object)
+        new_text[np.asarray(over, dtype=bool)] = np.asarray(
+            short, dtype=object)
+        return t.set_column(
+            t.column_names.index(text_col), text_col,
+            pa.array(new_text, pa.string()),
+        ).append_column("clipped", over)
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+_ROLE_BALANCE_COLS = ["n_user", "n_assistant", "n_other",
+                      "user_chars", "assistant_chars"]
+
+
+def role_balance_stats(ds, *, conv_col: str = "conv_id",
+                       role_col: str = "role",
+                       text_col: str = "text"):
+    """Per-conversation role-balance profile: turn counts by role bucket
+    (``user`` / ``assistant`` / anything else including null) and total
+    text characters on each core role — the shape check for chat-format
+    training data (a conversation that is 95% user chars teaches
+    nothing).  One row per conversation (null conv ids dropped).
+
+    Scale shape: combiner-first — per-block Arrow ``group_by(conv)``
+    partials (one row per conversation per block), then a slim
+    ``groupby(conv).sum`` fold; the text never shuffles."""
+    from ray.data.aggregate import Sum
+
+    part_cols = [conv_col] + _ROLE_BALANCE_COLS
+    empty = pa.table(
+        {conv_col: pa.array([], pa.string()),
+         **{c: pa.array([], pa.int64()) for c in _ROLE_BALANCE_COLS}})
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(conv_col)))
+        if len(t) == 0:
+            return empty
+        roles = t.column(role_col)
+        is_u = pc.cast(pc.fill_null(pc.equal(roles, "user"), False),
+                       pa.int64())
+        is_a = pc.cast(pc.fill_null(pc.equal(roles, "assistant"), False),
+                       pa.int64())
+        ones = pa.array(np.ones(len(t), np.int64))
+        chars = pc.coalesce(
+            pc.cast(pc.utf8_length(t.column(text_col)), pa.int64()),
+            pa.scalar(0, pa.int64()))
+        sub = pa.table({
+            conv_col: t.column(conv_col),
+            "n_user": is_u,
+            "n_assistant": is_a,
+            "n_other": pc.subtract(pc.subtract(ones, is_u), is_a),
+            "user_chars": pc.multiply(chars, is_u),
+            "assistant_chars": pc.multiply(chars, is_a),
+        })
+        return sub.group_by(conv_col).aggregate(
+            [(c, "sum") for c in _ROLE_BALANCE_COLS]
+        ).rename_columns(part_cols)
+
+    folded = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(conv_col)
+              .aggregate(*[Sum(c) for c in _ROLE_BALANCE_COLS]))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if "sum(n_user)" not in t.column_names:  # schema-less empty block
+            return empty
+        return pa.table(
+            {conv_col: t.column(conv_col),
+             **{c: pc.cast(t.column(f"sum({c})"), pa.int64())
+                for c in _ROLE_BALANCE_COLS}})
+
+    return folded.map_batches(finalize, batch_format="pyarrow")

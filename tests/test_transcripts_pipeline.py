@@ -1318,3 +1318,66 @@ class TestEchoStats:
         out = tp.echo_stats(rd.from_arrow(t).repartition(4)).to_pandas()
         assert out["n_echoes"].tolist() == [4]
         assert out["n_pairs"].tolist() == [4]
+
+
+class TestClipTurnTexts:
+    def test_clip_semantics(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array(["a"] * 5, pa.string()),
+            "turn_idx": pa.array(range(5), pa.int32()),
+            "text": pa.array(["one two three four",
+                              "  spaced   out  tokens here five ",
+                              "short", None, ""], pa.string()),
+        })
+        out = tp.clip_turn_texts(rd.from_arrow(t), 3).to_pandas() \
+            .sort_values("turn_idx", ignore_index=True)
+        assert out["text"].tolist()[:3] == [
+            "one two three", "spaced out tokens", "short"]
+        assert out["text"][3] is None and out["text"][4] == ""
+        assert out["clipped"].tolist() == [True, True, False, False, False]
+
+    def test_under_budget_passthrough_byte_identical(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        weird = "a\tb\n c"  # 3 tokens, odd whitespace must survive
+        t = pa.table({"conv_id": pa.array(["x"], pa.string()),
+                      "turn_idx": pa.array([0], pa.int32()),
+                      "text": pa.array([weird], pa.string())})
+        out = tp.clip_turn_texts(rd.from_arrow(t), 3).to_pandas()
+        assert out["text"][0] == weird and not out["clipped"][0]
+
+    def test_validation(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({"text": pa.array(["x"], pa.string())})
+        with pytest.raises(ValueError):
+            tp.clip_turn_texts(rd.from_arrow(t), 0)
+
+
+class TestRoleBalanceStats:
+    def test_semantics(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = [("a", "user", "hi"), ("a", "assistant", "hello there"),
+                ("a", "tool", "{}"), ("a", None, "x"),
+                ("b", "user", None), (None, "user", "drop")]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array(range(len(rows)), pa.int32()),
+            "role": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        })
+        out = tp.role_balance_stats(rd.from_arrow(t)).to_pandas() \
+            .sort_values("conv_id", ignore_index=True)
+        assert out["conv_id"].tolist() == ["a", "b"]
+        assert out["n_user"].tolist() == [1, 1]
+        assert out["n_assistant"].tolist() == [1, 0]
+        assert out["n_other"].tolist() == [2, 0]  # tool + null role
+        assert out["user_chars"].tolist() == [2, 0]  # null text -> 0
+        assert out["assistant_chars"].tolist() == [11, 0]
