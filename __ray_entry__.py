@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["filter_conversations_transcripts"] = _filter_conversations_q
     out["echo_stats_transcripts"] = _echo_stats
     out["clip_turns_transcripts"] = _clip_turns
+    out["tool_transitions_transcripts"] = _tool_transitions
     out["role_balance_transcripts"] = _role_balance
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
@@ -2078,6 +2079,30 @@ def _echo_stats(sf_dir: str):
     return df.sort_values("conv_id", ignore_index=True)
 
 
+def _tool_transitions(sf_dir: str):
+    """Tool-transition matrix.  Tool calls are injected on BOTH sides:
+    every doc_id % 4 == 2 conversation's odd turns carry
+    tool = 'tool-<i%3>'."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_tools(t: pa.Table) -> pa.Table:
+        doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+        m = (doc % 4 == 2) & (idx % 2 == 1)
+        tool = np.full(len(t), None, dtype=object)
+        tool[m] = np.char.add("tool-", (idx[m] % 3).astype(str))
+        return t.set_column(t.column_names.index("tool"), "tool",
+                            pa.array(tool, pa.string()))
+
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        add_tools, batch_format="pyarrow")
+    return tp.tool_transition_counts(tr).to_pandas() \
+        .sort_values(["tool_from", "tool_to"], ignore_index=True)
+
+
 def _clip_turns(sf_dir: str):
     """Token-budget turn clipping: 12-word turns clipped to 8 tokens."""
     from hooqu_ray.pipelines import transcripts as tp
@@ -2792,6 +2817,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc JOIN win ON sc.fg = win.fg "
             "WHERE sc.conv_id <> win.chosen_conv "
             "ORDER BY rejected_conv"
+        ),
+        "tool_transitions_transcripts": (
+            # same turn explosion + injected tool calls (doc_id % 4 == 2,
+            # odd i -> 'tool-<i%3>'); LAG over the tool-only subsequence
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, UNNEST(range(n_turns)) AS i FROM c), "
+            "tl AS (SELECT printf('conv-%08d', doc_id) AS conv_id, i, "
+            "'tool-' || CAST(i % 3 AS VARCHAR) AS tool FROM t "
+            "WHERE doc_id % 4 = 2 AND i % 2 = 1), "
+            "l AS (SELECT conv_id, tool, LAG(tool) OVER (PARTITION BY "
+            "conv_id ORDER BY i) AS pt FROM tl) "
+            "SELECT pt AS tool_from, tool AS tool_to, "
+            "CAST(count(*) AS BIGINT) AS n FROM l WHERE pt IS NOT NULL "
+            "GROUP BY pt, tool ORDER BY tool_from, tool_to"
         ),
         "clip_turns_transcripts": (
             # same turn explosion; clip = first 8 \S+ tokens joined with

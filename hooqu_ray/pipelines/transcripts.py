@@ -3001,3 +3001,70 @@ def role_balance_stats(ds, *, conv_col: str = "conv_id",
                 for c in _ROLE_BALANCE_COLS}})
 
     return folded.map_batches(finalize, batch_format="pyarrow")
+
+
+def tool_transition_counts(ds, *, conv_col: str = "conv_id",
+                           idx_col: str = "turn_idx",
+                           tool_col: str = "tool"):
+    """Tool-call transition matrix over agent transcripts: for each
+    conversation take the subsequence of turns with a non-null ``tool``
+    (in turn order) and count adjacent ``(tool_from, tool_to)`` pairs
+    across the whole corpus — which tool follows which, the raw table for
+    agent-behavior mining.  Conversations with fewer than two tool calls
+    contribute nothing.
+
+    Scale shape: tool-only prefilter (usually drops most turns), the
+    shared :func:`_per_conversation_apply` one-sort scaffold with a
+    vectorized shift-pair kernel that pre-counts per block, then a slim
+    global ``groupby(from, to).sum`` over O(#distinct transitions ×
+    blocks) partial rows."""
+    from ray.data.aggregate import Sum
+
+    out_schema = pa.schema([
+        ("tool_from", pa.string()), ("tool_to", pa.string()),
+        ("__n", pa.int64()),
+    ])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n < 2:
+            return out_schema.empty_table()
+        keys = t.column(conv_col).to_numpy(zero_copy_only=False)
+        tools = t.column(tool_col).to_numpy(zero_copy_only=False)
+        same = keys[1:] == keys[:-1]
+        if not same.any():
+            return out_schema.empty_table()
+        pairs = pa.table({
+            "tool_from": pa.array(tools[:-1][same], pa.string()),
+            "tool_to": pa.array(tools[1:][same], pa.string()),
+        })
+        part = pairs.group_by(["tool_from", "tool_to"]).aggregate(
+            [([], "count_all")])
+        return part.rename_columns(["tool_from", "tool_to", "__n"])
+
+    def tool_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(tool_col)))
+
+    partials = _per_conversation_apply(
+        ds.map_batches(tool_only, batch_format="pyarrow"),
+        [conv_col, idx_col, tool_col], conv_col, idx_col, kernel)
+    folded = partials.groupby(["tool_from", "tool_to"]).aggregate(
+        Sum("__n"))
+
+    empty = pa.table({"tool_from": pa.array([], pa.string()),
+                      "tool_to": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if "sum(__n)" not in t.column_names:  # schema-less empty block
+            return empty
+        return pa.table({"tool_from": t.column("tool_from"),
+                         "tool_to": t.column("tool_to"),
+                         "n": pc.cast(t.column("sum(__n)"), pa.int64())})
+
+    import ray.data as rd
+
+    # typed empty anchor: a tool-free corpus otherwise yields a
+    # zero-block dataset whose schema is lost
+    return folded.map_batches(finalize, batch_format="pyarrow").union(
+        rd.from_arrow(empty))

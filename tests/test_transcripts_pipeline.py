@@ -1381,3 +1381,43 @@ class TestRoleBalanceStats:
         assert out["n_other"].tolist() == [2, 0]  # tool + null role
         assert out["user_chars"].tolist() == [2, 0]  # null text -> 0
         assert out["assistant_chars"].tolist() == [11, 0]
+
+
+class TestToolTransitionCounts:
+    def test_semantics(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = [
+            ("a", 0, None), ("a", 1, "search"), ("a", 2, None),
+            ("a", 3, "code"), ("a", 4, "code"),
+            ("b", 0, "search"), ("b", 1, "code"),
+            ("c", 0, "solo"),
+        ]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "tool": pa.array([r[2] for r in rows], pa.string()),
+        })
+        out = tp.tool_transition_counts(rd.from_arrow(t)).to_pandas() \
+            .sort_values(["tool_from", "tool_to"], ignore_index=True)
+        assert out.values.tolist() == [
+            ["code", "code", 1], ["search", "code", 2]]
+
+    def test_boundary_straddling_blocks(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        # one conversation's tool chain split across blocks: the junction
+        # transition must not be lost or double-counted
+        rows = [("big", i, f"t{i % 2}") for i in range(6)]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "tool": pa.array([r[2] for r in rows], pa.string()),
+        })
+        out = tp.tool_transition_counts(
+            rd.from_arrow(t).repartition(3)).to_pandas() \
+            .sort_values(["tool_from", "tool_to"], ignore_index=True)
+        assert out.values.tolist() == [
+            ["t0", "t1", 3], ["t1", "t0", 2]]
