@@ -1421,3 +1421,102 @@ class TestToolTransitionCounts:
             .sort_values(["tool_from", "tool_to"], ignore_index=True)
         assert out.values.tolist() == [
             ["t0", "t1", 3], ["t1", "t0", 2]]
+
+
+class TestSequenceOpDifferentials:
+    def test_loop_echo_tool_vs_pandas(self, ray_session):
+        """Hypothesis differential for the three newest sequence kernels
+        (loop runs / echo pairs / tool transitions) including the
+        boundary-merge path: random tables, random block splits, compared
+        against straight pandas re-derivations."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        rows_st = st.lists(
+            st.tuples(
+                st.integers(0, 3),                      # conv bucket
+                st.sampled_from(["user", "assistant", "tool"]),
+                st.one_of(st.none(), st.sampled_from(["x", "y", "zz"])),
+                st.one_of(st.none(), st.sampled_from(["t0", "t1"])),
+            ),
+            min_size=1, max_size=40,
+        )
+
+        @settings(max_examples=25, deadline=None)
+        @given(rows_st, st.integers(1, 5))
+        def prop(rows, n_blocks):
+            df = pd.DataFrame({
+                "conv_id": [f"c{r[0]}" for r in rows],
+                "role": [r[1] for r in rows],
+                "text": [r[2] for r in rows],
+                "tool": [r[3] for r in rows],
+            })
+            df["turn_idx"] = df.groupby("conv_id").cumcount()
+            t = pa.table({
+                "conv_id": pa.array(df["conv_id"], pa.string()),
+                "turn_idx": pa.array(df["turn_idx"], pa.int32()),
+                "role": pa.array(df["role"], pa.string()),
+                "text": pa.array(df["text"], pa.string()),
+                "tool": pa.array(df["tool"], pa.string()),
+            })
+            ds = rd.from_arrow(t).repartition(n_blocks)
+
+            # --- loop stats (assistant runs, nulls group together) ---
+            def py_loops(g):
+                texts = g.loc[g["role"] == "assistant", "text"].tolist()
+                if not texts:
+                    return None
+                runs, cur = [], 1
+                for a, b in zip(texts, texts[1:]):
+                    if (a is None and b is None) or a == b:
+                        cur += 1
+                    else:
+                        runs.append(cur)
+                        cur = 1
+                runs.append(cur)
+                return (max(runs), sum(r >= 2 for r in runs), len(texts))
+
+            exp = {}
+            for conv, g in df.sort_values("turn_idx").groupby("conv_id"):
+                r = py_loops(g)
+                if r is not None:
+                    exp[conv] = r
+            got = tp.assistant_loop_stats(ds, 2).to_pandas()
+            got_map = {r.conv_id: (r.max_run, r.n_loops, r.n_role_turns)
+                       for r in got.itertuples()}
+            assert got_map == exp
+
+            # --- echo stats ---
+            exp_e = {}
+            for conv, g in df.sort_values("turn_idx").groupby("conv_id"):
+                roles = g["role"].tolist()
+                texts = g["text"].tolist()
+                pairs = echoes = 0
+                for i in range(1, len(roles)):
+                    if roles[i] == "assistant" and roles[i - 1] == "user":
+                        pairs += 1
+                        if (texts[i] is not None and texts[i - 1] is not None
+                                and texts[i] == texts[i - 1]):
+                            echoes += 1
+                if pairs:
+                    exp_e[conv] = (echoes, pairs)
+            got_e = tp.echo_stats(ds).to_pandas()
+            got_e_map = {r.conv_id: (r.n_echoes, r.n_pairs)
+                         for r in got_e.itertuples()}
+            assert got_e_map == exp_e
+
+            # --- tool transitions ---
+            exp_t = {}
+            for conv, g in df.sort_values("turn_idx").groupby("conv_id"):
+                tools = [x for x in g["tool"].tolist() if x is not None]
+                for a, b in zip(tools, tools[1:]):
+                    exp_t[(a, b)] = exp_t.get((a, b), 0) + 1
+            got_t = tp.tool_transition_counts(ds).to_pandas()
+            got_t_map = {(r.tool_from, r.tool_to): r.n
+                         for r in got_t.itertuples()}
+            assert got_t_map == exp_t
+
+        prop()
