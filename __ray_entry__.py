@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["echo_stats_transcripts"] = _echo_stats
     out["clip_turns_transcripts"] = _clip_turns
     out["tool_transitions_transcripts"] = _tool_transitions
+    out["curate_pipeline_transcripts"] = _curate_pipeline
     out["role_balance_transcripts"] = _role_balance
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
@@ -2079,6 +2080,65 @@ def _echo_stats(sf_dir: str):
     return df.sort_values("conv_id", ignore_index=True)
 
 
+def _curate_pipeline(sf_dir: str):
+    """Composed curation DAG (filter → conversation dedup → clip).  Every
+    stage is non-identity: the validate-style corruption makes the filter
+    drop conversations, duplicate replicas (doc_id % 10 == 6 at +3*10^7,
+    IDENTICAL corrupted turns) make the dedup drop, and clip_tokens=8
+    rewrites the 12-word turns."""
+    import numpy as np
+
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        doc = pc.cast(
+            pc.utf8_slice_codeunits(t.column("conv_id"), 5), pa.int64()
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+        keep = ~(((doc % 5 == 0) & (idx == 0)) | ((doc % 11 == 0) & (idx == 2)))
+        t = t.filter(pa.array(keep))
+        blank = (doc[keep] % 7 == 0) & (idx[keep] == 1)
+        if blank.any():
+            text = t.column("text").to_numpy(zero_copy_only=False).astype(object)
+            text[blank] = ""
+            t = t.set_column(
+                t.schema.get_field_index("text"), "text", pa.array(text, pa.string())
+            )
+        return t
+
+    def add_dups(t: pa.Table) -> pa.Table:
+        doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        m = doc % 10 == 6
+        if not m.any():
+            return t
+        sub = t.filter(pa.array(m))
+        conv = np.array([f"conv-{d + 30000000:08d}" for d in doc[m]],
+                        dtype=object)
+        rep = sub.set_column(sub.column_names.index("conv_id"), "conv_id",
+                             pa.array(conv, pa.string()))
+        return pa.concat_tables([t, rep])
+
+    tr = tp.transcripts_from_documents(docs) \
+        .map_batches(corrupt, batch_format="pyarrow") \
+        .map_batches(add_dups, batch_format="pyarrow")
+    out = tp.curate_conversations(tr, clip_tokens=8)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+            "role": t.column("role"),
+            "text": t.column("text"),
+            "clipped": t.column("clipped"),
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow").to_pandas() \
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+
+
 def _tool_transitions(sf_dir: str):
     """Tool-transition matrix.  Tool calls are injected on BOTH sides:
     every doc_id % 4 == 2 conversation's odd turns carry
@@ -2817,6 +2877,48 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc JOIN win ON sc.fg = win.fg "
             "WHERE sc.conv_id <> win.chosen_conv "
             "ORDER BY rejected_conv"
+        ),
+        "curate_pipeline_transcripts": (
+            # full chained-CTE re-derivation of the composed DAG: explode →
+            # corrupt → duplicate replicas → structural filter → signature
+            # dedup (min conv id wins) → 8-token clip
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT doc_id, printf('conv-%08d', doc_id) AS conv_id, "
+            "CAST(i AS BIGINT) AS turn_idx, "
+            "CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "corr AS (SELECT doc_id, conv_id, turn_idx, role, "
+            "CASE WHEN doc_id % 7 = 0 AND turn_idx = 1 THEN '' ELSE text END "
+            "AS text FROM turn WHERE NOT ((doc_id % 5 = 0 AND turn_idx = 0) "
+            "OR (doc_id % 11 = 0 AND turn_idx = 2))), "
+            "dup AS (SELECT conv_id, turn_idx, role, text FROM corr "
+            "UNION ALL SELECT printf('conv-%08d', doc_id + 30000000), "
+            "turn_idx, role, text FROM corr WHERE doc_id % 10 = 6), "
+            "agg AS (SELECT conv_id, count(*) AS n, "
+            "arg_min(role, turn_idx) = 'user' AS swu, "
+            "(min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1 AND "
+            "count(DISTINCT turn_idx) = count(*)) AS dense, "
+            "bool_or(COALESCE(text, '') = '') AS empt "
+            "FROM dup GROUP BY conv_id), "
+            "keep AS (SELECT conv_id FROM agg WHERE n >= 2 AND swu AND "
+            "dense AND NOT empt), "
+            "kt AS (SELECT d.* FROM dup d JOIN keep USING (conv_id)), "
+            "sig AS (SELECT conv_id, string_agg(turn_idx || ':' || "
+            "COALESCE(text, ''), chr(31) ORDER BY turn_idx) AS s FROM kt "
+            "GROUP BY conv_id), "
+            "win AS (SELECT s, MIN(conv_id) AS wc FROM sig GROUP BY s), "
+            "kept AS (SELECT kt.* FROM kt JOIN sig USING (conv_id) "
+            "JOIN win ON sig.s = win.s AND kt.conv_id = win.wc), "
+            "n2 AS (SELECT conv_id, turn_idx, role, text, "
+            "len(regexp_extract_all(text, '\\S+')) AS nt FROM kept) "
+            "SELECT conv_id, turn_idx, role, CASE WHEN nt > 8 THEN "
+            "array_to_string(regexp_extract_all(text, '\\S+')[1:8], ' ') "
+            "ELSE text END AS text, nt > 8 AS clipped FROM n2 "
+            "ORDER BY conv_id, turn_idx"
         ),
         "tool_transitions_transcripts": (
             # same turn explosion + injected tool calls (doc_id % 4 == 2,

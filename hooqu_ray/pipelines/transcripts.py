@@ -3068,3 +3068,26 @@ def tool_transition_counts(ds, *, conv_col: str = "conv_id",
     # zero-block dataset whose schema is lost
     return folded.map_batches(finalize, batch_format="pyarrow").union(
         rd.from_arrow(empty))
+
+
+def curate_conversations(ds, *, clip_tokens: int | None = None,
+                         rows_per_shard: int = 4_000_000, **rules):
+    """Composed conversation-curation DAG — the transcript analogue of
+    :func:`sft_prepare`: structural keep/drop filter
+    (:func:`filter_conversations`, whole conversations dropped with
+    reason-code rules) → whole-conversation exact dedup
+    (:func:`dedup_conversations`, identical (turn_idx, text) sequences
+    keep the minimum conv id) → optional per-turn token-budget clipping
+    (:func:`clip_turn_texts` when ``clip_tokens`` is set, which also adds
+    the ``clipped`` column).  Returns the surviving turn rows.
+
+    Scale note: each stage is the already-audited distributed op; the
+    dedup stage re-reads its input lineage twice (fingerprint fold +
+    NOT-IN pass), so the filter's anti-join probes execute twice — cheap
+    per batch, and at 100 TB the alternative (materializing the filtered
+    corpus) costs more than the second pruned pass."""
+    out = filter_conversations(ds, rows_per_shard=rows_per_shard, **rules)
+    out = dedup_conversations(out, rows_per_shard=rows_per_shard)
+    if clip_tokens is not None:
+        out = clip_turn_texts(out, clip_tokens)
+    return out

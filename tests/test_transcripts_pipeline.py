@@ -1520,3 +1520,46 @@ class TestSequenceOpDifferentials:
             assert got_t_map == exp_t
 
         prop()
+
+
+class TestCurateConversations:
+    def test_composed_stages_all_nonidentity(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = [
+            ("good", 0, "user", "one two three four"),
+            ("good", 1, "assistant", "ok"),
+            # exact duplicate of good under a later id -> deduped
+            ("gooddup", 0, "user", "one two three four"),
+            ("gooddup", 1, "assistant", "ok"),
+            ("short", 0, "user", "only"),            # structural drop
+            ("other", 0, "user", "alpha"),
+            ("other", 1, "assistant", "beta"),
+        ]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        })
+        out = tp.curate_conversations(rd.from_arrow(t), clip_tokens=3) \
+            .to_pandas().sort_values(["conv_id", "turn_idx"],
+                                     ignore_index=True)
+        assert out["conv_id"].tolist() == ["good", "good", "other", "other"]
+        assert out["text"].tolist() == ["one two three", "ok", "alpha",
+                                        "beta"]
+        assert out["clipped"].tolist() == [True, False, False, False]
+
+    def test_no_clip_keeps_schema(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array(["k", "k"], pa.string()),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": pa.array(["user", "assistant"], pa.string()),
+            "text": pa.array(["q", "a"], pa.string()),
+        })
+        out = tp.curate_conversations(rd.from_arrow(t)).to_pandas()
+        assert "clipped" not in out.columns and len(out) == 2
