@@ -603,6 +603,17 @@ def main() -> None:
     tp.assistant_loop_stats(rd.read_parquet(bench_input), 2).count()
     queries["loop_stats"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    tp.echo_stats(rd.read_parquet(bench_input)).count()
+    queries["echo_stats"] = round(time.time() - t0, 3)
+
+    # composed filter -> conversation-dedup -> clip DAG; the replicated
+    # input again stresses the adversarial all-duplicate dedup path
+    t0 = time.time()
+    tp.curate_conversations(rd.read_parquet(bench_input),
+                            clip_tokens=8).count()
+    queries["curate_pipeline"] = round(time.time() - t0, 3)
+
     emit()
     ray.shutdown()
 
