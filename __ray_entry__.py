@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["clip_turns_transcripts"] = _clip_turns
     out["tool_transitions_transcripts"] = _tool_transitions
     out["curate_pipeline_transcripts"] = _curate_pipeline
+    out["split_by_fork_transcripts"] = _split_by_fork
     out["role_balance_transcripts"] = _role_balance
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
@@ -2080,6 +2081,44 @@ def _echo_stats(sf_dir: str):
     return df.sort_values("conv_id", ignore_index=True)
 
 
+def _split_by_fork(sf_dir: str):
+    """Fork-aware leakage-safe split: same forked-replica injection as
+    ``_fork_groups`` so fork groups exist; members must co-split under
+    the group winner's md5 bucket."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_forks(t: pa.Table) -> pa.Table:
+        doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        m = doc % 5 == 0
+        if not m.any():
+            return t
+        sub = t.filter(pa.array(m))
+        sdoc = doc[m]
+        idx = np.asarray(sub.column("turn_idx"), dtype=np.int64)
+        text = sub.column("text").to_numpy(zero_copy_only=False).astype(
+            object)
+        text = np.where(idx >= 2, text + " fork-tail", text)
+        conv = np.array([f"conv-{d + 20000000:08d}" for d in sdoc],
+                        dtype=object)
+        rep = pa.table({
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": sub.column("turn_idx"),
+            "role": sub.column("role"),
+            "text": pa.array(text, pa.string()),
+            "tool": sub.column("tool"),
+            "ts": sub.column("ts"),
+        })
+        return pa.concat_tables([t, rep])
+
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        add_forks, batch_format="pyarrow")
+    return tp.split_by_fork_group(tr, 2).to_pandas() \
+        .sort_values("conv_id", ignore_index=True)
+
+
 def _curate_pipeline(sf_dir: str):
     """Composed curation DAG (filter → conversation dedup → clip).  Every
     stage is non-identity: the validate-style corruption makes the filter
@@ -2877,6 +2916,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc JOIN win ON sc.fg = win.fg "
             "WHERE sc.conv_id <> win.chosen_conv "
             "ORDER BY rejected_conv"
+        ),
+        "split_by_fork_transcripts": (
+            # fork groups via 2-turn-prefix signatures (same injection as
+            # fork_groups_…), group = winner or self, split = md5 bucket
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn0 AS (SELECT doc_id, i, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, i, "
+            "text FROM turn0 UNION ALL "
+            "SELECT printf('conv-%08d', doc_id + 20000000), i, "
+            "text || CASE WHEN i >= 2 THEN ' fork-tail' ELSE '' END "
+            "FROM turn0 WHERE doc_id % 5 = 0), "
+            "pref AS (SELECT conv_id, i, text FROM turn WHERE i < 2), "
+            "sig AS (SELECT conv_id, string_agg(i || ':' || "
+            "COALESCE(text, ''), chr(31) ORDER BY i) AS s FROM pref "
+            "GROUP BY conv_id), "
+            "g AS (SELECT s, MIN(conv_id) AS wc, COUNT(*) AS n FROM sig "
+            "GROUP BY s), "
+            "gr AS (SELECT sig.conv_id, CASE WHEN g.n > 1 THEN g.wc "
+            "ELSE sig.conv_id END AS group_id FROM sig "
+            "JOIN g ON sig.s = g.s), "
+            "b AS (SELECT conv_id, group_id, CAST(concat('0x', "
+            "substr(md5(group_id), 1, 8)) AS BIGINT) % 100 AS bk FROM gr) "
+            "SELECT conv_id, group_id, CASE WHEN bk < 80 THEN 'train' "
+            "WHEN bk < 90 THEN 'val' ELSE 'test' END AS split "
+            "FROM b ORDER BY conv_id"
         ),
         "curate_pipeline_transcripts": (
             # full chained-CTE re-derivation of the composed DAG: explode →

@@ -3091,3 +3091,105 @@ def curate_conversations(ds, *, clip_tokens: int | None = None,
     if clip_tokens is not None:
         out = clip_turn_texts(out, clip_tokens)
     return out
+
+
+def split_by_fork_group(ds, prefix_turns: int,
+                        splits=(("train", 80), ("val", 10), ("test", 10)),
+                        *, conv_col: str = "conv_id",
+                        idx_col: str = "turn_idx",
+                        text_col: str = "text",
+                        rows_per_shard: int = 4_000_000):
+    """Leakage-safe train/val/test split for agent transcripts: retried /
+    forked conversations (identical first-``prefix_turns`` prefix — see
+    :func:`conversation_fork_groups`) always land in the SAME split, so a
+    task's retry can never leak from train into eval.  Returns one
+    ``(conv, group_id, split)`` row per conversation: ``group_id`` is the
+    fork group's minimum conv id for members and the conversation's own id
+    otherwise; ``split`` uses the engine-standard md5-percentile bucket
+    (``relational.split_assign`` rule, SQL-reproducible).
+
+    Scale shape: the fork-member table (O(#forked convs)) broadcasts in
+    hash-range shards; the distinct-conversation list folds through a slim
+    ``groupby(conv)``; everything else is an embarrassingly parallel
+    per-batch stamp — the md5 decision hash runs once per CONVERSATION,
+    never per turn."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..util import dataset_arrow_schema
+    from .dedup import _sharded_refs
+    from .relational import md5_bucket
+
+    names = [s[0] for s in splits]
+    bounds = np.cumsum([int(s[1]) for s in splits])
+    if bounds[-1] > 100:
+        raise ValueError("split weights must sum to <= 100")
+    bounds = bounds[:-1]
+
+    in_schema = dataset_arrow_schema(ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
+
+    members = conversation_fork_groups(
+        ds, prefix_turns, conv_col=conv_col, idx_col=idx_col,
+        text_col=text_col, rows_per_shard=rows_per_shard).materialize()
+    member_empty = pa.table({conv_col: pa.array([], conv_type),
+                             "fork_group": pa.array([], conv_type)})
+    refs = _sharded_refs(
+        members.map_batches(
+            lambda t: (t.select([conv_col, "fork_group"])
+                       if conv_col in t.column_names else member_empty),
+            batch_format="pyarrow"),
+        conv_col, rows_per_shard, member_empty)
+
+    def conv_partials(t: pa.Table) -> pa.Table:
+        conv = t.column(conv_col)
+        u = pc.unique(conv.combine_chunks()
+                      if isinstance(conv, pa.ChunkedArray) else conv)
+        u = u.filter(pc.is_valid(u))
+        return pa.table({conv_col: u})
+
+    convs = (ds.map_batches(conv_partials, batch_format="pyarrow")
+             .groupby(conv_col).aggregate(Count()))
+
+    out_schema = pa.schema([
+        (conv_col, conv_type), ("group_id", conv_type),
+        ("split", pa.string()),
+    ])
+
+    class _AssignSplit:
+        def __init__(self, refs):
+            self.refs = refs
+            self._tbls = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if "count()" not in t.column_names or len(t) == 0:
+                return out_schema.empty_table()
+            if self._tbls is None:
+                self._tbls = [r if isinstance(r, pa.Table) else ray.get(r)
+                              for r in self.refs]
+            conv = t.column(conv_col).combine_chunks()
+            group = np.asarray(conv, dtype=object).copy()
+            for w in self._tbls:
+                if len(w) == 0:
+                    continue
+                # inverted probe: hash the block's conv set, scan the shard
+                pos = pc.index_in(w.column(conv_col), value_set=conv)
+                hit = pc.is_valid(pos)
+                if not pc.any(hit).as_py():
+                    continue
+                idxs = np.asarray(pos.filter(hit), dtype=np.int64)
+                group[idxs] = np.asarray(
+                    w.column("fork_group").filter(hit), dtype=object)
+            ga = pa.array(group, conv_type)
+            b = md5_bucket(ga) % 100
+            si = np.searchsorted(bounds, b, side="right")
+            return pa.table({
+                conv_col: conv,
+                "group_id": ga,
+                "split": pa.array(np.array(names, dtype=object)[si],
+                                  pa.string()),
+            })
+
+    return convs.map_batches(_AssignSplit(refs), batch_format="pyarrow")

@@ -1563,3 +1563,58 @@ class TestCurateConversations:
         })
         out = tp.curate_conversations(rd.from_arrow(t)).to_pandas()
         assert "clipped" not in out.columns and len(out) == 2
+
+
+class TestSplitByForkGroup:
+    def test_members_co_split(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = [("a", 0, "user", "same task"), ("b", 0, "user", "same task"),
+                ("solo", 0, "user", "unique")]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        })
+        out = tp.split_by_fork_group(rd.from_arrow(t), 1).to_pandas() \
+            .sort_values("conv_id", ignore_index=True)
+        assert out["conv_id"].tolist() == ["a", "b", "solo"]
+        assert out["group_id"].tolist() == ["a", "a", "solo"]
+        assert out.loc[0, "split"] == out.loc[1, "split"]
+        assert set(out["split"]) <= {"train", "val", "test"}
+
+    def test_matches_split_assign_rule_for_singletons(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.relational import split_assign
+
+        convs = [f"conv-{i:04d}" for i in range(50)]
+        t = pa.table({
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": pa.array([0] * 50, pa.int32()),
+            "role": pa.array(["user"] * 50, pa.string()),
+            "text": pa.array(convs, pa.string()),  # all unique: no forks
+        })
+        got = tp.split_by_fork_group(rd.from_arrow(t), 1).to_pandas() \
+            .sort_values("conv_id", ignore_index=True)
+        ref = split_assign(
+            rd.from_arrow(pa.table({"conv_id": pa.array(convs)})),
+            "conv_id").to_pandas().sort_values("conv_id",
+                                               ignore_index=True)
+        assert got["split"].tolist() == ref["split"].tolist()
+        assert (got["group_id"] == got["conv_id"]).all()
+
+    def test_bad_weights(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({"conv_id": pa.array(["a"], pa.string()),
+                      "turn_idx": pa.array([0], pa.int32()),
+                      "role": pa.array(["user"], pa.string()),
+                      "text": pa.array(["x"], pa.string())})
+        with pytest.raises(ValueError):
+            tp.split_by_fork_group(rd.from_arrow(t), 1,
+                                   splits=(("a", 80), ("b", 30)))
