@@ -2717,8 +2717,14 @@ def assistant_loop_stats(ds, min_run: int = 2, *,
     if min_run < 1:
         raise ValueError(f"min_run must be >= 1, got {min_run}")
 
+    from ..util import dataset_arrow_schema
+
+    in_schema = dataset_arrow_schema(ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
     out_schema = pa.schema([
-        (conv_col, pa.string()), ("max_run", pa.int64()),
+        (conv_col, conv_type), ("max_run", pa.int64()),
         ("n_loops", pa.int64()), ("n_role_turns", pa.int64()),
     ])
 
@@ -2753,9 +2759,12 @@ def assistant_loop_stats(ds, min_run: int = 2, *,
     def role_only(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t.column(role_col), loop_role))
 
+    import ray.data as rd
+
     return _per_conversation_apply(
         ds.map_batches(role_only, batch_format="pyarrow"),
-        [conv_col, idx_col, text_col], conv_col, idx_col, kernel)
+        [conv_col, idx_col, text_col], conv_col, idx_col, kernel).union(
+        rd.from_arrow(out_schema.empty_table()))  # schema anchor
 
 
 _FILTER_REASONS = ("too_few_turns", "no_user_start", "no_assistant_end",
@@ -2783,6 +2792,12 @@ def conversation_filter_report(ds, *, min_turns: int = 2,
         ("keep", pa.bool_()), ("reason", pa.string()),
     ])
 
+    def _fails(col, fill):
+        # a null flag (e.g. starts_with_user when the first role is null)
+        # must NOT fire the rule — SQL `WHEN NOT flag` is not-true on NULL
+        # (and inverting None through an object array raises TypeError)
+        return ~np.asarray(pc.fill_null(col, fill), dtype=bool)
+
     def verdict(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "conv_id" not in t.column_names:
             return out_schema.empty_table()
@@ -2791,13 +2806,14 @@ def conversation_filter_report(ds, *, min_turns: int = 2,
         false_ = np.zeros(len(t), dtype=bool)
         fails = [
             n < min_turns,
-            ~t.column("starts_with_user").to_numpy(zero_copy_only=False)
+            _fails(t.column("starts_with_user"), True)
             if require_user_start else false_,
-            ~t.column("ends_with_assistant").to_numpy(zero_copy_only=False)
+            _fails(t.column("ends_with_assistant"), True)
             if require_assistant_end else false_,
-            ~t.column("dense_index").to_numpy(zero_copy_only=False)
+            _fails(t.column("dense_index"), True)
             if require_dense_index else false_,
-            t.column("has_empty_text").to_numpy(zero_copy_only=False)
+            np.asarray(pc.fill_null(t.column("has_empty_text"), False),
+                       dtype=bool)
             if not allow_empty_text else false_,
         ]
         reason = np.select(fails, _FILTER_REASONS, default="ok")
@@ -2809,7 +2825,10 @@ def conversation_filter_report(ds, *, min_turns: int = 2,
             "reason": pa.array(reason.astype(object), pa.string()),
         })
 
-    return report.map_batches(verdict, batch_format="pyarrow")
+    import ray.data as rd
+
+    return report.map_batches(verdict, batch_format="pyarrow").union(
+        rd.from_arrow(out_schema.empty_table()))
 
 
 def filter_conversations(ds, *, rows_per_shard: int = 4_000_000, **rules):
@@ -2860,8 +2879,14 @@ def echo_stats(ds, *, conv_col: str = "conv_id",
     Scale shape: the shared :func:`_per_conversation_apply` scaffold —
     four-column projection, ONE range sort, a vectorized shift-compare
     kernel per block, boundary conversations repaired per group."""
+    from ..util import dataset_arrow_schema
+
+    in_schema = dataset_arrow_schema(ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
     out_schema = pa.schema([
-        (conv_col, pa.string()), ("n_echoes", pa.int64()),
+        (conv_col, conv_type), ("n_echoes", pa.int64()),
         ("n_pairs", pa.int64()),
     ])
 
@@ -2892,9 +2917,12 @@ def echo_stats(ds, *, conv_col: str = "conv_id",
             "n_pairs": pa.array(n_pairs[keepc]),
         })
 
+    import ray.data as rd
+
     return _per_conversation_apply(
         ds, [conv_col, idx_col, role_col, text_col], conv_col, idx_col,
-        kernel)
+        kernel).union(
+        rd.from_arrow(out_schema.empty_table()))  # schema anchor
 
 
 def clip_turn_texts(ds, max_tokens: int, *, text_col: str = "text"):
@@ -2922,11 +2950,14 @@ def clip_turn_texts(ds, max_tokens: int, *, text_col: str = "text"):
         if not pc.any(over).as_py():
             return t.append_column(
                 "clipped", pa.array(np.zeros(len(t), dtype=bool)))
-        # rebuild only the over-budget rows: trim → split on \s+ (no empty
-        # tokens possible after the trim) → first max_tokens → join
+        # rebuild only the over-budget rows: trim EXACTLY the RE2 \s set
+        # (utf8_trim_whitespace would also strip Unicode whitespace like
+        # NBSP that \S+ tokenization keeps, diverging from the
+        # regexp_extract_all oracle) → split on \s+ (no empty tokens
+        # possible after the trim) → first max_tokens → join
         sub = text.filter(over)
         toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(sub), pattern=r"\s+")
+            pc.utf8_trim(sub, " \t\n\x0b\f\r"), pattern=r"\s+")
         short = pc.binary_join(
             pc.list_slice(toks, 0, max_tokens), pa.scalar(" "))
         new_text = np.asarray(text, dtype=object)
@@ -2958,9 +2989,15 @@ def role_balance_stats(ds, *, conv_col: str = "conv_id",
     ``groupby(conv).sum`` fold; the text never shuffles."""
     from ray.data.aggregate import Sum
 
+    from ..util import dataset_arrow_schema
+
+    in_schema = dataset_arrow_schema(ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
     part_cols = [conv_col] + _ROLE_BALANCE_COLS
     empty = pa.table(
-        {conv_col: pa.array([], pa.string()),
+        {conv_col: pa.array([], conv_type),
          **{c: pa.array([], pa.int64()) for c in _ROLE_BALANCE_COLS}})
 
     def partials(t: pa.Table) -> pa.Table:
@@ -3000,7 +3037,10 @@ def role_balance_stats(ds, *, conv_col: str = "conv_id",
              **{c: pc.cast(t.column(f"sum({c})"), pa.int64())
                 for c in _ROLE_BALANCE_COLS}})
 
-    return folded.map_batches(finalize, batch_format="pyarrow")
+    import ray.data as rd
+
+    return folded.map_batches(finalize, batch_format="pyarrow").union(
+        rd.from_arrow(empty))  # schema anchor
 
 
 def tool_transition_counts(ds, *, conv_col: str = "conv_id",
@@ -3118,13 +3158,12 @@ def split_by_fork_group(ds, prefix_turns: int,
 
     from ..util import dataset_arrow_schema
     from .dedup import _sharded_refs
-    from .relational import md5_bucket
+    from .relational import split_assign
 
-    names = [s[0] for s in splits]
-    bounds = np.cumsum([int(s[1]) for s in splits])
-    if bounds[-1] > 100:
+    # validate eagerly (split_assign would also raise, but only at
+    # execution time inside a task)
+    if sum(int(s[1]) for s in splits) > 100:
         raise ValueError("split weights must sum to <= 100")
-    bounds = bounds[:-1]
 
     in_schema = dataset_arrow_schema(ds)
     conv_type = (in_schema.field(conv_col).type
@@ -3153,19 +3192,18 @@ def split_by_fork_group(ds, prefix_turns: int,
     convs = (ds.map_batches(conv_partials, batch_format="pyarrow")
              .groupby(conv_col).aggregate(Count()))
 
-    out_schema = pa.schema([
+    grouped_schema = pa.schema([
         (conv_col, conv_type), ("group_id", conv_type),
-        ("split", pa.string()),
     ])
 
-    class _AssignSplit:
+    class _StampGroup:
         def __init__(self, refs):
             self.refs = refs
             self._tbls = None
 
         def __call__(self, t: pa.Table) -> pa.Table:
             if "count()" not in t.column_names or len(t) == 0:
-                return out_schema.empty_table()
+                return grouped_schema.empty_table()
             if self._tbls is None:
                 self._tbls = [r if isinstance(r, pa.Table) else ray.get(r)
                               for r in self.refs]
@@ -3182,14 +3220,17 @@ def split_by_fork_group(ds, prefix_turns: int,
                 idxs = np.asarray(pos.filter(hit), dtype=np.int64)
                 group[idxs] = np.asarray(
                     w.column("fork_group").filter(hit), dtype=object)
-            ga = pa.array(group, conv_type)
-            b = md5_bucket(ga) % 100
-            si = np.searchsorted(bounds, b, side="right")
             return pa.table({
                 conv_col: conv,
-                "group_id": ga,
-                "split": pa.array(np.array(names, dtype=object)[si],
-                                  pa.string()),
+                "group_id": pa.array(group, conv_type),
             })
 
-    return convs.map_batches(_AssignSplit(refs), batch_format="pyarrow")
+    import ray.data as rd
+
+    # the actual split decision is relational.split_assign on the GROUP id
+    # — one source of truth for the md5-percentile rule, so 'same key →
+    # same split' holds across both APIs by construction
+    grouped = convs.map_batches(
+        _StampGroup(refs), batch_format="pyarrow").union(
+        rd.from_arrow(grouped_schema.empty_table()))  # schema anchor
+    return split_assign(grouped, "group_id", splits)

@@ -1618,3 +1618,100 @@ class TestSplitByForkGroup:
         with pytest.raises(ValueError):
             tp.split_by_fork_group(rd.from_arrow(t), 1,
                                    splits=(("a", 80), ("b", 30)))
+
+
+class TestReviewFixRegressions:
+    """Session self-review findings: null-role verdicts, int conv-id empty
+    fallbacks, Unicode-trim clip divergence, empty-result schema anchors."""
+
+    def test_filter_report_null_first_role_no_crash(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        # null first/last role: SQL `WHEN NOT flag` is not-true on NULL,
+        # so neither user-start nor assistant-end fires (and no TypeError)
+        t = pa.table({
+            "conv_id": pa.array(["n", "n"], pa.string()),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": pa.array([None, None], pa.string()),
+            "text": pa.array(["q", "a"], pa.string()),
+        })
+        rep = tp.conversation_filter_report(
+            rd.from_arrow(t), require_assistant_end=True).to_pandas()
+        assert rep["reason"].tolist() == ["ok"]
+
+    def test_loop_echo_int_conv_ids_multiblock(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        # int64 conv ids + small blocks: empty-kernel fallbacks must carry
+        # the input dtype or the finals/merged union fails to unify
+        rows = [(i // 4, i % 4, "assistant" if i % 2 else "user", "s")
+                for i in range(16)]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.int64()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        })
+        ds = rd.from_arrow(t).repartition(5)
+        loops = tp.assistant_loop_stats(ds, 2).to_pandas()
+        assert sorted(loops["conv_id"]) == [0, 1, 2, 3]
+        assert (loops["max_run"] == 2).all()
+        echo = tp.echo_stats(ds).to_pandas()
+        assert sorted(echo["conv_id"]) == [0, 1, 2, 3]
+        assert (echo["n_echoes"] == 2).all()
+        rb = tp.role_balance_stats(ds).to_pandas()
+        assert sorted(rb["conv_id"]) == [0, 1, 2, 3]
+
+    def test_clip_preserves_non_ascii_whitespace_tokens(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        # NBSP is \S for RE2: it must survive as part of the first token
+        # exactly like regexp_extract_all in the oracle
+        txt = " x1 x2 x3 x4"
+        t = pa.table({"conv_id": pa.array(["u"], pa.string()),
+                      "turn_idx": pa.array([0], pa.int32()),
+                      "text": pa.array([txt], pa.string())})
+        out = tp.clip_turn_texts(rd.from_arrow(t), 3).to_pandas()
+        assert out["text"][0] == " x1 x2 x3"
+
+    def test_empty_results_keep_schema(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array(["only"], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"], pa.string()),
+            "text": pa.array(["x"], pa.string()),
+        })
+        ds = rd.from_arrow(t)
+        assert tp.assistant_loop_stats(ds, 2).schema().names == [
+            "conv_id", "max_run", "n_loops", "n_role_turns"]
+        assert tp.echo_stats(ds).schema().names == [
+            "conv_id", "n_echoes", "n_pairs"]
+
+    def test_split_matches_split_assign_exactly(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.relational import split_assign
+
+        # custom weights flow through to the shared rule
+        convs = [f"c{i}" for i in range(40)]
+        t = pa.table({
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": pa.array([0] * 40, pa.int32()),
+            "role": pa.array(["user"] * 40, pa.string()),
+            "text": pa.array(convs, pa.string()),
+        })
+        got = tp.split_by_fork_group(
+            rd.from_arrow(t), 1, splits=(("a", 50), ("b", 50))) \
+            .to_pandas().sort_values("conv_id", ignore_index=True)
+        ref = split_assign(
+            rd.from_arrow(pa.table({"k": pa.array(convs)})), "k",
+            splits=(("a", 50), ("b", 50))).to_pandas() \
+            .sort_values("k", ignore_index=True)
+        assert got["split"].tolist() == ref["split"].tolist()
