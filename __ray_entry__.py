@@ -33,6 +33,55 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _corrupt_transcripts(t: pa.Table) -> pa.Table:
+    """Deterministic validate-style corruption shared (ONE definition) by
+    the validate / filter / curate transcript queries and mirrored in
+    their SQL oracles: drop turn 0 where doc_id%5=0, drop turn 2 where
+    doc_id%11=0, blank turn 1's text where doc_id%7=0."""
+    doc = pc.cast(
+        pc.utf8_slice_codeunits(t.column("conv_id"), 5), pa.int64()
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+    keep = ~(((doc % 5 == 0) & (idx == 0)) | ((doc % 11 == 0) & (idx == 2)))
+    t = t.filter(pa.array(keep))
+    blank = (doc[keep] % 7 == 0) & (idx[keep] == 1)
+    if blank.any():
+        text = t.column("text").to_numpy(zero_copy_only=False).astype(object)
+        text[blank] = ""
+        t = t.set_column(
+            t.schema.get_field_index("text"), "text", pa.array(text, pa.string())
+        )
+    return t
+
+
+def _inject_forks(t: pa.Table) -> pa.Table:
+    """Forked-replica injection shared (ONE definition) by the fork-group
+    / preference-pair / fork-split transcript queries and mirrored in
+    their SQL oracles: every doc_id % 5 == 0 conversation gets a copy at
+    conv id +2*10^7 whose turns from idx 2 on carry ' fork-tail' —
+    identical prefix, diverging tail."""
+    doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
+                  pa.int64()).to_numpy(zero_copy_only=False)
+    m = doc % 5 == 0
+    if not m.any():
+        return t
+    sub = t.filter(pa.array(m))
+    sdoc = doc[m]
+    idx = np.asarray(sub.column("turn_idx"), dtype=np.int64)
+    text = sub.column("text").to_numpy(zero_copy_only=False).astype(object)
+    text = np.where(idx >= 2, text + " fork-tail", text)
+    conv = np.array([f"conv-{d + 20000000:08d}" for d in sdoc], dtype=object)
+    rep = pa.table({
+        "conv_id": pa.array(conv, pa.string()),
+        "turn_idx": sub.column("turn_idx"),
+        "role": sub.column("role"),
+        "text": pa.array(text, pa.string()),
+        "tool": sub.column("tool"),
+        "ts": sub.column("ts"),
+    })
+    return pa.concat_tables([t, rep])
+
+
 def _metric(analyzer, name: str, sf_dir: str, table: str, columns) -> pa.Table:
     """Run one analyzer distributed and return {name: round(value, 6)}."""
     from hooqu_ray.runner import do_analysis_run
@@ -1585,24 +1634,8 @@ def _validate_conversations_q(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def corrupt(t: pa.Table) -> pa.Table:
-        doc = pc.cast(
-            pc.utf8_slice_codeunits(t.column("conv_id"), 5), pa.int64()
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
-        keep = ~(((doc % 5 == 0) & (idx == 0)) | ((doc % 11 == 0) & (idx == 2)))
-        t = t.filter(pa.array(keep))
-        blank = (doc[keep] % 7 == 0) & (idx[keep] == 1)
-        if blank.any():
-            text = t.column("text").to_numpy(zero_copy_only=False).astype(object)
-            text[blank] = ""
-            t = t.set_column(
-                t.schema.get_field_index("text"), "text", pa.array(text, pa.string())
-            )
-        return t
-
     tr = tp.transcripts_from_documents(docs).map_batches(
-        corrupt, batch_format="pyarrow")
+        _corrupt_transcripts, batch_format="pyarrow")
     return tp.validate_conversations(tr)
 
 
@@ -1618,24 +1651,8 @@ def _filter_conversations_q(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def corrupt(t: pa.Table) -> pa.Table:
-        doc = pc.cast(
-            pc.utf8_slice_codeunits(t.column("conv_id"), 5), pa.int64()
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
-        keep = ~(((doc % 5 == 0) & (idx == 0)) | ((doc % 11 == 0) & (idx == 2)))
-        t = t.filter(pa.array(keep))
-        blank = (doc[keep] % 7 == 0) & (idx[keep] == 1)
-        if blank.any():
-            text = t.column("text").to_numpy(zero_copy_only=False).astype(object)
-            text[blank] = ""
-            t = t.set_column(
-                t.schema.get_field_index("text"), "text", pa.array(text, pa.string())
-            )
-        return t
-
     tr = tp.transcripts_from_documents(docs).map_batches(
-        corrupt, batch_format="pyarrow")
+        _corrupt_transcripts, batch_format="pyarrow")
     return tp.conversation_filter_report(tr)
 
 
@@ -1948,32 +1965,8 @@ def _fork_groups(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def add_forks(t: pa.Table) -> pa.Table:
-        doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
-                      pa.int64()).to_numpy(zero_copy_only=False)
-        m = doc % 5 == 0
-        if not m.any():
-            return t
-        sub = t.filter(pa.array(m))
-        sdoc = doc[m]
-        idx = np.asarray(sub.column("turn_idx"), dtype=np.int64)
-        text = sub.column("text").to_numpy(zero_copy_only=False).astype(
-            object)
-        text = np.where(idx >= 2, text + " fork-tail", text)
-        conv = np.array([f"conv-{d + 20000000:08d}" for d in sdoc],
-                        dtype=object)
-        rep = pa.table({
-            "conv_id": pa.array(conv, pa.string()),
-            "turn_idx": sub.column("turn_idx"),
-            "role": sub.column("role"),
-            "text": pa.array(text, pa.string()),
-            "tool": sub.column("tool"),
-            "ts": sub.column("ts"),
-        })
-        return pa.concat_tables([t, rep])
-
     tr = tp.transcripts_from_documents(docs).map_batches(
-        add_forks, batch_format="pyarrow")
+        _inject_forks, batch_format="pyarrow")
     out = tp.conversation_fork_groups(tr, 2)
     df = out.to_pandas()
     return df.sort_values("conv_id", ignore_index=True)
@@ -1989,32 +1982,8 @@ def _preference_pairs(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def add_forks(t: pa.Table) -> pa.Table:
-        doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
-                      pa.int64()).to_numpy(zero_copy_only=False)
-        m = doc % 5 == 0
-        if not m.any():
-            return t
-        sub = t.filter(pa.array(m))
-        sdoc = doc[m]
-        idx = np.asarray(sub.column("turn_idx"), dtype=np.int64)
-        text = sub.column("text").to_numpy(zero_copy_only=False).astype(
-            object)
-        text = np.where(idx >= 2, text + " fork-tail", text)
-        conv = np.array([f"conv-{d + 20000000:08d}" for d in sdoc],
-                        dtype=object)
-        rep = pa.table({
-            "conv_id": pa.array(conv, pa.string()),
-            "turn_idx": sub.column("turn_idx"),
-            "role": sub.column("role"),
-            "text": pa.array(text, pa.string()),
-            "tool": sub.column("tool"),
-            "ts": sub.column("ts"),
-        })
-        return pa.concat_tables([t, rep])
-
     tr = tp.transcripts_from_documents(docs).map_batches(
-        add_forks, batch_format="pyarrow")
+        _inject_forks, batch_format="pyarrow")
     out = tp.preference_pairs(tr, 2)
     df = out.to_pandas()
     return df.sort_values("rejected_conv", ignore_index=True)
@@ -2089,32 +2058,8 @@ def _split_by_fork(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def add_forks(t: pa.Table) -> pa.Table:
-        doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
-                      pa.int64()).to_numpy(zero_copy_only=False)
-        m = doc % 5 == 0
-        if not m.any():
-            return t
-        sub = t.filter(pa.array(m))
-        sdoc = doc[m]
-        idx = np.asarray(sub.column("turn_idx"), dtype=np.int64)
-        text = sub.column("text").to_numpy(zero_copy_only=False).astype(
-            object)
-        text = np.where(idx >= 2, text + " fork-tail", text)
-        conv = np.array([f"conv-{d + 20000000:08d}" for d in sdoc],
-                        dtype=object)
-        rep = pa.table({
-            "conv_id": pa.array(conv, pa.string()),
-            "turn_idx": sub.column("turn_idx"),
-            "role": sub.column("role"),
-            "text": pa.array(text, pa.string()),
-            "tool": sub.column("tool"),
-            "ts": sub.column("ts"),
-        })
-        return pa.concat_tables([t, rep])
-
     tr = tp.transcripts_from_documents(docs).map_batches(
-        add_forks, batch_format="pyarrow")
+        _inject_forks, batch_format="pyarrow")
     return tp.split_by_fork_group(tr, 2).to_pandas() \
         .sort_values("conv_id", ignore_index=True)
 
@@ -2131,22 +2076,6 @@ def _curate_pipeline(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def corrupt(t: pa.Table) -> pa.Table:
-        doc = pc.cast(
-            pc.utf8_slice_codeunits(t.column("conv_id"), 5), pa.int64()
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
-        keep = ~(((doc % 5 == 0) & (idx == 0)) | ((doc % 11 == 0) & (idx == 2)))
-        t = t.filter(pa.array(keep))
-        blank = (doc[keep] % 7 == 0) & (idx[keep] == 1)
-        if blank.any():
-            text = t.column("text").to_numpy(zero_copy_only=False).astype(object)
-            text[blank] = ""
-            t = t.set_column(
-                t.schema.get_field_index("text"), "text", pa.array(text, pa.string())
-            )
-        return t
-
     def add_dups(t: pa.Table) -> pa.Table:
         doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
                       pa.int64()).to_numpy(zero_copy_only=False)
@@ -2161,7 +2090,7 @@ def _curate_pipeline(sf_dir: str):
         return pa.concat_tables([t, rep])
 
     tr = tp.transcripts_from_documents(docs) \
-        .map_batches(corrupt, batch_format="pyarrow") \
+        .map_batches(_corrupt_transcripts, batch_format="pyarrow") \
         .map_batches(add_dups, batch_format="pyarrow")
     out = tp.curate_conversations(tr, clip_tokens=8)
 
