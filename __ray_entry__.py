@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["tool_transitions_transcripts"] = _tool_transitions
     out["curate_pipeline_transcripts"] = _curate_pipeline
     out["split_by_fork_transcripts"] = _split_by_fork
+    out["reindex_turns_transcripts"] = _reindex_turns
     out["role_balance_transcripts"] = _role_balance
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
@@ -2050,6 +2051,29 @@ def _echo_stats(sf_dir: str):
     return df.sort_values("conv_id", ignore_index=True)
 
 
+def _reindex_turns(sf_dir: str):
+    """Dense re-indexing after the shared corruption drops turns: new
+    turn_idx = 0-based rank of the surviving original index."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        _corrupt_transcripts, batch_format="pyarrow")
+    out = tp.reindex_turns(tr)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+            "orig_turn_idx": pc.cast(t.column("orig_turn_idx"), pa.int64()),
+            "role": t.column("role"),
+            "text": t.column("text"),
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow").to_pandas() \
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+
+
 def _split_by_fork(sf_dir: str):
     """Fork-aware leakage-safe split: same forked-replica injection as
     ``_fork_groups`` so fork groups exist; members must co-split under
@@ -2845,6 +2869,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc JOIN win ON sc.fg = win.fg "
             "WHERE sc.conv_id <> win.chosen_conv "
             "ORDER BY rejected_conv"
+        ),
+        "reindex_turns_transcripts": (
+            # same corruption; new index = ROW_NUMBER over surviving turns
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT doc_id, printf('conv-%08d', doc_id) AS conv_id, "
+            "CAST(i AS BIGINT) AS turn_idx, "
+            "CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "corr AS (SELECT conv_id, turn_idx, role, "
+            "CASE WHEN doc_id % 7 = 0 AND turn_idx = 1 THEN '' ELSE text END "
+            "AS text FROM turn WHERE NOT ((doc_id % 5 = 0 AND turn_idx = 0) "
+            "OR (doc_id % 11 = 0 AND turn_idx = 2))) "
+            "SELECT conv_id, ROW_NUMBER() OVER (PARTITION BY conv_id "
+            "ORDER BY turn_idx) - 1 AS turn_idx, "
+            "turn_idx AS orig_turn_idx, role, text FROM corr "
+            "ORDER BY conv_id, turn_idx"
         ),
         "split_by_fork_transcripts": (
             # fork groups via 2-turn-prefix signatures (same injection as

@@ -3234,3 +3234,43 @@ def split_by_fork_group(ds, prefix_turns: int,
         _StampGroup(refs), batch_format="pyarrow").union(
         rd.from_arrow(grouped_schema.empty_table()))  # schema anchor
     return split_assign(grouped, "group_id", splits)
+
+
+def reindex_turns(ds, *, conv_col: str = "conv_id",
+                  idx_col: str = "turn_idx"):
+    """Re-densify turn indices after turn-level filtering: within each
+    conversation, replace ``turn_idx`` with its 0-based rank in the
+    original turn order (ties impossible — (conv, idx) is the table key),
+    so downstream consumers that require a dense 0..n-1 index (packing,
+    SFT extraction, :func:`validate_conversations`) accept filtered
+    output.  All other columns pass through unchanged; the original index
+    is preserved in ``orig_turn_idx``.
+
+    Scale shape: the shared :func:`_per_conversation_apply` one-sort
+    scaffold; the kernel is a pure vectorized arange per conversation
+    segment."""
+    from ..util import dataset_arrow_schema
+
+    in_schema = dataset_arrow_schema(ds)
+    proj_cols = (list(in_schema.names) if in_schema is not None
+                 else [conv_col, idx_col])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = len(t)
+        idx_type = t.schema.field(idx_col).type
+        if n == 0:
+            return t.append_column("orig_turn_idx",
+                                   pa.array([], idx_type))
+        keys = t.column(conv_col).to_numpy(zero_copy_only=False)
+        new_conv = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(new_conv)
+        # rank within conversation = position - segment start
+        rank = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, n]))
+        orig = t.column(idx_col)
+        t = t.set_column(t.column_names.index(idx_col), idx_col,
+                         pc.cast(pa.array(rank), idx_type))
+        return t.append_column("orig_turn_idx", orig)
+
+    return _per_conversation_apply(
+        ds, proj_cols, conv_col, idx_col, kernel)

@@ -1715,3 +1715,41 @@ class TestReviewFixRegressions:
             splits=(("a", 50), ("b", 50))).to_pandas() \
             .sort_values("k", ignore_index=True)
         assert got["split"].tolist() == ref["split"].tolist()
+
+
+class TestReindexTurns:
+    def test_dense_rank_and_passthrough(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+            "turn_idx": pa.array([2, 5, 9, 1, 7], pa.int32()),
+            "role": pa.array(["user", "assistant", "user", "user",
+                              "assistant"], pa.string()),
+            "text": pa.array(["q", "a", "q2", "x", "y"], pa.string()),
+        })
+        out = tp.reindex_turns(rd.from_arrow(t).repartition(3)) \
+            .to_pandas().sort_values(["conv_id", "turn_idx"],
+                                     ignore_index=True)
+        assert out["turn_idx"].tolist() == [0, 1, 2, 0, 1]
+        assert out["orig_turn_idx"].tolist() == [2, 5, 9, 1, 7]
+        assert out["text"].tolist() == ["q", "a", "q2", "x", "y"]
+        # dtype preserved
+        assert out["turn_idx"].dtype.name == "int32"
+
+    def test_validates_dense_after_reindex(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        # sparse-index conversation becomes valid dense after reindexing
+        t = pa.table({
+            "conv_id": pa.array(["g", "g"], pa.string()),
+            "turn_idx": pa.array([3, 8], pa.int32()),
+            "role": pa.array(["user", "assistant"], pa.string()),
+            "text": pa.array(["q", "a"], pa.string()),
+        })
+        re_ds = tp.reindex_turns(rd.from_arrow(t))
+        rep = tp.validate_conversations(re_ds).to_pandas()
+        assert rep["dense_index"].tolist() == [True]
+        assert rep["valid"].tolist() == [True]
