@@ -2787,6 +2787,9 @@ def conversation_filter_report(ds, *, min_turns: int = 2,
     range sort + vectorized segment pass); the verdict is a per-batch
     ``np.select`` over the slim per-conversation report."""
     report = validate_conversations(ds)
+    # validate_conversations canonicalizes conv ids to STRING for any
+    # input type (its partial-segment schema is string-typed), so the
+    # string anchor below matches the verdict blocks exactly
     out_schema = pa.schema([
         ("conv_id", pa.string()), ("n_turns", pa.int64()),
         ("keep", pa.bool_()), ("reason", pa.string()),
@@ -2841,15 +2844,26 @@ def filter_conversations(ds, *, rows_per_shard: int = 4_000_000, **rules):
     collected in hash-range shards (``sharded_value_refs``) and applied as
     chained per-batch anti-join filters — the turn table itself never
     shuffles."""
-    from ..util import BroadcastIsInFilter, sharded_value_refs
+    from ..util import (BroadcastIsInFilter, dataset_arrow_schema,
+                        sharded_value_refs)
+
+    in_schema = dataset_arrow_schema(ds)
+    conv_type = (in_schema.field("conv_id").type
+                 if in_schema is not None and "conv_id" in in_schema.names
+                 else pa.string())
 
     rep = conversation_filter_report(ds, **rules)
-    dropped = rep.map_batches(
-        lambda t: (t.filter(pc.invert(t.column("keep")))
-                   .select(["conv_id"])
-                   if "keep" in t.column_names
-                   else pa.table({"conv_id": pa.array([], pa.string())})),
-        batch_format="pyarrow")
+
+    def dropped_ids(t: pa.Table) -> pa.Table:
+        if "keep" not in t.column_names:
+            return pa.table({"conv_id": pa.array([], conv_type)})
+        ids = t.filter(pc.invert(t.column("keep"))).column("conv_id")
+        # the report canonicalizes conv ids to string; cast back so the
+        # anti-join probes the turn table's ACTUAL key dtype (a string
+        # set probed against int64 keys would match nothing)
+        return pa.table({"conv_id": pc.cast(ids, conv_type)})
+
+    dropped = rep.map_batches(dropped_ids, batch_format="pyarrow")
     refs = sharded_value_refs(dropped, "conv_id", rows_per_shard)
     out = ds
     if not refs:
@@ -2951,13 +2965,13 @@ def clip_turn_texts(ds, max_tokens: int, *, text_col: str = "text"):
             return t.append_column(
                 "clipped", pa.array(np.zeros(len(t), dtype=bool)))
         # rebuild only the over-budget rows: trim EXACTLY the RE2 \s set
-        # (utf8_trim_whitespace would also strip Unicode whitespace like
-        # NBSP that \S+ tokenization keeps, diverging from the
-        # regexp_extract_all oracle) → split on \s+ (no empty tokens
-        # possible after the trim) → first max_tokens → join
+        # — {space, \t, \n, \f, \r}; NOT \x0b and NOT Unicode whitespace
+        # like NBSP, both of which \S+ tokenization keeps (so the trim
+        # stays byte-equal to the regexp_extract_all oracle) → split on
+        # \s+ (no empty tokens possible after the trim) → slice → join
         sub = text.filter(over)
         toks = pc.split_pattern_regex(
-            pc.utf8_trim(sub, " \t\n\x0b\f\r"), pattern=r"\s+")
+            pc.utf8_trim(sub, " \t\n\f\r"), pattern=r"\s+")
         short = pc.binary_join(
             pc.list_slice(toks, 0, max_tokens), pa.scalar(" "))
         new_text = np.asarray(text, dtype=object)
@@ -3160,8 +3174,8 @@ def split_by_fork_group(ds, prefix_turns: int,
     from .dedup import _sharded_refs
     from .relational import split_assign
 
-    # validate eagerly (split_assign would also raise, but only at
-    # execution time inside a task)
+    # split_assign validates the same way, but only after the expensive
+    # fork-group fingerprint pass below has already run — fail first
     if sum(int(s[1]) for s in splits) > 100:
         raise ValueError("split weights must sum to <= 100")
 
@@ -3254,6 +3268,11 @@ def reindex_turns(ds, *, conv_col: str = "conv_id",
     in_schema = dataset_arrow_schema(ds)
     proj_cols = (list(in_schema.names) if in_schema is not None
                  else [conv_col, idx_col])
+    if "orig_turn_idx" in proj_cols:
+        raise ValueError(
+            "input already has an 'orig_turn_idx' column (double "
+            "re-indexing would shadow the true original index) — drop or "
+            "rename it first")
 
     def kernel(t: pa.Table) -> pa.Table:
         n = len(t)

@@ -1753,3 +1753,63 @@ class TestReindexTurns:
         rep = tp.validate_conversations(re_ds).to_pandas()
         assert rep["dense_index"].tolist() == [True]
         assert rep["valid"].tolist() == [True]
+
+
+class TestSecondReviewRegressions:
+    def test_clip_keeps_vertical_tab(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        # \x0b is \S for RE2 here: it must stay part of the first token
+        txt = "\x0bx1 x2 x3 x4"
+        t = pa.table({"conv_id": pa.array(["v"], pa.string()),
+                      "turn_idx": pa.array([0], pa.int32()),
+                      "text": pa.array([txt], pa.string())})
+        out = tp.clip_turn_texts(rd.from_arrow(t), 3).to_pandas()
+        assert out["text"][0] == "\x0bx1 x2 x3"
+
+    def test_filter_report_int_conv_ids(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array([1, 1, 2], pa.int64()),
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "role": pa.array(["user", "assistant", "user"], pa.string()),
+            "text": pa.array(["q", "a", "solo"], pa.string()),
+        })
+        rep = tp.conversation_filter_report(rd.from_arrow(t)) \
+            .to_pandas().sort_values("conv_id", ignore_index=True)
+        # validate_conversations canonicalizes conv ids to string
+        assert rep["conv_id"].tolist() == ["1", "2"]
+        assert rep["reason"].tolist() == ["ok", "too_few_turns"]
+
+    def test_reindex_rejects_double_application(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array(["a"], pa.string()),
+            "turn_idx": pa.array([4], pa.int32()),
+            "role": pa.array(["user"], pa.string()),
+            "text": pa.array(["x"], pa.string()),
+        })
+        once = tp.reindex_turns(rd.from_arrow(t))
+        with pytest.raises(ValueError):
+            tp.reindex_turns(once)
+
+    def test_filter_conversations_int_conv_ids(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array([1, 1, 2], pa.int64()),
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "role": pa.array(["user", "assistant", "user"], pa.string()),
+            "text": pa.array(["q", "a", "solo"], pa.string()),
+        })
+        kept = tp.filter_conversations(rd.from_arrow(t)).to_pandas()
+        # conv 2 (too few turns) must actually be dropped despite the
+        # report's string-canonical ids
+        assert sorted(kept["conv_id"].tolist()) == [1, 1]
+        assert kept["conv_id"].dtype.name == "int64"
