@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["curate_pipeline_transcripts"] = _curate_pipeline
     out["split_by_fork_transcripts"] = _split_by_fork
     out["reindex_turns_transcripts"] = _reindex_turns
+    out["conversation_diff_transcripts"] = _conversation_diff
     out["role_balance_transcripts"] = _role_balance
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
@@ -2051,6 +2052,47 @@ def _echo_stats(sf_dir: str):
     return df.sort_values("conv_id", ignore_index=True)
 
 
+def _conversation_diff(sf_dir: str):
+    """Cross-snapshot conversation delta.  new vs old, mutated
+    deterministically on BOTH sides: doc_id % 13 == 3 conversations are
+    absent from new (removed), % 13 == 7 get turn 1's text + ' v2'
+    (changed), and % 13 == 5 gain a replica at +4*10^7 in new (added)."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(doc % 13 != 3))
+        doc = doc[doc % 13 != 3]
+        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+        edit = (doc % 13 == 7) & (idx == 1)
+        if edit.any():
+            text = t.column("text").to_numpy(zero_copy_only=False).astype(
+                object)
+            text[edit] = text[edit] + " v2"
+            t = t.set_column(t.column_names.index("text"), "text",
+                             pa.array(text, pa.string()))
+        add = doc % 13 == 5
+        if add.any():
+            sub = t.filter(pa.array(add))
+            conv = np.array([f"conv-{d + 40000000:08d}"
+                             for d in doc[add]], dtype=object)
+            rep = sub.set_column(
+                sub.column_names.index("conv_id"), "conv_id",
+                pa.array(conv, pa.string()))
+            t = pa.concat_tables([t, rep])
+        return t
+
+    base = tp.transcripts_from_documents(docs)
+    old = base
+    new = tp.transcripts_from_documents(docs).map_batches(
+        mutate, batch_format="pyarrow")
+    out = tp.conversation_diff(old, new)
+    return out.to_pandas().sort_values("conv_id", ignore_index=True)
+
+
 def _reindex_turns(sf_dir: str):
     """Dense re-indexing after the shared corruption drops turns: new
     turn_idx = 0-based rank of the surviving original index."""
@@ -2869,6 +2911,35 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc JOIN win ON sc.fg = win.fg "
             "WHERE sc.conv_id <> win.chosen_conv "
             "ORDER BY rejected_conv"
+        ),
+        "conversation_diff_transcripts": (
+            # both snapshots re-derived; FULL OUTER JOIN of the per-conv
+            # (turn_idx, text) sequence signatures, status CASE
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT doc_id, printf('conv-%08d', doc_id) AS conv_id, "
+            "i, array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "olds AS (SELECT conv_id, string_agg(i || ':' || "
+            "COALESCE(text, ''), chr(31) ORDER BY i) AS s FROM turn "
+            "GROUP BY conv_id), "
+            "newt AS (SELECT conv_id, i, "
+            "CASE WHEN doc_id % 13 = 7 AND i = 1 THEN text || ' v2' "
+            "ELSE text END AS text FROM turn WHERE doc_id % 13 != 3 "
+            "UNION ALL SELECT printf('conv-%08d', doc_id + 40000000), i, "
+            "text FROM turn WHERE doc_id % 13 = 5), "
+            "news AS (SELECT conv_id, string_agg(i || ':' || "
+            "COALESCE(text, ''), chr(31) ORDER BY i) AS s FROM newt "
+            "GROUP BY conv_id), "
+            "j AS (SELECT COALESCE(olds.conv_id, news.conv_id) AS conv_id, "
+            "olds.s AS so, news.s AS sn FROM olds FULL OUTER JOIN news "
+            "ON olds.conv_id = news.conv_id) "
+            "SELECT conv_id, CASE WHEN so IS NULL THEN 'added' "
+            "WHEN sn IS NULL THEN 'removed' ELSE 'changed' END AS status "
+            "FROM j WHERE so IS NULL OR sn IS NULL OR so <> sn "
+            "ORDER BY conv_id"
         ),
         "reindex_turns_transcripts": (
             # same corruption; new index = ROW_NUMBER over surviving turns

@@ -3293,3 +3293,52 @@ def reindex_turns(ds, *, conv_col: str = "conv_id",
 
     return _per_conversation_apply(
         ds, proj_cols, conv_col, idx_col, kernel)
+
+
+def conversation_diff(old_ds, new_ds, *, conv_col: str = "conv_id",
+                      idx_col: str = "turn_idx",
+                      text_col: str = "text",
+                      n_buckets: int = 64):
+    """Conversation-granularity delta between two transcript snapshots —
+    the incremental-ingest primitive for agent logs: one row per conv id
+    that differs, status ``'added'`` (only in new), ``'removed'`` (only
+    in old) or ``'changed'`` (present in both with a different
+    order-sensitive (turn_idx, text) sequence).  Unchanged conversations
+    emit nothing, so the output is delta-sized and yesterday's processed
+    corpus never reprocesses.
+
+    Scale shape: each side folds to one slim ``(conv, fingerprint)`` row
+    per conversation (:func:`_conversation_fingerprints` — hash partials,
+    text never shuffles), then :func:`dedup.snapshot_diff` classifies via
+    ONE bucketed exchange.  Equal sequences ⇒ equal fingerprints; a
+    spurious 'unchanged' requires a 63-bit hash collision (the same
+    collision class every dedup op here documents)."""
+    from ..util import dataset_arrow_schema
+    from .dedup import snapshot_diff
+
+    conv_type = pa.string()
+    for side in (old_ds, new_ds):
+        schema = dataset_arrow_schema(side)
+        if schema is not None and conv_col in schema.names:
+            conv_type = schema.field(conv_col).type
+            break
+
+    old_fp = _conversation_fingerprints(
+        old_ds, conv_col, idx_col, text_col, conv_type)
+    new_fp = _conversation_fingerprints(
+        new_ds, conv_col, idx_col, text_col, conv_type)
+    diff = snapshot_diff(old_fp, new_fp, conv_col, ["__fp"],
+                         n_buckets=n_buckets)
+
+    import ray.data as rd
+
+    out_schema = pa.schema([(conv_col, conv_type),
+                            ("status", pa.string())])
+
+    def rename(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names or len(t) == 0:
+            return out_schema.empty_table()
+        return t.rename_columns([conv_col, "status"])
+
+    return diff.map_batches(rename, batch_format="pyarrow").union(
+        rd.from_arrow(out_schema.empty_table()))  # schema anchor

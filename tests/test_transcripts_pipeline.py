@@ -1813,3 +1813,44 @@ class TestSecondReviewRegressions:
         # report's string-canonical ids
         assert sorted(kept["conv_id"].tolist()) == [1, 1]
         assert kept["conv_id"].dtype.name == "int64"
+
+
+class TestConversationDiff:
+    def _tbl(self, rows):
+        import pyarrow as pa
+
+        return pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        })
+
+    def test_added_removed_changed(self, ray_session):
+        import ray.data as rd
+
+        old = self._tbl([("same", 0, "x"), ("same", 1, "y"),
+                         ("gone", 0, "a"), ("edit", 0, "before")])
+        new = self._tbl([("same", 0, "x"), ("same", 1, "y"),
+                         ("edit", 0, "after"), ("brand", 0, "n")])
+        out = tp.conversation_diff(rd.from_arrow(old), rd.from_arrow(new)) \
+            .to_pandas().sort_values("conv_id", ignore_index=True)
+        assert out.values.tolist() == [
+            ["brand", "added"], ["edit", "changed"], ["gone", "removed"]]
+
+    def test_turn_order_is_content(self, ray_session):
+        import ray.data as rd
+
+        # same texts at swapped turn indices = changed (order-sensitive)
+        old = self._tbl([("c", 0, "p"), ("c", 1, "q")])
+        new = self._tbl([("c", 0, "q"), ("c", 1, "p")])
+        out = tp.conversation_diff(rd.from_arrow(old), rd.from_arrow(new)) \
+            .to_pandas()
+        assert out.values.tolist() == [["c", "changed"]]
+
+    def test_identical_snapshots_empty_with_schema(self, ray_session):
+        import ray.data as rd
+
+        t = self._tbl([("c", 0, "p")])
+        out = tp.conversation_diff(rd.from_arrow(t), rd.from_arrow(t))
+        assert out.count() == 0
+        assert out.schema().names == ["conv_id", "status"]
