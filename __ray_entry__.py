@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["split_by_fork_transcripts"] = _split_by_fork
     out["reindex_turns_transcripts"] = _reindex_turns
     out["conversation_diff_transcripts"] = _conversation_diff
+    out["fork_index_probe_transcripts"] = _fork_index_probe
     out["role_balance_transcripts"] = _role_balance
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
@@ -2052,6 +2053,71 @@ def _echo_stats(sf_dir: str):
     return df.sort_values("conv_id", ignore_index=True)
 
 
+def _fork_index_probe(sf_dir: str):
+    """Incremental retry detection: index the base corpus's 2-turn
+    prefixes, probe a NEW shard of (a) forked replicas (doc_id % 5 == 0
+    at +2*10^7 — identical prefix, must match) and (b) fresh tasks
+    (doc_id % 9 == 2 at +5*10^7 with ' fresh' appended to prefix turns —
+    must not match unless that mutated prefix collides with some other
+    original, which the SQL oracle models exactly)."""
+    import shutil
+    import tempfile
+
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def news_only(t: pa.Table) -> pa.Table:
+        doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+        text = t.column("text").to_numpy(zero_copy_only=False).astype(
+            object)
+        parts = []
+        m = doc % 5 == 0
+        if m.any():
+            sub = t.filter(pa.array(m))
+            conv = np.array([f"conv-{d + 20000000:08d}" for d in doc[m]],
+                            dtype=object)
+            stext = np.where(idx[m] >= 2, text[m] + " fork-tail", text[m])
+            parts.append(pa.table({
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": sub.column("turn_idx"),
+                "role": sub.column("role"),
+                "text": pa.array(stext, pa.string()),
+                "tool": sub.column("tool"),
+                "ts": sub.column("ts"),
+            }))
+        f = doc % 9 == 2
+        if f.any():
+            sub = t.filter(pa.array(f))
+            conv = np.array([f"conv-{d + 50000000:08d}" for d in doc[f]],
+                            dtype=object)
+            stext = np.where(idx[f] < 2, text[f] + " fresh", text[f])
+            parts.append(pa.table({
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": sub.column("turn_idx"),
+                "role": sub.column("role"),
+                "text": pa.array(stext, pa.string()),
+                "tool": sub.column("tool"),
+                "ts": sub.column("ts"),
+            }))
+        if not parts:
+            return t.slice(0, 0)
+        return pa.concat_tables(parts)
+
+    base = tp.transcripts_from_documents(docs)
+    new = tp.transcripts_from_documents(docs).map_batches(
+        news_only, batch_format="pyarrow")
+    d = tempfile.mkdtemp(prefix="forkidx_", dir="/tmp")
+    try:
+        tp.fork_index_write(base, 2, d)
+        out = tp.fork_index_probe(new, d, 2).to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out.sort_values("conv_id", ignore_index=True)
+
+
 def _conversation_diff(sf_dir: str):
     """Cross-snapshot conversation delta.  new vs old, mutated
     deterministically on BOTH sides: doc_id % 13 == 3 conversations are
@@ -2911,6 +2977,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc JOIN win ON sc.fg = win.fg "
             "WHERE sc.conv_id <> win.chosen_conv "
             "ORDER BY rejected_conv"
+        ),
+        "fork_index_probe_transcripts": (
+            # index = base prefixes; new shard = replicas (+2e7, prefix
+            # unchanged) + fresh (+5e7, prefix turns || ' fresh'); match
+            # on the 2-turn-prefix signature, witness = min indexed conv
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT doc_id, printf('conv-%08d', doc_id) AS conv_id, "
+            "i, array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "osig AS (SELECT conv_id, string_agg(i || ':' || "
+            "COALESCE(text, ''), chr(31) ORDER BY i) AS s FROM turn "
+            "WHERE i < 2 GROUP BY conv_id), "
+            "wit AS (SELECT s, MIN(conv_id) AS wc FROM osig GROUP BY s), "
+            "newt AS (SELECT printf('conv-%08d', doc_id + 20000000) AS "
+            "conv_id, i, text FROM turn WHERE doc_id % 5 = 0 AND i < 2 "
+            "UNION ALL SELECT printf('conv-%08d', doc_id + 50000000), i, "
+            "text || ' fresh' FROM turn WHERE doc_id % 9 = 2 AND i < 2), "
+            "nsig AS (SELECT conv_id, string_agg(i || ':' || "
+            "COALESCE(text, ''), chr(31) ORDER BY i) AS s FROM newt "
+            "GROUP BY conv_id) "
+            "SELECT nsig.conv_id, wit.wc AS matched_conv FROM nsig "
+            "JOIN wit ON nsig.s = wit.s ORDER BY nsig.conv_id"
         ),
         "conversation_diff_transcripts": (
             # both snapshots re-derived; FULL OUTER JOIN of the per-conv

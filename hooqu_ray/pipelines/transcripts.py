@@ -3342,3 +3342,139 @@ def conversation_diff(old_ds, new_ds, *, conv_col: str = "conv_id",
 
     return diff.map_batches(rename, batch_format="pyarrow").union(
         rd.from_arrow(out_schema.empty_table()))  # schema anchor
+
+
+def fork_index_write(ds, prefix_turns: int, path: str, *,
+                     conv_col: str = "conv_id",
+                     idx_col: str = "turn_idx",
+                     text_col: str = "text"):
+    """Persist a transcript corpus's fork-prefix fingerprint index for
+    later incremental probing (:func:`fork_index_probe`) — the
+    agent-transcript counterpart of ``dedup.minhash_index_write``:
+    ``{path}/prefixes`` holds one slim ``(conv, __fp)`` row per
+    conversation (order-sensitive fingerprint of the first
+    ``prefix_turns`` turns).  A streaming multi-file ``write_parquet``
+    sink; fingerprints are deterministic (seeded polars hash), so any
+    later run with the same ``prefix_turns`` compares exactly."""
+    from ..util import dataset_arrow_schema
+
+    if prefix_turns < 1:
+        raise ValueError(f"prefix_turns must be >= 1, got {prefix_turns}")
+    in_schema = dataset_arrow_schema(ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
+
+    def prefix_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(pc.cast(t.column(idx_col), pa.int64()),
+                                prefix_turns))
+
+    _conversation_fingerprints(
+        ds.map_batches(prefix_only, batch_format="pyarrow"),
+        conv_col, idx_col, text_col, conv_type,
+    ).write_parquet(f"{path}/prefixes")
+    return path
+
+
+def fork_index_probe(new_ds, path: str, prefix_turns: int, *,
+                     conv_col: str = "conv_id",
+                     idx_col: str = "turn_idx",
+                     text_col: str = "text",
+                     rows_per_shard: int = 4_000_000):
+    """Which NEW conversations retry an ALREADY-COLLECTED task?  Probe a
+    new transcript shard against a persisted fork-prefix index
+    (:func:`fork_index_write`): returns one ``(conv, matched_conv)`` row
+    per new conversation whose first-``prefix_turns`` fingerprint exists
+    in the index, ``matched_conv`` the MINIMUM indexed conv id with that
+    prefix (stable witness).  Non-matching conversations are absent — at
+    typical retry rates the output is a small fraction of the shard.
+
+    Scale shape: the new shard folds to slim ``(conv, fp)`` rows; the
+    NEW fp set (usually ≪ index) broadcasts in hash-range shards and the
+    index scans ONCE against it with pruned columns; matches reduce via
+    ``groupby(fp).Min`` and the O(#matched prefixes) witness table
+    broadcasts back for the final stamp — the index is never collected
+    whole."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ..util import (BroadcastIsInFilter, dataset_arrow_schema,
+                        sharded_value_refs)
+    from .dedup import _sharded_refs
+
+    if prefix_turns < 1:
+        raise ValueError(f"prefix_turns must be >= 1, got {prefix_turns}")
+    in_schema = dataset_arrow_schema(new_ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
+
+    def prefix_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(pc.cast(t.column(idx_col), pa.int64()),
+                                prefix_turns))
+
+    new_fp = _conversation_fingerprints(
+        new_ds.map_batches(prefix_only, batch_format="pyarrow"),
+        conv_col, idx_col, text_col, conv_type,
+    ).materialize()  # consumed by the fp value set AND the final stamp
+
+    out_schema = pa.schema([(conv_col, conv_type),
+                            ("matched_conv", pa.string())])
+    fp_refs = sharded_value_refs(new_fp, "__fp", rows_per_shard)
+    if not fp_refs:
+        return rd.from_arrow(out_schema.empty_table())
+
+    index = rd.read_parquet(f"{path}/prefixes")
+    for r in fp_refs:
+        index = index.map_batches(BroadcastIsInFilter(r, "__fp"),
+                                  batch_format="pyarrow")
+    witness = index.groupby("__fp").aggregate(Min(conv_col))
+    wit_empty = pa.table({"__fp": pa.array([], pa.int64()),
+                          "__wit": pa.array([], pa.string())})
+
+    def wit_rows(t: pa.Table) -> pa.Table:
+        if f"min({conv_col})" not in t.column_names:
+            return wit_empty
+        return pa.table({
+            "__fp": t.column("__fp"),
+            "__wit": pc.cast(t.column(f"min({conv_col})"), pa.string()),
+        })
+
+    wit_refs = _sharded_refs(
+        witness.map_batches(wit_rows, batch_format="pyarrow").materialize(),
+        "__fp", rows_per_shard, wit_empty)
+
+    class _StampMatch:
+        def __init__(self, refs):
+            self.refs = refs
+            self._tbls = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._tbls is None:
+                self._tbls = [r if isinstance(r, pa.Table) else ray.get(r)
+                              for r in self.refs]
+            if len(t) == 0:
+                return out_schema.empty_table()
+            fp = t.column("__fp")
+            out = []
+            for w in self._tbls:
+                if len(w) == 0:
+                    continue
+                pos = pc.index_in(fp, value_set=w.column("__fp"))
+                hit = pc.is_valid(pos)
+                if not pc.any(hit).as_py():
+                    continue
+                sub = t.filter(hit)
+                out.append(pa.table({
+                    conv_col: sub.column(conv_col),
+                    "matched_conv": w.column("__wit").take(
+                        pos.filter(hit)),
+                }))
+            if not out:
+                return out_schema.empty_table()
+            return pa.concat_tables(out)
+
+    return new_fp.map_batches(_StampMatch(wit_refs),
+                              batch_format="pyarrow").union(
+        rd.from_arrow(out_schema.empty_table()))  # schema anchor

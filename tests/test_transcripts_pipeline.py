@@ -1854,3 +1854,60 @@ class TestConversationDiff:
         out = tp.conversation_diff(rd.from_arrow(t), rd.from_arrow(t))
         assert out.count() == 0
         assert out.schema().names == ["conv_id", "status"]
+
+
+class TestForkIndex:
+    def _tbl(self, rows):
+        import pyarrow as pa
+
+        return pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        })
+
+    def test_write_probe_roundtrip(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        old = self._tbl([("t1", 0, "task one"), ("t1", 1, "ack"),
+                         ("t1b", 0, "task one"), ("t1b", 1, "ack"),
+                         ("t2", 0, "task two"), ("t2", 1, "ack")])
+        new = self._tbl([("r1", 0, "task one"), ("r1", 1, "ack"),
+                         ("r1", 2, "retry tail"),
+                         ("fresh", 0, "task three"), ("fresh", 1, "ack")])
+        d = str(tmp_path / "idx")
+        tp.fork_index_write(rd.from_arrow(old), 2, d)
+        out = tp.fork_index_probe(rd.from_arrow(new), d, 2) \
+            .to_pandas().sort_values("conv_id", ignore_index=True)
+        # r1's identical 2-turn prefix matches; witness is the MIN of the
+        # two same-prefix indexed convs; fresh has no indexed prefix
+        assert out.values.tolist() == [["r1", "t1"]]
+
+    def test_short_conversation_prefix_semantics(self, ray_session,
+                                                 tmp_path):
+        import ray.data as rd
+
+        # a 1-turn conv keys on its full shorter sequence: it must NOT
+        # match a 2-turn indexed conv sharing turn 0
+        old = self._tbl([("long", 0, "same start"), ("long", 1, "more")])
+        new = self._tbl([("short", 0, "same start")])
+        d = str(tmp_path / "idx")
+        tp.fork_index_write(rd.from_arrow(old), 2, d)
+        out = tp.fork_index_probe(rd.from_arrow(new), d, 2).to_pandas()
+        assert len(out) == 0
+
+    def test_empty_new_shard_keeps_schema(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        old = self._tbl([("a", 0, "x")])
+        d = str(tmp_path / "idx")
+        tp.fork_index_write(rd.from_arrow(old), 1, d)
+        empty = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "text": pa.array([], pa.string()),
+        })
+        out = tp.fork_index_probe(rd.from_arrow(empty), d, 1)
+        assert out.count() == 0
+        assert out.schema().names == ["conv_id", "matched_conv"]
