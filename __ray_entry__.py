@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["reindex_turns_transcripts"] = _reindex_turns
     out["conversation_diff_transcripts"] = _conversation_diff
     out["fork_index_probe_transcripts"] = _fork_index_probe
+    out["sample_conversations_transcripts"] = _sample_conversations
     out["role_balance_transcripts"] = _role_balance
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
@@ -2053,6 +2054,23 @@ def _echo_stats(sf_dir: str):
     return df.sort_values("conv_id", ignore_index=True)
 
 
+def _sample_conversations(sf_dir: str):
+    """Reproducible 120-conversation subset by (md5 bucket, conv) rank."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tp.sample_conversations(tp.transcripts_from_documents(docs), 120)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow").to_pandas() \
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+
+
 def _fork_index_probe(sf_dir: str):
     """Incremental retry detection: index the base corpus's 2-turn
     prefixes, probe a NEW shard of (a) forked replicas (doc_id % 5 == 0
@@ -2977,6 +2995,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc JOIN win ON sc.fg = win.fg "
             "WHERE sc.conv_id <> win.chosen_conv "
             "ORDER BY rejected_conv"
+        ),
+        "sample_conversations_transcripts": (
+            # 120 smallest (md5-bucket, conv) ranked conversations
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, "
+            "CAST(i AS BIGINT) AS turn_idx FROM t), "
+            "sel AS (SELECT conv_id FROM (SELECT conv_id, ROW_NUMBER() "
+            "OVER (ORDER BY CAST(concat('0x', substr(md5(conv_id), 1, 8)) "
+            "AS BIGINT), conv_id) AS rn FROM "
+            "(SELECT DISTINCT conv_id FROM turn)) WHERE rn <= 120) "
+            "SELECT turn.conv_id AS conv_id, turn_idx FROM turn "
+            "JOIN sel ON turn.conv_id = sel.conv_id "
+            "ORDER BY turn.conv_id, turn_idx"
         ),
         "fork_index_probe_transcripts": (
             # index = base prefixes; new shard = replicas (+2e7, prefix

@@ -3478,3 +3478,91 @@ def fork_index_probe(new_ds, path: str, prefix_turns: int, *,
     return new_fp.map_batches(_StampMatch(wit_refs),
                               batch_format="pyarrow").union(
         rd.from_arrow(out_schema.empty_table()))  # schema anchor
+
+
+def sample_conversations(ds, n: int, *, conv_col: str = "conv_id",
+                         driver_max_rows: int = 2_000_000,
+                         rows_per_shard: int = 4_000_000):
+    """Reproducible fixed-size corpus subset at CONVERSATION granularity:
+    keep the ``n`` conversations with the smallest ``(md5_bucket(conv),
+    conv)`` rank — a pure function of the ids, so the same subset comes
+    back across runs, engines and data orderings (and is exactly
+    SQL-checkable, unlike a random sample).  Returns the selected
+    conversations' turn rows, all columns intact.
+
+    Scale shape: per-block distinct convs reduce to a LOCAL top-``n``
+    by hash rank, so at most ``#blocks × n`` slim rows reach the driver
+    merge (guarded by ``driver_max_rows`` — for subsets too large for
+    that bound use :func:`relational.split_assign` rates instead); the
+    selected id set broadcasts in hash-range shards for the final
+    per-batch semi-join."""
+    from ..util import BroadcastIsInFilter, dataset_arrow_schema
+    from .relational import md5_bucket
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    in_schema = dataset_arrow_schema(ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
+
+    def block_candidates(t: pa.Table) -> pa.Table:
+        conv = t.column(conv_col)
+        u = pc.unique(conv.combine_chunks()
+                      if isinstance(conv, pa.ChunkedArray) else conv)
+        u = u.filter(pc.is_valid(u))
+        if len(u) == 0:
+            return pa.table({conv_col: pa.array([], conv_type),
+                             "__rank": pa.array([], pa.int64())})
+        rank = md5_bucket(u)
+        order = np.lexsort((np.asarray(u, dtype=object), rank))[:n]
+        return pa.table({conv_col: u.take(pa.array(order)),
+                         "__rank": pa.array(rank[order])})
+
+    partials = ds.map_batches(block_candidates, batch_format="pyarrow")
+    from .dedup import _collect_arrow
+
+    cand = _collect_arrow(partials.materialize())
+    if cand is None or len(cand) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            in_schema.empty_table() if in_schema is not None
+            else pa.table({conv_col: pa.array([], conv_type)}))
+    if len(cand) > driver_max_rows:
+        raise ValueError(
+            f"candidate merge would hold {len(cand)} rows on the driver "
+            f"(> {driver_max_rows}); for subsets this large use "
+            "relational.split_assign with a rate instead of an exact n")
+    df = cand.to_pandas().drop_duplicates(conv_col)
+    df = df.sort_values(["__rank", conv_col], kind="mergesort").head(n)
+    keep = pa.array(df[conv_col].to_numpy(), conv_type)
+
+    import ray
+
+    out = ds
+    # a key lives in exactly one shard of the keep set; chained keep
+    # masks would AND to nothing, so shard only when necessary and OR
+    # via a single combined filter per batch
+    n_shards = max(1, -(-len(keep) // rows_per_shard))
+    refs = [ray.put(keep.slice(s * rows_per_shard, rows_per_shard))
+            for s in range(n_shards)]
+
+    class _KeepAny:
+        def __init__(self, refs):
+            self.refs = refs
+            self._vals = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._vals is None:
+                self._vals = [r if isinstance(r, pa.Array) else ray.get(r)
+                              for r in self.refs]
+            conv = t.column(conv_col)
+            mask = None
+            for v in self._vals:
+                m = pc.is_in(conv, value_set=v)
+                mask = m if mask is None else pc.or_(mask, m)
+            return t.filter(pc.fill_null(mask, False))
+
+    return out.map_batches(_KeepAny(refs), batch_format="pyarrow")

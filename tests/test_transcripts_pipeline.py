@@ -1911,3 +1911,54 @@ class TestForkIndex:
         out = tp.fork_index_probe(rd.from_arrow(empty), d, 1)
         assert out.count() == 0
         assert out.schema().names == ["conv_id", "matched_conv"]
+
+
+class TestSampleConversations:
+    def test_deterministic_exact_n(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.pipelines.relational import md5_bucket
+
+        convs = [f"c{i:03d}" for i in range(20)]
+        rows = [(c, j) for c in convs for j in range(3)]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+        })
+        out = tp.sample_conversations(
+            rd.from_arrow(t).repartition(4), 5).to_pandas()
+        rank = md5_bucket(pa.array(convs))
+        exp = sorted([c for _, c in sorted(zip(rank, convs))][:5])
+        assert sorted(out["conv_id"].unique()) == exp
+        assert len(out) == 15  # whole conversations, all turns
+        # rerun identical (pure function of the ids)
+        out2 = tp.sample_conversations(
+            rd.from_arrow(t).repartition(7), 5).to_pandas()
+        assert sorted(out2["conv_id"].unique()) == exp
+
+    def test_n_larger_than_corpus_keeps_all(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array(["a", "b"], pa.string()),
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "text": pa.array(["x", "y"], pa.string()),
+        })
+        out = tp.sample_conversations(rd.from_arrow(t), 10).to_pandas()
+        assert sorted(out["conv_id"]) == ["a", "b"]
+
+    def test_driver_gate(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array([f"c{i}" for i in range(30)], pa.string()),
+            "turn_idx": pa.array([0] * 30, pa.int32()),
+            "text": pa.array(["x"] * 30, pa.string()),
+        })
+        with pytest.raises(ValueError):
+            tp.sample_conversations(rd.from_arrow(t), 25,
+                                    driver_max_rows=10)
