@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["conversation_diff_transcripts"] = _conversation_diff
     out["fork_index_probe_transcripts"] = _fork_index_probe
     out["sample_conversations_transcripts"] = _sample_conversations
+    out["filter_pii_conversations_transcripts"] = _filter_pii_convs
     out["role_balance_transcripts"] = _role_balance
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
@@ -2054,6 +2055,47 @@ def _echo_stats(sf_dir: str):
     return df.sort_values("conv_id", ignore_index=True)
 
 
+def _filter_pii_convs(sf_dir: str):
+    """Conversation-level PII threshold filter: same injection as
+    ``_pii_stats``; conversations with more than 2 total matches are
+    dropped whole."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+        doc = pc.cast(
+            pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13), pa.int64()
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        text = t.column("text").to_numpy(zero_copy_only=False).astype(object)
+        m5 = idx % 5 == 1
+        if m5.any():
+            sfx = np.char.add(
+                np.char.add(" contact user", doc[m5].astype(str)),
+                "@example.com").astype(object)
+            text[m5] = text[m5] + sfx
+        m11 = idx % 11 == 3
+        if m11.any():
+            text[m11] = text[m11] + " card 4000 1234 5678 9010"
+        return t.set_column(
+            t.schema.get_field_index("text"), "text",
+            pa.array(text, pa.string()))
+
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        inject, batch_format="pyarrow")
+    out = tp.filter_pii_conversations(tr, 2)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": pc.cast(t.column("turn_idx"), pa.int64()),
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow").to_pandas() \
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+
+
 def _sample_conversations(sf_dir: str):
     """Reproducible 120-conversation subset by (md5 bucket, conv) rank."""
     from hooqu_ray.pipelines import transcripts as tp
@@ -2995,6 +3037,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc JOIN win ON sc.fg = win.fg "
             "WHERE sc.conv_id <> win.chosen_conv "
             "ORDER BY rejected_conv"
+        ),
+        "filter_pii_conversations_transcripts": (
+            # same injection as pii_stats; drop conversations whose total
+            # match count exceeds 2, keep every turn of the rest
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, doc_id, "
+            "i, array_to_string(ws[i*12+1:i*12+12], ' ') AS base FROM t), "
+            "inj AS (SELECT conv_id, i, base || "
+            "CASE WHEN i % 5 = 1 THEN ' contact user' || doc_id || "
+            "'@example.com' ELSE '' END || "
+            "CASE WHEN i % 11 = 3 THEN ' card 4000 1234 5678 9010' "
+            "ELSE '' END AS text FROM turn), "
+            "m AS (SELECT conv_id, "
+            "len(regexp_extract_all(text, '" + email_pat + "')) + "
+            "len(regexp_extract_all(text, '" + url_pat + "')) + "
+            "len(regexp_extract_all(text, '" + cc_pat + "')) AS x "
+            "FROM inj), "
+            "bad AS (SELECT conv_id FROM m GROUP BY conv_id "
+            "HAVING SUM(x) > 2) "
+            "SELECT conv_id, CAST(i AS BIGINT) AS turn_idx FROM inj "
+            "WHERE conv_id NOT IN (SELECT conv_id FROM bad) "
+            "ORDER BY conv_id, turn_idx"
         ),
         "sample_conversations_transcripts": (
             # 120 smallest (md5-bucket, conv) ranked conversations

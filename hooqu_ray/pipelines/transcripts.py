@@ -3566,3 +3566,47 @@ def sample_conversations(ds, n: int, *, conv_col: str = "conv_id",
             return t.filter(pc.fill_null(mask, False))
 
     return out.map_batches(_KeepAny(refs), batch_format="pyarrow")
+
+
+def filter_pii_conversations(ds, max_matches: int = 0, *,
+                             conv_col: str = "conv_id",
+                             text_col: str = "text",
+                             rows_per_shard: int = 4_000_000):
+    """Drop WHOLE conversations whose total PII match count (emails +
+    URLs + credit cards, :func:`pii_stats`) exceeds ``max_matches`` and
+    return the surviving turn rows — the conversation-granularity policy
+    lever next to the flagship's per-turn scrub: scrubbing rewrites the
+    matched spans, this removes conversations too exposed to keep at
+    all.  Rows with a null conv id are dropped (SQL ``NOT IN``
+    semantics, same contract as :func:`filter_conversations`).
+
+    Scale shape: the report is already O(match-bearing conversations);
+    the over-threshold id set is a further subset, collected in
+    hash-range shards and applied as chained per-batch anti-joins — the
+    turn table never shuffles."""
+    from ..util import BroadcastIsInFilter, sharded_value_refs
+
+    if max_matches < 0:
+        raise ValueError(f"max_matches must be >= 0, got {max_matches}")
+
+    rep = pii_stats(ds, conv_col=conv_col, text_col=text_col)
+
+    def over(t: pa.Table) -> pa.Table:
+        if "n_email" not in t.column_names or len(t) == 0:
+            return pa.table({conv_col: pa.array([], pa.string())})
+        total = pc.add(pc.add(t.column("n_email"), t.column("n_url")),
+                       t.column("n_cc"))
+        return (t.filter(pc.greater(total, max_matches))
+                .select([conv_col]))
+
+    dropped = rep.map_batches(over, batch_format="pyarrow")
+    refs = sharded_value_refs(dropped, conv_col, rows_per_shard)
+    if not refs:
+        return ds.map_batches(
+            lambda t: t.filter(pc.is_valid(t.column(conv_col))),
+            batch_format="pyarrow")
+    out = ds
+    for r in refs:
+        out = out.map_batches(BroadcastIsInFilter(r, conv_col, invert=True),
+                              batch_format="pyarrow")
+    return out

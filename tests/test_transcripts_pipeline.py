@@ -1962,3 +1962,29 @@ class TestSampleConversations:
         with pytest.raises(ValueError):
             tp.sample_conversations(rd.from_arrow(t), 25,
                                     driver_max_rows=10)
+
+
+class TestFilterPiiConversations:
+    def test_threshold_semantics(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = [
+            ("clean", 0, "no pii here"),
+            ("leaky", 0, "mail a@b.co and c@d.org plus http://x.io"),
+            ("mild", 0, "just one a@b.co"),
+            (None, 0, "null conv"),
+        ]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        })
+        strict = tp.filter_pii_conversations(rd.from_arrow(t), 0) \
+            .to_pandas()
+        assert sorted(strict["conv_id"]) == ["clean"]
+        loose = tp.filter_pii_conversations(rd.from_arrow(t), 2) \
+            .to_pandas()
+        assert sorted(loose["conv_id"]) == ["clean", "mild"]
+        with pytest.raises(ValueError):
+            tp.filter_pii_conversations(rd.from_arrow(t), -1)
