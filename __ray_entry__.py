@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["fork_index_probe_transcripts"] = _fork_index_probe
     out["sample_conversations_transcripts"] = _sample_conversations
     out["filter_pii_conversations_transcripts"] = _filter_pii_convs
+    out["diff_against_index_transcripts"] = _diff_against_index
     out["role_balance_transcripts"] = _role_balance
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
@@ -2178,6 +2179,57 @@ def _fork_index_probe(sf_dir: str):
     return out.sort_values("conv_id", ignore_index=True)
 
 
+def _diff_against_index(sf_dir: str):
+    """Incremental snapshot diff: base corpus fingerprints persisted
+    once, the mutated new snapshot (same mutation as
+    ``_conversation_diff``) classified against the index — results must
+    equal the direct two-corpus diff, so the oracle is the same SQL."""
+    import shutil
+    import tempfile
+
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    base = tp.transcripts_from_documents(docs)
+    new = tp.transcripts_from_documents(docs).map_batches(
+        _diff_mutate, batch_format="pyarrow")
+    d = tempfile.mkdtemp(prefix="convidx_", dir="/tmp")
+    try:
+        tp.conversation_index_write(base, d)
+        out = tp.conversation_diff_against_index(new, d).to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out.sort_values("conv_id", ignore_index=True)
+
+
+def _diff_mutate(t: pa.Table) -> pa.Table:
+    """Shared snapshot mutation (ONE definition) for the direct and
+    index-based diff queries: doc_id % 13 == 3 removed, % 13 == 7 turn 1
+    edited (' v2'), % 13 == 5 replicated at +4*10^7."""
+    doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
+                  pa.int64()).to_numpy(zero_copy_only=False)
+    t = t.filter(pa.array(doc % 13 != 3))
+    doc = doc[doc % 13 != 3]
+    idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+    edit = (doc % 13 == 7) & (idx == 1)
+    if edit.any():
+        text = t.column("text").to_numpy(zero_copy_only=False).astype(
+            object)
+        text[edit] = text[edit] + " v2"
+        t = t.set_column(t.column_names.index("text"), "text",
+                         pa.array(text, pa.string()))
+    add = doc % 13 == 5
+    if add.any():
+        sub = t.filter(pa.array(add))
+        conv = np.array([f"conv-{d + 40000000:08d}"
+                         for d in doc[add]], dtype=object)
+        rep = sub.set_column(
+            sub.column_names.index("conv_id"), "conv_id",
+            pa.array(conv, pa.string()))
+        t = pa.concat_tables([t, rep])
+    return t
+
+
 def _conversation_diff(sf_dir: str):
     """Cross-snapshot conversation delta.  new vs old, mutated
     deterministically on BOTH sides: doc_id % 13 == 3 conversations are
@@ -2186,35 +2238,9 @@ def _conversation_diff(sf_dir: str):
     from hooqu_ray.pipelines import transcripts as tp
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def mutate(t: pa.Table) -> pa.Table:
-        doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
-                      pa.int64()).to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(doc % 13 != 3))
-        doc = doc[doc % 13 != 3]
-        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
-        edit = (doc % 13 == 7) & (idx == 1)
-        if edit.any():
-            text = t.column("text").to_numpy(zero_copy_only=False).astype(
-                object)
-            text[edit] = text[edit] + " v2"
-            t = t.set_column(t.column_names.index("text"), "text",
-                             pa.array(text, pa.string()))
-        add = doc % 13 == 5
-        if add.any():
-            sub = t.filter(pa.array(add))
-            conv = np.array([f"conv-{d + 40000000:08d}"
-                             for d in doc[add]], dtype=object)
-            rep = sub.set_column(
-                sub.column_names.index("conv_id"), "conv_id",
-                pa.array(conv, pa.string()))
-            t = pa.concat_tables([t, rep])
-        return t
-
-    base = tp.transcripts_from_documents(docs)
-    old = base
+    old = tp.transcripts_from_documents(docs)
     new = tp.transcripts_from_documents(docs).map_batches(
-        mutate, batch_format="pyarrow")
+        _diff_mutate, batch_format="pyarrow")
     out = tp.conversation_diff(old, new)
     return out.to_pandas().sort_values("conv_id", ignore_index=True)
 
@@ -2519,7 +2545,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT ROUND(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
         "/ sum(cnt), 6) AS uniq FROM f"
     )
-    return {
+    d = {
         "size_lineitem": "SELECT ROUND(CAST(count(*) AS DOUBLE), 6) AS size FROM lineitem",
         "size_lineitem_filtered": (
             "SELECT ROUND(CAST(count(*) AS DOUBLE), 6) AS size FROM lineitem WHERE l_quantity > 25"
@@ -4336,6 +4362,9 @@ def oracle_sql() -> dict[str, str]:
             "AS delta FROM events ORDER BY event_id"
         ),
     }
+    # incremental index diff shares the direct diff's exact semantics
+    d["diff_against_index_transcripts"] = d["conversation_diff_transcripts"]
+    return d
 
 
 # -- round-3 session-4 ops ---------------------------------------------------

@@ -3610,3 +3610,71 @@ def filter_pii_conversations(ds, max_matches: int = 0, *,
         out = out.map_batches(BroadcastIsInFilter(r, conv_col, invert=True),
                               batch_format="pyarrow")
     return out
+
+
+def conversation_index_write(ds, path: str, *,
+                             conv_col: str = "conv_id",
+                             idx_col: str = "turn_idx",
+                             text_col: str = "text"):
+    """Persist a transcript corpus's WHOLE-SEQUENCE fingerprint index —
+    ``{path}/fingerprints`` holds one slim ``(conv, __fp)`` row per
+    conversation (order-sensitive over every (turn_idx, text)) — so later
+    snapshots can diff against it (:func:`conversation_diff_against_index`)
+    without ever re-reading this corpus.  The full-sequence sibling of
+    :func:`fork_index_write`'s prefix index; streaming multi-file
+    ``write_parquet`` sink, deterministic seeded hashes."""
+    from ..util import dataset_arrow_schema
+
+    in_schema = dataset_arrow_schema(ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
+    _conversation_fingerprints(
+        ds, conv_col, idx_col, text_col, conv_type,
+    ).write_parquet(f"{path}/fingerprints")
+    return path
+
+
+def conversation_diff_against_index(new_ds, path: str, *,
+                                    conv_col: str = "conv_id",
+                                    idx_col: str = "turn_idx",
+                                    text_col: str = "text",
+                                    n_buckets: int = 64):
+    """Incremental :func:`conversation_diff`: classify a NEW transcript
+    snapshot against a PERSISTED fingerprint index
+    (:func:`conversation_index_write`) — added / removed / changed per
+    conv id — without re-scanning yesterday's corpus.  Day-N ingest costs
+    O(new corpus + slim index read) instead of re-fingerprinting
+    everything already collected.
+
+    Scale shape: the new side folds to slim ``(conv, fp)`` rows; the
+    index IS already that shape on disk (a pruned two-column parquet
+    read); both feed :func:`dedup.snapshot_diff`'s one bucketed
+    exchange."""
+    import ray.data as rd
+
+    from ..util import dataset_arrow_schema
+    from .dedup import snapshot_diff
+
+    in_schema = dataset_arrow_schema(new_ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
+
+    old_fp = rd.read_parquet(f"{path}/fingerprints",
+                             columns=[conv_col, "__fp"])
+    new_fp = _conversation_fingerprints(
+        new_ds, conv_col, idx_col, text_col, conv_type)
+    diff = snapshot_diff(old_fp, new_fp, conv_col, ["__fp"],
+                         n_buckets=n_buckets)
+
+    out_schema = pa.schema([(conv_col, conv_type),
+                            ("status", pa.string())])
+
+    def rename(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names or len(t) == 0:
+            return out_schema.empty_table()
+        return t.rename_columns([conv_col, "status"])
+
+    return diff.map_batches(rename, batch_format="pyarrow").union(
+        rd.from_arrow(out_schema.empty_table()))  # schema anchor

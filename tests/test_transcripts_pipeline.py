@@ -1988,3 +1988,45 @@ class TestFilterPiiConversations:
         assert sorted(loose["conv_id"]) == ["clean", "mild"]
         with pytest.raises(ValueError):
             tp.filter_pii_conversations(rd.from_arrow(t), -1)
+
+
+class TestConversationIndexDiff:
+    def test_index_diff_equals_direct(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        def tbl(rows):
+            return pa.table({
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            })
+
+        old = tbl([("same", 0, "x"), ("gone", 0, "a"),
+                   ("edit", 0, "before")])
+        new = tbl([("same", 0, "x"), ("edit", 0, "after"),
+                   ("brand", 0, "n")])
+        d = str(tmp_path / "cidx")
+        tp.conversation_index_write(rd.from_arrow(old), d)
+        got = tp.conversation_diff_against_index(rd.from_arrow(new), d) \
+            .to_pandas().sort_values("conv_id", ignore_index=True)
+        direct = tp.conversation_diff(
+            rd.from_arrow(old), rd.from_arrow(new)) \
+            .to_pandas().sort_values("conv_id", ignore_index=True)
+        assert got.equals(direct)
+        assert got["status"].tolist() == ["added", "changed", "removed"]
+
+    def test_identical_new_snapshot_empty(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array(["c"], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "text": pa.array(["p"], pa.string()),
+        })
+        d = str(tmp_path / "cidx")
+        tp.conversation_index_write(rd.from_arrow(t), d)
+        out = tp.conversation_diff_against_index(rd.from_arrow(t), d)
+        assert out.count() == 0
+        assert out.schema().names == ["conv_id", "status"]
