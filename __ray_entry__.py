@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["sample_conversations_transcripts"] = _sample_conversations
     out["filter_pii_conversations_transcripts"] = _filter_pii_convs
     out["diff_against_index_transcripts"] = _diff_against_index
+    out["turn_diff_transcripts"] = _turn_diff
     out["role_balance_transcripts"] = _role_balance
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
@@ -2230,6 +2231,19 @@ def _diff_mutate(t: pa.Table) -> pa.Table:
     return t
 
 
+def _turn_diff(sf_dir: str):
+    """Turn-granular snapshot delta over the same shared mutation as the
+    conversation-level diff."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    old = tp.transcripts_from_documents(docs)
+    new = tp.transcripts_from_documents(docs).map_batches(
+        _diff_mutate, batch_format="pyarrow")
+    return tp.turn_diff(old, new).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+
+
 def _conversation_diff(sf_dir: str):
     """Cross-snapshot conversation delta.  new vs old, mutated
     deterministically on BOTH sides: doc_id % 13 == 3 conversations are
@@ -3131,6 +3145,32 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY conv_id) "
             "SELECT nsig.conv_id, wit.wc AS matched_conv FROM nsig "
             "JOIN wit ON nsig.s = wit.s ORDER BY nsig.conv_id"
+        ),
+        "turn_diff_transcripts": (
+            # same shared mutation, FULL OUTER JOIN at (conv, turn) grain
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT doc_id, printf('conv-%08d', doc_id) AS conv_id, "
+            "CAST(i AS BIGINT) AS i, "
+            "array_to_string(ws[i*12+1:i*12+12], ' ') AS text FROM t), "
+            "newt AS (SELECT conv_id, i, "
+            "CASE WHEN doc_id % 13 = 7 AND i = 1 THEN text || ' v2' "
+            "ELSE text END AS text FROM turn WHERE doc_id % 13 != 3 "
+            "UNION ALL SELECT printf('conv-%08d', doc_id + 40000000), i, "
+            "text FROM turn WHERE doc_id % 13 = 5), "
+            "j AS (SELECT COALESCE(turn.conv_id, newt.conv_id) AS conv_id, "
+            "COALESCE(turn.i, newt.i) AS turn_idx, turn.text AS ot, "
+            "newt.text AS nt, turn.conv_id IS NULL AS no_old, "
+            "newt.conv_id IS NULL AS no_new FROM turn "
+            "FULL OUTER JOIN newt ON turn.conv_id = newt.conv_id "
+            "AND turn.i = newt.i) "
+            "SELECT conv_id, turn_idx, CASE WHEN no_old THEN 'added' "
+            "WHEN no_new THEN 'removed' ELSE 'changed' END AS status "
+            "FROM j WHERE no_old OR no_new OR ot IS DISTINCT FROM nt "
+            "ORDER BY conv_id, turn_idx"
         ),
         "conversation_diff_transcripts": (
             # both snapshots re-derived; FULL OUTER JOIN of the per-conv

@@ -3678,3 +3678,56 @@ def conversation_diff_against_index(new_ds, path: str, *,
 
     return diff.map_batches(rename, batch_format="pyarrow").union(
         rd.from_arrow(out_schema.empty_table()))  # schema anchor
+
+
+def turn_diff(old_ds, new_ds, *, conv_col: str = "conv_id",
+              idx_col: str = "turn_idx", text_col: str = "text",
+              n_buckets: int = 64):
+    """Turn-granular delta between two transcript snapshots — the
+    drill-down companion to :func:`conversation_diff`: one row per
+    (conv, turn_idx) that differs, status ``'added'`` / ``'removed'`` /
+    ``'changed'`` (text differs by deterministic content hash; null and
+    ''/missing are distinct states).  Run it on the conversations the
+    conversation-level diff flagged to see WHICH turns moved.
+
+    Scale shape: each side projects to slim ``(composite key, text)``
+    rows (key = conv ⊕ ':' ⊕ turn_idx, vectorized ``binary_join``), then
+    :func:`dedup.snapshot_diff`'s one bucketed exchange; the key splits
+    back vectorized on output."""
+    from .dedup import snapshot_diff
+
+    def keyed(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t.column(conv_col)),
+                       pc.is_valid(t.column(idx_col)))
+        t = t.filter(mask)
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column(conv_col), pa.string()),
+            pc.cast(pc.cast(t.column(idx_col), pa.int64()), pa.string()),
+            "\x1f")
+        return pa.table({"__tk": key, text_col: t.column(text_col)})
+
+    diff = snapshot_diff(
+        old_ds.map_batches(keyed, batch_format="pyarrow"),
+        new_ds.map_batches(keyed, batch_format="pyarrow"),
+        "__tk", [text_col], n_buckets=n_buckets)
+
+    out_schema = pa.schema([
+        (conv_col, pa.string()), (idx_col, pa.int64()),
+        ("status", pa.string()),
+    ])
+
+    def split_key(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names or len(t) == 0:
+            return out_schema.empty_table()
+        parts = pc.split_pattern(t.column("key"), pattern="\x1f",
+                                 max_splits=1, reverse=True)
+        return pa.table({
+            conv_col: pc.list_element(parts, 0),
+            idx_col: pc.cast(pc.list_element(parts, 1), pa.int64()),
+            "status": t.column("status"),
+        })
+
+    import ray.data as rd
+
+    return diff.map_batches(split_key, batch_format="pyarrow").union(
+        rd.from_arrow(out_schema.empty_table()))  # schema anchor

@@ -2030,3 +2030,39 @@ class TestConversationIndexDiff:
         out = tp.conversation_diff_against_index(rd.from_arrow(t), d)
         assert out.count() == 0
         assert out.schema().names == ["conv_id", "status"]
+
+
+class TestTurnDiff:
+    def test_turn_level_statuses(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        def tbl(rows):
+            return pa.table({
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            })
+
+        old = tbl([("c", 0, "keep"), ("c", 1, "drop me"),
+                   ("c", 2, "edit me"), ("d", 0, None)])
+        new = tbl([("c", 0, "keep"), ("c", 2, "edited"),
+                   ("c", 3, "appended"), ("d", 0, "was null")])
+        out = tp.turn_diff(rd.from_arrow(old), rd.from_arrow(new)) \
+            .to_pandas().sort_values(["conv_id", "turn_idx"],
+                                     ignore_index=True)
+        assert out.values.tolist() == [
+            ["c", 1, "removed"], ["c", 2, "changed"], ["c", 3, "added"],
+            ["d", 0, "changed"],  # NULL -> text is a change
+        ]
+
+    def test_identical_empty_with_schema(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({"conv_id": pa.array(["c"], pa.string()),
+                      "turn_idx": pa.array([0], pa.int32()),
+                      "text": pa.array(["same"], pa.string())})
+        out = tp.turn_diff(rd.from_arrow(t), rd.from_arrow(t))
+        assert out.count() == 0
+        assert out.schema().names == ["conv_id", "turn_idx", "status"]
