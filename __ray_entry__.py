@@ -82,6 +82,31 @@ def _inject_forks(t: pa.Table) -> pa.Table:
     return pa.concat_tables([t, rep])
 
 
+def _pii_inject(t: pa.Table) -> pa.Table:
+    """Deterministic PII injection shared (ONE definition) by the
+    pii-report and pii-filter transcript queries and mirrored in their
+    SQL oracles: turns with turn_idx % 5 == 1 gain
+    ' contact user<doc_id>@example.com', turns with turn_idx % 11 == 3
+    gain ' card 4000 1234 5678 9010'."""
+    idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+    doc = pc.cast(
+        pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13), pa.int64()
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    text = t.column("text").to_numpy(zero_copy_only=False).astype(object)
+    m5 = idx % 5 == 1
+    if m5.any():
+        sfx = np.char.add(
+            np.char.add(" contact user", doc[m5].astype(str)),
+            "@example.com").astype(object)
+        text[m5] = text[m5] + sfx
+    m11 = idx % 11 == 3
+    if m11.any():
+        text[m11] = text[m11] + " card 4000 1234 5678 9010"
+    return t.set_column(
+        t.schema.get_field_index("text"), "text",
+        pa.array(text, pa.string()))
+
+
 def _metric(analyzer, name: str, sf_dir: str, table: str, columns) -> pa.Table:
     """Run one analyzer distributed and return {name: round(value, 6)}."""
     from hooqu_ray.runner import do_analysis_run
@@ -1858,27 +1883,8 @@ def _pii_stats(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def inject(t: pa.Table) -> pa.Table:
-        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
-        doc = pc.cast(
-            pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13), pa.int64()
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        text = t.column("text").to_numpy(zero_copy_only=False).astype(object)
-        m5 = idx % 5 == 1
-        if m5.any():
-            sfx = np.char.add(
-                np.char.add(" contact user", doc[m5].astype(str)),
-                "@example.com").astype(object)
-            text[m5] = text[m5] + sfx
-        m11 = idx % 11 == 3
-        if m11.any():
-            text[m11] = text[m11] + " card 4000 1234 5678 9010"
-        return t.set_column(
-            t.schema.get_field_index("text"), "text",
-            pa.array(text, pa.string()))
-
     tr = tp.transcripts_from_documents(docs).map_batches(
-        inject, batch_format="pyarrow")
+        _pii_inject, batch_format="pyarrow")
     return tp.pii_stats(tr)
 
 
@@ -2065,27 +2071,8 @@ def _filter_pii_convs(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def inject(t: pa.Table) -> pa.Table:
-        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
-        doc = pc.cast(
-            pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13), pa.int64()
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        text = t.column("text").to_numpy(zero_copy_only=False).astype(object)
-        m5 = idx % 5 == 1
-        if m5.any():
-            sfx = np.char.add(
-                np.char.add(" contact user", doc[m5].astype(str)),
-                "@example.com").astype(object)
-            text[m5] = text[m5] + sfx
-        m11 = idx % 11 == 3
-        if m11.any():
-            text[m11] = text[m11] + " card 4000 1234 5678 9010"
-        return t.set_column(
-            t.schema.get_field_index("text"), "text",
-            pa.array(text, pa.string()))
-
     tr = tp.transcripts_from_documents(docs).map_batches(
-        inject, batch_format="pyarrow")
+        _pii_inject, batch_format="pyarrow")
     out = tp.filter_pii_conversations(tr, 2)
 
     def proj(t: pa.Table) -> pa.Table:

@@ -3327,21 +3327,9 @@ def conversation_diff(old_ds, new_ds, *, conv_col: str = "conv_id",
         old_ds, conv_col, idx_col, text_col, conv_type)
     new_fp = _conversation_fingerprints(
         new_ds, conv_col, idx_col, text_col, conv_type)
-    diff = snapshot_diff(old_fp, new_fp, conv_col, ["__fp"],
-                         n_buckets=n_buckets)
-
-    import ray.data as rd
-
-    out_schema = pa.schema([(conv_col, conv_type),
-                            ("status", pa.string())])
-
-    def rename(t: pa.Table) -> pa.Table:
-        if "key" not in t.column_names or len(t) == 0:
-            return out_schema.empty_table()
-        return t.rename_columns([conv_col, "status"])
-
-    return diff.map_batches(rename, batch_format="pyarrow").union(
-        rd.from_arrow(out_schema.empty_table()))  # schema anchor
+    return _diff_output(
+        snapshot_diff(old_fp, new_fp, conv_col, ["__fp"],
+                      n_buckets=n_buckets), conv_type, conv_col)
 
 
 def fork_index_write(ds, prefix_turns: int, path: str, *,
@@ -3360,6 +3348,7 @@ def fork_index_write(ds, prefix_turns: int, path: str, *,
 
     if prefix_turns < 1:
         raise ValueError(f"prefix_turns must be >= 1, got {prefix_turns}")
+    _require_fresh_sink(path, "prefixes")
     in_schema = dataset_arrow_schema(ds)
     conv_type = (in_schema.field(conv_col).type
                  if in_schema is not None and conv_col in in_schema.names
@@ -3399,8 +3388,7 @@ def fork_index_probe(new_ds, path: str, prefix_turns: int, *,
     import ray.data as rd
     from ray.data.aggregate import Min
 
-    from ..util import (BroadcastIsInFilter, dataset_arrow_schema,
-                        sharded_value_refs)
+    from ..util import dataset_arrow_schema, sharded_value_refs
     from .dedup import _sharded_refs
 
     if prefix_turns < 1:
@@ -3425,10 +3413,12 @@ def fork_index_probe(new_ds, path: str, prefix_turns: int, *,
     if not fp_refs:
         return rd.from_arrow(out_schema.empty_table())
 
-    index = rd.read_parquet(f"{path}/prefixes")
-    for r in fp_refs:
-        index = index.map_batches(BroadcastIsInFilter(r, "__fp"),
-                                  batch_format="pyarrow")
+    # ONE semi-filter stage that ORs the per-shard membership masks — a
+    # fp lives in exactly ONE hash-range shard, so CHAINED keep filters
+    # (shard-0 pass AND shard-1 pass) would intersect to nothing the
+    # moment a second shard exists
+    index = rd.read_parquet(f"{path}/prefixes").map_batches(
+        _MembershipAny(fp_refs, "__fp"), batch_format="pyarrow")
     witness = index.groupby("__fp").aggregate(Min(conv_col))
     wit_empty = pa.table({"__fp": pa.array([], pa.int64()),
                           "__wit": pa.array([], pa.string())})
@@ -3496,7 +3486,7 @@ def sample_conversations(ds, n: int, *, conv_col: str = "conv_id",
     that bound use :func:`relational.split_assign` rates instead); the
     selected id set broadcasts in hash-range shards for the final
     per-batch semi-join."""
-    from ..util import BroadcastIsInFilter, dataset_arrow_schema
+    from ..util import dataset_arrow_schema
     from .relational import md5_bucket
 
     if n < 1:
@@ -3520,52 +3510,38 @@ def sample_conversations(ds, n: int, *, conv_col: str = "conv_id",
         return pa.table({conv_col: u.take(pa.array(order)),
                          "__rank": pa.array(rank[order])})
 
-    partials = ds.map_batches(block_candidates, batch_format="pyarrow")
+    partials = ds.map_batches(
+        block_candidates, batch_format="pyarrow").materialize()
     from .dedup import _collect_arrow
 
-    cand = _collect_arrow(partials.materialize())
+    # gate BEFORE the driver collect — counting the materialized partials
+    # is free, and collecting first would be the OOM the gate exists for
+    n_cand = partials.count()
+    if n_cand > driver_max_rows:
+        raise ValueError(
+            f"candidate merge would hold {n_cand} rows on the driver "
+            f"(> {driver_max_rows}); for subsets this large use "
+            "relational.split_assign with a rate instead of an exact n")
+    cand = _collect_arrow(partials)
     if cand is None or len(cand) == 0:
         import ray.data as rd
 
         return rd.from_arrow(
             in_schema.empty_table() if in_schema is not None
             else pa.table({conv_col: pa.array([], conv_type)}))
-    if len(cand) > driver_max_rows:
-        raise ValueError(
-            f"candidate merge would hold {len(cand)} rows on the driver "
-            f"(> {driver_max_rows}); for subsets this large use "
-            "relational.split_assign with a rate instead of an exact n")
     df = cand.to_pandas().drop_duplicates(conv_col)
     df = df.sort_values(["__rank", conv_col], kind="mergesort").head(n)
     keep = pa.array(df[conv_col].to_numpy(), conv_type)
 
     import ray
 
-    out = ds
-    # a key lives in exactly one shard of the keep set; chained keep
-    # masks would AND to nothing, so shard only when necessary and OR
-    # via a single combined filter per batch
+    # a key lives in exactly one shard of the keep set; the shared
+    # _MembershipAny ORs the per-shard masks in ONE filter stage
     n_shards = max(1, -(-len(keep) // rows_per_shard))
     refs = [ray.put(keep.slice(s * rows_per_shard, rows_per_shard))
             for s in range(n_shards)]
-
-    class _KeepAny:
-        def __init__(self, refs):
-            self.refs = refs
-            self._vals = None
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self._vals is None:
-                self._vals = [r if isinstance(r, pa.Array) else ray.get(r)
-                              for r in self.refs]
-            conv = t.column(conv_col)
-            mask = None
-            for v in self._vals:
-                m = pc.is_in(conv, value_set=v)
-                mask = m if mask is None else pc.or_(mask, m)
-            return t.filter(pc.fill_null(mask, False))
-
-    return out.map_batches(_KeepAny(refs), batch_format="pyarrow")
+    return ds.map_batches(_MembershipAny(refs, conv_col),
+                          batch_format="pyarrow")
 
 
 def filter_pii_conversations(ds, max_matches: int = 0, *,
@@ -3584,20 +3560,28 @@ def filter_pii_conversations(ds, max_matches: int = 0, *,
     the over-threshold id set is a further subset, collected in
     hash-range shards and applied as chained per-batch anti-joins — the
     turn table never shuffles."""
-    from ..util import BroadcastIsInFilter, sharded_value_refs
+    from ..util import (BroadcastIsInFilter, dataset_arrow_schema,
+                        sharded_value_refs)
 
     if max_matches < 0:
         raise ValueError(f"max_matches must be >= 0, got {max_matches}")
+
+    in_schema = dataset_arrow_schema(ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
 
     rep = pii_stats(ds, conv_col=conv_col, text_col=text_col)
 
     def over(t: pa.Table) -> pa.Table:
         if "n_email" not in t.column_names or len(t) == 0:
-            return pa.table({conv_col: pa.array([], pa.string())})
+            # empty fallback carries the INPUT's key dtype (CLAUDE.md)
+            return pa.table({conv_col: pa.array([], conv_type)})
         total = pc.add(pc.add(t.column("n_email"), t.column("n_url")),
                        t.column("n_cc"))
-        return (t.filter(pc.greater(total, max_matches))
-                .select([conv_col]))
+        kept = t.filter(pc.greater(total, max_matches))
+        return pa.table({conv_col: pc.cast(kept.column(conv_col),
+                                           conv_type)})
 
     dropped = rep.map_batches(over, batch_format="pyarrow")
     refs = sharded_value_refs(dropped, conv_col, rows_per_shard)
@@ -3625,6 +3609,7 @@ def conversation_index_write(ds, path: str, *,
     ``write_parquet`` sink, deterministic seeded hashes."""
     from ..util import dataset_arrow_schema
 
+    _require_fresh_sink(path, "fingerprints")
     in_schema = dataset_arrow_schema(ds)
     conv_type = (in_schema.field(conv_col).type
                  if in_schema is not None and conv_col in in_schema.names
@@ -3665,19 +3650,9 @@ def conversation_diff_against_index(new_ds, path: str, *,
                              columns=[conv_col, "__fp"])
     new_fp = _conversation_fingerprints(
         new_ds, conv_col, idx_col, text_col, conv_type)
-    diff = snapshot_diff(old_fp, new_fp, conv_col, ["__fp"],
-                         n_buckets=n_buckets)
-
-    out_schema = pa.schema([(conv_col, conv_type),
-                            ("status", pa.string())])
-
-    def rename(t: pa.Table) -> pa.Table:
-        if "key" not in t.column_names or len(t) == 0:
-            return out_schema.empty_table()
-        return t.rename_columns([conv_col, "status"])
-
-    return diff.map_batches(rename, batch_format="pyarrow").union(
-        rd.from_arrow(out_schema.empty_table()))  # schema anchor
+    return _diff_output(
+        snapshot_diff(old_fp, new_fp, conv_col, ["__fp"],
+                      n_buckets=n_buckets), conv_type, conv_col)
 
 
 def turn_diff(old_ds, new_ds, *, conv_col: str = "conv_id",
@@ -3697,12 +3672,15 @@ def turn_diff(old_ds, new_ds, *, conv_col: str = "conv_id",
     from .dedup import snapshot_diff
 
     def keyed(t: pa.Table) -> pa.Table:
-        mask = pc.and_(pc.is_valid(t.column(conv_col)),
-                       pc.is_valid(t.column(idx_col)))
-        t = t.filter(mask)
+        t = t.filter(pc.is_valid(t.column(conv_col)))
+        # null turn_idx keys as -1 — the same fill the fingerprint fold
+        # uses, so every turn the conversation-level diff saw is visible
+        # to the drill-down too
+        idx = pc.fill_null(pc.cast(t.column(idx_col), pa.int64()),
+                           pa.scalar(-1, pa.int64()))
         key = pc.binary_join_element_wise(
             pc.cast(t.column(conv_col), pa.string()),
-            pc.cast(pc.cast(t.column(idx_col), pa.int64()), pa.string()),
+            pc.cast(idx, pa.string()),
             "\x1f")
         return pa.table({"__tk": key, text_col: t.column(text_col)})
 
@@ -3731,3 +3709,74 @@ def turn_diff(old_ds, new_ds, *, conv_col: str = "conv_id",
 
     return diff.map_batches(split_key, batch_format="pyarrow").union(
         rd.from_arrow(out_schema.empty_table()))  # schema anchor
+
+
+class _MembershipAny:
+    """``map_batches`` semi-filter: keep rows whose ``col`` value belongs
+    to ANY of the broadcast hash-range value shards — the per-shard masks
+    OR together (a value lives in exactly ONE shard, so chaining one keep
+    filter per shard would AND the masks to the empty intersection).
+    Probes via :func:`util.isin_mask` (inverted-probe path above 64k
+    values, no per-batch hash rebuild of a huge set); null keys drop."""
+
+    def __init__(self, refs, col: str):
+        self.refs = refs
+        self.col = col
+        self._vals = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import ray
+
+        from ..util import isin_mask
+
+        if self._vals is None:
+            self._vals = [r if isinstance(r, pa.Array) else ray.get(r)
+                          for r in self.refs]
+        if len(t) == 0:
+            return t
+        col = t.column(self.col)
+        mask = None
+        for v in self._vals:
+            if v is None or len(v) == 0:
+                continue
+            m = isin_mask(col, v)
+            mask = m if mask is None else pc.or_(mask, m)
+        if mask is None:
+            return t.slice(0, 0)
+        return t.filter(pc.fill_null(mask, False))
+
+
+def _require_fresh_sink(path: str, sub: str) -> None:
+    """Ray's ``write_parquet`` APPENDS uniquely-named files to an existing
+    directory, so re-writing an index into a non-empty target would leave
+    stale fingerprints beside the new ones (duplicate keys →
+    ``snapshot_diff`` raises; stale prefixes silently keep matching).
+    Refuse up front (driver-local check — index sinks live on storage the
+    driver can see, same assumption the probe's read makes)."""
+    import os
+
+    d = os.path.join(path, sub)
+    if os.path.isdir(d) and os.listdir(d):
+        raise ValueError(
+            f"index sink {d} already contains files; write to a fresh "
+            "directory or remove the stale index first (write_parquet "
+            "appends, it does not replace)")
+
+
+def _diff_output(diff, conv_type, conv_col: str):
+    """Shared tail of the direct and index-based conversation diffs:
+    rename snapshot_diff's generic (key, status) to the conv column and
+    anchor the schema — ONE definition so the two ops cannot diverge
+    (their oracles are literally the same SQL)."""
+    import ray.data as rd
+
+    out_schema = pa.schema([(conv_col, conv_type),
+                            ("status", pa.string())])
+
+    def rename(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names or len(t) == 0:
+            return out_schema.empty_table()
+        return t.rename_columns([conv_col, "status"])
+
+    return diff.map_batches(rename, batch_format="pyarrow").union(
+        rd.from_arrow(out_schema.empty_table()))

@@ -2066,3 +2066,78 @@ class TestTurnDiff:
         out = tp.turn_diff(rd.from_arrow(t), rd.from_arrow(t))
         assert out.count() == 0
         assert out.schema().names == ["conv_id", "turn_idx", "status"]
+
+
+class TestThirdReviewRegressions:
+    def test_fork_probe_forced_multi_shard(self, ray_session, tmp_path):
+        """Finding: chained per-shard keep filters AND to nothing.  With
+        rows_per_shard=1 every new fp lands in its own shard; matches
+        must equal the single-shard result."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        def tbl(rows):
+            return pa.table({
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            })
+
+        old = tbl([("t1", 0, "task one"), ("t2", 0, "task two"),
+                   ("t3", 0, "task three")])
+        new = tbl([("r1", 0, "task one"), ("r2", 0, "task two"),
+                   ("r3", 0, "task three"), ("miss", 0, "task four")])
+        d = str(tmp_path / "idx")
+        tp.fork_index_write(rd.from_arrow(old), 1, d)
+        one = tp.fork_index_probe(rd.from_arrow(new), d, 1) \
+            .to_pandas().sort_values("conv_id", ignore_index=True)
+        sharded = tp.fork_index_probe(rd.from_arrow(new), d, 1,
+                                      rows_per_shard=1) \
+            .to_pandas().sort_values("conv_id", ignore_index=True)
+        assert one.equals(sharded)
+        assert one["conv_id"].tolist() == ["r1", "r2", "r3"]
+        assert one["matched_conv"].tolist() == ["t1", "t2", "t3"]
+
+    def test_index_writers_refuse_stale_sink(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({"conv_id": pa.array(["a"], pa.string()),
+                      "turn_idx": pa.array([0], pa.int32()),
+                      "text": pa.array(["x"], pa.string())})
+        d = str(tmp_path / "idx")
+        tp.fork_index_write(rd.from_arrow(t), 1, d)
+        with pytest.raises(ValueError):
+            tp.fork_index_write(rd.from_arrow(t), 1, d)
+        d2 = str(tmp_path / "cidx")
+        tp.conversation_index_write(rd.from_arrow(t), d2)
+        with pytest.raises(ValueError):
+            tp.conversation_index_write(rd.from_arrow(t), d2)
+
+    def test_turn_diff_null_idx_visible(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        old = pa.table({"conv_id": pa.array(["c"], pa.string()),
+                        "turn_idx": pa.array([None], pa.int32()),
+                        "text": pa.array(["x"], pa.string())})
+        new = pa.table({"conv_id": pa.array(["c"], pa.string()),
+                        "turn_idx": pa.array([None], pa.int32()),
+                        "text": pa.array(["y"], pa.string())})
+        out = tp.turn_diff(rd.from_arrow(old), rd.from_arrow(new)) \
+            .to_pandas()
+        assert out.values.tolist() == [["c", -1, "changed"]]
+
+    def test_sample_gate_before_collect(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table({
+            "conv_id": pa.array([f"c{i}" for i in range(30)], pa.string()),
+            "turn_idx": pa.array([0] * 30, pa.int32()),
+            "text": pa.array(["x"] * 30, pa.string()),
+        })
+        # still raises (the gate moved before the collect)
+        with pytest.raises(ValueError):
+            tp.sample_conversations(rd.from_arrow(t), 25,
+                                    driver_max_rows=10)
