@@ -2141,3 +2141,48 @@ class TestThirdReviewRegressions:
         with pytest.raises(ValueError):
             tp.sample_conversations(rd.from_arrow(t), 25,
                                     driver_max_rows=10)
+
+
+class TestClipDifferential:
+    def test_clip_vs_python_regex(self, ray_session):
+        """Hypothesis differential for clip_turn_texts vs a straight
+        re.findall(r'\\S+') reference — including the RE2 \\s subtleties
+        (\\x0b and NBSP are \\S; only space/\\t/\\n/\\f/\\r separate)."""
+        import re
+
+        import pyarrow as pa
+        import ray.data as rd
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        token_re = re.compile(r"[^ \t\n\f\r]+")
+
+        texts_st = st.lists(
+            st.one_of(
+                st.none(),
+                st.text(alphabet=" \t\n\f\r\x0b\xa0ab日.'", max_size=30),
+            ),
+            min_size=1, max_size=12,
+        )
+
+        @settings(max_examples=40, deadline=None)
+        @given(texts_st, st.integers(1, 4))
+        def prop(texts, max_tokens):
+            t = pa.table({
+                "conv_id": pa.array(["c"] * len(texts), pa.string()),
+                "turn_idx": pa.array(range(len(texts)), pa.int32()),
+                "text": pa.array(texts, pa.string()),
+            })
+            out = tp.clip_turn_texts(rd.from_arrow(t), max_tokens) \
+                .to_pandas().sort_values("turn_idx", ignore_index=True)
+            for i, txt in enumerate(texts):
+                toks = token_re.findall(txt) if txt is not None else []
+                if txt is None or len(toks) <= max_tokens:
+                    exp, clipped = txt, False
+                else:
+                    exp, clipped = " ".join(toks[:max_tokens]), True
+                assert out["text"][i] == exp or (
+                    txt is None and out["text"][i] is None), (txt, i)
+                assert bool(out["clipped"][i]) == clipped, (txt, i)
+
+        prop()
