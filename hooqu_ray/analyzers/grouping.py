@@ -100,12 +100,15 @@ class MutualInformation(_FrequencyAnalyzer):
     """Mutual information (nats) between two columns (extension; Deequ
     operator): I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))).
 
-    Runs on the JOINT frequency shuffle (groupby both columns); the runner
-    hands this analyzer the joint frequency table reduction via
-    ``metric_from_joint_frequencies`` — marginals derive from the joint
-    counts, so one shuffle suffices.  Requires exactly two grouping columns
-    and materializes #distinct-pairs rows on the driver (low-cardinality
-    assumption, same as Deequ's)."""
+    Runs on the JOINT frequency shuffle (groupby both columns).  The Ray
+    backend hands this analyzer three distributed scalar reductions via
+    ``metric_from_mi_stats`` (joint + both marginals, each a
+    ``FrequenciesAndNumRows`` fold) and applies the exact identity
+    I(X;Y) = H(X) + H(Y) − H(X,Y) = ln N + (S_xy − S_x − S_y)/N with
+    S = Σ c·ln c — no per-group rows ever reach the driver, so a
+    high-cardinality pair cannot OOM it.  The local backend keeps the
+    in-memory joint table path (``metric_from_joint_frequencies``), which is
+    algebraically identical."""
 
     name = "MutualInformation"
 
@@ -133,6 +136,15 @@ class MutualInformation(_FrequencyAnalyzer):
         for (x, y), c in pairs:
             pxy = c / n
             mi += pxy * math.log(pxy * n * n / (px[x] * py[y]))
+        return metric_from_value(mi, self.name, self.instance, self.entity)
+
+    def metric_from_mi_stats(self, joint, marg_x, marg_y) -> "DoubleMetric":
+        """Distributed path: ``FrequenciesAndNumRows`` summaries of the joint
+        and both marginal count distributions (same N in all three)."""
+        n = joint.num_rows
+        if n == 0:
+            return metric_from_value(float("nan"), self.name, self.instance, self.entity)
+        mi = math.log(n) + (joint.entropy_sum - marg_x.entropy_sum - marg_y.entropy_sum) / n
         return metric_from_value(mi, self.name, self.instance, self.entity)
 
 

@@ -260,14 +260,38 @@ class RayRunner:
                 )
         return self._filtered_cache[where]
 
-    def joint_frequencies(self, columns: Sequence[str], predicate, where: Optional[str] = None):
-        """Joint frequency table collected to the driver (low-cardinality
-        key assumption — used by MutualInformation only)."""
+    def mutual_information_stats(self, columns: Sequence[str], predicate, where: Optional[str] = None):
+        """Distributed MI reductions — never collects the joint frequency
+        table on the driver (the reference materializes it in pandas,
+        grouping_analyzers.py:44-84; a high-cardinality pair would OOM the
+        driver at scale).  One hash shuffle builds the joint ``(x, y, count)``
+        table; it stays in the object store, and three folds (joint + the two
+        marginals re-grouped FROM the joint table, so they cost shuffles over
+        #distinct-pairs rows, not #rows) each reduce to one
+        ``FrequenciesAndNumRows`` scalar summary.  MI derives from the
+        identity I(X;Y) = H(X) + H(Y) − H(X,Y) over those summaries."""
+        from ray.data.aggregate import Sum
+
         cols = list(columns)
         ds = self._filtered(where, predicate)
         keys = ds.map_batches(_ProjectRawKeys(cols), batch_format="pyarrow")
-        rows = keys.groupby(cols).count().take_all()
-        return [(tuple(r[c] for c in cols), r["count()"]) for r in rows]
+        # materialize: the lazy joint table is consumed by three folds; without
+        # this each fold would re-execute the full upstream scan + shuffle
+        joint = keys.groupby(cols).count().materialize()
+
+        def fold(freq_ds, count_col: str) -> FrequenciesAndNumRows:
+            plan = ScanPlan([_WhereGroup(None, [(0, _FreqReduceBound(count_col))])], 1)
+            res = self._fold(freq_ds, plan)[0]
+            if isinstance(res, FailedState):
+                raise res.to_exception()
+            return res if res is not None else FrequenciesAndNumRows(0, 0, 0, 0.0)
+
+        joint_f = fold(joint, "count()")
+        marginals = [
+            fold(joint.groupby(c).aggregate(Sum("count()")), "sum(count())")
+            for c in cols
+        ]
+        return joint_f, marginals[0], marginals[1]
 
     def frequencies(
         self, columns: Sequence[str], predicate, where: Optional[str] = None
@@ -495,10 +519,11 @@ def do_analysis_run(
             try:
                 pred = compile_predicate(a.where, schema) if a.where is not None else None
                 if isinstance(runner, RayRunner):
-                    pairs = runner.joint_frequencies(a.grouping_columns, pred, a.where)
+                    stats = runner.mutual_information_stats(a.grouping_columns, pred, a.where)
+                    metrics[a] = a.metric_from_mi_stats(*stats)
                 else:
                     pairs = runner.joint_frequencies(a.grouping_columns, pred)
-                metrics[a] = a.metric_from_joint_frequencies(pairs)
+                    metrics[a] = a.metric_from_joint_frequencies(pairs)
             except Exception as ex:  # noqa: BLE001
                 metrics[a] = a.to_failure_metric(ex)
             continue

@@ -94,6 +94,40 @@ def test_suite_on_dataset(ray_session, lineitem_ds):
     assert result.status == CheckStatus.SUCCESS
 
 
+def test_mutual_information_distributed_matches_local(ray_session):
+    """High-cardinality MI: the Ray path folds scalar summaries (joint + two
+    marginals) and must match the LocalRunner's in-memory joint-table path.
+    Includes null keys (own-group semantics) and a where filter."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n = 60_000
+    x = rng.integers(0, 20_000, n).astype("float64")  # ~20k distinct values
+    y = (x // 3 + rng.integers(0, 40, n)).astype("float64")  # correlated, ~7k distinct
+    x[::97] = np.nan
+    y[::131] = np.nan
+    pdf = pd.DataFrame({"x": x, "y": y, "f": rng.integers(0, 2, n)})
+
+    for a in (
+        hq.MutualInformation(["x", "y"]),
+        hq.MutualInformation(["x", "y"], where="f > 0"),
+    ):
+        local = do_analysis_run(pdf, [a]).metric_map[a].value.get()
+        ds = rd.from_pandas(pdf).repartition(8)
+        distributed = do_analysis_run(ds, [a]).metric_map[a].value.get()
+        np.testing.assert_allclose(distributed, local, rtol=1e-9)
+        assert distributed > 0.5  # sanity: the columns really are dependent
+
+
+def test_ray_runner_has_no_driver_joint_collect():
+    """The ungated O(#groups) driver collect (`joint_frequencies.take_all`)
+    is gone from the Ray backend — only the scalar-summary path exists."""
+    from hooqu_ray.runner import RayRunner
+
+    assert not hasattr(RayRunner, "joint_frequencies")
+    assert hasattr(RayRunner, "mutual_information_stats")
+
+
 def test_documents_pattern_match(ray_session):
     import ray.data as rd
 
