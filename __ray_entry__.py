@@ -2052,7 +2052,17 @@ def _echo_stats(sf_dir: str):
         text = t.column("text").to_numpy(zero_copy_only=False).astype(
             object)
         t0 = zero.column("text").to_numpy(zero_copy_only=False)
-        text[m] = t0[np.asarray(pos, dtype=np.int64)[m]]
+        # index_in yields null where the lookup missed; a null here means
+        # turn 0 landed in a different batch than its turn 1 (the whole-
+        # conversation-block assumption broke) — fail loudly instead of
+        # letting NaN→int64 produce a garbage index
+        pos_np = np.asarray(pc.fill_null(pos, -1), dtype=np.int64)
+        if (pos_np[m] < 0).any():
+            raise AssertionError(
+                "add_echoes: a conversation's turn 0 is not in the same "
+                "batch as its turn 1 (batching no longer yields whole "
+                "per-document blocks)")
+        text[m] = t0[pos_np[m]]
         return t.set_column(t.column_names.index("text"), "text",
                             pa.array(text, pa.string()))
 

@@ -2890,10 +2890,15 @@ def echo_stats(ds, *, conv_col: str = "conv_id",
     pairs (denominator for an echo rate).  Null texts never count as an
     echo (SQL ``=`` three-valued semantics).
 
-    Scale shape: the shared :func:`_per_conversation_apply` scaffold —
-    four-column projection, ONE range sort, a vectorized shift-compare
-    kernel per block, boundary conversations repaired per group."""
+    Scale shape: the shared :func:`_per_conversation_apply` scaffold,
+    but the kernel only ever tests adjacent-text EQUALITY, so the text
+    column is projected to an 8-byte content hash (dedup's
+    ``_text_hash63``) + a validity flag BEFORE the range sort — the
+    all-to-all moves (conv, idx, role, int64, bool) rows, never text
+    bytes.  Same output up to the 2⁻⁶³ hash-collision class every
+    hash-keyed dedup op here documents."""
     from ..util import dataset_arrow_schema
+    from .dedup import _text_hash63
 
     in_schema = dataset_arrow_schema(ds)
     conv_type = (in_schema.field(conv_col).type
@@ -2904,22 +2909,31 @@ def echo_stats(ds, *, conv_col: str = "conv_id",
         ("n_pairs", pa.int64()),
     ])
 
+    def hash_proj(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        return pa.table({
+            conv_col: t.column(conv_col),
+            idx_col: t.column(idx_col),
+            role_col: t.column(role_col),
+            "__th": pa.array(_text_hash63(text)),
+            "__tv": pc.is_valid(text),
+        })
+
     def kernel(t: pa.Table) -> pa.Table:
         n = len(t)
         if n == 0:
             return out_schema.empty_table()
         keys = t.column(conv_col).to_numpy(zero_copy_only=False)
         roles = t.column(role_col).to_numpy(zero_copy_only=False)
-        text = t.column(text_col).to_numpy(zero_copy_only=False)
+        th = t.column("__th").to_numpy(zero_copy_only=False)
         new_conv = np.r_[True, keys[1:] != keys[:-1]]
         is_pair = np.r_[
             False,
             (roles[1:] == "assistant") & (roles[:-1] == "user"),
         ] & ~new_conv
-        valid = pc.is_valid(t.column(text_col)).to_numpy(
-            zero_copy_only=False)
+        valid = t.column("__tv").to_numpy(zero_copy_only=False)
         nn = np.r_[False, valid[1:] & valid[:-1]]
-        echo = is_pair & nn & np.r_[False, text[1:] == text[:-1]]
+        echo = is_pair & nn & np.r_[False, th[1:] == th[:-1]]
         conv_starts = np.flatnonzero(new_conv)
         n_pairs = np.add.reduceat(is_pair.astype(np.int64), conv_starts)
         n_echoes = np.add.reduceat(echo.astype(np.int64), conv_starts)
@@ -2934,7 +2948,8 @@ def echo_stats(ds, *, conv_col: str = "conv_id",
     import ray.data as rd
 
     return _per_conversation_apply(
-        ds, [conv_col, idx_col, role_col, text_col], conv_col, idx_col,
+        ds.map_batches(hash_proj, batch_format="pyarrow"),
+        [conv_col, idx_col, role_col, "__th", "__tv"], conv_col, idx_col,
         kernel).union(
         rd.from_arrow(out_schema.empty_table()))  # schema anchor
 
@@ -2969,7 +2984,10 @@ def clip_turn_texts(ds, max_tokens: int, *, text_col: str = "text"):
         # like NBSP, both of which \S+ tokenization keeps (so the trim
         # stays byte-equal to the regexp_extract_all oracle) → split on
         # \s+ (no empty tokens possible after the trim) → slice → join
-        sub = text.filter(over)
+        # compute the rebuild in pa.string(): binary_join has no
+        # list<large_string> kernel; the final column is cast back to the
+        # input type below
+        sub = pc.cast(text.filter(over), pa.string())
         toks = pc.split_pattern_regex(
             pc.utf8_trim(sub, " \t\n\f\r"), pattern=r"\s+")
         short = pc.binary_join(
@@ -2977,9 +2995,13 @@ def clip_turn_texts(ds, max_tokens: int, *, text_col: str = "text"):
         new_text = np.asarray(text, dtype=object)
         new_text[np.asarray(over, dtype=bool)] = np.asarray(
             short, dtype=object)
+        # rebuild with the INPUT column's type: the under-budget fast path
+        # above passes the column through untouched, so a large_string (or
+        # other string-family) input would otherwise yield mixed block
+        # schemas across batches and fail at union/consume time
         return t.set_column(
             t.column_names.index(text_col), text_col,
-            pa.array(new_text, pa.string()),
+            pa.array(new_text, t.schema.field(text_col).type),
         ).append_column("clipped", over)
 
     return ds.map_batches(clip, batch_format="pyarrow")
@@ -3258,7 +3280,11 @@ def reindex_turns(ds, *, conv_col: str = "conv_id",
     so downstream consumers that require a dense 0..n-1 index (packing,
     SFT extraction, :func:`validate_conversations`) accept filtered
     output.  All other columns pass through unchanged; the original index
-    is preserved in ``orig_turn_idx``.
+    is preserved in ``orig_turn_idx``.  Rows with a null ``conv_col`` or
+    ``idx_col`` are DROPPED (they have no position in any conversation's
+    order — same explicit null-key contract as
+    :func:`filter_conversations`), so the output may have fewer rows than
+    the input.
 
     Scale shape: the shared :func:`_per_conversation_apply` one-sort
     scaffold; the kernel is a pure vectorized arange per conversation
@@ -3407,8 +3433,16 @@ def fork_index_probe(new_ds, path: str, prefix_turns: int, *,
         conv_col, idx_col, text_col, conv_type,
     ).materialize()  # consumed by the fp value set AND the final stamp
 
+    # the witness column carries INDEX conv ids — resolve its type from the
+    # persisted index's own parquet schema (an int-keyed index probed by a
+    # string-keyed shard, or vice versa, keeps each side's true type; a
+    # hardcoded pa.string() witness would diverge from conversation_diff's
+    # key-type-preserving contract)
+    import pyarrow.dataset as pads
+
+    wit_type = pads.dataset(f"{path}/prefixes").schema.field(conv_col).type
     out_schema = pa.schema([(conv_col, conv_type),
-                            ("matched_conv", pa.string())])
+                            ("matched_conv", wit_type)])
     fp_refs = sharded_value_refs(new_fp, "__fp", rows_per_shard)
     if not fp_refs:
         return rd.from_arrow(out_schema.empty_table())
@@ -3421,14 +3455,14 @@ def fork_index_probe(new_ds, path: str, prefix_turns: int, *,
         _MembershipAny(fp_refs, "__fp"), batch_format="pyarrow")
     witness = index.groupby("__fp").aggregate(Min(conv_col))
     wit_empty = pa.table({"__fp": pa.array([], pa.int64()),
-                          "__wit": pa.array([], pa.string())})
+                          "__wit": pa.array([], wit_type)})
 
     def wit_rows(t: pa.Table) -> pa.Table:
         if f"min({conv_col})" not in t.column_names:
             return wit_empty
         return pa.table({
             "__fp": t.column("__fp"),
-            "__wit": pc.cast(t.column(f"min({conv_col})"), pa.string()),
+            "__wit": pc.cast(t.column(f"min({conv_col})"), wit_type),
         })
 
     wit_refs = _sharded_refs(
@@ -3751,10 +3785,32 @@ def _require_fresh_sink(path: str, sub: str) -> None:
     directory, so re-writing an index into a non-empty target would leave
     stale fingerprints beside the new ones (duplicate keys →
     ``snapshot_diff`` raises; stale prefixes silently keep matching).
-    Refuse up front (driver-local check — index sinks live on storage the
-    driver can see, same assumption the probe's read makes)."""
+    Refuse up front.  Local paths check via os; URI sinks (s3://, gs://,
+    hdfs://, ...) check via ``pyarrow.fs.FileSystem.from_uri`` — and if the
+    scheme can't be resolved we RAISE rather than silently skipping the
+    guard (a skipped check would reintroduce the stale-fingerprint append
+    hazard this helper exists to prevent)."""
     import os
 
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        try:
+            filesystem, base = pafs.FileSystem.from_uri(path)
+            info = filesystem.get_file_info(
+                pafs.FileSelector(f"{base.rstrip('/')}/{sub}",
+                                  allow_not_found=True))
+        except Exception as ex:  # noqa: BLE001 - unknown scheme/unreachable
+            raise ValueError(
+                f"cannot verify that index sink {path}/{sub} is fresh "
+                f"({ex}); the fresh-sink check is required because "
+                "write_parquet appends rather than replaces") from ex
+        if info:
+            raise ValueError(
+                f"index sink {path}/{sub} already contains files; write to "
+                "a fresh directory or remove the stale index first "
+                "(write_parquet appends, it does not replace)")
+        return
     d = os.path.join(path, sub)
     if os.path.isdir(d) and os.listdir(d):
         raise ValueError(

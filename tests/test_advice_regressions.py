@@ -98,3 +98,76 @@ def test_null_key_grouping_diverges_from_reference_fillna(ray_session):
     u2 = hq.Uniqueness(["a"])
     local2 = do_analysis_run(tbl2, [u2], chunk_rows=1)
     assert local2.metric_map[u2].value.get() == 1.0  # 2 unique / 2 counted
+
+
+def test_clip_turn_texts_preserves_large_string_type(ray_session):
+    """ADVICE r3 (low): clip_turn_texts rebuilt clipped batches as
+    pa.string() while the under-budget fast path kept the input type — a
+    large_string corpus produced mixed block schemas.  Both paths must now
+    emit the INPUT text type."""
+    import ray.data as rd
+    from hooqu_ray.pipelines import transcripts as tp
+
+    over = "tok " * 10
+    t1 = pa.table({"conv_id": pa.array(["a", "a"]),
+                   "turn_idx": pa.array([0, 1], pa.int64()),
+                   "text": pa.array([over, "short"], pa.large_string())})
+    t2 = pa.table({"conv_id": pa.array(["b"]),
+                   "turn_idx": pa.array([0], pa.int64()),
+                   "text": pa.array(["tiny"], pa.large_string())})
+    ds = rd.from_arrow([t1, t2])  # one clipped block, one fast-path block
+    out = tp.clip_turn_texts(ds, 3)
+    schema = out.schema()
+    assert schema.base_schema.field("text").type == pa.large_string()
+    df = out.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                     ignore_index=True)
+    assert df.text.tolist() == ["tok tok tok", "short", "tiny"]
+    assert df.clipped.tolist() == [True, False, False]
+
+
+def test_fork_index_probe_int_keys_match_types(ray_session, tmp_path):
+    """ADVICE r3 (low): matched_conv was hardcoded pa.string(); for an
+    int-keyed corpus the (conv, matched_conv) pair must carry the probe
+    input's and the persisted index's actual key types."""
+    import ray.data as rd
+    from hooqu_ray.pipelines import transcripts as tp
+
+    def turns(conv_ids, salt=""):
+        rows = {"conv_id": [], "turn_idx": [], "text": []}
+        for c in conv_ids:
+            for i in range(3):
+                rows["conv_id"].append(c)
+                rows["turn_idx"].append(i)
+                rows["text"].append(f"shared-{i}" if i < 2 else f"t{c}{salt}")
+        return pa.table({"conv_id": pa.array(rows["conv_id"], pa.int64()),
+                         "turn_idx": pa.array(rows["turn_idx"], pa.int64()),
+                         "text": pa.array(rows["text"], pa.string())})
+
+    d = str(tmp_path / "fork_idx")
+    tp.fork_index_write(rd.from_arrow(turns([101, 202])), 2, d)
+    out = tp.fork_index_probe(rd.from_arrow(turns([303], salt="new")), d, 2)
+    schema = out.schema()
+    assert schema.base_schema.field("conv_id").type == pa.int64()
+    assert schema.base_schema.field("matched_conv").type == pa.int64()
+    df = out.to_pandas()
+    assert df.conv_id.tolist() == [303]
+    assert df.matched_conv.tolist() == [101]  # minimum indexed witness
+
+
+def test_require_fresh_sink_uri_paths(tmp_path):
+    """ADVICE r3 (low): the fresh-sink guard silently passed for URI sinks
+    (os.path.isdir is False on 's3://...').  file:// URIs must now be
+    checked through pyarrow.fs, and an unresolvable scheme must raise
+    rather than skip the check."""
+    from hooqu_ray.pipelines.transcripts import _require_fresh_sink
+
+    stale = tmp_path / "idx" / "prefixes"
+    stale.mkdir(parents=True)
+    (stale / "part-0.parquet").write_bytes(b"x")
+    with pytest.raises(ValueError, match="already contains"):
+        _require_fresh_sink(f"file://{tmp_path}/idx", "prefixes")
+    # fresh target under the same URI scheme passes
+    _require_fresh_sink(f"file://{tmp_path}/fresh", "prefixes")
+    # unresolvable scheme: refuse loudly, never silently skip
+    with pytest.raises(ValueError, match="cannot verify"):
+        _require_fresh_sink("noproto123://bucket/idx", "prefixes")
