@@ -2405,68 +2405,169 @@ def preference_pairs(ds, prefix_turns: int, *,
                      rows_per_shard: int = 4_000_000):
     """DPO-style preference-pair extraction from retry-fork groups: for
     each group of conversations sharing an identical first-``prefix_turns``
-    prefix (:func:`conversation_fork_groups` — retried agent runs on the
-    same task), score every member by the total character length of its
-    ``chosen_role`` turns in the DIVERGENT tail (``turn_idx >=
-    prefix_turns``), pick the best branch (max score, ties to the minimum
-    conv id) and emit one ``(fork_group, chosen_conv, rejected_conv,
-    chosen_score, rejected_score, n_convs)`` row per non-chosen member —
-    the chosen/rejected pair table a preference-tuning run consumes.
+    prefix (same grouping rule as :func:`conversation_fork_groups` —
+    retried agent runs on the same task), score every member by the total
+    character length of its ``chosen_role`` turns in the DIVERGENT tail
+    (``turn_idx >= prefix_turns``), pick the best branch (max score, ties
+    to the minimum conv id) and emit one ``(fork_group, chosen_conv,
+    rejected_conv, chosen_score, rejected_score, n_convs)`` row per
+    non-chosen member — the chosen/rejected pair table a
+    preference-tuning run consumes.
 
-    Scale shape: two pruned-column passes over the turn table (the prefix
-    fingerprint fold inside :func:`conversation_fork_groups`, then a
-    tail-score pass pre-aggregated per block with ``pa.Table.group_by``);
-    everything downstream is slim — O(#forked convs) score rows through
-    two ``groupby`` aggregates and three hash-range-sharded broadcasts
-    (members → group-max+chosen → final stamp), never the text.  Driver
-    peak is one ``rows_per_shard`` shard, same escape hatch as every
-    winner broadcast (``dedup._sharded_refs``)."""
+    Scale shape — ONE pruned-column pass over the turn table and TWO
+    O(#convs) shuffles total (profiled: each 640k-group Ray aggregate on
+    this box costs ~10 s regardless of key type, so the round-3 five-
+    aggregate DAG paid that floor five times):
+
+    1. per block, ONE ``pa.Table.group_by(conv)`` folds the prefix
+       fingerprint halves AND the tail char score as a 4th Sum rider
+       (text hashes/lengths are computed per block; text never shuffles);
+    2. ``groupby(conv).Sum×4`` folds partials across blocks — the only
+       O(#convs)-group full-width fold;
+    3. ``groupby(__fp).aggregate(Min(conv), Count, Max(score))`` finds
+       groups, winners AND group-max scores in one slim int64-keyed
+       aggregate;
+    4. the O(#fork groups) group table broadcasts in hash-range shards
+       for the member stamp; the tie-break ``groupby(__fp).Min(conv)``
+       runs over max-score candidates only (≈ #groups rows), and the
+       chosen table broadcasts back for the final emit.
+
+    Driver peak is one ``rows_per_shard`` shard, same escape hatch as
+    every winner broadcast (``dedup._sharded_refs``)."""
     import ray
-    from ray.data.aggregate import Min, Sum
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
 
-    from ..util import dataset_arrow_schema
-    from .dedup import _sharded_refs
+    from ..util import dataset_arrow_schema, splitmix64
+    from .dedup import _sharded_refs, _text_hash63
 
+    if prefix_turns < 1:
+        raise ValueError(f"prefix_turns must be >= 1, got {prefix_turns}")
     in_schema = dataset_arrow_schema(ds)
     conv_type = (in_schema.field(conv_col).type
                  if in_schema is not None and conv_col in in_schema.names
                  else pa.string())
-
-    members = conversation_fork_groups(
-        ds, prefix_turns, conv_col=conv_col, idx_col=idx_col,
-        text_col=text_col, rows_per_shard=rows_per_shard,
-    ).materialize()  # slim: one row per forked conversation
 
     out_schema = pa.schema([
         ("fork_group", conv_type), ("chosen_conv", conv_type),
         ("rejected_conv", conv_type), ("chosen_score", pa.int64()),
         ("rejected_score", pa.int64()), ("n_convs", pa.int64()),
     ])
-    if members.count() == 0:
-        # no fork groups at all: skip the tail-score pass entirely and
-        # anchor the output schema (zero-block datasets lose it)
-        import ray.data as rd
-
-        return rd.from_arrow(out_schema.empty_table())
-
-    member_empty = pa.table({
-        conv_col: pa.array([], conv_type),
-        "fork_group": pa.array([], conv_type),
-        "n_convs": pa.array([], pa.int64()),
-    })
-    member_refs = _sharded_refs(members, conv_col, rows_per_shard,
-                                member_empty)
-
     part_schema = pa.schema([
-        (conv_col, conv_type), ("__chars", pa.int64()),
+        (conv_col, conv_type), ("__lo", pa.int64()), ("__hi", pa.int64()),
+        ("__n", pa.int64()), ("__chars", pa.int64()),
     ])
 
-    class _TailScorePartials:
-        """Per-batch: tail ``chosen_role`` char sums per conversation,
-        semi-joined against the broadcast member shards (non-forked
-        conversations never enter the shuffle).  The shuffle rows carry
-        ONLY (conv, chars) — group payload re-attaches after the aggregate
-        on the slim score blocks."""
+    def combined_partials(t: pa.Table) -> pa.Table:
+        """Per-block: prefix fingerprint halves + tail chosen-role char
+        sums, folded together by one local group_by(conv)."""
+        t = t.filter(pc.is_valid(t.column(conv_col)))
+        if len(t) == 0:
+            return part_schema.empty_table()
+        idxv = pc.cast(t.column(idx_col), pa.int64())
+        pre = t.filter(pc.less(idxv, prefix_turns))  # null idx drops
+        tail = t.filter(pc.and_(
+            pc.greater_equal(idxv, prefix_turns),
+            pc.equal(t.column(role_col), chosen_role)))
+        parts = []
+        if len(pre):
+            th = _text_hash63(pre.column(text_col)).astype(np.uint64)
+            ix = np.asarray(
+                pc.cast(pre.column(idx_col), pa.int64())).astype(np.uint64)
+            x = splitmix64(th ^ (ix * _FP_MIX1))
+            parts.append(pa.table({
+                conv_col: pre.column(conv_col),
+                "__lo": pa.array(
+                    (x & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "__hi": pa.array((x >> np.uint64(32)).astype(np.int64)),
+                "__n": pa.array(np.ones(len(pre), np.int64)),
+                "__chars": pa.array(np.zeros(len(pre), np.int64)),
+            }))
+        if len(tail):
+            zeros = np.zeros(len(tail), np.int64)
+            parts.append(pa.table({
+                conv_col: tail.column(conv_col),
+                "__lo": pa.array(zeros),
+                "__hi": pa.array(zeros),
+                "__n": pa.array(zeros),
+                "__chars": pc.coalesce(
+                    pc.cast(pc.utf8_length(tail.column(text_col)),
+                            pa.int64()),
+                    pa.scalar(0, pa.int64())),
+            }))
+        if not parts:
+            return part_schema.empty_table()
+        both = pa.concat_tables(parts)
+        return both.group_by(conv_col, use_threads=False).aggregate(
+            [("__lo", "sum"), ("__hi", "sum"), ("__n", "sum"),
+             ("__chars", "sum")]
+        ).rename_columns([conv_col, "__lo", "__hi", "__n", "__chars"])
+
+    folded = (
+        ds.map_batches(combined_partials, batch_format="pyarrow")
+        .groupby(conv_col)
+        .aggregate(Sum("__lo"), Sum("__hi"), Sum("__n"), Sum("__chars"))
+    )
+
+    fp_schema = pa.schema([(conv_col, conv_type), ("__fp", pa.int64()),
+                           ("__score", pa.int64())])
+
+    def fp_score(t: pa.Table) -> pa.Table:
+        if "sum(__lo)" not in t.column_names:  # schema-less empty block
+            return fp_schema.empty_table()
+        # a conversation with NO prefix turns (only null/deep indices)
+        # never fingerprints — same absence as the prefix-filtered fold
+        t = t.filter(pc.greater(t.column("sum(__n)"), pa.scalar(0)))
+        if len(t) == 0:
+            return fp_schema.empty_table()
+        lo = np.asarray(t.column("sum(__lo)")).astype(np.uint64)
+        hi = np.asarray(t.column("sum(__hi)")).astype(np.uint64)
+        n = np.asarray(t.column("sum(__n)")).astype(np.uint64)
+        fp = splitmix64(lo * _FP_MIX1 ^ hi * _FP_MIX2 ^ n * _FP_MIX3)
+        fp = (fp & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        return pa.table({
+            conv_col: t.column(conv_col),
+            "__fp": pa.array(fp, pa.int64()),
+            "__score": pc.cast(t.column("sum(__chars)"), pa.int64()),
+        })
+
+    fp_rows = folded.map_batches(
+        fp_score, batch_format="pyarrow").materialize()  # stamp + emit
+
+    groups = fp_rows.groupby("__fp").aggregate(
+        Min(conv_col), Count(), Max("__score"))
+    group_empty = pa.table({
+        "__fp": pa.array([], pa.int64()),
+        "__win": pa.array([], conv_type),
+        "__size": pa.array([], pa.int64()),
+        "__gmax": pa.array([], pa.int64()),
+    })
+
+    def keep_groups(t: pa.Table) -> pa.Table:
+        if "count()" not in t.column_names:  # schema-less empty agg block
+            return group_empty
+        sub = t.filter(pc.greater(t.column("count()"), pa.scalar(1)))
+        return pa.table({
+            "__fp": sub.column("__fp"),
+            "__win": sub.column(f"min({conv_col})"),
+            "__size": pc.cast(sub.column("count()"), pa.int64()),
+            "__gmax": pc.cast(sub.column("max(__score)"), pa.int64()),
+        })
+
+    group_refs = _sharded_refs(
+        groups.map_batches(keep_groups, batch_format="pyarrow")
+        .materialize(), "__fp", rows_per_shard, group_empty)
+
+    score_schema = pa.schema([
+        (conv_col, conv_type), ("__fp", pa.int64()),
+        ("fork_group", conv_type), ("n_convs", pa.int64()),
+        ("__score", pa.int64()), ("__gmax", pa.int64()),
+    ])
+
+    class _StampMembers:
+        """Per-batch: attach (fork_group, n_convs, gmax) to each member's
+        fingerprint row; non-members (singleton fps) drop here, so only
+        O(#forked convs) rows flow on."""
 
         def __init__(self, refs):
             self.refs = refs
@@ -2477,177 +2578,59 @@ def preference_pairs(ds, prefix_turns: int, *,
                 self._tbls = [r if isinstance(r, pa.Table) else ray.get(r)
                               for r in self.refs]
             if len(t) == 0:
-                return part_schema.empty_table()
-            mask = pc.and_(
-                pc.greater_equal(pc.cast(t.column(idx_col), pa.int64()),
-                                 prefix_turns),
-                pc.equal(t.column(role_col), chosen_role))
-            sub = t.filter(mask)
-            if len(sub) == 0:
-                return part_schema.empty_table()
-            chars = pc.coalesce(
-                pc.cast(pc.utf8_length(sub.column(text_col)), pa.int64()),
-                pa.scalar(0, pa.int64()))
-            part = (pa.table({conv_col: sub.column(conv_col),
-                              "__chars": chars})
-                    .group_by(conv_col).aggregate([("__chars", "sum")])
-                    .rename_columns([conv_col, "__chars"]))
-            conv = part.column(conv_col).combine_chunks()
-            keep = np.zeros(len(part), dtype=bool)
-            for w in self._tbls:
-                if len(w) == 0:
-                    continue
-                # INVERTED membership probe (flagship dropped-set trick):
-                # pc.index_in rebuilds the value_set hash PER CALL, so hash
-                # the block's small post-groupby key set and scan the member
-                # shard against it, scattering hits back — no O(|members|)
-                # hash build per block.
-                pos = pc.index_in(w.column(conv_col), value_set=conv)
-                hit = pos.filter(pc.is_valid(pos))
-                if len(hit):
-                    keep[hit.to_numpy(zero_copy_only=False)] = True
-            return part.filter(pa.array(keep))
-
-    def member_zero(t: pa.Table) -> pa.Table:
-        # every member contributes a zero row so branches whose tail has
-        # no chosen_role turns still score (as 0) instead of vanishing
-        if len(t) == 0 or conv_col not in t.column_names:
-            return part_schema.empty_table()
-        return pa.table({
-            conv_col: t.column(conv_col),
-            "__chars": pa.array([0] * len(t), pa.int64()),
-        })
-
-    sums = (
-        ds.map_batches(_TailScorePartials(member_refs),
-                       batch_format="pyarrow")
-        .union(members.map_batches(member_zero, batch_format="pyarrow"))
-        .groupby(conv_col)
-        .aggregate(Sum("__chars"))
-    )
-
-    score_schema = pa.schema([
-        (conv_col, conv_type), ("fork_group", conv_type),
-        ("n_convs", pa.int64()), ("__score", pa.int64()),
-    ])
-
-    class _ScoreRows:
-        """Re-attach (fork_group, n_convs) to the aggregated per-conv sums
-        from the member shards — slim blocks, one inner join each."""
-
-        def __init__(self, refs):
-            self.refs = refs
-            self._tbls = None
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if ("sum(__chars)" not in t.column_names  # schema-less empty
-                    or len(t) == 0):
                 return score_schema.empty_table()
-            if self._tbls is None:
-                self._tbls = [r if isinstance(r, pa.Table) else ray.get(r)
-                              for r in self.refs]
-            conv = t.column(conv_col).combine_chunks()
+            fp = t.column("__fp")
             out = []
             for w in self._tbls:
                 if len(w) == 0:
                     continue
-                pos = pc.index_in(w.column(conv_col), value_set=conv)
+                pos = pc.index_in(fp, value_set=w.column("__fp"))
                 hit = pc.is_valid(pos)
                 if not pc.any(hit).as_py():
                     continue
-                w_hit = w.filter(hit)
-                trows = t.take(pos.filter(hit))
+                sub = t.filter(hit)
+                pos_h = pos.filter(hit)
                 out.append(pa.table({
-                    conv_col: trows.column(conv_col),
-                    "fork_group": w_hit.column("fork_group"),
-                    "n_convs": w_hit.column("n_convs"),
-                    "__score": pc.cast(trows.column("sum(__chars)"),
-                                       pa.int64()),
+                    conv_col: sub.column(conv_col),
+                    "__fp": sub.column("__fp"),
+                    "fork_group": w.column("__win").take(pos_h),
+                    "n_convs": w.column("__size").take(pos_h),
+                    "__score": sub.column("__score"),
+                    "__gmax": w.column("__gmax").take(pos_h),
                 }))
             if not out:
                 return score_schema.empty_table()
             return pa.concat_tables(out)
 
-    scores = sums.map_batches(
-        _ScoreRows(member_refs),
+    scores = fp_rows.map_batches(
+        _StampMembers(group_refs),
         batch_format="pyarrow").materialize()  # consumed twice
 
-    # chosen per group: max score, ties to min conv id — two slim
-    # aggregates (argmax via a negated-score pack would need one, but the
-    # score range is unbounded; two passes over O(#forked convs) is free)
-    from ray.data.aggregate import Max
-
-    gmax = scores.groupby("fork_group").aggregate(Max("__score"))
-    gmax_empty = pa.table({"fork_group": pa.array([], conv_type),
-                           "__gmax": pa.array([], pa.int64())})
-
-    def gmax_rows(t: pa.Table) -> pa.Table:
-        if "max(__score)" not in t.column_names:
-            return gmax_empty
-        return pa.table({
-            "fork_group": t.column("fork_group"),
-            "__gmax": pc.cast(t.column("max(__score)"), pa.int64()),
-        })
-
-    gmax_refs = _sharded_refs(
-        gmax.map_batches(gmax_rows, batch_format="pyarrow").materialize(),
-        "fork_group", rows_per_shard, gmax_empty)
-
-    class _StampGroupMax:
-        def __init__(self, refs):
-            self.refs = refs
-            self._tbls = None
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self._tbls is None:
-                self._tbls = [r if isinstance(r, pa.Table) else ray.get(r)
-                              for r in self.refs]
-            out_schema = pa.schema(list(zip(t.schema.names, t.schema.types))
-                                   + [("__gmax", pa.int64())])
-            if len(t) == 0:
-                return out_schema.empty_table()
-            fg = t.column("fork_group")
-            out = []
-            for w in self._tbls:
-                if len(w) == 0:
-                    continue
-                pos = pc.index_in(fg, value_set=w.column("fork_group"))
-                hit = pc.is_valid(pos)
-                if not pc.any(hit).as_py():
-                    continue
-                out.append(t.filter(hit).append_column(
-                    "__gmax", w.column("__gmax").take(pos.filter(hit))))
-            if not out:
-                return out_schema.empty_table()
-            return pa.concat_tables(out)
-
-    stamped = scores.map_batches(_StampGroupMax(gmax_refs),
-                                 batch_format="pyarrow")
-
+    # tie-break: min conv id among max-score members — an aggregate over
+    # candidates only (≈ one row per group unless scores tie)
     def candidates(t: pa.Table) -> pa.Table:
+        if "__gmax" not in t.column_names or len(t) == 0:
+            return score_schema.empty_table()
         return t.filter(pc.equal(t.column("__score"), t.column("__gmax")))
 
-    chosen = (stamped.map_batches(candidates, batch_format="pyarrow")
-              .groupby("fork_group").aggregate(Min(conv_col),
-                                               Min("__gmax")))
+    chosen = (scores.map_batches(candidates, batch_format="pyarrow")
+              .groupby("__fp").aggregate(Min(conv_col)))
     chosen_empty = pa.table({
-        "fork_group": pa.array([], conv_type),
+        "__fp": pa.array([], pa.int64()),
         "__chosen": pa.array([], conv_type),
-        "__cscore": pa.array([], pa.int64()),
     })
 
     def chosen_rows(t: pa.Table) -> pa.Table:
         if f"min({conv_col})" not in t.column_names:
             return chosen_empty
         return pa.table({
-            "fork_group": t.column("fork_group"),
+            "__fp": t.column("__fp"),
             "__chosen": t.column(f"min({conv_col})"),
-            "__cscore": pc.cast(t.column("min(__gmax)"), pa.int64()),
         })
 
     chosen_refs = _sharded_refs(
         chosen.map_batches(chosen_rows, batch_format="pyarrow").materialize(),
-        "fork_group", rows_per_shard, chosen_empty)
+        "__fp", rows_per_shard, chosen_empty)
 
     class _EmitPairs:
         def __init__(self, refs):
@@ -2658,14 +2641,14 @@ def preference_pairs(ds, prefix_turns: int, *,
             if self._tbls is None:
                 self._tbls = [r if isinstance(r, pa.Table) else ray.get(r)
                               for r in self.refs]
-            if len(t) == 0:
+            if len(t) == 0 or "__fp" not in t.column_names:
                 return out_schema.empty_table()
-            fg = t.column("fork_group")
+            fp = t.column("__fp")
             out = []
             for w in self._tbls:
                 if len(w) == 0:
                     continue
-                pos = pc.index_in(fg, value_set=w.column("fork_group"))
+                pos = pc.index_in(fp, value_set=w.column("__fp"))
                 hit = pc.is_valid(pos)
                 if not pc.any(hit).as_py():
                     continue
@@ -2680,8 +2663,7 @@ def preference_pairs(ds, prefix_turns: int, *,
                     "fork_group": sub2.column("fork_group"),
                     "chosen_conv": cconv.filter(keep),
                     "rejected_conv": sub2.column(conv_col),
-                    "chosen_score": w.column("__cscore").take(
-                        pos_h.filter(keep)),
+                    "chosen_score": sub2.column("__gmax"),
                     "rejected_score": sub2.column("__score"),
                     "n_convs": sub2.column("n_convs"),
                 }))
@@ -2690,7 +2672,8 @@ def preference_pairs(ds, prefix_turns: int, *,
             return pa.concat_tables(out)
 
     return scores.map_batches(_EmitPairs(chosen_refs),
-                              batch_format="pyarrow")
+                              batch_format="pyarrow").union(
+        rd.from_arrow(out_schema.empty_table()))  # schema anchor
 
 
 def assistant_loop_stats(ds, min_run: int = 2, *,

@@ -1127,6 +1127,36 @@ class TestPreferencePairs:
             .to_pandas().sort_values("rejected_conv", ignore_index=True)
         assert base.equals(sharded)
 
+    def test_int_keys_and_null_fields(self, ray_session):
+        """Int conv ids keep their type through the fused fold; null
+        idx/role/text rows neither fingerprint nor score (null idx is in
+        neither prefix nor tail; null role never matches chosen_role;
+        null tail text scores 0 chars)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = [
+            (10, 0, "user", "same prompt"), (10, 1, "assistant", "longer"),
+            (20, 0, "user", "same prompt"), (20, 1, "assistant", None),
+            (20, None, "assistant", "null idx never scores"),
+            (20, 1, None, "null role never scores"),
+            (None, 0, "user", "null conv dropped"),
+        ]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.int64()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        })
+        out = tp.preference_pairs(rd.from_arrow(t), 1)
+        assert out.schema().base_schema.field("fork_group").type == pa.int64()
+        df = out.to_pandas()
+        assert df.chosen_conv.tolist() == [10]  # 'longer' (6) beats None (0)
+        assert df.rejected_conv.tolist() == [20]
+        assert df.chosen_score.tolist() == [6]
+        assert df.rejected_score.tolist() == [0]
+        assert df.n_convs.tolist() == [2]
+
     def test_no_fork_groups_empty(self, ray_session):
         import pyarrow as pa
         import ray.data as rd
