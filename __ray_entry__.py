@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["approx_distinct_users_per_type"] = _approx_distinct_users_per_type
     out["keep_best_dedup_documents"] = _keep_best_dedup_documents
     out["heavy_hitter_tokens"] = _heavy_hitter_tokens
+    out["multimodal_image_stats"] = _multimodal_image_stats
+    out["multimodal_audio_stats"] = _multimodal_audio_stats
+    out["multimodal_frame_stats"] = _multimodal_frame_stats
 
     # -- bound-style oracles for the non-SQL-expressible ops --------------
     out["minhash_lsh_pairs_documents"] = _minhash_pairs
@@ -337,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["simhash_documents"] = _simhash_docs
     out["langid_documents"] = _langid_docs
     out["transcript_filter_stats"] = _transcript_filter_stats
+    out["multimodal_resize_pipeline"] = _multimodal_resize_pipeline
 
     return out
 
@@ -4398,6 +4402,36 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) "
             "AS delta FROM events ORDER BY event_id"
         ),
+        # multimodal fixtures are real BMP/WAV/HQV1 payloads whose decoded
+        # metrics are closed-form in the id (synth_*_params in
+        # pipelines/multimodal.py); every double below is a dyadic rational,
+        # IEEE-exact on both sides, so no rounding is needed
+        "multimodal_image_stats": (
+            "SELECT r.range AS image_id, "
+            "CAST(16 + (r.range % 13) * 4 AS INTEGER) AS width, "
+            "CAST(16 + ((r.range * 7) % 11) * 4 AS INTEGER) AS height, "
+            "CAST(3 AS INTEGER) AS channels, "
+            "CAST((r.range * 37) % 256 AS DOUBLE) AS mean_luma "
+            "FROM range(200) r ORDER BY image_id"
+        ),
+        "multimodal_audio_stats": (
+            "SELECT r.range AS audio_id, "
+            "CAST(16000 AS INTEGER) AS sample_rate, "
+            "CAST(8000 + (r.range % 5) * 4000 AS DOUBLE) / 16000 "
+            "AS duration_sec, "
+            "CAST((r.range * 1000) % 20000 AS DOUBLE) / 32768 AS rms "
+            "FROM range(200) r ORDER BY audio_id"
+        ),
+        "multimodal_frame_stats": (
+            "SELECT v.range AS video_id, "
+            "CAST(j.range AS INTEGER) AS frame_idx, "
+            "CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, "
+            "CAST((v.range * 31 + j.range * 17) % 256 AS DOUBLE) "
+            "AS mean_luma "
+            "FROM range(200) v CROSS JOIN range(4) j "
+            "WHERE j.range < 2 + (v.range % 3) "
+            "ORDER BY video_id, frame_idx"
+        ),
     }
     # incremental index diff shares the direct diff's exact semantics
     d["diff_against_index_transcripts"] = d["conversation_diff_transcripts"]
@@ -4974,3 +5008,113 @@ def _minmax_events_by_type(sf_dir: str):
     df["minmax"] = df["minmax"].round(6)
     df["event_id"] = df["event_id"].astype("int64")
     return df.sort_values("event_id", ignore_index=True)
+
+
+# -- multimodal tier (real built-in codecs: BMP / PCM16 WAV / HQV1) ---------
+#
+# The fixtures are REAL byte payloads (bmp_encode / wav_encode /
+# video_encode) whose decoded metrics are closed-form functions of the id,
+# so the oracles recompute every value in SQL from a generated series.  All
+# emitted doubles are IEEE-exact on both sides (dyadic rationals), so no
+# rounding is applied.
+
+
+def _mm_blocks(kind: str):
+    """Synthesized multimodal fixture as an 8-block dataset (a single
+    Arrow table is ONE block, which would serialize the actor pool)."""
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.multimodal import synthesize_binary_table
+
+    t = synthesize_binary_table(200, kind=kind)
+    return rd.from_arrow([t.slice(i, 25) for i in range(0, 200, 25)])
+
+
+def _multimodal_image_stats(sf_dir: str):
+    """BMP decode over an actor pool: (image_id, width, height, channels,
+    mean_luma) for 200 synthesized constant-fill 24-bit BMPs."""
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.multimodal import (
+        DEFAULT_BINARY_BATCH_SIZE, ImageDecodeStage, synthesize_binary_table)
+
+    ds = _mm_blocks("image")
+    out = ds.map_batches(
+        ImageDecodeStage, batch_format="pyarrow",
+        batch_size=DEFAULT_BINARY_BATCH_SIZE, concurrency=2,
+    ).map_batches(lambda t: t.drop_columns(["image"]), batch_format="pyarrow")
+    return out.to_pandas().sort_values("image_id", ignore_index=True)
+
+
+def _multimodal_audio_stats(sf_dir: str):
+    """PCM16 WAV decode over an actor pool: (audio_id, sample_rate,
+    duration_sec, rms) for 200 synthesized constant-sample WAVs."""
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.multimodal import (
+        DEFAULT_BINARY_BATCH_SIZE, AudioFeatureStage, synthesize_binary_table)
+
+    ds = _mm_blocks("audio")
+    out = ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow",
+        batch_size=DEFAULT_BINARY_BATCH_SIZE, concurrency=2,
+    ).map_batches(lambda t: t.drop_columns(["audio"]), batch_format="pyarrow")
+    return out.to_pandas().sort_values("audio_id", ignore_index=True)
+
+
+def _multimodal_frame_stats(sf_dir: str):
+    """Frame-sample → image-decode composition: HQV1 containers split into
+    their real BMP frames (flat-map), each frame decoded by the image
+    stage — (video_id, frame_idx, width, height, mean_luma)."""
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.multimodal import (
+        DEFAULT_BINARY_BATCH_SIZE, FrameSampleStage, ImageDecodeStage,
+        synthesize_binary_table)
+
+    ds = _mm_blocks("video")
+    frames = ds.map_batches(
+        FrameSampleStage, batch_format="pyarrow",
+        batch_size=DEFAULT_BINARY_BATCH_SIZE, concurrency=2)
+    out = frames.map_batches(
+        ImageDecodeStage, fn_constructor_kwargs={"image_col": "frame"},
+        batch_format="pyarrow", batch_size=DEFAULT_BINARY_BATCH_SIZE,
+        concurrency=2,
+    ).map_batches(
+        lambda t: t.drop_columns(["frame", "channels"]),
+        batch_format="pyarrow")
+    return out.to_pandas().sort_values(
+        ["video_id", "frame_idx"], ignore_index=True)
+
+
+def _multimodal_resize_pipeline(sf_dir: str):
+    """Rows-only gate: decode → resize → embedding summary end-to-end
+    (the list<float> embedding itself is reduced to scalar norm/mean per
+    image — list cells can't ride the driver's value hash)."""
+    import numpy as np
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.multimodal import (
+        DEFAULT_BINARY_BATCH_SIZE, ImageResizeStage, synthesize_binary_table)
+
+    ds = _mm_blocks("image")
+    emb = ds.map_batches(
+        ImageResizeStage, batch_format="pyarrow",
+        batch_size=DEFAULT_BINARY_BATCH_SIZE, concurrency=2)
+
+    def summarize(t):
+        import pyarrow as _pa
+
+        arr = np.stack(
+            [np.asarray(x, dtype=np.float64)
+             for x in t.column("image_embedding").to_pylist()])
+        return _pa.table({
+            "image_id": t.column("image_id"),
+            "emb_dim": _pa.array(
+                np.full(len(t), arr.shape[1], np.int64)),
+            "emb_mean": _pa.array(arr.mean(axis=1)),
+            "emb_norm": _pa.array(np.sqrt((arr * arr).sum(axis=1))),
+        })
+
+    out = emb.map_batches(summarize, batch_format="pyarrow")
+    return out.to_pandas().sort_values("image_id", ignore_index=True)

@@ -1,13 +1,23 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
 
 The Ray-side plumbing — schemas, actor-pool stages, batch sizing, output
-layout — is real and tested; the codec layer is STUBBED behind
-``_load_image_codec`` / ``_load_audio_codec`` because this container ships no
-image/audio libraries.  Each loader first tries the real library (PIL /
-soundfile); absent that it installs a clearly-marked deterministic fake that
-derives plausible metadata/features from a content hash, so every stage is
-exercisable end-to-end and swapping in the real codec is a one-function
-change.
+layout — is real and tested, and so is the default codec layer:
+
+- images: a pure-numpy 24-bit uncompressed **BMP** encoder/decoder
+  (``bmp_encode`` / ``bmp_decode``) — a real, externally-readable byte
+  format, no third-party library needed;
+- audio: stdlib ``wave`` PCM16 **WAV** encode/decode (``wav_encode`` /
+  ``wav_decode``);
+- video: a length-prefixed frame container (``video_encode`` /
+  ``video_frames``, magic ``HQV1``) whose frames are themselves BMPs, so
+  frame-sampling composes with the image decoder.
+
+``_load_image_codec`` / ``_load_audio_codec`` still prefer the richer
+optional libraries when present (PIL / soundfile — absent in this
+container) and fall back to the built-in codecs by sniffing the payload
+magic.  Only a payload in an UNRECOGNIZED format hits the clearly-marked
+deterministic fake (kept so foreign fixtures remain exercisable); the
+stages report which path decoded via ``real_codec``.
 
 Batch sizing: binary payloads are large — these stages default to small
 ``batch_size`` so (batch × concurrency) stays within worker heap; Ray blocks
@@ -18,12 +28,15 @@ carrying big binary columns should also get a larger
 from __future__ import annotations
 
 import hashlib
-from typing import Optional, Tuple
+import struct
+from typing import List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
 
 DEFAULT_BINARY_BATCH_SIZE = 64  # rows per batch for payload-heavy stages
+
+VIDEO_MAGIC = b"HQV1"
 
 
 def _content_rng(payload: bytes) -> np.random.Generator:
@@ -32,13 +45,128 @@ def _content_rng(payload: bytes) -> np.random.Generator:
 
 
 # ---------------------------------------------------------------------------
-# codec loading (real library if present, deterministic fake otherwise)
+# built-in codecs (pure numpy / stdlib — real byte formats)
+# ---------------------------------------------------------------------------
+
+def bmp_encode(arr: np.ndarray) -> bytes:
+    """RGB uint8 array (h, w, 3) → 24-bit uncompressed BMP bytes
+    (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding — readable by any
+    image viewer)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"bmp_encode expects (h, w, 3) RGB, got {arr.shape}")
+    h, w = arr.shape[:2]
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    bgr = arr[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    if pad:
+        padded = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+        padded[:, :row_bytes] = bgr.reshape(h, row_bytes)
+        pixels = padded.tobytes()
+    else:
+        pixels = bgr.tobytes()
+    image_size = len(pixels)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    return header + pixels
+
+
+def bmp_decode(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
+    """24-bit uncompressed BMP bytes → (width, height, 3, RGB uint8 array).
+    Handles both bottom-up (positive height) and top-down (negative) rows."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression}); "
+            "the built-in codec reads 24-bit uncompressed only")
+    h = abs(h_signed)
+    row_bytes = w * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up
+        rows = rows[::-1]
+    return w, h, 3, np.ascontiguousarray(rows[:, :, ::-1])  # BGR → RGB
+
+
+def wav_encode(samples: np.ndarray, rate: int) -> bytes:
+    """1-D int16 mono samples → PCM16 WAV bytes (stdlib ``wave``)."""
+    import io
+    import wave
+
+    samples = np.ascontiguousarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(payload: bytes) -> Tuple[int, np.ndarray]:
+    """PCM16 WAV bytes → (rate, float32 waveform in [-1, 1)); multi-channel
+    inputs are averaged to mono (soundfile-compatible scaling: /32768)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise ValueError(
+                f"unsupported WAV sample width {f.getsampwidth()} "
+                "(built-in codec reads PCM16 only)")
+        rate = f.getframerate()
+        n_ch = f.getnchannels()
+        raw = f.readframes(f.getnframes())
+    wavef = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+    if n_ch > 1:
+        wavef = wavef.reshape(-1, n_ch).mean(axis=1)
+    return rate, wavef
+
+
+def video_encode(frames: List[bytes]) -> bytes:
+    """Frame payloads → ``HQV1`` container: magic + u32 frame count +
+    (u32 length, bytes) per frame.  Frames are opaque (BMPs in the
+    synthesized fixtures, so frame-sampling composes with the image
+    decoder)."""
+    out = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for fr in frames:
+        out.append(struct.pack("<I", len(fr)))
+        out.append(fr)
+    return b"".join(out)
+
+
+def video_frames(payload: bytes) -> List[bytes]:
+    """Parse an ``HQV1`` container back into its frame payloads."""
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError("not an HQV1 video payload")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    frames, off = [], 8
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        frames.append(payload[off:off + ln])
+        off += ln
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# codec loading (optional library → built-in format codec → disclosed fake)
 # ---------------------------------------------------------------------------
 
 def _load_image_codec():
     try:  # pragma: no cover - PIL not in this container
-        from PIL import Image  # noqa: F401
         import io
+
+        from PIL import Image  # noqa: F401
 
         def decode(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
             img = Image.open(io.BytesIO(payload)).convert("RGB")
@@ -47,16 +175,18 @@ def _load_image_codec():
 
         return decode, True
     except ImportError:
-        def fake_decode(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
-            # STUB: deterministic fake — dimensions and pixels derived from
-            # the payload hash.  Replace by installing Pillow.
+        def builtin_decode(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
+            if payload[:2] == b"BM":
+                return bmp_decode(payload)
+            # STUB fallback for unrecognized formats (JPEG/PNG need a real
+            # library): deterministic fake derived from the payload hash.
             rng = _content_rng(payload)
             w = int(rng.integers(32, 512))
             h = int(rng.integers(32, 512))
             arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             return w, h, 3, arr
 
-        return fake_decode, False
+        return builtin_decode, True  # real for BMP payloads
 
 
 def _load_audio_codec():
@@ -71,14 +201,17 @@ def _load_audio_codec():
 
         return decode, True
     except ImportError:
-        def fake_decode(payload: bytes) -> Tuple[int, np.ndarray]:
-            # STUB: deterministic fake waveform from the payload hash.
+        def builtin_decode(payload: bytes) -> Tuple[int, np.ndarray]:
+            if payload[:4] == b"RIFF":
+                return wav_decode(payload)
+            # STUB fallback for unrecognized formats (mp3/flac need a real
+            # library): deterministic fake waveform from the payload hash.
             rng = _content_rng(payload)
             rate = 16000
             n = int(rng.integers(rate // 2, rate * 3))
             return rate, rng.standard_normal(n).astype(np.float32)
 
-        return fake_decode, False
+        return builtin_decode, True  # real for WAV payloads
 
 
 # ---------------------------------------------------------------------------
@@ -116,7 +249,7 @@ class ImageDecodeStage:
 class ImageResizeStage:
     """binary image → fixed-size float feature map (resize + flatten),
     emitted as a ``list<float>`` embedding column (nearest-neighbor resize on
-    the decoded array; fake decoder applies the same math)."""
+    the decoded array)."""
 
     def __init__(self, image_col: str = "image", size: int = 16):
         self.image_col = image_col
@@ -153,10 +286,13 @@ class AudioFeatureStage:
             if payload is None:
                 rates.append(None); durs.append(None); rmss.append(None)
                 continue
-            rate, wave = self.decode(payload)
+            rate, wavef = self.decode(payload)
             rates.append(rate)
-            durs.append(len(wave) / rate)
-            rmss.append(float(np.sqrt(np.mean(wave**2))))
+            durs.append(len(wavef) / rate)
+            # float64 accumulation: float32 pairwise-mean error is visible
+            # at the 1e-8 level and breaks exact-value oracles
+            w64 = wavef.astype(np.float64)
+            rmss.append(float(np.sqrt(np.mean(w64 * w64))))
         return (
             batch.append_column("sample_rate", pa.array(rates, pa.int32()))
             .append_column("duration_sec", pa.array(durs, pa.float64()))
@@ -165,21 +301,33 @@ class AudioFeatureStage:
 
 
 class FrameSampleStage:
-    """binary ``video`` column → k evenly-spaced "frame" payload slices.
+    """binary ``video`` column → up to k evenly-spaced frame payloads.
 
-    Without a video codec (STUB) a frame is a deterministic byte slice of the
-    payload; with one, replace ``_frames`` to decode real frames.  Emits one
-    row per (video, frame): flat-map shape."""
+    ``HQV1`` containers are parsed into their REAL frames; any other
+    payload falls back to deterministic byte slices (disclosed stub for
+    foreign containers).  Emits one row per (video, frame): flat-map
+    shape.  ``frame_idx`` is the frame's index IN THE SOURCE video, so
+    downstream consumers can align samples across stages."""
 
     def __init__(self, video_col: str = "video", id_col: str = "video_id", k: int = 4):
         self.video_col = video_col
         self.id_col = id_col
         self.k = k
 
-    def _frames(self, payload: bytes):
+    def _frames(self, payload: bytes) -> List[Tuple[int, bytes]]:
+        if payload[:4] == VIDEO_MAGIC:
+            frames = video_frames(payload)
+            if len(frames) <= self.k:
+                return list(enumerate(frames))
+            pick = np.linspace(0, len(frames) - 1, self.k).round().astype(int)
+            return [(int(i), frames[int(i)]) for i in np.unique(pick)]
+        # STUB fallback: deterministic byte slices of an opaque container
         n = len(payload)
         step = max(n // self.k, 1)
-        return [payload[i * step : (i + 1) * step] for i in range(min(self.k, n))]
+        return [
+            (i, payload[i * step: (i + 1) * step])
+            for i in range(min(self.k, n))
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, fidx, frames = [], [], []
@@ -189,24 +337,71 @@ class FrameSampleStage:
         ):
             if payload is None:
                 continue
-            for i, fr in enumerate(self._frames(payload)):
+            for i, fr in self._frames(payload):
                 ids.append(vid)
                 fidx.append(i)
                 frames.append(fr)
         return pa.table(
             {
-                self.id_col: pa.array(ids),
+                self.id_col: pa.array(ids, batch.column(self.id_col).type),
                 "frame_idx": pa.array(fidx, pa.int32()),
                 "frame": pa.array(frames, pa.binary()),
             }
         )
 
 
+# ---------------------------------------------------------------------------
+# deterministic fixtures (REAL payloads with closed-form metadata, so the
+# contract oracles can recompute every decoded value from the id alone)
+# ---------------------------------------------------------------------------
+
+def synth_image_params(i: int) -> Tuple[int, int, int]:
+    """(width, height, fill value) of synthesized image ``i``."""
+    return 16 + (i % 13) * 4, 16 + ((i * 7) % 11) * 4, (i * 37) % 256
+
+
+def synth_audio_params(i: int) -> Tuple[int, int, int]:
+    """(rate, n_samples, constant int16 sample value) of audio ``i``."""
+    return 16_000, 8_000 + (i % 5) * 4_000, (i * 1_000) % 20_000
+
+
+def synth_video_params(i: int) -> Tuple[int, ...]:
+    """(n_frames, fill value per frame...) of video ``i`` (16×16 frames)."""
+    n = 2 + (i % 3)
+    return (n,) + tuple((i * 31 + j * 17) % 256 for j in range(n))
+
+
 def synthesize_binary_table(n: int = 32, seed: int = 0, kind: str = "image") -> pa.Table:
-    """Deterministic opaque-binary test payloads with ids."""
-    rng = np.random.default_rng(seed)
+    """Deterministic REAL binary payloads with ids: 24-bit BMPs
+    (constant-fill, dimensions/fill from :func:`synth_image_params`),
+    PCM16 WAVs (constant sample, :func:`synth_audio_params`) or ``HQV1``
+    frame containers of BMPs (:func:`synth_video_params`) — every decoded
+    metric is a closed-form function of the id, which is what the contract
+    oracles recompute in SQL.  ``seed`` keeps the legacy signature (the
+    payloads are id-deterministic, not random)."""
     ids = list(range(n))
-    payloads = [rng.bytes(int(rng.integers(256, 4096))) for _ in ids]
-    col = {"image": "image", "audio": "audio", "video": "video"}[kind]
-    id_col = {"image": "image_id", "audio": "audio_id", "video": "video_id"}[kind]
+    if kind == "image":
+        payloads = []
+        for i in ids:
+            w, h, v = synth_image_params(i)
+            payloads.append(bmp_encode(np.full((h, w, 3), v, np.uint8)))
+        col, id_col = "image", "image_id"
+    elif kind == "audio":
+        payloads = []
+        for i in ids:
+            rate, ns, val = synth_audio_params(i)
+            payloads.append(wav_encode(np.full(ns, val, np.int16), rate))
+        col, id_col = "audio", "audio_id"
+    elif kind == "video":
+        payloads = []
+        for i in ids:
+            params = synth_video_params(i)
+            frames = [
+                bmp_encode(np.full((16, 16, 3), fv, np.uint8))
+                for fv in params[1:]
+            ]
+            payloads.append(video_encode(frames))
+        col, id_col = "video", "video_id"
+    else:
+        raise ValueError(f"unknown kind {kind!r}")
     return pa.table({id_col: pa.array(ids, pa.int64()), col: pa.array(payloads, pa.binary())})
