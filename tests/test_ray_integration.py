@@ -137,3 +137,52 @@ def test_documents_pattern_match(ray_session):
     ctx = do_analysis_run(ds, [a])
     expected = pdf.text.str.contains(hq.patterns.EMAIL).sum() / len(pdf)
     np.testing.assert_allclose(ctx.metric_map[a].value.get(), expected, rtol=1e-12)
+
+
+def test_multinode_shared_scratch_guard(tmp_path):
+    """Simulated 2-node cluster (ray.cluster_utils.Cluster in a SUBPROCESS —
+    the session fixture owns this process's Ray): filter_and_scrub must
+    refuse node-local default scratch on a multi-node cluster and succeed
+    end-to-end when given shared scratch."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(f"""
+        import os, sys
+        os.environ.pop("RAY_ADDRESS", None)
+        os.environ.pop("HOOQU_SCRATCH_DIR", None)
+        import ray
+        from ray.cluster_utils import Cluster
+        cluster = Cluster(initialize_head=True,
+                          head_node_args={{"num_cpus": 2}})
+        cluster.add_node(num_cpus=2)
+        ray.init(address=cluster.address,
+                 include_dashboard=False, log_to_driver=False)
+        assert len([n for n in ray.nodes() if n["Alive"]]) == 2, ray.nodes()
+        import ray.data as rd
+        from hooqu_ray.pipelines.transcripts import (
+            filter_and_scrub, transcripts_from_documents)
+        docs = rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text"])
+        tr = transcripts_from_documents(docs)
+        try:
+            filter_and_scrub(tr)
+            print("GUARD-MISSED"); sys.exit(1)
+        except ValueError as ex:
+            assert "shared storage" in str(ex), ex
+        out = filter_and_scrub(tr, scratch_dir={str(tmp_path)!r})
+        df = out.to_pandas()
+        assert len(df) > 0 and "keep" in df.columns
+        assert df.keep.any() and (~df.keep).any()
+        ray.shutdown()
+        cluster.shutdown()
+        print("MULTINODE-OK", len(df))
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=420, cwd="/root/repo",
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"})
+    assert "MULTINODE-OK" in proc.stdout, (
+        proc.stdout[-2000:], proc.stderr[-2000:])
