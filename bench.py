@@ -101,6 +101,13 @@ def main() -> None:
     import ray.data as rd
 
     import hooqu_ray as hq
+    from hooqu_ray.util import install_empty_block_schema_warning_filter
+
+    # Ray 2.49 false-positive: any map that empties a block warns "RefBundle
+    # with a different schema ... new schema: ." even when the declared
+    # schema is identical — drop ONLY that variant so real schema conflicts
+    # stay visible in bench stderr
+    install_empty_block_schema_warning_filter()
     from hooqu_ray.pipelines import transcripts as tp
     from hooqu_ray.pipelines.dedup import exact_dedup, minhash_lsh_pairs
     from hooqu_ray.runner import do_analysis_run

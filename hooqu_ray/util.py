@@ -358,3 +358,36 @@ def global_stream_offsets(sorted_ds, id_col: str, token_cols):
     offs = np.concatenate([[0], np.cumsum(toks)[:-1]]).astype(np.int64)
     return {fid: int(off) for fid, off in
             zip(summ.column("__fid").to_pylist(), offs)}
+
+
+class _EmptyBlockSchemaWarningFilter:
+    """Drops Ray 2.49's "RefBundle with a different schema" warning ONLY
+    when one side of the comparison is an EMPTY block (its schema prints
+    as nothing): the streaming executor derives bundle schemas from data,
+    so any filter-shaped ``map_batches`` that legitimately empties a block
+    trips the warning even though the declared Arrow schema is identical
+    (reproduced: from_arrow([t, t.slice(0,0)]) → identity map → warning).
+    A GENUINE schema-A-vs-schema-B conflict still warns."""
+
+    _MARK = "RefBundle with a different schema"
+
+    def filter(self, record) -> bool:  # logging.Filter protocol
+        msg = record.getMessage()
+        if self._MARK not in msg:
+            return True
+        empty_new = "new schema: . This may lead" in msg
+        empty_prev = "Previous schema: , new schema:" in msg
+        return not (empty_new or empty_prev)
+
+
+def install_empty_block_schema_warning_filter() -> None:
+    """Attach the empty-block false-positive filter to Ray Data's streaming
+    executor logger (idempotent).  Call from benches/CLIs that require
+    clean stderr; the library never mutates global logging on import."""
+    import logging
+
+    logger = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    if not any(isinstance(f, _EmptyBlockSchemaWarningFilter)
+               for f in logger.filters):
+        logger.addFilter(_EmptyBlockSchemaWarningFilter())

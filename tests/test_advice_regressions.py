@@ -171,3 +171,65 @@ def test_require_fresh_sink_uri_paths(tmp_path):
     # unresolvable scheme: refuse loudly, never silently skip
     with pytest.raises(ValueError, match="cannot verify"):
         _require_fresh_sink("noproto123://bucket/idx", "prefixes")
+
+
+def test_empty_block_schema_warning_filter(ray_session):
+    """VERDICT r3 (cosmetic): Ray 2.49 warns "RefBundle with a different
+    schema ... new schema: ." whenever a map legitimately empties a block.
+    The filter must drop exactly that variant and keep genuine
+    schema-A-vs-schema-B warnings."""
+    import logging
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hooqu_ray.util import (
+        _EmptyBlockSchemaWarningFilter,
+        install_empty_block_schema_warning_filter,
+    )
+
+    f = _EmptyBlockSchemaWarningFilter()
+
+    class R:
+        def __init__(self, m):
+            self.m = m
+
+        def getMessage(self):
+            return self.m
+
+    base = ("Operator produced a RefBundle with a different schema than "
+            "the previous one. ")
+    assert not f.filter(R(base + "Previous schema: conv_id: string, new "
+                              "schema: . This may lead to unexpected behavior."))
+    assert not f.filter(R(base + "Previous schema: , new schema: conv_id: "
+                              "string. This may lead to unexpected behavior."))
+    # a REAL conflict passes through
+    assert f.filter(R(base + "Previous schema: a: int64, new schema: "
+                          "a: string. This may lead to unexpected behavior."))
+    assert f.filter(R("unrelated message"))
+
+    # end-to-end: with the filter installed, the repro emits no warning
+    install_empty_block_schema_warning_filter()
+    install_empty_block_schema_warning_filter()  # idempotent
+    logger = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    assert sum(isinstance(x, _EmptyBlockSchemaWarningFilter)
+               for x in logger.filters) == 1
+    seen = []
+
+    class Probe(logging.Handler):
+        def emit(self, record):
+            seen.append(record.getMessage())
+
+    probe = Probe()
+    logger.addHandler(probe)
+    try:
+        t = pa.table({"conv_id": pa.array(["a", "b"], pa.string())})
+        rd.from_arrow([t, t.slice(0, 0)]).map_batches(
+            lambda x: x, batch_format="pyarrow").count()
+    finally:
+        logger.removeHandler(probe)
+        logger.removeFilter(next(
+            x for x in logger.filters
+            if isinstance(x, _EmptyBlockSchemaWarningFilter)))
+    assert not any("different schema" in m for m in seen), seen
