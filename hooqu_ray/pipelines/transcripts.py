@@ -1646,7 +1646,7 @@ def dedup_conversations(ds, *, conv_col: str = "conv_id",
     ).materialize()  # consumed by winners AND loser probe
 
     dups = (
-        fp_rows.groupby("__fp").aggregate(Min(conv_col), Count())
+        _fp_group_table(fp_rows, conv_col, conv_type)
         .map_batches(
             lambda t: (
                 t.filter(pc.greater(t.column("count()"), pa.scalar(1)))
@@ -2331,8 +2331,7 @@ def conversation_fork_groups(ds, prefix_turns: int, *,
         conv_col, idx_col, text_col, conv_type,
     ).materialize()  # consumed by the group table AND the stamp probe
 
-    groups = fp_rows.groupby("__fp").aggregate(
-        *[a for a in _fork_aggs(conv_col)])
+    groups = _fp_group_table(fp_rows, conv_col, conv_type)
 
     def keep_groups(t: pa.Table) -> pa.Table:
         if "count()" not in t.column_names:  # schema-less empty agg block
@@ -2390,10 +2389,53 @@ def conversation_fork_groups(ds, prefix_turns: int, *,
     return fp_rows.map_batches(_GroupStamp(refs), batch_format="pyarrow")
 
 
-def _fork_aggs(conv_col: str):
-    from ray.data.aggregate import Count, Min
+def _fp_group_table(fp_rows, conv_col: str, conv_type,
+                    max_col: Optional[str] = None):
+    """Hot-group-proof ``groupby(__fp)`` over per-conversation fingerprint
+    rows: per-block Arrow ``group_by(__fp)`` partials (min conv, count,
+    optional max) collapse a skewed fingerprint to ≤1 row per block BEFORE
+    the shuffle, then a slim global fold (Min/Sum/Max over partials) — so a
+    pathological fork group with millions of members cannot straggle one
+    reducer.  Output columns keep the plain-aggregate names
+    (``min({conv})``, ``count()``[, ``max({max_col})``]) so consumers are
+    combiner-agnostic."""
+    from ray.data.aggregate import Max, Min, Sum
 
-    return [Min(conv_col), Count()]
+    part_fields = [("__fp", pa.int64()), ("__w", conv_type),
+                   ("__c", pa.int64())]
+    specs = [(conv_col, "min"), ([], "count_all")]
+    if max_col is not None:
+        part_fields.append(("__m", pa.int64()))
+        specs.append((max_col, "max"))
+    part_schema = pa.schema(part_fields)
+    part_names = [f.name for f in part_schema]
+
+    def partials(t: pa.Table) -> pa.Table:
+        if "__fp" not in t.column_names or len(t) == 0:
+            return part_schema.empty_table()
+        out = t.group_by("__fp", use_threads=False).aggregate(specs)
+        return out.rename_columns(part_names)
+
+    aggs = [Min("__w"), Sum("__c")]
+    if max_col is not None:
+        aggs.append(Max("__m"))
+    folded = fp_rows.map_batches(
+        partials, batch_format="pyarrow").groupby("__fp").aggregate(*aggs)
+
+    final_names = ["__fp", f"min({conv_col})", "count()"]
+    if max_col is not None:
+        final_names.append(f"max({max_col})")
+    final_schema = pa.schema(
+        [("__fp", pa.int64()), (f"min({conv_col})", conv_type),
+         ("count()", pa.int64())]
+        + ([(f"max({max_col})", pa.int64())] if max_col is not None else []))
+
+    def rename(t: pa.Table) -> pa.Table:
+        if "min(__w)" not in t.column_names:  # schema-less empty agg block
+            return final_schema.empty_table()
+        return t.rename_columns(final_names)
+
+    return folded.map_batches(rename, batch_format="pyarrow")
 
 
 def preference_pairs(ds, prefix_turns: int, *,
@@ -2534,8 +2576,8 @@ def preference_pairs(ds, prefix_turns: int, *,
     fp_rows = folded.map_batches(
         fp_score, batch_format="pyarrow").materialize()  # stamp + emit
 
-    groups = fp_rows.groupby("__fp").aggregate(
-        Min(conv_col), Count(), Max("__score"))
+    groups = _fp_group_table(fp_rows, conv_col, conv_type,
+                             max_col="__score")
     group_empty = pa.table({
         "__fp": pa.array([], pa.int64()),
         "__win": pa.array([], conv_type),

@@ -298,34 +298,21 @@ class RayRunner:
     ) -> Optional[FrequenciesAndNumRows]:
         cols = list(columns)
         ds = self._filtered(where, predicate)
-        # Adaptive combiner: probe a sample's distinct ratio.  Low-cardinality
-        # keys → per-block partial counts (vectorized Arrow group_by) BEFORE
-        # the hash shuffle, which then moves #blocks × #distinct rows instead
-        # of every row (7× on a 5-value key at sf0.1).  Near-unique keys →
-        # plain count() shuffle (local pre-agg can't shrink anything).
-        # NOTE: head-of-dataset probe — a key-sorted/clustered input can
-        # misclassify cardinality, costing at most one wasted local group_by
-        # pass (never correctness); a uniform sample would itself cost a scan
-        try:
-            sample = pa.Table.from_pylist(ds.limit(4096).take_all())
-            sample = sample.select(cols) if len(sample) else None
-        except Exception:  # noqa: BLE001 - sampling is advisory only
-            sample = None
-        use_combiner = False
-        if sample is not None and len(sample) >= 256:
-            n_groups = len(sample.group_by(cols, use_threads=False).aggregate([]))
-            use_combiner = n_groups <= 0.7 * len(sample)
-        if use_combiner:
-            from ray.data.aggregate import Sum
+        # PER-BLOCK adaptive combiner (hot-key-proof shuffle): each block
+        # probes a STRIDED sample of its own keys and pre-aggregates to
+        # (keys, __pcount) partials when that shrinks the block.  A skewed
+        # key therefore contributes ≤1 shuffle row per block it repeats in,
+        # so no reducer ever sees more than #blocks rows for one key — a
+        # mega-key cannot straggle the wave (the earlier head-of-dataset
+        # probe misclassified clustered inputs globally; a per-block strided
+        # probe cannot, and near-unique blocks still skip the wasted local
+        # group_by and ship raw rows with __pcount=1).
+        from ray.data.aggregate import Sum
 
-            partials = ds.map_batches(_ProjectKeys(cols), batch_format="pyarrow")
-            freq = partials.groupby(cols).aggregate(Sum("__pcount"))
-            count_col = "sum(__pcount)"
-        else:
-            keys = ds.map_batches(_ProjectRawKeys(cols), batch_format="pyarrow")
-            freq = keys.groupby(cols).count()
-            count_col = "count()"
-        plan = ScanPlan([_WhereGroup(None, [(0, _FreqReduceBound(count_col))])], 1)
+        partials = ds.map_batches(_ProjectKeys(cols), batch_format="pyarrow")
+        freq = partials.groupby(cols).aggregate(Sum("__pcount"))
+        plan = ScanPlan(
+            [_WhereGroup(None, [(0, _FreqReduceBound("sum(__pcount)"))])], 1)
         res = self._fold(freq, plan)[0]
         return res if res is not None else FrequenciesAndNumRows(0, 0, 0, 0.0)
 
@@ -377,16 +364,33 @@ class _FilterBatches:
 
 
 class _ProjectKeys:
-    """Project grouping keys, drop all-null-key rows, and pre-aggregate to
-    per-block (keys, __pcount) partial counts."""
+    """Project grouping keys, drop all-null-key rows, and ADAPTIVELY
+    pre-aggregate to per-block (keys, __pcount) partial counts: a strided
+    probe of the block's own keys decides whether a local group_by shrinks
+    it (repeated keys → partials; near-unique → raw rows with __pcount=1,
+    skipping the wasted local hash build).  Per-block adaptivity is the
+    skew guard: a hot key is collapsed wherever it repeats, so the global
+    shuffle receives ≤ #blocks rows for it."""
+
+    _PROBE_ROWS = 2048
+    _SHRINK_RATIO = 0.7
 
     def __init__(self, columns: List[str]):
         self.columns = columns
 
     def __call__(self, table: pa.Table) -> pa.Table:
         keys = _drop_all_null_keys(table.select(self.columns), self.columns)
-        if len(keys) == 0:
+        n = len(keys)
+        if n == 0:
             return keys.append_column("__pcount", pa.array([], pa.int64()))
+        if n > 256:
+            idx = np.linspace(0, n - 1, min(self._PROBE_ROWS, n)).astype(np.int64)
+            sample = keys.take(pa.array(idx))
+            n_groups = len(
+                sample.group_by(self.columns, use_threads=False).aggregate([]))
+            if n_groups > self._SHRINK_RATIO * len(sample):
+                return keys.append_column(
+                    "__pcount", pa.array(np.ones(n, dtype=np.int64)))
         out = keys.group_by(self.columns, use_threads=False).aggregate([([], "count_all")])
         return out.rename_columns(self.columns + ["__pcount"])
 

@@ -186,3 +186,55 @@ def test_multinode_shared_scratch_guard(tmp_path):
         env={**__import__("os").environ, "PYTHONPATH": "/root/repo"})
     assert "MULTINODE-OK" in proc.stdout, (
         proc.stdout[-2000:], proc.stderr[-2000:])
+
+
+def test_frequencies_skewed_clustered_input_matches_local(ray_session):
+    """Hot-key guard: a clustered input whose HEAD is near-unique but whose
+    tail is one mega-key (the case a head-of-dataset cardinality probe
+    misclassifies).  The per-block adaptive combiner must (a) stay correct
+    and (b) collapse the mega-key to <= 1 shuffle row per block."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hooqu_ray.runner import _ProjectKeys
+
+    unique = pd.DataFrame({"k": [f"u{i}" for i in range(5_000)]})
+    hot = pd.DataFrame({"k": ["MEGA"] * 50_000})
+    pdf = pd.concat([unique, hot], ignore_index=True)
+    for a in (hq.Uniqueness(["k"]), hq.Entropy(["k"]),
+              hq.Distinctness(["k"]), hq.UniqueValueRatio(["k"])):
+        local = do_analysis_run(pdf, [a]).metric_map[a].value.get()
+        ds = rd.from_pandas(pdf).repartition(8)
+        dist = do_analysis_run(ds, [a]).metric_map[a].value.get()
+        np.testing.assert_allclose(dist, local, rtol=1e-12)
+    # block-level guarantee: an all-hot block emits ONE partial row
+    hot_block = pa.table({"k": pa.array(["MEGA"] * 10_000)})
+    out = _ProjectKeys(["k"])(hot_block)
+    assert len(out) == 1 and out.column("__pcount")[0].as_py() == 10_000
+    # ...and a near-unique block ships raw rows (no wasted local group_by)
+    uniq_block = pa.table({"k": pa.array([f"u{i}" for i in range(10_000)])})
+    out2 = _ProjectKeys(["k"])(uniq_block)
+    assert len(out2) == 10_000
+    assert out2.column("__pcount").to_pylist() == [1] * 10_000
+
+
+def test_fork_groups_mega_group_combiner(ray_session):
+    """Hot-group guard: ONE fork group spanning every conversation across
+    many blocks — the per-block fp combiner must produce the same members/
+    winner/size as the semantics promise."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hooqu_ray.pipelines import transcripts as tp
+
+    n = 4_000
+    conv = np.repeat([f"c{i:05d}" for i in range(n)], 2)
+    idx = np.tile([0, 1], n)
+    text = np.where(idx == 0, "shared prompt", "shared ack")  # all identical
+    t = pa.table({"conv_id": pa.array(conv), "turn_idx": pa.array(idx),
+                  "text": pa.array(text.astype(object), pa.string())})
+    ds = rd.from_arrow([t.slice(i, 500) for i in range(0, len(t), 500)])
+    out = tp.conversation_fork_groups(ds, 2).to_pandas()
+    assert len(out) == n  # every conversation is a member
+    assert (out.n_convs == n).all()
+    assert (out.fork_group == "c00000").all()  # min conv id wins
