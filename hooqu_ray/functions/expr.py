@@ -95,8 +95,15 @@ def _const_node(value: Any) -> _Node:
     return _Node(lambda table: value)
 
 
+_TS_STR_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([ T].*)?$")
+
+
 def _coerce_literal(value: Any, other_type: Optional[pa.DataType]) -> Any:
-    """Numeric-string literal vs numeric column → coerce to number."""
+    """Numeric-string literal vs numeric column → coerce to number;
+    ISO date/datetime string vs temporal column → coerce to a typed scalar
+    (pandas-query semantics: ``ts > '2024-01-03'`` parses the literal, and
+    a tz-naive literal against a tz-aware column is wall time in the
+    column's zone)."""
     if (
         isinstance(value, str)
         and other_type is not None
@@ -104,6 +111,23 @@ def _coerce_literal(value: Any, other_type: Optional[pa.DataType]) -> Any:
         and _NUMERIC_STR_RE.match(value)
     ):
         return float(value) if ("." in value or "e" in value.lower()) else int(value)
+    if (
+        isinstance(value, str)
+        and other_type is not None
+        and _TS_STR_RE.match(value)
+        and (pa.types.is_timestamp(other_type) or pa.types.is_date(other_type))
+    ):
+        import pandas as pd
+
+        try:
+            ts = pd.Timestamp(value)
+        except ValueError:
+            return value
+        if pa.types.is_date(other_type):
+            return pa.scalar(ts.date(), type=other_type)
+        if getattr(other_type, "tz", None) is not None and ts.tz is None:
+            ts = ts.tz_localize(other_type.tz)
+        return pa.scalar(ts, type=other_type)
     return value
 
 
@@ -121,6 +145,25 @@ _BIN_KERNELS = {
     ast.Sub: pc.subtract,
     ast.Mult: pc.multiply,
     ast.Pow: pc.power,
+}
+
+# pandas `.dt.<field>` accessors → pyarrow temporal kernels.  Conventions
+# line up: pc.day_of_week defaults to Monday=0 counting from zero (pandas
+# dayofweek/weekday), day_of_year and quarter are 1-based on both sides.
+_DT_FIELDS = {
+    "year": pc.year,
+    "month": pc.month,
+    "day": pc.day,
+    "hour": pc.hour,
+    "minute": pc.minute,
+    "second": pc.second,
+    "microsecond": pc.microsecond,
+    "dayofweek": pc.day_of_week,
+    "day_of_week": pc.day_of_week,
+    "weekday": pc.day_of_week,
+    "dayofyear": pc.day_of_year,
+    "day_of_year": pc.day_of_year,
+    "quarter": pc.quarter,
 }
 
 
@@ -295,6 +338,18 @@ class _Compiler(ast.NodeVisitor):
         if meth == "abs":
             return _Node(lambda t: pc.abs(target(t)))
         raise ExprCompileError(f"unsupported method .{meth}()")
+
+    def c_Attribute(self, node: ast.Attribute) -> _Node:
+        # `col.dt.year`-style accessors (pandas datetime namespace)
+        if (
+            isinstance(node.value, ast.Attribute)
+            and node.value.attr == "dt"
+            and node.attr in _DT_FIELDS
+        ):
+            base = self.compile(node.value.value)
+            kernel = _DT_FIELDS[node.attr]
+            return _Node(lambda t, _k=kernel, _b=base: _k(_b(t)))
+        raise ExprCompileError(f"unsupported attribute .{node.attr}")
 
 
 def _as_bool_array(v, nrows: int):

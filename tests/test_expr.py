@@ -136,3 +136,131 @@ def test_comparison_differential(values, threshold, op):
     pred = compile_predicate(expr, table.schema)
     got = pred.filter(table).num_rows
     assert got == len(df.query(expr))
+
+
+# -- temporal surface (VERDICT r3 item 8) -----------------------------------
+
+DT_FIELD_EXPRS = [
+    ("ts.dt.year == 2024", lambda df: df.ts.dt.year == 2024),
+    ("ts.dt.month >= 6", lambda df: df.ts.dt.month >= 6),
+    ("ts.dt.day < 15", lambda df: df.ts.dt.day < 15),
+    ("ts.dt.hour in [0, 6, 12]", lambda df: df.ts.dt.hour.isin([0, 6, 12])),
+    # != over NaT: pandas yields True (NaN != 30); Arrow null drops — the
+    # same documented divergence the "s != 'x'" filter test pins
+    ("ts.dt.minute != 30",
+     lambda df: (df.ts.dt.minute != 30) & df.ts.notna()),
+    ("ts.dt.second <= 59", lambda df: df.ts.dt.second <= 59),
+    ("ts.dt.dayofweek < 5", lambda df: df.ts.dt.dayofweek < 5),  # weekdays
+    ("ts.dt.weekday == 0", lambda df: df.ts.dt.weekday == 0),
+    ("ts.dt.dayofyear > 180", lambda df: df.ts.dt.dayofyear > 180),
+    ("ts.dt.quarter == 3", lambda df: df.ts.dt.quarter == 3),
+]
+
+
+def _ts_frame():
+    rng = np.random.default_rng(3)
+    base = pd.Timestamp("2024-01-01")
+    ts = [base + pd.Timedelta(seconds=int(s))
+          for s in rng.integers(0, 365 * 24 * 3600, 200)]
+    ts[5] = pd.NaT
+    return pd.DataFrame({"ts": pd.Series(ts), "v": np.arange(200)})
+
+
+@pytest.mark.parametrize("expr,oracle", DT_FIELD_EXPRS)
+def test_dt_fields_match_pandas(expr, oracle):
+    df = _ts_frame()
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    pred = compile_predicate(expr, table.schema)
+    assert isinstance(pred, Predicate), expr  # compiled, not pandas fallback
+    got = pred.filter(table).column("v").to_pylist()
+    expected = df.loc[oracle(df).fillna(False).astype(bool), "v"].tolist()
+    assert got == expected, expr
+
+
+def test_timestamp_literal_comparison_compiled():
+    df = _ts_frame()
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    for expr in ("ts >= '2024-06-01'",
+                 "ts < '2024-03-15 12:30:00'",
+                 "'2024-02-01' <= ts <= '2024-02-29'"):
+        pred = compile_predicate(expr, table.schema)
+        assert isinstance(pred, Predicate), expr
+        got = pred.filter(table).column("v").to_pylist()
+        expected = df.query(expr)["v"].tolist()
+        assert got == expected, expr
+
+
+def test_timestamp_literal_tz_aware_wall_time():
+    ts = pd.Series(pd.date_range("2024-03-01", periods=48, freq="h",
+                                 tz="America/New_York"))
+    df = pd.DataFrame({"ts": ts, "v": np.arange(48)})
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    pred = compile_predicate("ts >= '2024-03-02'", table.schema)
+    assert isinstance(pred, Predicate)
+    got = pred.filter(table).column("v").to_pylist()
+    # pandas-query semantics: naive literal = wall time in the column's tz
+    expected = df[df.ts >= pd.Timestamp("2024-03-02", tz="America/New_York")][
+        "v"].tolist()
+    assert got == expected
+
+
+def test_date32_literal_comparison():
+    days = pd.date_range("2024-01-01", periods=20).date
+    table = pa.table({"d": pa.array(days, pa.date32()),
+                      "v": pa.array(np.arange(20))})
+    pred = compile_predicate("d > '2024-01-10'", table.schema)
+    assert isinstance(pred, Predicate)
+    assert pred.filter(table).column("v").to_pylist() == list(range(10, 20))
+
+
+def test_dt_field_through_runner_where():
+    df = _ts_frame()
+    a = hq.Mean("v", where="ts.dt.quarter == 1 and ts.notna()")
+    ctx = do_analysis_run(df, [a], chunk_rows=64)
+    expected = df.loc[df.ts.dt.quarter.eq(1).fillna(False), "v"].mean()
+    np.testing.assert_allclose(ctx.metric_map[a].value.get(), expected)
+
+
+def test_unknown_dt_field_falls_back():
+    df = _ts_frame()
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    pred = compile_predicate("ts.dt.days_in_month == 31", table.schema)
+    assert isinstance(pred, PandasPredicate)  # outside the compiled surface
+    assert pred.filter(table).num_rows == len(
+        df[df.ts.dt.days_in_month == 31])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=4 * 365 * 24 * 3600),
+             min_size=1, max_size=50),
+    st.integers(min_value=0, max_value=4 * 365 * 24 * 3600),
+    st.sampled_from([">", ">=", "<", "<=", "==", "!="]),
+)
+def test_timestamp_comparison_differential(offsets, pivot, op):
+    base = pd.Timestamp("2022-01-01")
+    df = pd.DataFrame({"ts": [base + pd.Timedelta(seconds=s) for s in offsets]})
+    lit = (base + pd.Timedelta(seconds=pivot)).strftime("%Y-%m-%d %H:%M:%S")
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    expr = f"ts {op} '{lit}'"
+    pred = compile_predicate(expr, table.schema)
+    assert isinstance(pred, Predicate)
+    assert pred.filter(table).num_rows == len(df.query(expr))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=4 * 365 * 24 * 3600),
+             min_size=1, max_size=50),
+    st.sampled_from(["year", "month", "day", "hour", "dayofweek",
+                     "dayofyear", "quarter"]),
+    st.integers(min_value=0, max_value=2026),
+)
+def test_dt_field_differential(offsets, field, pivot):
+    base = pd.Timestamp("2022-01-01")
+    df = pd.DataFrame({"ts": [base + pd.Timedelta(seconds=s) for s in offsets]})
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    pred = compile_predicate(f"ts.dt.{field} >= {pivot}", table.schema)
+    assert isinstance(pred, Predicate)
+    expected = (getattr(df.ts.dt, field) >= pivot).sum()
+    assert pred.filter(table).num_rows == expected
