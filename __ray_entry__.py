@@ -193,6 +193,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_info_flag_status": (
             lambda: hq.MutualInformation(["l_returnflag", "l_linestatus"]),
             "mi", "lineitem", ["l_returnflag", "l_linestatus"]),
+        # temporal where= surface: `.dt` field accessor + ISO timestamp
+        # literal, both pc-compiled (functions/expr.py _DT_FIELDS /
+        # _coerce_literal) — pandas dayofweek Monday=0, so < 5 = weekday
+        "temporal_where_mean": (
+            lambda: hq.Mean(
+                "value",
+                where="ts.dt.dayofweek < 5 and ts >= '2024-01-10 06:30:00'"),
+            "mean_val", "events", ["value", "ts"]),
+        "temporal_dt_compliance": (
+            lambda: hq.Compliance("morning", "ts.dt.hour < 12"),
+            "frac", "events", ["ts"]),
     }
     for qname, (make, col, table, columns) in analyzer_specs.items():
         out[qname] = _q(
@@ -2629,6 +2640,15 @@ def oracle_sql() -> dict[str, str]:
             "my AS (SELECT y, CAST(sum(c) AS DOUBLE) AS cy FROM j GROUP BY y) "
             "SELECT ROUND(sum((j.c / n.n) * ln((j.c * n.n) / (mx.cx * my.cy))), 6) AS mi "
             "FROM j JOIN mx ON j.x = mx.x JOIN my ON j.y = my.y CROSS JOIN n"
+        ),
+        # isodow: Monday=1..Sunday=7, so <=5 == pandas dayofweek < 5
+        "temporal_where_mean": (
+            "SELECT ROUND(avg(value), 6) AS mean_val FROM events "
+            "WHERE isodow(ts) <= 5 AND ts >= TIMESTAMP '2024-01-10 06:30:00'"
+        ),
+        "temporal_dt_compliance": (
+            "SELECT ROUND(CAST(sum(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END) "
+            "AS DOUBLE) / count(*), 6) AS frac FROM events"
         ),
         "unique_value_ratio_custkey": (
             "WITH f AS (SELECT o_custkey, count(*) AS cnt FROM orders "
