@@ -204,6 +204,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_dt_compliance": (
             lambda: hq.Compliance("morning", "ts.dt.hour < 12"),
             "frac", "events", ["ts"]),
+        # .str accessor surface: RE2-compiled contains + affix + len
+        # (functions/expr.py _str_call)
+        "str_where_mean": (
+            lambda: hq.Mean(
+                "value",
+                where="event_type.str.startswith('err') or "
+                      "event_type.str.contains('ick')"),
+            "mean_val2", "events", ["value", "event_type"]),
+        "str_len_compliance": (
+            lambda: hq.Compliance("short_type", "event_type.str.len() <= 5"),
+            "frac2", "events", ["event_type"]),
     }
     for qname, (make, col, table, columns) in analyzer_specs.items():
         out[qname] = _q(
@@ -2649,6 +2660,14 @@ def oracle_sql() -> dict[str, str]:
         "temporal_dt_compliance": (
             "SELECT ROUND(CAST(sum(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END) "
             "AS DOUBLE) / count(*), 6) AS frac FROM events"
+        ),
+        "str_where_mean": (
+            "SELECT ROUND(avg(value), 6) AS mean_val2 FROM events "
+            "WHERE event_type LIKE 'err%' OR event_type LIKE '%ick%'"
+        ),
+        "str_len_compliance": (
+            "SELECT ROUND(CAST(sum(CASE WHEN length(event_type) <= 5 "
+            "THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS frac2 FROM events"
         ),
         "unique_value_ratio_custkey": (
             "WITH f AS (SELECT o_custkey, count(*) AS cnt FROM orders "

@@ -147,6 +147,26 @@ _BIN_KERNELS = {
     ast.Pow: pc.power,
 }
 
+# pandas `.str.<method>()` no-arg accessors → pyarrow string kernels.
+# Semantics verified identical (incl. empty string and null propagation):
+# Python str.isdigit('')==False == utf8_is_digit(''); trim_whitespace uses
+# the same Unicode whitespace class as str.strip().
+_STR_SIMPLE = {
+    "len": pc.utf8_length,
+    "lower": pc.utf8_lower,
+    "upper": pc.utf8_upper,
+    "strip": pc.utf8_trim_whitespace,
+    "lstrip": pc.utf8_ltrim_whitespace,
+    "rstrip": pc.utf8_rtrim_whitespace,
+    "isdigit": pc.utf8_is_digit,
+    "isalpha": pc.utf8_is_alpha,
+    "isalnum": pc.utf8_is_alnum,
+    "isspace": pc.utf8_is_space,
+    "islower": pc.utf8_is_lower,
+    "isupper": pc.utf8_is_upper,
+    "istitle": pc.utf8_is_title,
+}
+
 # pandas `.dt.<field>` accessors → pyarrow temporal kernels.  Conventions
 # line up: pc.day_of_week defaults to Monday=0 counting from zero (pandas
 # dayofweek/weekday), day_of_year and quarter are 1-based on both sides.
@@ -307,6 +327,9 @@ class _Compiler(ast.NodeVisitor):
     def c_Call(self, node: ast.Call) -> _Node:
         if not isinstance(node.func, ast.Attribute):
             raise ExprCompileError("only method calls on columns are supported")
+        if (isinstance(node.func.value, ast.Attribute)
+                and node.func.value.attr == "str"):
+            return self._str_call(node.func.value.value, node.func.attr, node)
         target = self.compile(node.func.value)
         meth = node.func.attr
         args = [self.compile(a) for a in node.args]
@@ -338,6 +361,78 @@ class _Compiler(ast.NodeVisitor):
         if meth == "abs":
             return _Node(lambda t: pc.abs(target(t)))
         raise ExprCompileError(f"unsupported method .{meth}()")
+
+    def _str_call(self, base_node: ast.AST, meth: str,
+                  node: ast.Call) -> _Node:
+        """`col.str.<method>(...)` — pandas string namespace → pyarrow
+        string kernels.  Regex-taking methods are RE2-probed at compile
+        time (on a NON-empty array — an empty probe never compiles the
+        pattern) so backref/lookaround patterns fall back to pandas-eval
+        instead of failing inside a Ray task."""
+        base = self.compile(base_node)
+        kwargs: Dict[str, Any] = {}
+        for kw in node.keywords:
+            if kw.arg is None:
+                raise ExprCompileError("**kwargs not supported")
+            kwargs[kw.arg] = self._const_value(kw.value)
+
+        if meth in _STR_SIMPLE:
+            if node.args or kwargs:
+                raise ExprCompileError(f".str.{meth}() takes no arguments")
+            kernel = _STR_SIMPLE[meth]
+            return _Node(lambda t, _k=kernel, _b=base: _k(_b(t)))
+
+        def _pat_literal(i: int = 0) -> Any:
+            if len(node.args) <= i:
+                raise ExprCompileError(f".str.{meth}() missing its pattern")
+            arg = node.args[i]
+            if isinstance(arg, (ast.Tuple, ast.List)):
+                return tuple(self._const_value(e) for e in arg.elts)
+            return self._const_value(arg)
+
+        if meth in ("startswith", "endswith"):
+            pats = _pat_literal()
+            pats = pats if isinstance(pats, tuple) else (pats,)
+            if not all(isinstance(p, str) for p in pats) or kwargs:
+                raise ExprCompileError(f".str.{meth}() wants str literals")
+            kernel = pc.starts_with if meth == "startswith" else pc.ends_with
+
+            def affix(t, _k=kernel, _b=base, _ps=pats):
+                arr = _b(t)
+                out = _k(arr, pattern=_ps[0])
+                for p in _ps[1:]:
+                    out = pc.or_(out, _k(arr, pattern=p))
+                return out
+
+            return _Node(affix)
+
+        if meth in ("contains", "match", "fullmatch", "count"):
+            pat = _pat_literal()
+            if not isinstance(pat, str):
+                raise ExprCompileError(f".str.{meth}() wants a str pattern")
+            case = kwargs.pop("case", True)
+            regex = kwargs.pop("regex", True) if meth == "contains" else True
+            if kwargs:  # na=, flags=, ... → pandas fallback
+                raise ExprCompileError(
+                    f".str.{meth}() kwargs {sorted(kwargs)} unsupported")
+            if meth == "contains" and not regex:
+                return _Node(lambda t, _b=base, _p=pat, _c=case: pc.match_substring(
+                    _b(t), pattern=_p, ignore_case=not _c))
+            if meth == "match":
+                pat = f"^(?:{pat})"
+            elif meth == "fullmatch":
+                pat = f"^(?:{pat})$"
+            kernel = (pc.count_substring_regex if meth == "count"
+                      else pc.match_substring_regex)
+            try:  # RE2 compile probe — MUST use a non-empty array
+                kernel(pa.array(["x"]), pattern=pat, ignore_case=not case)
+            except Exception as exc:
+                raise ExprCompileError(
+                    f".str.{meth}() pattern not RE2-compatible: {exc}")
+            return _Node(lambda t, _k=kernel, _b=base, _p=pat, _c=case: _k(
+                _b(t), pattern=_p, ignore_case=not _c))
+
+        raise ExprCompileError(f"unsupported method .str.{meth}()")
 
     def c_Attribute(self, node: ast.Attribute) -> _Node:
         # `col.dt.year`-style accessors (pandas datetime namespace)
