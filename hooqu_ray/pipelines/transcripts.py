@@ -1184,6 +1184,7 @@ def drop_boilerplate_turns(ds, min_convs: int = 2, *, conv_col: str = "conv_id",
     treat them accordingly."""
     from .dedup import _text_hash63
     from .relational import grouped_count_distinct
+    from ..functions.shuffle import tree_group_sum
     from ..util import BroadcastIsInFilter, sharded_value_refs
 
     if min_convs < 1:
@@ -1201,16 +1202,18 @@ def drop_boilerplate_turns(ds, min_convs: int = 2, *, conv_col: str = "conv_id",
         return pa.table({"__th": vc.field("values"),
                          "__n": pc.cast(vc.field("counts"), pa.int64())})
 
-    occ = (
-        ds.map_batches(occ_partials, batch_format="pyarrow")
-        .groupby("__th").sum("__n")
-    )
+    # value_counts rows fold key-exchange-free (tree_group_sum: ~20× the
+    # sort-based groupby at bench scale; degrades to the keyed exchange
+    # itself when the distinct-text count is corpus-like)
+    occ = tree_group_sum(
+        ds.map_batches(occ_partials, batch_format="pyarrow"),
+        ["__th"], ["__n"])
 
     def cand_only(t: pa.Table) -> pa.Table:
-        if "sum(__n)" not in t.column_names:  # schema-less empty block
+        if "__n" not in t.column_names:  # schema-less empty block
             return pa.table({"__th": pa.array([], pa.int64())})
         return t.filter(
-            pc.greater_equal(t.column("sum(__n)"), pa.scalar(min_convs))
+            pc.greater_equal(t.column("__n"), pa.scalar(min_convs))
         ).select(["__th"])
 
     cand_refs = sharded_value_refs(
@@ -1561,8 +1564,7 @@ def _conversation_fingerprints(ds, conv_col: str, idx_col: str,
     here documents.  The corpus never sorts and text never shuffles.
     Shared by :func:`dedup_conversations` (whole-sequence key) and
     :func:`conversation_fork_groups` (prefix key)."""
-    from ray.data.aggregate import Sum
-
+    from ..functions.shuffle import tree_group_sum
     from ..util import splitmix64
     from .dedup import _text_hash63
 
@@ -1583,19 +1585,19 @@ def _conversation_fingerprints(ds, conv_col: str, idx_col: str,
             [("__lo", "sum"), ("__hi", "sum"), ("__n", "sum")]
         ).rename_columns([conv_col, "__lo", "__hi", "__n"])
 
-    folded = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby(conv_col)
-        .aggregate(Sum("__lo"), Sum("__hi"), Sum("__n"))
-    )
+    # per-(block, conv) partials fold key-exchange-free; a corpus-like
+    # conversation count falls back to the keyed exchange inside
+    folded = tree_group_sum(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        [conv_col], ["__lo", "__hi", "__n"])
 
     def fingerprint(t: pa.Table) -> pa.Table:
-        if "sum(__lo)" not in t.column_names:  # schema-less empty block
+        if "__lo" not in t.column_names:  # schema-less empty block
             return pa.table({conv_col: pa.array([], conv_type),
                              "__fp": pa.array([], pa.int64())})
-        lo = np.asarray(t.column("sum(__lo)")).astype(np.uint64)
-        hi = np.asarray(t.column("sum(__hi)")).astype(np.uint64)
-        n = np.asarray(t.column("sum(__n)")).astype(np.uint64)
+        lo = np.asarray(t.column("__lo")).astype(np.uint64)
+        hi = np.asarray(t.column("__hi")).astype(np.uint64)
+        n = np.asarray(t.column("__n")).astype(np.uint64)
         fp = splitmix64(lo * _FP_MIX1 ^ hi * _FP_MIX2 ^ n * _FP_MIX3)
         fp = (fp & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         return pa.table({conv_col: t.column(conv_col),
@@ -1630,7 +1632,6 @@ def dedup_conversations(ds, *, conv_col: str = "conv_id",
        NOT-IN pass over the original turns.  Rows with a null conv are
        never candidates and always survive."""
     import ray
-    from ray.data.aggregate import Count, Min, Sum
 
     from .dedup import _sharded_refs, _text_hash63
     from ..util import (dataset_arrow_schema, isin_mask, sharded_value_refs,
@@ -1762,7 +1763,6 @@ def tool_usage_stats(ds, *, conv_col: str = "conv_id",
     ``groupby(conv)`` turns pair rows into the distinct count (row count)
     and call count (sum) — the shuffles move one row per distinct
     (conv, tool) pair, never per turn."""
-    from ray.data.aggregate import Count, Sum
 
     from ..util import dataset_arrow_schema
 
@@ -1779,27 +1779,27 @@ def tool_usage_stats(ds, *, conv_col: str = "conv_id",
             [([], "count_all")]
         ).rename_columns([conv_col, tool_col, "__n"])
 
-    pairs = (
-        ds.map_batches(pair_partials, batch_format="pyarrow")
-        .groupby([conv_col, tool_col])
-        .aggregate(Sum("__n"))
-    )
+    from ..functions.shuffle import tree_group_sum
+
+    pairs = tree_group_sum(
+        ds.map_batches(pair_partials, batch_format="pyarrow"),
+        [conv_col, tool_col], ["__n"])
 
     def pair_proj(t: pa.Table) -> pa.Table:
-        if "sum(__n)" not in t.column_names:  # schema-less empty block
+        if "__n" not in t.column_names:  # schema-less empty block
             return pa.table({conv_col: pa.array([], conv_type),
-                             "__n": pa.array([], pa.int64())})
+                             "__n": pa.array([], pa.int64()),
+                             "__one": pa.array([], pa.int64())})
         return pa.table({conv_col: t.column(conv_col),
-                         "__n": pc.cast(t.column("sum(__n)"), pa.int64())})
+                         "__n": pc.cast(t.column("__n"), pa.int64()),
+                         "__one": pa.array(np.ones(len(t), np.int64))})
 
-    folded = (
-        pairs.map_batches(pair_proj, batch_format="pyarrow")
-        .groupby(conv_col)
-        .aggregate(Sum("__n"), Count())
-    )
+    folded = tree_group_sum(
+        pairs.map_batches(pair_proj, batch_format="pyarrow"),
+        [conv_col], ["__n", "__one"])
 
     def rename(t: pa.Table) -> pa.Table:
-        if "count()" not in t.column_names:
+        if "__one" not in t.column_names:
             return pa.table({
                 conv_col: pa.array([], conv_type),
                 "n_tool_calls": pa.array([], pa.int64()),
@@ -1807,8 +1807,8 @@ def tool_usage_stats(ds, *, conv_col: str = "conv_id",
             })
         return pa.table({
             conv_col: t.column(conv_col),
-            "n_tool_calls": pc.cast(t.column("sum(__n)"), pa.int64()),
-            "n_distinct_tools": pc.cast(t.column("count()"), pa.int64()),
+            "n_tool_calls": pc.cast(t.column("__n"), pa.int64()),
+            "n_distinct_tools": pc.cast(t.column("__one"), pa.int64()),
         })
 
     return folded.map_batches(rename, batch_format="pyarrow")
@@ -2036,7 +2036,6 @@ def _regex_report(ds, pats: "Dict[str, str]", turns_col: str, *,
     corpus this cuts the dominant regex cost to the PII incidence rate;
     correctness is unchanged because the literal is a necessary
     condition."""
-    from ray.data.aggregate import Sum
 
     from ..util import dataset_arrow_schema
 
@@ -2086,25 +2085,27 @@ def _regex_report(ds, pats: "Dict[str, str]", turns_col: str, *,
     out_cols = cat_cols + [turns_col]
 
     def project(t: pa.Table) -> pa.Table:
-        if f"sum({cat_cols[0]})" not in t.column_names:  # schema-less empty
+        if cat_cols[0] not in t.column_names:  # schema-less empty
             return pa.table(
                 {conv_col: pa.array([], conv_type),
                  **{c: pa.array([], pa.int64()) for c in out_cols}})
         cols = {conv_col: t.column(conv_col)}
         for c in out_cols:
-            cols[c] = pc.cast(t.column(f"sum({c})"), pa.int64())
+            cols[c] = pc.cast(t.column(c), pa.int64())
         out = pa.table(cols)
         total = out.column(cat_cols[0])
         for c in cat_cols[1:]:
             total = pc.add(total, out.column(c))
         return out.filter(pc.greater(total, 0))
 
-    return (
-        ds.map_batches(block_partials, batch_format="pyarrow")
-        .groupby(conv_col)
-        .aggregate(*[Sum(c) for c in out_cols])
-        .map_batches(project, batch_format="pyarrow")
-    )
+    from ..functions.shuffle import tree_group_sum
+
+    # incidence-bounded partials fold key-exchange-free (corpus-like match
+    # incidence degrades to the keyed exchange inside tree_group_sum)
+    return tree_group_sum(
+        ds.map_batches(block_partials, batch_format="pyarrow"),
+        [conv_col], out_cols,
+    ).map_batches(project, batch_format="pyarrow")
 
 
 def pii_stats(ds, *, conv_col: str = "conv_id", text_col: str = "text"):
@@ -2161,7 +2162,6 @@ def conversation_majority_lang(ds, *, conv_col: str = "conv_id",
     distinct-language counts.  Returns whatever ``grouped_top_k``
     returns (Arrow table under the driver gate, Dataset above it) with
     columns renamed."""
-    from ray.data.aggregate import Sum
 
     from ..util import dataset_arrow_schema
     from .relational import grouped_top_k
@@ -2184,20 +2184,20 @@ def conversation_majority_lang(ds, *, conv_col: str = "conv_id",
             [([], "count_all")])
         return agg.rename_columns([conv_col, "pred_lang", "__n"])
 
-    pairs = (
-        scored.map_batches(pair_partials, batch_format="pyarrow")
-        .groupby([conv_col, "pred_lang"])
-        .aggregate(Sum("__n"))
-    )
+    from ..functions.shuffle import tree_group_sum
+
+    pairs = tree_group_sum(
+        scored.map_batches(pair_partials, batch_format="pyarrow"),
+        [conv_col, "pred_lang"], ["__n"])
 
     def proj(t: pa.Table) -> pa.Table:
-        if "sum(__n)" not in t.column_names:  # schema-less empty agg block
+        if "__n" not in t.column_names:  # schema-less empty agg block
             return pa.table({conv_col: pa.array([], conv_type),
                              "pred_lang": pa.array([], pa.string()),
                              "__n": pa.array([], pa.int64())})
         return pa.table({conv_col: t.column(conv_col),
                          "pred_lang": t.column("pred_lang"),
-                         "__n": pc.cast(t.column("sum(__n)"), pa.int64())})
+                         "__n": pc.cast(t.column("__n"), pa.int64())})
 
     top = grouped_top_k(
         pairs.map_batches(proj, batch_format="pyarrow"),
@@ -2230,7 +2230,6 @@ def turn_gap_stats(ds, *, conv_col: str = "conv_id", ts_col: str = "ts",
     turn) are filtered and a slim ``groupby(conv)`` Max/Mean/Count
     finishes.  Single-turn conversations are absent, as in SQL ``GROUP
     BY`` over non-null ``LAG`` deltas."""
-    from ray.data.aggregate import Count, Max, Mean
 
     from ..util import dataset_arrow_schema
     from .windows import lag_delta
@@ -2262,25 +2261,38 @@ def turn_gap_stats(ds, *, conv_col: str = "conv_id", ts_col: str = "ts",
         return pa.table({conv_col: sub.column(conv_col),
                          "delta": pc.cast(sub.column("delta"), pa.float64())})
 
-    folded = (
+    def gap_partials(t: pa.Table) -> pa.Table:
+        if "delta" not in t.column_names or len(t) == 0:
+            return pa.table({conv_col: pa.array([], conv_type),
+                             "__s": pa.array([], pa.float64()),
+                             "__mx": pa.array([], pa.float64()),
+                             "__n": pa.array([], pa.int64())})
+        return t.group_by(conv_col).aggregate(
+            [("delta", "sum"), ("delta", "max"), ([], "count_all")]
+        ).rename_columns([conv_col, "__s", "__mx", "__n"])
+
+    from ..functions.shuffle import tree_group_sum
+
+    folded = tree_group_sum(
         lag.map_batches(keep_gaps, batch_format="pyarrow")
-        .groupby(conv_col)
-        .aggregate(Max("delta"), Mean("delta"), Count())
-    )
+        .map_batches(gap_partials, batch_format="pyarrow"),
+        [conv_col], ["__s", "__mx", "__n"], funcs=["sum", "max", "sum"])
 
     def finish(t: pa.Table) -> pa.Table:
-        if "max(delta)" not in t.column_names:
+        if "__mx" not in t.column_names:
             return pa.table({conv_col: pa.array([], conv_type),
                              "max_gap_s": pa.array([], pa.float64()),
                              "mean_gap_s": pa.array([], pa.float64()),
                              "n_gaps": pa.array([], pa.int64())})
+        n = pc.cast(t.column("__n"), pa.float64())
         return pa.table({
             conv_col: t.column(conv_col),
             "max_gap_s": pc.round(
-                pc.cast(t.column("max(delta)"), pa.float64()), ndigits=6),
+                pc.cast(t.column("__mx"), pa.float64()), ndigits=6),
             "mean_gap_s": pc.round(
-                pc.cast(t.column("mean(delta)"), pa.float64()), ndigits=6),
-            "n_gaps": pc.cast(t.column("count()"), pa.int64()),
+                pc.divide(pc.cast(t.column("__s"), pa.float64()), n),
+                ndigits=6),
+            "n_gaps": pc.cast(t.column("__n"), pa.int64()),
         })
 
     return folded.map_batches(finish, batch_format="pyarrow")
@@ -2399,7 +2411,6 @@ def _fp_group_table(fp_rows, conv_col: str, conv_type,
     reducer.  Output columns keep the plain-aggregate names
     (``min({conv})``, ``count()``[, ``max({max_col})``]) so consumers are
     combiner-agnostic."""
-    from ray.data.aggregate import Max, Min, Sum
 
     part_fields = [("__fp", pa.int64()), ("__w", conv_type),
                    ("__c", pa.int64())]
@@ -2416,11 +2427,13 @@ def _fp_group_table(fp_rows, conv_col: str, conv_type,
         out = t.group_by("__fp", use_threads=False).aggregate(specs)
         return out.rename_columns(part_names)
 
-    aggs = [Min("__w"), Sum("__c")]
-    if max_col is not None:
-        aggs.append(Max("__m"))
-    folded = fp_rows.map_batches(
-        partials, batch_format="pyarrow").groupby("__fp").aggregate(*aggs)
+    from ..functions.shuffle import tree_group_sum
+
+    fold_cols = ["__w", "__c"] + (["__m"] if max_col is not None else [])
+    fold_funcs = ["min", "sum"] + (["max"] if max_col is not None else [])
+    folded = tree_group_sum(
+        fp_rows.map_batches(partials, batch_format="pyarrow"),
+        ["__fp"], fold_cols, funcs=fold_funcs)
 
     final_names = ["__fp", f"min({conv_col})", "count()"]
     if max_col is not None:
@@ -2431,7 +2444,7 @@ def _fp_group_table(fp_rows, conv_col: str, conv_type,
         + ([(f"max({max_col})", pa.int64())] if max_col is not None else []))
 
     def rename(t: pa.Table) -> pa.Table:
-        if "min(__w)" not in t.column_names:  # schema-less empty agg block
+        if "__w" not in t.column_names:  # schema-less empty agg block
             return final_schema.empty_table()
         return t.rename_columns(final_names)
 
@@ -2478,7 +2491,6 @@ def preference_pairs(ds, prefix_turns: int, *,
     every winner broadcast (``dedup._sharded_refs``)."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count, Max, Min, Sum
 
     from ..util import dataset_arrow_schema, splitmix64
     from .dedup import _sharded_refs, _text_hash63
@@ -2545,32 +2557,32 @@ def preference_pairs(ds, prefix_turns: int, *,
              ("__chars", "sum")]
         ).rename_columns([conv_col, "__lo", "__hi", "__n", "__chars"])
 
-    folded = (
-        ds.map_batches(combined_partials, batch_format="pyarrow")
-        .groupby(conv_col)
-        .aggregate(Sum("__lo"), Sum("__hi"), Sum("__n"), Sum("__chars"))
-    )
+    from ..functions.shuffle import tree_group_sum
+
+    folded = tree_group_sum(
+        ds.map_batches(combined_partials, batch_format="pyarrow"),
+        [conv_col], ["__lo", "__hi", "__n", "__chars"])
 
     fp_schema = pa.schema([(conv_col, conv_type), ("__fp", pa.int64()),
                            ("__score", pa.int64())])
 
     def fp_score(t: pa.Table) -> pa.Table:
-        if "sum(__lo)" not in t.column_names:  # schema-less empty block
+        if "__lo" not in t.column_names:  # schema-less empty block
             return fp_schema.empty_table()
         # a conversation with NO prefix turns (only null/deep indices)
         # never fingerprints — same absence as the prefix-filtered fold
-        t = t.filter(pc.greater(t.column("sum(__n)"), pa.scalar(0)))
+        t = t.filter(pc.greater(t.column("__n"), pa.scalar(0)))
         if len(t) == 0:
             return fp_schema.empty_table()
-        lo = np.asarray(t.column("sum(__lo)")).astype(np.uint64)
-        hi = np.asarray(t.column("sum(__hi)")).astype(np.uint64)
-        n = np.asarray(t.column("sum(__n)")).astype(np.uint64)
+        lo = np.asarray(t.column("__lo")).astype(np.uint64)
+        hi = np.asarray(t.column("__hi")).astype(np.uint64)
+        n = np.asarray(t.column("__n")).astype(np.uint64)
         fp = splitmix64(lo * _FP_MIX1 ^ hi * _FP_MIX2 ^ n * _FP_MIX3)
         fp = (fp & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         return pa.table({
             conv_col: t.column(conv_col),
             "__fp": pa.array(fp, pa.int64()),
-            "__score": pc.cast(t.column("sum(__chars)"), pa.int64()),
+            "__score": pc.cast(t.column("__chars"), pa.int64()),
         })
 
     fp_rows = folded.map_batches(
@@ -2655,19 +2667,22 @@ def preference_pairs(ds, prefix_turns: int, *,
             return score_schema.empty_table()
         return t.filter(pc.equal(t.column("__score"), t.column("__gmax")))
 
-    chosen = (scores.map_batches(candidates, batch_format="pyarrow")
-              .groupby("__fp").aggregate(Min(conv_col)))
+    chosen = tree_group_sum(
+        scores.map_batches(candidates, batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["__fp", conv_col]),
+                     batch_format="pyarrow"),
+        ["__fp"], [conv_col], funcs=["min"])
     chosen_empty = pa.table({
         "__fp": pa.array([], pa.int64()),
         "__chosen": pa.array([], conv_type),
     })
 
     def chosen_rows(t: pa.Table) -> pa.Table:
-        if f"min({conv_col})" not in t.column_names:
+        if conv_col not in t.column_names:
             return chosen_empty
         return pa.table({
             "__fp": t.column("__fp"),
-            "__chosen": t.column(f"min({conv_col})"),
+            "__chosen": t.column(conv_col),
         })
 
     chosen_refs = _sharded_refs(
@@ -3048,7 +3063,6 @@ def role_balance_stats(ds, *, conv_col: str = "conv_id",
     Scale shape: combiner-first — per-block Arrow ``group_by(conv)``
     partials (one row per conversation per block), then a slim
     ``groupby(conv).sum`` fold; the text never shuffles."""
-    from ray.data.aggregate import Sum
 
     from ..util import dataset_arrow_schema
 
@@ -3086,16 +3100,18 @@ def role_balance_stats(ds, *, conv_col: str = "conv_id",
             [(c, "sum") for c in _ROLE_BALANCE_COLS]
         ).rename_columns(part_cols)
 
-    folded = (ds.map_batches(partials, batch_format="pyarrow")
-              .groupby(conv_col)
-              .aggregate(*[Sum(c) for c in _ROLE_BALANCE_COLS]))
+    from ..functions.shuffle import tree_group_sum
+
+    folded = tree_group_sum(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        [conv_col], list(_ROLE_BALANCE_COLS))
 
     def finalize(t: pa.Table) -> pa.Table:
-        if "sum(n_user)" not in t.column_names:  # schema-less empty block
+        if "n_user" not in t.column_names:  # schema-less empty block
             return empty
         return pa.table(
             {conv_col: t.column(conv_col),
-             **{c: pc.cast(t.column(f"sum({c})"), pa.int64())
+             **{c: pc.cast(t.column(c), pa.int64())
                 for c in _ROLE_BALANCE_COLS}})
 
     import ray.data as rd
@@ -3119,7 +3135,6 @@ def tool_transition_counts(ds, *, conv_col: str = "conv_id",
     vectorized shift-pair kernel that pre-counts per block, then a slim
     global ``groupby(from, to).sum`` over O(#distinct transitions ×
     blocks) partial rows."""
-    from ray.data.aggregate import Sum
 
     out_schema = pa.schema([
         ("tool_from", pa.string()), ("tool_to", pa.string()),
@@ -3146,22 +3161,23 @@ def tool_transition_counts(ds, *, conv_col: str = "conv_id",
     def tool_only(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_valid(t.column(tool_col)))
 
+    from ..functions.shuffle import tree_group_sum
+
     partials = _per_conversation_apply(
         ds.map_batches(tool_only, batch_format="pyarrow"),
         [conv_col, idx_col, tool_col], conv_col, idx_col, kernel)
-    folded = partials.groupby(["tool_from", "tool_to"]).aggregate(
-        Sum("__n"))
+    folded = tree_group_sum(partials, ["tool_from", "tool_to"], ["__n"])
 
     empty = pa.table({"tool_from": pa.array([], pa.string()),
                       "tool_to": pa.array([], pa.string()),
                       "n": pa.array([], pa.int64())})
 
     def finalize(t: pa.Table) -> pa.Table:
-        if "sum(__n)" not in t.column_names:  # schema-less empty block
+        if "__n" not in t.column_names:  # schema-less empty block
             return empty
         return pa.table({"tool_from": t.column("tool_from"),
                          "tool_to": t.column("tool_to"),
-                         "n": pc.cast(t.column("sum(__n)"), pa.int64())})
+                         "n": pc.cast(t.column("__n"), pa.int64())})
 
     import ray.data as rd
 
@@ -3215,7 +3231,6 @@ def split_by_fork_group(ds, prefix_turns: int,
     per-batch stamp — the md5 decision hash runs once per CONVERSATION,
     never per turn."""
     import ray
-    from ray.data.aggregate import Count
 
     from ..util import dataset_arrow_schema
     from .dedup import _sharded_refs
@@ -3248,10 +3263,14 @@ def split_by_fork_group(ds, prefix_turns: int,
         u = pc.unique(conv.combine_chunks()
                       if isinstance(conv, pa.ChunkedArray) else conv)
         u = u.filter(pc.is_valid(u))
-        return pa.table({conv_col: u})
+        return pa.table({conv_col: u,
+                         "count()": pa.array(np.ones(len(u), np.int64))})
 
-    convs = (ds.map_batches(conv_partials, batch_format="pyarrow")
-             .groupby(conv_col).aggregate(Count()))
+    from ..functions.shuffle import tree_group_sum
+
+    convs = tree_group_sum(ds.map_batches(conv_partials,
+                                          batch_format="pyarrow"),
+                           [conv_col], ["count()"])
 
     grouped_schema = pa.schema([
         (conv_col, conv_type), ("group_id", conv_type),
@@ -3437,7 +3456,6 @@ def fork_index_probe(new_ds, path: str, prefix_turns: int, *,
     whole."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Min
 
     from ..util import dataset_arrow_schema, sharded_value_refs
     from .dedup import _sharded_refs
@@ -3478,16 +3496,21 @@ def fork_index_probe(new_ds, path: str, prefix_turns: int, *,
     # moment a second shard exists
     index = rd.read_parquet(f"{path}/prefixes").map_batches(
         _MembershipAny(fp_refs, "__fp"), batch_format="pyarrow")
-    witness = index.groupby("__fp").aggregate(Min(conv_col))
+    from ..functions.shuffle import tree_group_sum
+
+    witness = tree_group_sum(
+        index.map_batches(lambda t: t.select(["__fp", conv_col]),
+                          batch_format="pyarrow"),
+        ["__fp"], [conv_col], funcs=["min"])
     wit_empty = pa.table({"__fp": pa.array([], pa.int64()),
                           "__wit": pa.array([], wit_type)})
 
     def wit_rows(t: pa.Table) -> pa.Table:
-        if f"min({conv_col})" not in t.column_names:
+        if conv_col not in t.column_names:
             return wit_empty
         return pa.table({
             "__fp": t.column("__fp"),
-            "__wit": pc.cast(t.column(f"min({conv_col})"), wit_type),
+            "__wit": pc.cast(t.column(conv_col), wit_type),
         })
 
     wit_refs = _sharded_refs(
