@@ -127,8 +127,8 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b", *,
     component-minimum id, so representatives are ``node == cluster_id``
     (see :func:`cluster_representatives`)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Min
 
+    from ..functions.shuffle import tree_group_sum
     from ..util import shard_codes
 
     def norm(t: pa.Table) -> pa.Table:
@@ -168,10 +168,20 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b", *,
     # …) and the per-block fixed costs of the next sweep's all-to-alls
     # would dominate wall time (measured 6 s → 180+ s per sweep by
     # sweep 4 on a 100k-edge graph before this cap).
+    def node_ones(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names or len(t) == 0:
+            it = id_type or pa.int64()
+            return pa.table({"node": pa.array([], it),
+                             "__one": pa.array([], pa.int64())})
+        u = t.column("node").combine_chunks().unique()
+        return pa.table({"node": u,
+                         "__one": pa.array(np.ones(len(u), np.int64))})
+
     labels = (
-        edges.map_batches(explode_nodes, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Count())
+        tree_group_sum(
+            edges.map_batches(explode_nodes, batch_format="pyarrow")
+            .map_batches(node_ones, batch_format="pyarrow"),
+            ["node"], ["__one"])
         .map_batches(init_labels, batch_format="pyarrow")
         .repartition(n_buckets)
         .materialize()
@@ -209,11 +219,11 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b", *,
         )
 
     def finish(t: pa.Table) -> pa.Table:
-        if "min(cand)" not in t.column_names:
+        if "cand" not in t.column_names:
             it = id_type or pa.int64()
             return pa.table({"node": pa.array([], it), "label": pa.array([], it)})
         return pa.table(
-            {"node": t.column("node"), "label": t.column("min(cand)")}
+            {"node": t.column("node"), "label": t.column("cand")}
         )
 
     def signature(lbl_ds) -> int:
@@ -228,10 +238,10 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b", *,
             edges.map_batches(edge_side, batch_format="pyarrow")
         )
         labels = (
-            unioned.groupby("bucket")
-            .map_groups(lambda g: _bucket_join(g), batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("cand"))
+            tree_group_sum(
+                unioned.groupby("bucket")
+                .map_groups(lambda g: _bucket_join(g), batch_format="pyarrow"),
+                ["node"], ["cand"], funcs=["min"])
             .map_batches(finish, batch_format="pyarrow")
             .repartition(n_buckets)  # cap block growth (see init comment)
             .materialize()  # consumed twice: signature + next sweep

@@ -175,9 +175,10 @@ _WINNER_SHARD_ROWS = 4_000_000
 
 
 def _broadcast_dup_winners(groups, key_col: str, min_col: str, out_col: str,
-                           rows_per_shard: int = _WINNER_SHARD_ROWS):
+                           rows_per_shard: int = _WINNER_SHARD_ROWS,
+                           count_col: str = "sum(__pcount)"):
     """Winners of duplicate groups (count > 1) from a
-    ``(key, min(...), sum(__pcount))`` Ray aggregate, broadcast via
+    ``(key, min(...), count)`` grouped fold, broadcast via
     ``ray.put`` as a LIST of hash-range shards (one element when the table
     fits ``rows_per_shard`` — the common case; filter stages AND the per-shard
     keep masks, and a key lives in exactly one shard, so the union of shard
@@ -190,9 +191,9 @@ def _broadcast_dup_winners(groups, key_col: str, min_col: str, out_col: str,
     )
 
     def dup_only(t: pa.Table, _e=empty) -> pa.Table:
-        if "sum(__pcount)" not in t.column_names:
+        if count_col not in t.column_names:
             return _e
-        kept = t.filter(pc.greater(t.column("sum(__pcount)"), 1))
+        kept = t.filter(pc.greater(t.column(count_col), 1))
         return kept.select([key_col, min_col]).rename_columns([key_col, out_col])
 
     dups = groups.map_batches(dup_only, batch_format="pyarrow").materialize()
@@ -307,7 +308,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     O(#rows).  The input is read twice (hash is recomputed for the filter
     pass) — both reads stream and prune to the needed columns.
     """
-    from ray.data.aggregate import Min, Sum
+    from ..functions.shuffle import tree_group_sum
 
     hashed = ds.map_batches(_AddContentHash(text_col), batch_format="pyarrow")
 
@@ -322,12 +323,12 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return g.rename_columns(["__content_hash", "__winner_id", "__pcount"])
 
     partials = hashed.map_batches(proj_combine, batch_format="pyarrow")
-    groups = partials.groupby("__content_hash").aggregate(
-        Min("__winner_id"), Sum("__pcount")
-    )
+    groups = tree_group_sum(partials, ["__content_hash"],
+                            ["__winner_id", "__pcount"],
+                            funcs=["min", "sum"])
     winner_refs = _broadcast_dup_winners(
-        groups, "__content_hash", "min(__winner_id)", "__winner_id",
-        rows_per_shard=winner_rows_per_shard,
+        groups, "__content_hash", "__winner_id", "__winner_id",
+        rows_per_shard=winner_rows_per_shard, count_col="__pcount",
     )
     return hashed.map_batches(_DedupFilter(winner_refs, id_col), batch_format="pyarrow")
 
@@ -533,18 +534,18 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     pass that rebuilds each document with a vectorized split → filter →
     ``binary_join`` — documents never shuffle and no Python-per-line runs.
     Requires an integer ``id_col`` (positions pack as doc_id·2^20+line_idx)."""
-    from ray.data.aggregate import Min, Sum
+    from ..functions.shuffle import tree_group_sum
 
     partials = ds.map_batches(
         _LinePartials(text_col, id_col, min_line_chars, delimiter),
         batch_format="pyarrow",
     )
-    groups = partials.groupby("__line_hash").aggregate(
-        Min("__winner_pos"), Sum("__pcount")
-    )
+    groups = tree_group_sum(partials, ["__line_hash"],
+                            ["__winner_pos", "__pcount"],
+                            funcs=["min", "sum"])
     winner_refs = _broadcast_dup_winners(
-        groups, "__line_hash", "min(__winner_pos)", "__winner_pos",
-        rows_per_shard=winner_rows_per_shard,
+        groups, "__line_hash", "__winner_pos", "__winner_pos",
+        rows_per_shard=winner_rows_per_shard, count_col="__pcount",
     )
     return ds.map_batches(
         _LineRebuild(winner_refs, text_col, id_col, min_line_chars, delimiter),
@@ -571,7 +572,7 @@ def line_filter_frequent(ds, text_col: str = "text", id_col: str = "doc_id",
     second code path.  Hot lines are O(#boilerplate lines) — far smaller
     than the duplicate-winner set — and shard by hash range past
     ``rows_per_shard`` like every other broadcast."""
-    from ray.data.aggregate import Sum
+    from ..functions.shuffle import tree_group_sum
 
     if min_count < 1:
         raise ValueError(f"line_filter_frequent: min_count must be ≥ 1, got {min_count}")
@@ -580,7 +581,7 @@ def line_filter_frequent(ds, text_col: str = "text", id_col: str = "doc_id",
         _LinePartials(text_col, id_col, min_line_chars, delimiter),
         batch_format="pyarrow",
     )
-    groups = partials.groupby("__line_hash").aggregate(Sum("__pcount"))
+    groups = tree_group_sum(partials, ["__line_hash"], ["__pcount"])
 
     empty = pa.table(
         {"__line_hash": pa.array([], pa.int64()),
@@ -588,10 +589,10 @@ def line_filter_frequent(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
     def hot_only(t: pa.Table, _e=empty) -> pa.Table:
-        if "sum(__pcount)" not in t.column_names:
+        if "__pcount" not in t.column_names:
             return _e
         kept = t.filter(
-            pc.greater_equal(t.column("sum(__pcount)"), min_count)
+            pc.greater_equal(t.column("__pcount"), min_count)
         )
         n = len(kept)
         return pa.table(

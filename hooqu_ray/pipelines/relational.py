@@ -452,17 +452,22 @@ def pivot_counts(ds, row_col: str, col_col: str, max_cols: int = 1000,
     ``PIVOT`` convention); null row keys are dropped by the groupby
     (documented divergence shared with the other grouped ops)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
 
+    from ..functions.shuffle import tree_group_sum
     from ..util import collect_arrow
 
+    def distinct_col_ones(t: pa.Table) -> pa.Table:
+        col = t.column(col_col)
+        u = pc.drop_null((col.combine_chunks()
+                          if isinstance(col, pa.ChunkedArray)
+                          else col).unique())
+        return pa.table({col_col: u,
+                         "__one": pa.array(np.ones(len(u), np.int64))})
+
     vals_tbl = collect_arrow(
-        ds.map_batches(
-            lambda t: pa.table({col_col: pc.drop_null(t.column(col_col).combine_chunks()
-                                if isinstance(t.column(col_col), pa.ChunkedArray)
-                                else t.column(col_col))}),
-            batch_format="pyarrow",
-        ).groupby(col_col).aggregate(Count())
+        tree_group_sum(
+            ds.map_batches(distinct_col_ones, batch_format="pyarrow"),
+            [col_col], ["__one"])
     )
     if vals_tbl is None or len(vals_tbl) == 0:
         return rd.from_arrow(pa.table({row_col: pa.array([])}))
@@ -501,19 +506,19 @@ def pivot_counts(ds, row_col: str, col_col: str, max_cols: int = 1000,
             cols[nm] = pa.array(mat[:, j], pa.int64())
         return pa.table(cols)
 
-    agg = ds.map_batches(block_counts, batch_format="pyarrow").groupby(
-        row_col
-    ).aggregate(*[Sum(nm) for nm in out_names])
+    agg = tree_group_sum(
+        ds.map_batches(block_counts, batch_format="pyarrow"),
+        [row_col], out_names)
 
     def rename(t: pa.Table) -> pa.Table:
-        if f"sum({out_names[0]})" not in t.column_names:
+        if out_names[0] not in t.column_names:
             return pa.table(
                 {row_col: pa.array([]),
                  **{nm: pa.array([], pa.int64()) for nm in out_names}}
             )
         cols = {row_col: t.column(row_col)}
         for nm in out_names:
-            cols[nm] = pc.cast(t.column(f"sum({nm})"), pa.int64())
+            cols[nm] = pc.cast(t.column(nm), pa.int64())
         return pa.table(cols)
 
     return agg.map_batches(rename, batch_format="pyarrow")
@@ -870,7 +875,6 @@ def grouped_approx_count_distinct(ds, group_col: str, value_col: str,
     Values hash via the same vectorized polars path as the global HLL
     sketch (``analyzers/sketches._hash64``).  Null values don't count;
     null groups are dropped (divergence shared with the grouped ops)."""
-    from ray.data.aggregate import Count, Max, Sum
 
     from ..analyzers.sketches import _hash64
 
@@ -904,34 +908,34 @@ def grouped_approx_count_distinct(ds, group_col: str, value_col: str,
             [("__rank", "max")]
         )
 
-    folded = (
-        ds.map_batches(register_partials, batch_format="pyarrow")
-        .groupby([group_col, "__reg"])
-        .aggregate(Max("__rank_max"))
-    )
+    from ..functions.shuffle import tree_group_sum
+
+    folded = tree_group_sum(
+        ds.map_batches(register_partials, batch_format="pyarrow"),
+        [group_col, "__reg"], ["__rank_max"], funcs=["max"])
 
     def pow2neg(t: pa.Table) -> pa.Table:
-        if "max(__rank_max)" not in t.column_names:
+        if "__rank_max" not in t.column_names:
             return pa.table(
-                {group_col: pa.array([]), "__w": pa.array([], pa.float64())}
+                {group_col: pa.array([]), "__w": pa.array([], pa.float64()),
+                 "__pres": pa.array([], pa.int64())}
             )
-        rank = pc.cast(t.column("max(__rank_max)"), pa.float64())
+        rank = pc.cast(t.column("__rank_max"), pa.float64())
         w = pc.power(pa.scalar(2.0, pa.float64()), pc.negate(rank))
-        return pa.table({group_col: t.column(group_col), "__w": w})
+        return pa.table({group_col: t.column(group_col), "__w": w,
+                         "__pres": pa.array(np.ones(len(t), np.int64))})
 
-    per_group = (
-        folded.map_batches(pow2neg, batch_format="pyarrow")
-        .groupby(group_col)
-        .aggregate(Sum("__w"), Count())
-    )
+    per_group = tree_group_sum(
+        folded.map_batches(pow2neg, batch_format="pyarrow"),
+        [group_col], ["__w", "__pres"])
 
     def estimate(t: pa.Table) -> pa.Table:
-        if "count()" not in t.column_names:
+        if "__pres" not in t.column_names:
             return pa.table(
                 {group_col: pa.array([]), "approx_distinct": pa.array([], pa.int64())}
             )
-        s = t.column("sum(__w)").to_numpy(zero_copy_only=False).astype(np.float64)
-        present = t.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("__w").to_numpy(zero_copy_only=False).astype(np.float64)
+        present = t.column("__pres").to_numpy(zero_copy_only=False).astype(np.int64)
         alpha = 0.7213 / (1 + 1.079 / m)
         denom = s + (m - present)  # absent registers each add 2^0
         e = alpha * m * m / denom

@@ -226,22 +226,21 @@ def top_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 20):
     exactly one block, so a per-block local top-k plus a driver merge of
     the #blocks × k partials yields the exact global answer without sorting
     the full distinct-n-gram table.  Returns an Arrow table (ngram, n)."""
-    from ray.data.aggregate import Sum
-
+    from ..functions.shuffle import tree_group_sum
     from ..util import collect_arrow
 
     partials = ds.map_batches(
         lambda t, _c=text_col, _n=n: _block_ngram_counts(t, _c, _n),
         batch_format="pyarrow",
     )
-    totals = partials.groupby("ngram").aggregate(Sum("n"))
+    totals = tree_group_sum(partials, ["ngram"], ["n"])
 
     def local_topk(t: pa.Table) -> pa.Table:
-        if "sum(n)" not in t.column_names:  # schema-less empty agg block
+        if "n" not in t.column_names:  # schema-less empty agg block
             return pa.table(
                 {"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
             )
-        df = t.rename_columns(["ngram", "n"]).to_pandas()
+        df = t.to_pandas()
         df = df.sort_values(["n", "ngram"], ascending=[False, True], kind="mergesort")
         return pa.Table.from_pandas(df.head(k), preserve_index=False)
 
@@ -476,8 +475,7 @@ def split_token_budget(ds, key_col: str = "doc_id", source_col: str = "source",
     One streaming pass (md5-bucket split assignment + Arrow token count
     per row) into one ``groupby`` over #splits × #sources keys; the corpus
     itself never shuffles more than (split, source, int) per row."""
-    from ray.data.aggregate import Count, Sum
-
+    from ..functions.shuffle import tree_group_sum
     from .relational import split_assign
 
     def features(t: pa.Table) -> pa.Table:
@@ -488,19 +486,18 @@ def split_token_budget(ds, key_col: str = "doc_id", source_col: str = "source",
             {
                 "split": t.column("split"),
                 source_col: t.column(source_col),
+                "n_docs": pa.array(np.ones(len(t), np.int64)),
                 "n_tokens": pc.cast(n_tok, pa.int64()),
             }
         )
 
-    res = (
+    res = tree_group_sum(
         split_assign(ds, key_col, splits=splits)
-        .map_batches(features, batch_format="pyarrow")
-        .groupby(["split", source_col])
-        .aggregate(Count(), Sum("n_tokens"))
-    )
+        .map_batches(features, batch_format="pyarrow"),
+        ["split", source_col], ["n_docs", "n_tokens"])
 
     def rename(t: pa.Table) -> pa.Table:
-        if "count()" not in t.column_names:  # schema-less empty agg block
+        if "n_docs" not in t.column_names:  # schema-less empty agg block
             return pa.table(
                 {
                     "split": pa.array([], pa.string()),
@@ -513,8 +510,8 @@ def split_token_budget(ds, key_col: str = "doc_id", source_col: str = "source",
             {
                 "split": t.column("split"),
                 source_col: t.column(source_col),
-                "n_docs": pc.cast(t.column("count()"), pa.int64()),
-                "total_tokens": pc.cast(t.column("sum(n_tokens)"), pa.int64()),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+                "total_tokens": pc.cast(t.column("n_tokens"), pa.int64()),
             }
         )
 
@@ -529,7 +526,6 @@ def doc_frequency(ds, text_col: str = "text", id_col: str = "doc_id"):
     shuffle over vocabulary-sized rows — token VOLUME never shuffles.
     Assumes each document is one input row (true of a documents table),
     so block-local distinct pairs are globally distinct."""
-    from ray.data.aggregate import Count
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
         texts = t.column(text_col)
@@ -554,17 +550,23 @@ def doc_frequency(ds, text_col: str = "text", id_col: str = "doc_id"):
             {"term": enc.dictionary.take(pa.array(c_s[first], pa.int64()))}
         )
 
-    counts = ds.map_batches(
-        distinct_pairs, batch_format="pyarrow"
-    ).groupby("term").aggregate(Count())
+    from ..functions.shuffle import tree_group_sum
+
+    def with_ones(t: pa.Table) -> pa.Table:
+        p = distinct_pairs(t)
+        return p.append_column(
+            "df", pa.array(np.ones(len(p), np.int64)))
+
+    counts = tree_group_sum(
+        ds.map_batches(with_ones, batch_format="pyarrow"), ["term"], ["df"])
 
     def rename(t: pa.Table) -> pa.Table:
-        if "count()" not in t.column_names:  # schema-less empty agg block
+        if "df" not in t.column_names:  # schema-less empty agg block
             return pa.table(
                 {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
             )
         return pa.table(
-            {"term": t.column("term"), "df": pc.cast(t.column("count()"), pa.int64())}
+            {"term": t.column("term"), "df": pc.cast(t.column("df"), pa.int64())}
         )
 
     return counts.map_batches(rename, batch_format="pyarrow")
@@ -706,7 +708,6 @@ def vocab_stats(ds, text_col: str = "text", group_col: str = "source"):
     dropped (documented: SQL parity keeps ``WHERE group IS NOT NULL``);
     groups whose texts have no tokens are absent, as in SQL GROUP BY over
     the exploded token table."""
-    from ray.data.aggregate import Sum
 
     from ..util import dataset_arrow_schema
 
@@ -741,19 +742,19 @@ def vocab_stats(ds, text_col: str = "text", group_col: str = "source"):
             [group_col, "__tk"]).aggregate([([], "count_all")])
         return agg.rename_columns([group_col, "__tk", "__n"])
 
-    vocab = (
-        ds.map_batches(token_partials, batch_format="pyarrow")
-        .groupby([group_col, "__tk"])
-        .aggregate(Sum("__n"))
-    )
+    from ..functions.shuffle import tree_group_sum
+
+    vocab = tree_group_sum(
+        ds.map_batches(token_partials, batch_format="pyarrow"),
+        [group_col, "__tk"], ["__n"])
 
     def group_partials(t: pa.Table) -> pa.Table:
-        if "sum(__n)" not in t.column_names:  # schema-less empty agg block
+        if "__n" not in t.column_names:  # schema-less empty agg block
             return pa.table({group_col: pa.array([], grp_type),
                              "__tok": pa.array([], pa.int64()),
                              "__typ": pa.array([], pa.int64()),
                              "__hap": pa.array([], pa.int64())})
-        n = pc.cast(t.column("sum(__n)"), pa.int64())
+        n = pc.cast(t.column("__n"), pa.int64())
         flat_tbl = pa.table({
             group_col: t.column(group_col),
             "__tok": n,
@@ -764,23 +765,21 @@ def vocab_stats(ds, text_col: str = "text", group_col: str = "source"):
             [("__tok", "sum"), ("__typ", "sum"), ("__hap", "sum")])
         return agg.rename_columns([group_col, "__tok", "__typ", "__hap"])
 
-    folded = (
-        vocab.map_batches(group_partials, batch_format="pyarrow")
-        .groupby(group_col)
-        .aggregate(Sum("__tok"), Sum("__typ"), Sum("__hap"))
-    )
+    folded = tree_group_sum(
+        vocab.map_batches(group_partials, batch_format="pyarrow"),
+        [group_col], ["__tok", "__typ", "__hap"])
 
     def finish(t: pa.Table) -> pa.Table:
-        if "sum(__tok)" not in t.column_names:
+        if "__tok" not in t.column_names:
             return pa.table({group_col: pa.array([], grp_type),
                              "n_tokens": pa.array([], pa.int64()),
                              "n_types": pa.array([], pa.int64()),
                              "n_hapax": pa.array([], pa.int64()),
                              "type_token_ratio": pa.array([], pa.float64()),
                              "hapax_ratio": pa.array([], pa.float64())})
-        tok = pc.cast(t.column("sum(__tok)"), pa.int64())
-        typ = pc.cast(t.column("sum(__typ)"), pa.int64())
-        hap = pc.cast(t.column("sum(__hap)"), pa.int64())
+        tok = pc.cast(t.column("__tok"), pa.int64())
+        typ = pc.cast(t.column("__typ"), pa.int64())
+        hap = pc.cast(t.column("__hap"), pa.int64())
         ttr = pc.round(pc.divide(pc.cast(typ, pa.float64()),
                                  pc.cast(tok, pa.float64())), ndigits=6)
         hr = pc.round(pc.divide(pc.cast(hap, pa.float64()),
