@@ -348,6 +348,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["knn_ivf_embeddings"] = _knn_ivf
     out["kmeans_embeddings"] = _kmeans_embeddings
     out["percentile_rank_events"] = _percentile_rank_events
+    out["rank_events_by_type"] = _rank_events_by_type
+    out["dense_rank_events_by_type"] = (
+        lambda sf_dir: _rank_events_by_type(sf_dir, dense=True))
+    out["grouped_quantile_exact_price"] = _grouped_quantile_exact_price
     out["approx_distinct_users_per_type"] = _approx_distinct_users_per_type
     out["keep_best_dedup_documents"] = _keep_best_dedup_documents
     out["heavy_hitter_tokens"] = _heavy_hitter_tokens
@@ -674,6 +678,35 @@ def _knn_ivf(sf_dir: str):
             "recall_ok": pa.array([mean_recall >= 0.7], pa.bool_()),
         }
     )
+
+
+def _rank_events_by_type(sf_dir: str, dense: bool = False):
+    """SQL RANK()/DENSE_RANK() OVER (PARTITION BY event_type ORDER BY
+    user_id) — user_id repeats within a type, so tie semantics (shared
+    ranks, gaps vs no gaps) are genuinely exercised.  Null event_type /
+    user_id rows drop on both sides (pipelines/ranks.py contract)."""
+    from hooqu_ray.pipelines.ranks import grouped_rank
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "event_id"])
+    return grouped_rank(ds, "event_type", "user_id", "event_id", dense=dense)
+
+
+def _grouped_quantile_exact_price(sf_dir: str):
+    """EXACT per-group median (pandas-nearest rule) of l_extendedprice by
+    l_returnflag — the exact counterpart of grouped_quantile_price_by_flag
+    (t-digest).  Values rounded to 6 decimals on both sides."""
+    from hooqu_ray.pipelines.ranks import grouped_exact_quantile
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = grouped_exact_quantile(ds, "l_returnflag", "l_extendedprice", 0.5)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        if "q_value" not in t.column_names:
+            return t
+        return t.set_column(t.column_names.index("q_value"), "q_value",
+                            pc.round(t.column("q_value"), ndigits=6))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
 
 
 def _percentile_rank_events(sf_dir: str):
@@ -3756,6 +3789,32 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": (
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "rank_events_by_type": (
+            'SELECT event_type, user_id, event_id, CAST(RANK() OVER '
+            '(PARTITION BY event_type ORDER BY user_id) AS BIGINT) AS "rank" '
+            "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL"
+        ),
+        "dense_rank_events_by_type": (
+            'SELECT event_type, user_id, event_id, CAST(DENSE_RANK() OVER '
+            '(PARTITION BY event_type ORDER BY user_id) AS BIGINT) AS "rank" '
+            "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL"
+        ),
+        # per-group pandas-nearest median: same half-to-even .5 rule as the
+        # global _NEAREST_Q_SQL, partitioned by key
+        "grouped_quantile_exact_price": (
+            "WITH s AS (SELECT l_returnflag AS k, l_extendedprice AS v "
+            "FROM lineitem WHERE l_returnflag IS NOT NULL AND "
+            "l_extendedprice IS NOT NULL), "
+            "r AS (SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v)"
+            " AS rn, count(*) OVER (PARTITION BY k) AS c FROM s), "
+            "i AS (SELECT k, CAST(floor(0.5 * (c - 1)) AS BIGINT) AS k0, "
+            "0.5 * (c - 1) - floor(0.5 * (c - 1)) AS frac "
+            "FROM (SELECT DISTINCT k, c FROM r) t), "
+            "kk AS (SELECT k, k0 + (CASE WHEN frac > 0.5 THEN 1 "
+            "WHEN frac = 0.5 AND k0 % 2 = 1 THEN 1 ELSE 0 END) AS sel FROM i)"
+            " SELECT r.k AS l_returnflag, ROUND(r.v, 6) AS q_value "
+            "FROM r JOIN kk ON r.k = kk.k AND r.rn = kk.sel + 1"
         ),
         "funnel_signup_click_purchase": (
             "WITH ev AS (SELECT user_id, ts, event_type || "

@@ -1,0 +1,144 @@
+"""Grouped rank windows and exact per-group quantiles.
+
+SQL surface this module re-expresses Ray-Data-first (the reference,
+``mfcabrera/hooqu``, has no window/grouped-quantile operators — engine
+extension tier, SURVEY.md §8):
+
+- ``grouped_rank``: ``RANK()`` / ``DENSE_RANK() OVER (PARTITION BY key
+  ORDER BY v)`` — the tie-aware siblings of the per-key ``ROW_NUMBER()``
+  that ``windows.running_agg`` already emits.
+- ``grouped_exact_quantile``: per-group EXACT quantile with the engine's
+  standard pandas ``interpolation="nearest"`` rule (``analyzers/quantile.
+  nearest_index`` — the same rule the global Quantile analyzer and its
+  SQL oracle use), the exact counterpart of
+  ``relational.grouped_approx_quantile``'s t-digests.
+
+Scale shape: both ride the shared one-range-sort scaffold
+(``transcripts._per_conversation_apply``): ONE distributed ``sort(key,
+v)`` over a slim projection, a fully vectorized per-block kernel for key
+groups interior to a block, and a ``groupby(key)`` boundary repair that
+touches only each block's first/last key (O(#blocks) repair groups).  The
+boundary repair materializes one whole key group per task — the
+documented hot-group caveat shared with ``shuffle.grouped_sequence_apply``
+(a single key holding a meaningful fraction of the corpus needs the
+salted machinery instead).
+
+Null semantics: rows with a null key or a null order/value are DROPPED
+(the projection prep's null-key filter; SQL instead ranks NULL orders
+last — callers who need them re-append ``v IS NULL`` rows).  Documented
+divergence shared with ``windows.lag_delta``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _segment_starts(keys: np.ndarray) -> np.ndarray:
+    """Boolean first-row-of-key-segment flags over a key-sorted array."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    first = np.empty(len(keys), dtype=bool)
+    first[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=first[1:])
+    return first
+
+
+def _key_codes(t: pa.Table, key: str) -> np.ndarray:
+    col = t.column(key)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+
+
+def grouped_rank(ds, key: str, order_col: str, tie_col: str, *,
+                 dense: bool = False, out_col: str = "rank"):
+    """``RANK()`` (gaps after ties) or ``DENSE_RANK()`` (``dense=True``,
+    no gaps) per ``key`` ordered by ``order_col`` ASCENDING — returns the
+    projected ``[key, order_col, tie_col, out_col]`` rows (tie order
+    within equal ``order_col`` values is not significant: tied rows share
+    a rank by definition).  For descending rank, negate a numeric order
+    column upstream — an in-kernel float negation would silently corrupt
+    int64 orders above 2^53.  The three column names must be distinct."""
+    from .transcripts import _per_conversation_apply
+
+    if len({key, order_col, tie_col}) != 3:
+        raise ValueError("key/order/tie column names must be distinct")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        kc = _key_codes(t, key)
+        first_k = _segment_starts(kc)
+        v = t.column(order_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vn = v.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        new_run = first_k.copy()
+        np.logical_or(new_run[1:], vn[1:] != vn[:-1], out=new_run[1:])
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(first_k, idx, 0))
+        if dense:
+            # dense rank: running count of value runs within the segment
+            runs = np.cumsum(new_run)
+            rank = runs - runs[seg_start] + 1
+        else:
+            # rank: first row index of the value run, relative to segment
+            run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+            rank = run_start - seg_start + 1
+        return t.append_column(out_col, pa.array(rank, pa.int64()))
+
+    return _per_conversation_apply(
+        ds, [key, order_col, tie_col], key, order_col, kernel)
+
+
+def _nearest_k(q: float, n: np.ndarray) -> np.ndarray:
+    """Vectorized pandas interpolation='nearest' index (half-to-even, the
+    exact ``analyzers.quantile.nearest_index`` rule) for group sizes n."""
+    return np.round(q * (n.astype(np.float64) - 1)).astype(np.int64)
+
+
+def grouped_exact_quantile(ds, key: str, value_col: str, q: float, *,
+                           out_col: str = "q_value"):
+    """EXACT per-group quantile (pandas ``interpolation="nearest"`` — an
+    actual data value, the engine-standard rule): one ``(key, q_value)``
+    row per group with at least one non-null value.  Null values are
+    ignored (SQL aggregate-null semantics); equal values may appear in any
+    tie order, which cannot change the selected VALUE.
+
+    Rounding note: a ``.5`` virtual index rounds half-to-even (numpy
+    ``round`` — the rule ``Series.quantile`` and this engine's global
+    Quantile analyzer + SQL oracle share).  pandas' ``GroupBy.quantile``
+    cython path instead rounds ``.5`` DOWN — a pandas-internal
+    inconsistency, pinned in ``tests/test_ranks.py``."""
+    from .transcripts import _per_conversation_apply
+
+    if not (0.0 <= q <= 1.0):
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    if key == value_col:
+        raise ValueError("key and value column names must be distinct")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table({key: t.column(key).combine_chunks()
+                             if isinstance(t.column(key), pa.ChunkedArray)
+                             else t.column(key),
+                             out_col: t.column(value_col).combine_chunks()
+                             if isinstance(t.column(value_col),
+                                           pa.ChunkedArray)
+                             else t.column(value_col)})
+        kc = _key_codes(t, key)
+        first = _segment_starts(kc)
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, n])
+        pick = starts + _nearest_k(q, lens)
+        sel = pa.array(pick, pa.int64())
+        return pa.table({key: t.column(key).take(sel),
+                         out_col: t.column(value_col).take(sel)})
+
+    return _per_conversation_apply(
+        ds, [key, value_col], key, value_col, kernel)
