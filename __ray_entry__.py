@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["dense_rank_events_by_type"] = (
         lambda sf_dir: _rank_events_by_type(sf_dir, dense=True))
     out["grouped_quantile_exact_price"] = _grouped_quantile_exact_price
+    out["ntile_events_by_type"] = _ntile_events_by_type
     out["approx_distinct_users_per_type"] = _approx_distinct_users_per_type
     out["keep_best_dedup_documents"] = _keep_best_dedup_documents
     out["heavy_hitter_tokens"] = _heavy_hitter_tokens
@@ -689,6 +690,16 @@ def _rank_events_by_type(sf_dir: str, dense: bool = False):
 
     ds = _read(sf_dir, "events", ["event_type", "user_id", "event_id"])
     return grouped_rank(ds, "event_type", "user_id", "event_id", dense=dense)
+
+
+def _ntile_events_by_type(sf_dir: str):
+    """SQL NTILE(4) OVER (PARTITION BY event_type ORDER BY user_id,
+    event_id) — equal (user_id) ties are resolved by the unique event_id,
+    so the bucket assignment is deterministic on both sides."""
+    from hooqu_ray.pipelines.ranks import grouped_ntile
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "event_id"])
+    return grouped_ntile(ds, "event_type", "user_id", "event_id", 4)
 
 
 def _grouped_quantile_exact_price(sf_dir: str):
@@ -3799,6 +3810,12 @@ def oracle_sql() -> dict[str, str]:
             'SELECT event_type, user_id, event_id, CAST(DENSE_RANK() OVER '
             '(PARTITION BY event_type ORDER BY user_id) AS BIGINT) AS "rank" '
             "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL"
+        ),
+        "ntile_events_by_type": (
+            "SELECT event_type, user_id, event_id, CAST(NTILE(4) OVER "
+            "(PARTITION BY event_type ORDER BY user_id, event_id) AS BIGINT)"
+            " AS tile FROM events "
+            "WHERE event_type IS NOT NULL AND user_id IS NOT NULL"
         ),
         # per-group pandas-nearest median: same half-to-even .5 rule as the
         # global _NEAREST_Q_SQL, partitioned by key

@@ -142,3 +142,59 @@ def grouped_exact_quantile(ds, key: str, value_col: str, q: float, *,
 
     return _per_conversation_apply(
         ds, [key, value_col], key, value_col, kernel)
+
+
+def grouped_ntile(ds, key: str, order_col: str, tie_col: str, n: int, *,
+                  out_col: str = "tile"):
+    """SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY order_col,
+    tie_col)``: rows of each group split into ``n`` buckets as equal as
+    possible, larger buckets first (the SQL rule: the first ``c % n``
+    buckets get ``c // n + 1`` rows).  Unlike RANK, NTILE is tie-UNAWARE —
+    the tie column (unique per key) makes the assignment deterministic.
+    Same one-range-sort scaffold and null-drop contract as
+    :func:`grouped_rank`.
+
+    Note the scaffold sorts on (key, order) only; within equal
+    ``order_col`` values the kernel re-orders by ``tie_col`` locally, so
+    the (order, tie) order is total without a 3-column distributed sort."""
+    from .transcripts import _per_conversation_apply
+
+    if n < 1:
+        raise ValueError(f"ntile n must be >= 1, got {n}")
+    if len({key, order_col, tie_col}) != 3:
+        raise ValueError("key/order/tie column names must be distinct")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        m = len(t)
+        if m == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        # total (order, tie) order within each key segment: the scaffold
+        # guarantees (key, order) sortedness; re-sort ties by tie_col
+        order = pc.sort_indices(
+            t.select([key, order_col, tie_col]),
+            sort_keys=[(key, "ascending"), (order_col, "ascending"),
+                       (tie_col, "ascending")])
+        t = t.take(order)
+        kc = _key_codes(t, key)
+        first = _segment_starts(kc)
+        idx = np.arange(m, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(first, idx, 0))
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, m])
+        c = np.repeat(lens, lens)            # group size per row
+        rn = idx - seg_start                 # 0-based row number in group
+        base, rem = c // n, c % n
+        big_span = (base + 1) * rem          # rows covered by larger tiles
+        in_big = rn < big_span
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                in_big,
+                rn // np.maximum(base + 1, 1),
+                rem + (rn - big_span) // np.maximum(base, 1),
+            ) + 1
+        # groups smaller than n: base==0 → every row is its own tile
+        tile = np.where(base == 0, rn + 1, tile)
+        return t.append_column(out_col, pa.array(tile, pa.int64()))
+
+    return _per_conversation_apply(
+        ds, [key, order_col, tie_col], key, order_col, kernel)

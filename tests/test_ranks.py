@@ -115,3 +115,58 @@ def test_rank_differential(rows, dense):
     method = "dense" if dense else "min"
     exp = df.set_index("id").groupby("k")["v"].rank(method=method).astype(int).to_dict()
     assert got == exp
+
+
+# -- NTILE -------------------------------------------------------------------
+
+from hooqu_ray.pipelines.ranks import grouped_ntile
+
+
+@pytest.mark.parametrize("n", [1, 3, 4, 7])
+def test_ntile_matches_pandas(ray_session, n):
+    df = _frame(n=3_000, keys=25, seed=5)
+    ds = rd.from_pandas(df).repartition(9).materialize()
+    out = grouped_ntile(ds, "k", "v", "id", n).to_pandas()
+    got = dict(zip(out.id, out.tile))
+
+    def sql_ntile(g):
+        c = len(g)
+        base, rem = divmod(c, n)
+        sizes = [base + 1] * rem + [base] * (n - rem)
+        tiles = np.repeat(np.arange(1, n + 1), sizes)[:c]
+        g = g.sort_values(["v", "id"], kind="mergesort")
+        return pd.Series(tiles, index=g.id)
+
+    exp = {}
+    for _, g in df.groupby("k"):
+        exp.update(sql_ntile(g).to_dict())
+    assert got == exp
+
+
+def test_ntile_invalid_n(ray_session):
+    df = pd.DataFrame({"k": [1], "v": [1], "id": [1]})
+    with pytest.raises(ValueError, match="ntile n"):
+        grouped_ntile(rd.from_pandas(df), "k", "v", "id", 0)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 5)),
+             min_size=1, max_size=120),
+    st.integers(1, 5),
+)
+def test_ntile_differential(rows, n):
+    df = pd.DataFrame(rows, columns=["k", "v"]).astype(np.int64)
+    df["id"] = np.arange(len(df), dtype=np.int64)
+    ds = rd.from_pandas(df).repartition(3)
+    out = grouped_ntile(ds, "k", "v", "id", n).to_pandas()
+    got = dict(zip(out.id, out.tile))
+    exp = {}
+    for _, g in df.groupby("k"):
+        c = len(g)
+        base, rem = divmod(c, n)
+        sizes = [base + 1] * rem + [base] * (n - rem)
+        tiles = np.repeat(np.arange(1, n + 1), sizes)[:c]
+        g = g.sort_values(["v", "id"], kind="mergesort")
+        exp.update(dict(zip(g.id, tiles)))
+    assert got == exp
