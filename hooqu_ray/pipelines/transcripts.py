@@ -2753,11 +2753,18 @@ def assistant_loop_stats(ds, min_run: int = 2, *,
     :func:`_per_conversation_apply` scaffold — ONE range sort, a fully
     vectorized run-length kernel per block (``np.maximum.reduceat`` over
     run breaks, zero Python per conversation), boundary conversations
-    repaired per group."""
+    repaired per group.  The kernel only ever tests adjacent-text
+    EQUALITY, so (like :func:`echo_stats`) the text column is projected
+    to an 8-byte content hash (``dedup._text_hash63``; null → ``-1``, a
+    value the non-negative 63-bit hash cannot take, so null == null and
+    null != any text) BEFORE the sort — the all-to-all moves (conv, idx,
+    int64) rows, never text bytes.  Same output up to the 2⁻⁶³
+    hash-collision class every hash-keyed dedup op here documents."""
     if min_run < 1:
         raise ValueError(f"min_run must be >= 1, got {min_run}")
 
     from ..util import dataset_arrow_schema
+    from .dedup import _text_hash63
 
     in_schema = dataset_arrow_schema(ds)
     conv_type = (in_schema.field(conv_col).type
@@ -2773,7 +2780,7 @@ def assistant_loop_stats(ds, min_run: int = 2, *,
         if n == 0:
             return out_schema.empty_table()
         keys = t.column(conv_col).to_numpy(zero_copy_only=False)
-        text = t.column(text_col).to_numpy(zero_copy_only=False)
+        text = t.column("__th").to_numpy(zero_copy_only=False)
         new_conv = np.r_[True, keys[1:] != keys[:-1]]
         prev_eq = np.r_[False, text[1:] == text[:-1]]
         new_run = new_conv | ~prev_eq
@@ -2796,14 +2803,22 @@ def assistant_loop_stats(ds, min_run: int = 2, *,
                 np.diff(np.r_[conv_starts, n]).astype(np.int64)),
         })
 
-    def role_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t.column(role_col), loop_role))
+    def role_hash_proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column(role_col), loop_role))
+        text = t.column(text_col)
+        h = np.asarray(_text_hash63(text))
+        valid = pc.is_valid(text).to_numpy(zero_copy_only=False)
+        return pa.table({
+            conv_col: t.column(conv_col),
+            idx_col: t.column(idx_col),
+            "__th": pa.array(np.where(valid, h, np.int64(-1)), pa.int64()),
+        })
 
     import ray.data as rd
 
     return _per_conversation_apply(
-        ds.map_batches(role_only, batch_format="pyarrow"),
-        [conv_col, idx_col, text_col], conv_col, idx_col, kernel).union(
+        ds.map_batches(role_hash_proj, batch_format="pyarrow"),
+        [conv_col, idx_col, "__th"], conv_col, idx_col, kernel).union(
         rd.from_arrow(out_schema.empty_table()))  # schema anchor
 
 
