@@ -4526,7 +4526,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(16 + (r.range % 13) * 4 AS INTEGER) AS width, "
             "CAST(16 + ((r.range * 7) % 11) * 4 AS INTEGER) AS height, "
             "CAST(3 AS INTEGER) AS channels, "
-            "CAST((r.range * 37) % 256 AS DOUBLE) AS mean_luma "
+            "CAST((r.range * 37) % 256 AS DOUBLE) AS mean_luma, "
+            "TRUE AS real_decode "  # fixtures are real BMPs — the per-row
+            # flag must say so (False would mean the fake path ran)
             "FROM range(200) r ORDER BY image_id"
         ),
         "multimodal_audio_stats": (
@@ -4534,7 +4536,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(16000 AS INTEGER) AS sample_rate, "
             "CAST(8000 + (r.range % 5) * 4000 AS DOUBLE) / 16000 "
             "AS duration_sec, "
-            "CAST((r.range * 1000) % 20000 AS DOUBLE) / 32768 AS rms "
+            "CAST((r.range * 1000) % 20000 AS DOUBLE) / 32768 AS rms, "
+            "TRUE AS real_decode "
             "FROM range(200) r ORDER BY audio_id"
         ),
         "multimodal_frame_stats": (
@@ -4542,7 +4545,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(j.range AS INTEGER) AS frame_idx, "
             "CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, "
             "CAST((v.range * 31 + j.range * 17) % 256 AS DOUBLE) "
-            "AS mean_luma "
+            "AS mean_luma, TRUE AS real_decode "
             "FROM range(200) v CROSS JOIN range(4) j "
             "WHERE j.range < 2 + (v.range % 3) "
             "ORDER BY video_id, frame_idx"

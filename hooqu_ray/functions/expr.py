@@ -103,7 +103,9 @@ def _coerce_literal(value: Any, other_type: Optional[pa.DataType]) -> Any:
     ISO date/datetime string vs temporal column → coerce to a typed scalar
     (pandas-query semantics: ``ts > '2024-01-03'`` parses the literal, and
     a tz-naive literal against a tz-aware column is wall time in the
-    column's zone)."""
+    column's zone).  Called at COMPILE time (c_Compare hoists constant
+    operands), so the pandas import + parse run once per expression, not
+    once per batch, and a rejection routes to the pandas fallback."""
     if (
         isinstance(value, str)
         and other_type is not None
@@ -127,6 +129,12 @@ def _coerce_literal(value: Any, other_type: Optional[pa.DataType]) -> Any:
             return pa.scalar(ts.date(), type=other_type)
         if getattr(other_type, "tz", None) is not None and ts.tz is None:
             ts = ts.tz_localize(other_type.tz)
+        if getattr(other_type, "tz", None) is None and ts.tz is not None:
+            # pa.scalar would silently shift to UTC wall time here; pandas
+            # RAISES on tz-aware vs tz-naive — defer to the pandas
+            # fallback, which mirrors that raise exactly
+            raise ExprCompileError(
+                "tz-aware literal compared to a tz-naive timestamp column")
         return pa.scalar(ts, type=other_type)
     return value
 
@@ -283,7 +291,8 @@ class _Compiler(ast.NodeVisitor):
         return _Node(lambda t: kernel(left(t), right(t)))
 
     def c_Compare(self, node: ast.Compare) -> _Node:
-        operands = [self.compile(v) for v in [node.left] + list(node.comparators)]
+        ast_operands = [node.left] + list(node.comparators)
+        operands = [self.compile(v) for v in ast_operands]
         legs: List[Evaluator] = []
         for i, op in enumerate(node.ops):
             lhs, rhs = operands[i], operands[i + 1]
@@ -294,12 +303,20 @@ class _Compiler(ast.NodeVisitor):
             if kernel is None:
                 raise ExprCompileError(f"unsupported comparison {type(op).__name__}")
             lt, rt = self._type_of(lhs), self._type_of(rhs)
+            # hoist literal coercion to COMPILE time: a string literal is
+            # an ast.Constant, both operand types are already known here,
+            # and the coercion (regex + pandas Timestamp parse + tz rules)
+            # would otherwise repeat in every Ray task per batch.  A
+            # tz-aware-literal-vs-naive-column rejection raised inside
+            # _coerce_literal lands HERE, routing to the pandas fallback.
+            la, ra = ast_operands[i], ast_operands[i + 1]
+            if isinstance(la, ast.Constant) and isinstance(la.value, str):
+                lhs = _const_node(_coerce_literal(la.value, rt))
+            if isinstance(ra, ast.Constant) and isinstance(ra.value, str):
+                rhs = _const_node(_coerce_literal(ra.value, lt))
 
-            def leg(t, _l=lhs, _r=rhs, _k=kernel, _lt=lt, _rt=rt):
-                lv, rv = _l(t), _r(t)
-                lv = _coerce_literal(lv, _rt)
-                rv = _coerce_literal(rv, _lt)
-                return _k(lv, rv)
+            def leg(t, _l=lhs, _r=rhs, _k=kernel):
+                return _k(_l(t), _r(t))
 
             legs.append(leg)
         if len(legs) == 1:

@@ -108,11 +108,12 @@ def grouped_sequence_apply(
 
 
 def _tree_combine_factory(keys: Sequence[str], agg_cols: Sequence[str],
-                          funcs: Sequence[str]):
+                          funcs: Sequence[str], drop_null_keys: bool):
     """Per-block ``group_by(keys).aggregate`` that preserves the input
-    column names and order (pyarrow emits keys first, then ``{col}_{fn}``)
-    and drops null-key rows (matching Ray groupby's documented null-group
-    drop, so the tree path is a drop-in for ``groupby(...).sum(...)``)."""
+    column names and order (pyarrow emits keys first, then ``{col}_{fn}``).
+    ``drop_null_keys`` filters null-key rows before grouping; Arrow's
+    ``group_by`` otherwise keeps null as its own group (SQL GROUP BY /
+    Ray-groupby parity)."""
     keys = list(keys)
     agg_cols = list(agg_cols)
     proj = keys + agg_cols
@@ -124,17 +125,19 @@ def _tree_combine_factory(keys: Sequence[str], agg_cols: Sequence[str],
             # anchors the output schema
             return pa.table({})
         t = t.select(proj)
-        mask = pc.is_valid(t.column(keys[0]))
-        for k in keys[1:]:
-            mask = pc.and_(mask, pc.is_valid(t.column(k)))
-        t = t.filter(mask)
+        if drop_null_keys:
+            mask = pc.is_valid(t.column(keys[0]))
+            for k in keys[1:]:
+                mask = pc.and_(mask, pc.is_valid(t.column(k)))
+            t = t.filter(mask)
         return t.group_by(keys).aggregate(spec).rename_columns(proj)
 
     return combine
 
 
 def tree_group_sum(ds, keys, sum_cols, *, funcs: Optional[Sequence[str]] = None,
-                   max_fold_rows: int = 4_000_000, fanin: int = 8):
+                   max_fold_rows: int = 4_000_000, fanin: int = 8,
+                   drop_null_keys: bool = True):
     """``groupby(keys).sum(sum_cols)`` with NO key exchange: per-block
     Arrow combine, then log-depth coalesce-and-combine rounds
     (``repartition(n // fanin)`` moves whole blocks, never keyed rows)
@@ -149,10 +152,15 @@ def tree_group_sum(ds, keys, sum_cols, *, funcs: Optional[Sequence[str]] = None,
     gracefully instead of OOMing the final fold task.
 
     ``funcs`` generalizes to per-column "sum"/"min"/"max" (algebraic,
-    self-mergeable — a min of mins is the min).  Null keys drop (Ray
-    groupby parity); output columns keep their INPUT names, one row per
-    distinct key, in no particular order.  Returns a (small) materialized
-    Dataset."""
+    self-mergeable — a min of mins is the min).  ``drop_null_keys=True``
+    (default) drops null-key rows — NOTE this is a deliberate divergence
+    from Ray's ``groupby``, which (like SQL GROUP BY and Arrow's
+    ``group_by``) KEEPS null as its own group; it matches the engine's
+    grouped ops, whose call sites pre-filter null keys anyway.  Pass
+    ``drop_null_keys=False`` for SQL GROUP BY parity — both the tree and
+    the fallback path then keep the null group.  Output columns keep
+    their INPUT names, one row per distinct key, in no particular order.
+    Returns a (small) materialized Dataset."""
     keys = list(keys) if not isinstance(keys, str) else [keys]
     sum_cols = list(sum_cols)
     funcs = list(funcs) if funcs is not None else ["sum"] * len(sum_cols)
@@ -161,7 +169,7 @@ def tree_group_sum(ds, keys, sum_cols, *, funcs: Optional[Sequence[str]] = None,
     if any(f not in ("sum", "min", "max") for f in funcs):
         raise ValueError(f"unsupported tree aggregate in {funcs}: only "
                          "self-mergeable sum/min/max fold through a tree")
-    combine = _tree_combine_factory(keys, sum_cols, funcs)
+    combine = _tree_combine_factory(keys, sum_cols, funcs, drop_null_keys)
 
     partials = ds.map_batches(combine, batch_format="pyarrow").materialize()
     n = partials.count()
@@ -173,7 +181,34 @@ def tree_group_sum(ds, keys, sum_cols, *, funcs: Optional[Sequence[str]] = None,
 
         aggs = [{"sum": Sum, "min": Min, "max": Max}[f](c)
                 for c, f in zip(sum_cols, funcs)]
-        folded = partials.groupby(keys).aggregate(*aggs)
+        exchange = partials
+        null_part = None
+        if not drop_null_keys:
+            # Ray's sort-based groupby cannot range-partition null keys
+            # (None-vs-value comparisons crash in its sort); split the
+            # null-key partial rows out and tree-fold them separately —
+            # they are at most one group per null-key combination
+            def any_null(t: pa.Table, invert: bool) -> pa.Table:
+                if len(t) == 0 or keys[0] not in t.column_names:
+                    return t
+                mask = pc.is_valid(t.column(keys[0]))
+                for k in keys[1:]:
+                    mask = pc.and_(mask, pc.is_valid(t.column(k)))
+                return t.filter(mask if not invert else pc.invert(mask))
+
+            null_rows = partials.map_batches(
+                lambda t: any_null(t, invert=True),
+                batch_format="pyarrow").materialize()
+            if null_rows.count() > max_fold_rows:
+                raise ValueError(
+                    "tree_group_sum(drop_null_keys=False): the null-key "
+                    "group combinations exceed the fold bound — pre-split "
+                    "null-key rows upstream")
+            null_part = _tree_fold(null_rows, combine, fanin)
+            exchange = partials.map_batches(
+                lambda t: any_null(t, invert=False), batch_format="pyarrow")
+
+        folded = exchange.groupby(keys).aggregate(*aggs)
 
         def rename(t: pa.Table) -> pa.Table:
             want = {f"{f}({c})": c for c, f in zip(sum_cols, funcs)}
@@ -183,11 +218,22 @@ def tree_group_sum(ds, keys, sum_cols, *, funcs: Optional[Sequence[str]] = None,
                 [want.get(c, c) for c in t.column_names]).select(
                 keys + sum_cols)
 
-        return folded.map_batches(rename, batch_format="pyarrow").materialize()
+        out = folded.map_batches(rename, batch_format="pyarrow")
+        if null_part is not None:
+            out = out.union(null_part)
+        return out.materialize()
 
+    return _tree_fold(partials, combine, fanin)
+
+
+def _tree_fold(partials, combine, fanin: int):
+    """Coalesce-and-combine a MATERIALIZED partials dataset down to one
+    block (repartition moves whole blocks, never keyed rows)."""
     nblocks = partials.num_blocks()
     while nblocks > 1:
-        nblocks = max(1, nblocks // fanin)
+        # min(nblocks - 1, ...) forces progress for any fanin (fanin=1
+        # would otherwise loop on nblocks // 1 == nblocks forever)
+        nblocks = max(1, min(nblocks - 1, nblocks // fanin))
         partials = (partials.repartition(nblocks)
                     .map_batches(combine, batch_format="pyarrow")
                     .materialize())

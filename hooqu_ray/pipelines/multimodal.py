@@ -16,8 +16,10 @@ layout — is real and tested, and so is the default codec layer:
 optional libraries when present (PIL / soundfile — absent in this
 container) and fall back to the built-in codecs by sniffing the payload
 magic.  Only a payload in an UNRECOGNIZED format hits the clearly-marked
-deterministic fake (kept so foreign fixtures remain exercisable); the
-stages report which path decoded via ``real_codec``.
+deterministic fake (kept so foreign fixtures remain exercisable); decode
+stages report which path decoded EACH payload via the per-row
+``real_decode`` column (False = fabricated metadata from the fake), and
+``stage.real_codec`` says whether the optional library is present.
 
 Batch sizing: binary payloads are large — these stages default to small
 ``batch_size`` so (batch × concurrency) stays within worker heap; Ray blocks
@@ -168,23 +170,26 @@ def _load_image_codec():
 
         from PIL import Image  # noqa: F401
 
-        def decode(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
+        def decode(payload: bytes) -> Tuple[int, int, int, np.ndarray, bool]:
             img = Image.open(io.BytesIO(payload)).convert("RGB")
             arr = np.asarray(img)
-            return img.width, img.height, 3, arr
+            return img.width, img.height, 3, arr, True
 
         return decode, True
     except ImportError:
-        def builtin_decode(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
+        def builtin_decode(
+                payload: bytes) -> Tuple[int, int, int, np.ndarray, bool]:
             if payload[:2] == b"BM":
-                return bmp_decode(payload)
+                return (*bmp_decode(payload), True)
             # STUB fallback for unrecognized formats (JPEG/PNG need a real
-            # library): deterministic fake derived from the payload hash.
+            # library): deterministic fake derived from the payload hash —
+            # flagged real=False PER PAYLOAD so fabricated metadata is
+            # never indistinguishable from a real decode.
             rng = _content_rng(payload)
             w = int(rng.integers(32, 512))
             h = int(rng.integers(32, 512))
             arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            return w, h, 3, arr
+            return w, h, 3, arr, False
 
         return builtin_decode, True  # real for BMP payloads
 
@@ -195,21 +200,22 @@ def _load_audio_codec():
 
         import soundfile as sf
 
-        def decode(payload: bytes) -> Tuple[int, np.ndarray]:
+        def decode(payload: bytes) -> Tuple[int, np.ndarray, bool]:
             data, rate = sf.read(io.BytesIO(payload))
-            return rate, np.asarray(data, dtype=np.float32)
+            return rate, np.asarray(data, dtype=np.float32), True
 
         return decode, True
     except ImportError:
-        def builtin_decode(payload: bytes) -> Tuple[int, np.ndarray]:
+        def builtin_decode(payload: bytes) -> Tuple[int, np.ndarray, bool]:
             if payload[:4] == b"RIFF":
-                return wav_decode(payload)
+                return (*wav_decode(payload), True)
             # STUB fallback for unrecognized formats (mp3/flac need a real
-            # library): deterministic fake waveform from the payload hash.
+            # library): deterministic fake waveform from the payload hash —
+            # flagged real=False PER PAYLOAD (see image codec note).
             rng = _content_rng(payload)
             rate = 16000
             n = int(rng.integers(rate // 2, rate * 3))
-            return rate, rng.standard_normal(n).astype(np.float32)
+            return rate, rng.standard_normal(n).astype(np.float32), False
 
         return builtin_decode, True  # real for WAV payloads
 
@@ -229,20 +235,21 @@ class ImageDecodeStage:
         self.decode, self.real_codec = _load_image_codec()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        widths, heights, chans, lumas = [], [], [], []
+        widths, heights, chans, lumas, reals = [], [], [], [], []
         for payload in batch.column(self.image_col).to_pylist():
             if payload is None:
                 widths.append(None); heights.append(None)
-                chans.append(None); lumas.append(None)
+                chans.append(None); lumas.append(None); reals.append(None)
                 continue
-            w, h, c, arr = self.decode(payload)
+            w, h, c, arr, real = self.decode(payload)
             widths.append(w); heights.append(h); chans.append(c)
-            lumas.append(float(arr.mean()))
+            lumas.append(float(arr.mean())); reals.append(real)
         return (
             batch.append_column("width", pa.array(widths, pa.int32()))
             .append_column("height", pa.array(heights, pa.int32()))
             .append_column("channels", pa.array(chans, pa.int32()))
             .append_column("mean_luma", pa.array(lumas, pa.float64()))
+            .append_column("real_decode", pa.array(reals, pa.bool_()))
         )
 
 
@@ -263,7 +270,7 @@ class ImageResizeStage:
             if payload is None:
                 feats.append(None)
                 continue
-            _w, _h, _c, arr = self.decode(payload)
+            _w, _h, _c, arr, _real = self.decode(payload)
             ys = (np.linspace(0, arr.shape[0] - 1, s)).astype(int)
             xs = (np.linspace(0, arr.shape[1] - 1, s)).astype(int)
             small = arr[np.ix_(ys, xs)].mean(axis=2) / 255.0
@@ -281,14 +288,16 @@ class AudioFeatureStage:
         self.decode, self.real_codec = _load_audio_codec()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rates, durs, rmss = [], [], []
+        rates, durs, rmss, reals = [], [], [], []
         for payload in batch.column(self.audio_col).to_pylist():
             if payload is None:
                 rates.append(None); durs.append(None); rmss.append(None)
+                reals.append(None)
                 continue
-            rate, wavef = self.decode(payload)
+            rate, wavef, real = self.decode(payload)
             rates.append(rate)
             durs.append(len(wavef) / rate)
+            reals.append(real)
             # float64 accumulation: float32 pairwise-mean error is visible
             # at the 1e-8 level and breaks exact-value oracles
             w64 = wavef.astype(np.float64)
@@ -297,6 +306,7 @@ class AudioFeatureStage:
             batch.append_column("sample_rate", pa.array(rates, pa.int32()))
             .append_column("duration_sec", pa.array(durs, pa.float64()))
             .append_column("rms", pa.array(rmss, pa.float64()))
+            .append_column("real_decode", pa.array(reals, pa.bool_()))
         )
 
 

@@ -491,10 +491,14 @@ def split_token_budget(ds, key_col: str = "doc_id", source_col: str = "source",
             }
         )
 
+    # drop_null_keys=False: a null source is ITS OWN budget row, exactly
+    # like the SQL oracle's GROUP BY split, source (and Ray's groupby,
+    # which keeps null-key groups)
     res = tree_group_sum(
         split_assign(ds, key_col, splits=splits)
         .map_batches(features, batch_format="pyarrow"),
-        ["split", source_col], ["n_docs", "n_tokens"])
+        ["split", source_col], ["n_docs", "n_tokens"],
+        drop_null_keys=False)
 
     def rename(t: pa.Table) -> pa.Table:
         if "n_docs" not in t.column_names:  # schema-less empty agg block

@@ -375,9 +375,11 @@ class _EmptyBlockSchemaWarningFilter:
         msg = record.getMessage()
         if self._MARK not in msg:
             return True
-        empty_new = "new schema: . This may lead" in msg
-        empty_prev = "Previous schema: , new schema:" in msg
-        return not (empty_new or empty_prev)
+        # only the NEW-side-empty variant can fire: Ray 2.49's
+        # build_output_bundle returns early (no warning) when the
+        # PREVIOUS schema is empty, so no "Previous schema: ," message
+        # exists to match
+        return "new schema: . This may lead" not in msg
 
 
 def install_empty_block_schema_warning_filter() -> None:

@@ -270,3 +270,26 @@ class TestQualityBySource:
         assert got["n_docs"].tolist() == exp["n_docs"].tolist()
         for c in ("avg_chars", "avg_tokens", "avg_symbol_ratio", "avg_stopword_ratio"):
             np.testing.assert_allclose(got[c], exp[c], rtol=1e-9)
+
+
+class TestSplitTokenBudgetNullSource:
+    def test_null_source_is_its_own_budget_row(self, ray_session):
+        """Code-review regression: the tree-fold migration silently dropped
+        null-source rows although the SQL oracle's GROUP BY keeps the NULL
+        group — a null source must be ITS OWN (split, NULL) budget row."""
+        import ray.data as rd
+        from hooqu_ray.pipelines.textstats import split_token_budget
+
+        pdf = pd.DataFrame({
+            "doc_id": [f"d{i}" for i in range(40)],
+            "source": [None if i % 4 == 0 else f"s{i % 3}"
+                       for i in range(40)],
+            "text": [f"tok{i} alpha beta" for i in range(40)],
+        })
+        got = split_token_budget(
+            rd.from_pandas(pdf).repartition(3)).to_pandas()
+        null_rows = got[got["source"].isna()]
+        assert int(null_rows["n_docs"].sum()) == 10  # every 4th doc
+        assert int(null_rows["total_tokens"].sum()) == 30  # 3 tokens each
+        # non-null groups intact too
+        assert int(got["n_docs"].sum()) == 40

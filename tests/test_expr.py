@@ -365,3 +365,39 @@ def test_str_pattern_differential(values, meth, pat):
     assert isinstance(pred, Predicate), expr
     expected = int(getattr(df.s.str, meth)(pat).fillna(False).sum())
     assert pred.filter(table).num_rows == expected, expr
+
+
+def test_tz_aware_literal_vs_naive_column_falls_back():
+    # pa.scalar would silently shift a tz-aware literal to UTC wall time
+    # against a naive column; pandas RAISES — so the compiled path must
+    # refuse at compile time and route to the pandas fallback
+    df = _ts_frame()
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    pred = compile_predicate("ts >= '2024-06-01T00:00:00+02:00'",
+                             table.schema)
+    assert isinstance(pred, PandasPredicate)
+    with pytest.raises(TypeError):
+        pred.filter(table)
+
+
+def test_literal_coercion_hoisted_to_compile_time(monkeypatch):
+    # the coercion (regex + pd.Timestamp parse) must run at compile time,
+    # not once per batch inside the comparison leg
+    import hooqu_ray.functions.expr as ex
+
+    calls = {"n": 0}
+    orig = ex._coerce_literal
+
+    def counting(value, other_type):
+        calls["n"] += 1
+        return orig(value, other_type)
+
+    monkeypatch.setattr(ex, "_coerce_literal", counting)
+    df = _ts_frame()
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    pred = compile_predicate("ts >= '2024-06-01'", table.schema)
+    compiled_calls = calls["n"]
+    assert compiled_calls >= 1
+    for _ in range(5):
+        pred.filter(table)
+    assert calls["n"] == compiled_calls  # no per-batch re-coercion

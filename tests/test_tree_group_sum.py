@@ -80,3 +80,28 @@ def test_rejects_non_mergeable_funcs(ray_session):
     t = pa.table({"k": [1], "v": [1]})
     with pytest.raises(ValueError, match="self-mergeable"):
         tree_group_sum(rd.from_arrow(t), ["k"], ["v"], funcs=["mean"])
+
+
+def test_keep_null_keys_matches_sql_group_by(ray_session):
+    # drop_null_keys=False: SQL GROUP BY / Ray-groupby parity — the null
+    # key is its own group on BOTH the tree and the fallback path
+    df = pd.DataFrame({"k": ["a", None, "a", None], "v": [1, 2, 3, 4]})
+    ds = rd.from_pandas(df).repartition(2).materialize()
+    out = tree_group_sum(ds, ["k"], ["v"], drop_null_keys=False).to_pandas()
+    got = {(None if k is None or k != k else k): v
+           for k, v in zip(out.k, out.v)}
+    assert got == {"a": 4, None: 6}
+    # fallback path (forced): Ray's sort cannot range-partition null keys,
+    # so the null group must split out and tree-fold separately
+    out2 = tree_group_sum(ds, ["k"], ["v"], drop_null_keys=False,
+                          max_fold_rows=2, fanin=1).to_pandas()
+    got2 = {(None if k is None or k != k else k): v
+            for k, v in zip(out2.k, out2.v)}
+    assert got2 == got
+
+    # and the guard itself: null-key combinations exceeding the fold bound
+    # must raise, not OOM
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="null-key"):
+        tree_group_sum(ds, ["k"], ["v"], drop_null_keys=False,
+                       max_fold_rows=1, fanin=1).to_pandas()
