@@ -201,8 +201,11 @@ def test_empty_block_schema_warning_filter(ray_session):
             "the previous one. ")
     assert not f.filter(R(base + "Previous schema: conv_id: string, new "
                               "schema: . This may lead to unexpected behavior."))
-    assert not f.filter(R(base + "Previous schema: , new schema: conv_id: "
-                              "string. This may lead to unexpected behavior."))
+    # the Previous-side-empty variant cannot occur (Ray 2.49 returns early
+    # before warning when the previous schema is empty) — if a future Ray
+    # ever emits it, it must PASS so we notice the behavior change
+    assert f.filter(R(base + "Previous schema: , new schema: conv_id: "
+                          "string. This may lead to unexpected behavior."))
     # a REAL conflict passes through
     assert f.filter(R(base + "Previous schema: a: int64, new schema: "
                           "a: string. This may lead to unexpected behavior."))
