@@ -353,6 +353,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lambda sf_dir: _rank_events_by_type(sf_dir, dense=True))
     out["grouped_quantile_exact_price"] = _grouped_quantile_exact_price
     out["ntile_events_by_type"] = _ntile_events_by_type
+    out["percent_rank_events_by_type"] = (
+        lambda sf_dir: _percent_rank_by_type(sf_dir, cume=False))
+    out["cume_dist_events_by_type"] = (
+        lambda sf_dir: _percent_rank_by_type(sf_dir, cume=True))
     out["approx_distinct_users_per_type"] = _approx_distinct_users_per_type
     out["keep_best_dedup_documents"] = _keep_best_dedup_documents
     out["heavy_hitter_tokens"] = _heavy_hitter_tokens
@@ -690,6 +694,16 @@ def _rank_events_by_type(sf_dir: str, dense: bool = False):
 
     ds = _read(sf_dir, "events", ["event_type", "user_id", "event_id"])
     return grouped_rank(ds, "event_type", "user_id", "event_id", dense=dense)
+
+
+def _percent_rank_by_type(sf_dir: str, cume: bool):
+    """SQL PERCENT_RANK()/CUME_DIST() OVER (PARTITION BY event_type ORDER
+    BY user_id) — tie-heavy order column, 6-decimal rounding both sides."""
+    from hooqu_ray.pipelines.ranks import grouped_percent_rank
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "event_id"])
+    return grouped_percent_rank(ds, "event_type", "user_id", "event_id",
+                                cume=cume)
 
 
 def _ntile_events_by_type(sf_dir: str):
@@ -3810,6 +3824,18 @@ def oracle_sql() -> dict[str, str]:
             'SELECT event_type, user_id, event_id, CAST(DENSE_RANK() OVER '
             '(PARTITION BY event_type ORDER BY user_id) AS BIGINT) AS "rank" '
             "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL"
+        ),
+        "percent_rank_events_by_type": (
+            "SELECT event_type, user_id, event_id, "
+            "ROUND(PERCENT_RANK() OVER (PARTITION BY event_type "
+            "ORDER BY user_id), 6) AS pct FROM events "
+            "WHERE event_type IS NOT NULL AND user_id IS NOT NULL"
+        ),
+        "cume_dist_events_by_type": (
+            "SELECT event_type, user_id, event_id, "
+            "ROUND(CUME_DIST() OVER (PARTITION BY event_type "
+            "ORDER BY user_id), 6) AS pct FROM events "
+            "WHERE event_type IS NOT NULL AND user_id IS NOT NULL"
         ),
         "ntile_events_by_type": (
             "SELECT event_type, user_id, event_id, CAST(NTILE(4) OVER "

@@ -198,3 +198,51 @@ def grouped_ntile(ds, key: str, order_col: str, tie_col: str, n: int, *,
 
     return _per_conversation_apply(
         ds, [key, order_col, tie_col], key, order_col, kernel)
+
+
+def grouped_percent_rank(ds, key: str, order_col: str, tie_col: str, *,
+                         cume: bool = False, out_col: str = "pct"):
+    """SQL ``PERCENT_RANK()`` ((rank − 1) / (n − 1), 0.0 for a singleton
+    group) or — with ``cume=True`` — ``CUME_DIST()`` (fraction of the
+    group's rows with value ≤ the current row's) per ``key`` ordered by
+    ``order_col`` ascending.  Values round to 6 decimals (the engine's
+    oracle-comparison convention).  Same one-sort scaffold and null-drop
+    contract as :func:`grouped_rank`."""
+    from .transcripts import _per_conversation_apply
+
+    if len({key, order_col, tie_col}) != 3:
+        raise ValueError("key/order/tie column names must be distinct")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        kc = _key_codes(t, key)
+        first_k = _segment_starts(kc)
+        v = t.column(order_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vn = v.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        new_run = first_k.copy()
+        np.logical_or(new_run[1:], vn[1:] != vn[:-1], out=new_run[1:])
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(first_k, idx, 0))
+        starts = np.flatnonzero(first_k)
+        lens = np.diff(np.r_[starts, n])
+        c = np.repeat(lens, lens).astype(np.float64)
+        if cume:
+            # exclusive end of the current value run = next run's start
+            # (a value run never crosses a segment: new_run ⊇ first_k)
+            rs = np.flatnonzero(new_run)
+            run_next = np.repeat(np.r_[rs[1:], n], np.diff(np.r_[rs, n]))
+            val = (run_next - seg_start) / c
+        else:
+            run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+            rank = (run_start - seg_start).astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                val = np.where(c > 1, rank / (c - 1), 0.0)
+        return t.append_column(out_col,
+                               pa.array(np.round(val, 6), pa.float64()))
+
+    return _per_conversation_apply(
+        ds, [key, order_col, tie_col], key, order_col, kernel)

@@ -170,3 +170,49 @@ def test_ntile_differential(rows, n):
         g = g.sort_values(["v", "id"], kind="mergesort")
         exp.update(dict(zip(g.id, tiles)))
     assert got == exp
+
+
+# -- PERCENT_RANK / CUME_DIST -------------------------------------------------
+
+from hooqu_ray.pipelines.ranks import grouped_percent_rank
+
+
+@pytest.mark.parametrize("cume", [False, True])
+def test_percent_rank_matches_pandas(ray_session, cume):
+    df = _frame(n=3_000, keys=25, seed=8)
+    ds = rd.from_pandas(df).repartition(7).materialize()
+    out = grouped_percent_rank(ds, "k", "v", "id", cume=cume).to_pandas()
+    got = dict(zip(out.id, out.pct))
+    if cume:
+        ser = df.groupby("k")["v"].transform(
+            lambda s: s.rank(method="max") / len(s))
+    else:
+        g = df.groupby("k")["v"]
+        ser = (g.rank(method="min") - 1) / (g.transform("size") - 1).clip(lower=1)
+        ser = ser.where(df.groupby("k")["v"].transform("size") > 1, 0.0)
+    exp = dict(zip(df.id, ser.round(6)))
+    assert got == exp
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 5)),
+             min_size=1, max_size=120),
+    st.booleans(),
+)
+def test_percent_rank_differential(rows, cume):
+    df = pd.DataFrame(rows, columns=["k", "v"]).astype(np.int64)
+    df["id"] = np.arange(len(df), dtype=np.int64)
+    ds = rd.from_pandas(df).repartition(3)
+    out = grouped_percent_rank(ds, "k", "v", "id", cume=cume).to_pandas()
+    got = dict(zip(out.id, out.pct))
+    if cume:
+        ser = df.groupby("k")["v"].transform(
+            lambda s: s.rank(method="max") / len(s))
+    else:
+        g = df.groupby("k")["v"]
+        sizes = g.transform("size")
+        ser = ((g.rank(method="min") - 1) / (sizes - 1).clip(lower=1)
+               ).where(sizes > 1, 0.0)
+    exp = dict(zip(df.id, ser.round(6)))
+    assert got == exp
