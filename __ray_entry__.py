@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lambda sf_dir: _rank_events_by_type(sf_dir, dense=True))
     out["grouped_quantile_exact_price"] = _grouped_quantile_exact_price
     out["ntile_events_by_type"] = _ntile_events_by_type
+    out["mode_value_by_type"] = _mode_value_by_type
     out["percent_rank_events_by_type"] = (
         lambda sf_dir: _percent_rank_by_type(sf_dir, cume=False))
     out["cume_dist_events_by_type"] = (
@@ -694,6 +695,18 @@ def _rank_events_by_type(sf_dir: str, dense: bool = False):
 
     ds = _read(sf_dir, "events", ["event_type", "user_id", "event_id"])
     return grouped_rank(ds, "event_type", "user_id", "event_id", dense=dense)
+
+
+def _mode_value_by_type(sf_dir: str):
+    """SQL mode() per event_type over user_id, ties to the SMALLEST value
+    (deterministic — oracled with a row_number window, not mode())."""
+    from hooqu_ray.pipelines.relational import grouped_mode
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = grouped_mode(ds, "event_type", "user_id")
+    # grouped_top_k returns an Arrow table under the driver gate, a
+    # Dataset above it — both expose to_pandas()
+    return out.to_pandas().sort_values("event_type", ignore_index=True)
 
 
 def _percent_rank_by_type(sf_dir: str, cume: bool):
@@ -3824,6 +3837,15 @@ def oracle_sql() -> dict[str, str]:
             'SELECT event_type, user_id, event_id, CAST(DENSE_RANK() OVER '
             '(PARTITION BY event_type ORDER BY user_id) AS BIGINT) AS "rank" '
             "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL"
+        ),
+        "mode_value_by_type": (
+            "WITH c AS (SELECT event_type, user_id, count(*) AS n "
+            "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT "
+            "NULL GROUP BY event_type, user_id), "
+            "r AS (SELECT event_type, user_id, n, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rn "
+            "FROM c) SELECT event_type, user_id AS mode_value, "
+            "CAST(n AS BIGINT) AS n FROM r WHERE rn = 1 ORDER BY event_type"
         ),
         "percent_rank_events_by_type": (
             "SELECT event_type, user_id, event_id, "

@@ -1365,3 +1365,49 @@ def cohort_retention(ds, key_col: str, ts_col: str, unit: str = "month",
         )
 
     return matrix.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_mode(ds, group_col: str, value_col: str, *,
+                 out_col: str = "mode_value"):
+    """Most frequent ``value_col`` per group (SQL ``mode()``), ties broken
+    by the SMALLEST value — deterministic where SQL's mode is
+    engine-arbitrary, so the result is oracle-checkable with a
+    ``row_number() OVER (ORDER BY n DESC, value ASC)`` window.
+
+    Composition of existing scale machinery: per-block Arrow
+    ``group_by(group, value).count`` partials fold key-exchange-free
+    through :func:`~hooqu_ray.functions.shuffle.tree_group_sum` (adaptive
+    fallback when the distinct-pair count is corpus-like), then
+    :func:`grouped_top_k` (k=1, order=count DESC, tie=value ASC) picks
+    each group's winner with its own driver-gated/distributed merge.
+    Null values are not counted (SQL mode ignores nulls); null groups
+    drop (the grouped-op convention); groups with only null values are
+    absent.  Returns an Arrow table or Dataset — whatever
+    ``grouped_top_k`` returns — with columns (group, out_col, n)."""
+    from ..functions.shuffle import tree_group_sum
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t.column(group_col)),
+                       pc.is_valid(t.column(value_col)))
+        sub = t.select([group_col, value_col]).filter(mask)
+        return sub.group_by([group_col, value_col]).aggregate(
+            [([], "count_all")]
+        ).rename_columns([group_col, value_col, "__n"])
+
+    counts = tree_group_sum(
+        ds.map_batches(pair_partials, batch_format="pyarrow"),
+        [group_col, value_col], ["__n"])
+
+    top = grouped_top_k(counts, group_col, "__n", 1, value_col)
+
+    def rename(t: pa.Table) -> pa.Table:
+        if isinstance(t, pa.Table):
+            return t.rename_columns([group_col, "n", out_col]).select(
+                [group_col, out_col, "n"])
+        return t
+
+    if isinstance(top, pa.Table):
+        return rename(top)
+    return top.map_batches(
+        lambda t: (rename(t) if "__n" in t.column_names else t),
+        batch_format="pyarrow")

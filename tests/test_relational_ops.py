@@ -619,3 +619,38 @@ def test_deterministic_shuffle_is_permutation_and_stable(ray_session):
     m = a.merge(exp[["doc_id", "pos"]], on="doc_id")
     assert (m["shuffle_pos"] == m["pos"]).all()
     assert "__shuffle_bucket" not in a.columns
+
+
+class TestGroupedMode:
+    def test_matches_pandas_min_tie(self, ray_session):
+        import ray.data as rd
+        import numpy as np
+        import pandas as pd
+        from hooqu_ray.pipelines.relational import grouped_mode
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({"k": rng.integers(0, 30, 4000),
+                           "v": rng.integers(0, 12, 4000)})
+        out = grouped_mode(
+            rd.from_pandas(df).repartition(6).materialize(), "k", "v")
+        got = {r["k"]: (r["mode_value"], r["n"])
+               for r in out.to_pylist()}
+
+        exp = {}
+        for k, g in df.groupby("k"):
+            vc = g.v.value_counts()
+            top_n = vc.max()
+            exp[k] = (min(vc[vc == top_n].index), top_n)
+        assert got == exp
+
+    def test_nulls_ignored(self, ray_session):
+        import ray.data as rd
+        import pandas as pd
+        from hooqu_ray.pipelines.relational import grouped_mode
+
+        df = pd.DataFrame({"k": ["a", "a", "a", None, "b"],
+                           "v": [1.0, None, None, 5.0, None]})
+        out = grouped_mode(rd.from_pandas(df), "k", "v")
+        rows = out.to_pylist()
+        # null values never count; group b (all null) and the null group drop
+        assert rows == [{"k": "a", "mode_value": 1.0, "n": 1}]
