@@ -297,7 +297,9 @@ class _Compiler(ast.NodeVisitor):
         for i, op in enumerate(node.ops):
             lhs, rhs = operands[i], operands[i + 1]
             if isinstance(op, (ast.In, ast.NotIn)):
-                legs.append(self._isin_leg(lhs, rhs, negate=isinstance(op, ast.NotIn)))
+                legs.append(self._isin_leg(
+                    lhs, ast_operands[i + 1], self._type_of(lhs),
+                    negate=isinstance(op, ast.NotIn)))
                 continue
             kernel = _CMP_KERNELS.get(type(op))
             if kernel is None:
@@ -330,13 +332,21 @@ class _Compiler(ast.NodeVisitor):
 
         return _Node(chained)
 
-    def _isin_leg(self, lhs: _Node, rhs: _Node, negate: bool) -> Evaluator:
-        def fn(table: pa.Table):
-            values = rhs(table)
-            if not isinstance(values, (list, tuple)):
-                raise ExprCompileError("'in' requires a list literal")
-            arr = lhs(table)
-            out = pc.is_in(arr, value_set=pa.array(list(values)))
+    def _isin_leg(self, lhs: _Node, rhs_ast: ast.AST, lhs_type,
+                  negate: bool) -> Evaluator:
+        # compile-time: 'in' requires a list literal, so the value set is
+        # known here — coerce each element against the column type ONCE
+        # (a tz-aware-literal rejection raised by the coercion lands at
+        # compile time and routes to the pandas fallback) and build the
+        # Arrow value_set once instead of per batch
+        if not isinstance(rhs_ast, (ast.List, ast.Tuple, ast.Set)):
+            raise ExprCompileError("'in' requires a list literal")
+        values = [_coerce_literal(self._const_value(e), lhs_type)
+                  for e in rhs_ast.elts]
+        value_set = _scalar_value_set(values)
+
+        def fn(table: pa.Table, _vs=value_set):
+            out = pc.is_in(lhs(table), value_set=_vs)
             return pc.invert(out) if negate else out
 
         return fn
@@ -355,16 +365,17 @@ class _Compiler(ast.NodeVisitor):
         if meth in ("notna", "notnull"):
             return _Node(lambda t: pc.invert(_isna_array(target(t))))
         if meth == "isin":
-            if len(args) != 1:
-                raise ExprCompileError("isin takes one list argument")
+            if len(node.args) != 1 or not isinstance(
+                    node.args[0], (ast.List, ast.Tuple, ast.Set)):
+                raise ExprCompileError("isin takes one list-literal argument")
             tt = self._type_of(target)
+            # compile-time coercion + value_set build (see _isin_leg)
+            values = [_coerce_literal(self._const_value(e), tt)
+                      for e in node.args[0].elts]
+            value_set = _scalar_value_set(values)
 
-            def isin_fn(t, _a=args[0], _tt=tt):
-                values = _a(t)
-                if not isinstance(values, (list, tuple)):
-                    raise ExprCompileError("isin requires a list literal")
-                values = [_coerce_literal(v, _tt) for v in values]
-                return pc.is_in(target(t), value_set=pa.array(values))
+            def isin_fn(t, _vs=value_set):
+                return pc.is_in(target(t), value_set=_vs)
 
             return _Node(isin_fn)
         if meth == "fillna":
@@ -462,6 +473,17 @@ class _Compiler(ast.NodeVisitor):
             kernel = _DT_FIELDS[node.attr]
             return _Node(lambda t, _k=kernel, _b=base: _k(_b(t)))
         raise ExprCompileError(f"unsupported attribute .{node.attr}")
+
+
+def _scalar_value_set(values) -> pa.Array:
+    """Arrow array from compile-time coerced literals — temporal coercion
+    yields pa.Scalar values whose type must drive the array type."""
+    for v in values:
+        if isinstance(v, pa.Scalar):
+            return pa.array(
+                [x.as_py() if isinstance(x, pa.Scalar) else x
+                 for x in values], type=v.type)
+    return pa.array(list(values))
 
 
 def _as_bool_array(v, nrows: int):

@@ -199,12 +199,11 @@ def tree_group_sum(ds, keys, sum_cols, *, funcs: Optional[Sequence[str]] = None,
             null_rows = partials.map_batches(
                 lambda t: any_null(t, invert=True),
                 batch_format="pyarrow").materialize()
-            if null_rows.count() > max_fold_rows:
-                raise ValueError(
-                    "tree_group_sum(drop_null_keys=False): the null-key "
-                    "group combinations exceed the fold bound — pre-split "
-                    "null-key rows upstream")
-            null_part = _tree_fold(null_rows, combine, fanin)
+            # bound by DISTINCT null-key combinations, not pre-fold
+            # partial rows (which scale with #blocks): _tree_fold checks
+            # the combined row count before its final single-block round
+            null_part = _tree_fold(null_rows, combine, fanin,
+                                   max_final_rows=max_fold_rows)
             exchange = partials.map_batches(
                 lambda t: any_null(t, invert=False), batch_format="pyarrow")
 
@@ -226,15 +225,49 @@ def tree_group_sum(ds, keys, sum_cols, *, funcs: Optional[Sequence[str]] = None,
     return _tree_fold(partials, combine, fanin)
 
 
-def _tree_fold(partials, combine, fanin: int):
+def _tree_fold(partials, combine, fanin: int,
+               max_final_rows: Optional[int] = None):
     """Coalesce-and-combine a MATERIALIZED partials dataset down to one
-    block (repartition moves whole blocks, never keyed rows)."""
+    block (repartition moves whole blocks, never keyed rows).  With
+    ``max_final_rows``, refuse to build the final single block when the
+    combined rows — the distinct key count — exceed the bound."""
     nblocks = partials.num_blocks()
     while nblocks > 1:
         # min(nblocks - 1, ...) forces progress for any fanin (fanin=1
         # would otherwise loop on nblocks // 1 == nblocks forever)
         nblocks = max(1, min(nblocks - 1, nblocks // fanin))
+        if (nblocks == 1 and max_final_rows is not None
+                and partials.count() > max_final_rows):
+            raise ValueError(
+                "tree fold: distinct key combinations exceed the final "
+                "fold bound — pre-split or pre-aggregate upstream")
         partials = (partials.repartition(nblocks)
                     .map_batches(combine, batch_format="pyarrow")
                     .materialize())
     return partials
+
+
+def tree_distinct(ds, cols, *, max_fold_rows: int = 4_000_000,
+                  fanin: int = 8):
+    """DISTINCT ``cols`` tuples via the tree fold: per-block Arrow
+    ``group_by(cols)`` dedupe, coalesce-and-combine rounds, adaptive
+    sort-shuffle fallback — the shared helper behind the "distinct set +
+    ones column" pattern (connected-components node init, pivot column
+    scan, document frequency).  Null-key tuples drop (the grouped-op
+    convention).  Returns a materialized Dataset with exactly ``cols``."""
+    cols = list(cols) if not isinstance(cols, str) else [cols]
+
+    def ones(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or not set(cols).issubset(t.column_names):
+            return pa.table({})
+        sub = t.select(cols)
+        return sub.append_column(
+            "__one", pa.array(np.ones(len(sub), np.int64)))
+
+    out = tree_group_sum(ds.map_batches(ones, batch_format="pyarrow"),
+                         cols, ["__one"],
+                         max_fold_rows=max_fold_rows, fanin=fanin)
+    return out.map_batches(
+        lambda t: (t.drop_columns(["__one"]) if "__one" in t.column_names
+                   else t),
+        batch_format="pyarrow")

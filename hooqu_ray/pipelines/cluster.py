@@ -128,7 +128,7 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b", *,
     (see :func:`cluster_representatives`)."""
     import ray.data as rd
 
-    from ..functions.shuffle import tree_group_sum
+    from ..functions.shuffle import tree_distinct, tree_group_sum
     from ..util import shard_codes
 
     def norm(t: pa.Table) -> pa.Table:
@@ -168,20 +168,10 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b", *,
     # …) and the per-block fixed costs of the next sweep's all-to-alls
     # would dominate wall time (measured 6 s → 180+ s per sweep by
     # sweep 4 on a 100k-edge graph before this cap).
-    def node_ones(t: pa.Table) -> pa.Table:
-        if "node" not in t.column_names or len(t) == 0:
-            it = id_type or pa.int64()
-            return pa.table({"node": pa.array([], it),
-                             "__one": pa.array([], pa.int64())})
-        u = t.column("node").combine_chunks().unique()
-        return pa.table({"node": u,
-                         "__one": pa.array(np.ones(len(u), np.int64))})
-
     labels = (
-        tree_group_sum(
-            edges.map_batches(explode_nodes, batch_format="pyarrow")
-            .map_batches(node_ones, batch_format="pyarrow"),
-            ["node"], ["__one"])
+        tree_distinct(
+            edges.map_batches(explode_nodes, batch_format="pyarrow"),
+            ["node"])
         .map_batches(init_labels, batch_format="pyarrow")
         .repartition(n_buckets)
         .materialize()

@@ -191,7 +191,7 @@ def _load_image_codec():
             arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             return w, h, 3, arr, False
 
-        return builtin_decode, True  # real for BMP payloads
+        return builtin_decode, False  # no optional library present
 
 
 def _load_audio_codec():
@@ -217,7 +217,7 @@ def _load_audio_codec():
             n = int(rng.integers(rate // 2, rate * 3))
             return rate, rng.standard_normal(n).astype(np.float32), False
 
-        return builtin_decode, True  # real for WAV payloads
+        return builtin_decode, False  # no optional library present
 
 
 # ---------------------------------------------------------------------------

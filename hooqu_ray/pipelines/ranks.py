@@ -124,13 +124,7 @@ def grouped_exact_quantile(ds, key: str, value_col: str, q: float, *,
     def kernel(t: pa.Table) -> pa.Table:
         n = len(t)
         if n == 0:
-            return pa.table({key: t.column(key).combine_chunks()
-                             if isinstance(t.column(key), pa.ChunkedArray)
-                             else t.column(key),
-                             out_col: t.column(value_col).combine_chunks()
-                             if isinstance(t.column(value_col),
-                                           pa.ChunkedArray)
-                             else t.column(value_col)})
+            return t.select([key, value_col]).rename_columns([key, out_col])
         kc = _key_codes(t, key)
         first = _segment_starts(kc)
         starts = np.flatnonzero(first)

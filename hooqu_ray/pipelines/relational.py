@@ -453,21 +453,14 @@ def pivot_counts(ds, row_col: str, col_col: str, max_cols: int = 1000,
     (documented divergence shared with the other grouped ops)."""
     import ray.data as rd
 
-    from ..functions.shuffle import tree_group_sum
+    from ..functions.shuffle import tree_distinct, tree_group_sum
     from ..util import collect_arrow
 
-    def distinct_col_ones(t: pa.Table) -> pa.Table:
-        col = t.column(col_col)
-        u = pc.drop_null((col.combine_chunks()
-                          if isinstance(col, pa.ChunkedArray)
-                          else col).unique())
-        return pa.table({col_col: u,
-                         "__one": pa.array(np.ones(len(u), np.int64))})
-
     vals_tbl = collect_arrow(
-        tree_group_sum(
-            ds.map_batches(distinct_col_ones, batch_format="pyarrow"),
-            [col_col], ["__one"])
+        tree_distinct(
+            ds.map_batches(lambda t: t.select([col_col]),
+                           batch_format="pyarrow"),
+            [col_col])
     )
     if vals_tbl is None or len(vals_tbl) == 0:
         return rd.from_arrow(pa.table({row_col: pa.array([])}))
@@ -1384,7 +1377,21 @@ def grouped_mode(ds, group_col: str, value_col: str, *,
     drop (the grouped-op convention); groups with only null values are
     absent.  Returns an Arrow table or Dataset — whatever
     ``grouped_top_k`` returns — with columns (group, out_col, n)."""
+    import ray.data as rd
+
     from ..functions.shuffle import tree_group_sum
+    from ..util import dataset_arrow_schema
+
+    in_schema = dataset_arrow_schema(ds)
+    if in_schema is None:  # zero-block input: nothing to rank
+        return pa.table({group_col: pa.array([]),
+                         out_col: pa.array([]),
+                         "n": pa.array([], pa.int64())})
+    anchor = pa.table({
+        group_col: pa.array([], in_schema.field(group_col).type),
+        value_col: pa.array([], in_schema.field(value_col).type),
+        "__n": pa.array([], pa.int64()),
+    })
 
     def pair_partials(t: pa.Table) -> pa.Table:
         mask = pc.and_(pc.is_valid(t.column(group_col)),
@@ -1394,9 +1401,16 @@ def grouped_mode(ds, group_col: str, value_col: str, *,
             [([], "count_all")]
         ).rename_columns([group_col, value_col, "__n"])
 
+    # typed guard + anchor: an empty/all-null input would otherwise reach
+    # grouped_top_k as ONE schema-less pa.table({}) block, whose
+    # select(group_col) raises (CLAUDE.md empty-aggregate-block gotcha)
+    def guard(t: pa.Table) -> pa.Table:
+        return t if group_col in t.column_names else anchor
+
     counts = tree_group_sum(
         ds.map_batches(pair_partials, batch_format="pyarrow"),
-        [group_col, value_col], ["__n"])
+        [group_col, value_col], ["__n"]).map_batches(
+        guard, batch_format="pyarrow").union(rd.from_arrow(anchor))
 
     top = grouped_top_k(counts, group_col, "__n", 1, value_col)
 

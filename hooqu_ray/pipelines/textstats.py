@@ -557,6 +557,9 @@ def doc_frequency(ds, text_col: str = "text", id_col: str = "doc_id"):
     from ..functions.shuffle import tree_group_sum
 
     def with_ones(t: pa.Table) -> pa.Table:
+        # per-doc distinct (doc, term) pairs, so the fold SUM of ones IS
+        # the document frequency (tree_distinct would dedupe per block and
+        # count blocks, not documents — df needs the sum)
         p = distinct_pairs(t)
         return p.append_column(
             "df", pa.array(np.ones(len(p), np.int64)))

@@ -654,3 +654,20 @@ class TestGroupedMode:
         rows = out.to_pylist()
         # null values never count; group b (all null) and the null group drop
         assert rows == [{"k": "a", "mode_value": 1.0, "n": 1}]
+
+    def test_empty_and_all_null_inputs(self, ray_session):
+        """Code-review regression: an empty (or all-null-pair) input used
+        to reach grouped_top_k as one schema-less block -> KeyError."""
+        import ray.data as rd
+        import pandas as pd
+        import pyarrow as pa
+        from hooqu_ray.pipelines.relational import grouped_mode
+
+        allnull = pd.DataFrame({"k": [None, None], "v": [None, None]})
+        out = grouped_mode(rd.from_pandas(allnull), "k", "v")
+        assert len(out.to_pylist()) == 0
+
+        typed_empty = pa.table({"k": pa.array([], pa.string()),
+                                "v": pa.array([], pa.int64())})
+        out2 = grouped_mode(rd.from_arrow(typed_empty), "k", "v")
+        assert len(out2.to_pylist()) == 0

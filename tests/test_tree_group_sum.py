@@ -102,6 +102,6 @@ def test_keep_null_keys_matches_sql_group_by(ray_session):
     # and the guard itself: null-key combinations exceeding the fold bound
     # must raise, not OOM
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="null-key"):
+    with _pytest.raises(ValueError, match="fold bound"):
         tree_group_sum(ds, ["k"], ["v"], drop_null_keys=False,
                        max_fold_rows=1, fanin=1).to_pandas()
