@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["grouped_quantile_exact_price"] = _grouped_quantile_exact_price
     out["ntile_events_by_type"] = _ntile_events_by_type
     out["mode_value_by_type"] = _mode_value_by_type
+    out["string_agg_users_by_type"] = _string_agg_users_by_type
     out["percent_rank_events_by_type"] = (
         lambda sf_dir: _percent_rank_by_type(sf_dir, cume=False))
     out["cume_dist_events_by_type"] = (
@@ -695,6 +696,24 @@ def _rank_events_by_type(sf_dir: str, dense: bool = False):
 
     ds = _read(sf_dir, "events", ["event_type", "user_id", "event_id"])
     return grouped_rank(ds, "event_type", "user_id", "event_id", dense=dense)
+
+
+def _string_agg_users_by_type(sf_dir: str):
+    """SQL string_agg(user_id, ',' ORDER BY user_id, event_id) per
+    event_type — a tie column makes the concatenation deterministic.
+    Restricted to 'signup' events so the joined cell stays gate-sized."""
+    from hooqu_ray.pipelines.ranks import grouped_string_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "event_id"])
+
+    def signup_str(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "signup"))
+        return t.append_column(
+            "user_str", pc.cast(t.column("user_id"), pa.string()))
+
+    return grouped_string_agg(
+        ds.map_batches(signup_str, batch_format="pyarrow"),
+        "event_type", "user_str", "user_id", "event_id")
 
 
 def _mode_value_by_type(sf_dir: str):
@@ -3837,6 +3856,12 @@ def oracle_sql() -> dict[str, str]:
             'SELECT event_type, user_id, event_id, CAST(DENSE_RANK() OVER '
             '(PARTITION BY event_type ORDER BY user_id) AS BIGINT) AS "rank" '
             "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL"
+        ),
+        "string_agg_users_by_type": (
+            "SELECT event_type, string_agg(CAST(user_id AS VARCHAR), ',' "
+            "ORDER BY user_id, event_id) AS agg FROM events "
+            "WHERE event_type = 'signup' AND user_id IS NOT NULL "
+            "GROUP BY event_type"
         ),
         "mode_value_by_type": (
             "WITH c AS (SELECT event_type, user_id, count(*) AS n "

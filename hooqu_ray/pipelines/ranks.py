@@ -240,3 +240,53 @@ def grouped_percent_rank(ds, key: str, order_col: str, tie_col: str, *,
 
     return _per_conversation_apply(
         ds, [key, order_col, tie_col], key, order_col, kernel)
+
+
+def grouped_string_agg(ds, key: str, value_col: str, order_col: str,
+                       tie_col: str, *, sep: str = ",",
+                       out_col: str = "agg"):
+    """SQL ``string_agg(value, sep ORDER BY order, tie)`` per key — one
+    row per group, values joined in (order, tie) order.  Null VALUES are
+    skipped (SQL string_agg semantics) and a group with no non-null
+    values is absent (callers wanting SQL's NULL row re-attach it from
+    the group list); null keys/orders drop per the scaffold contract.
+    ``tie_col`` (unique per key) makes the concatenation deterministic
+    where SQL leaves equal-order ties arbitrary.
+
+    Scale shape: the shared one-range-sort scaffold; the kernel builds
+    one zero-copy ListArray over the block's value buffer and joins with
+    ONE vectorized ``binary_join`` — no Python per group.  NOTE the
+    joined string materializes one group's full concatenation in a single
+    cell: a mega-group yields a mega-cell (same caveat as any SQL
+    string_agg)."""
+    from .transcripts import _per_conversation_apply
+
+    if len({key, value_col, order_col, tie_col}) != 4:
+        raise ValueError("key/value/order/tie column names must be distinct")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(value_col)))
+        n = len(t)
+        if n == 0:
+            kcol = t.column(key)
+            return pa.table({key: kcol.slice(0, 0),
+                             out_col: pa.array([], pa.string())})
+        order = pc.sort_indices(
+            t.select([key, order_col, tie_col]),
+            sort_keys=[(key, "ascending"), (order_col, "ascending"),
+                       (tie_col, "ascending")])
+        t = t.take(order)
+        kc = _key_codes(t, key)
+        starts = np.flatnonzero(_segment_starts(kc))
+        offsets = pa.array(np.r_[starts, n].astype(np.int32), pa.int32())
+        vals = t.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vals = pc.cast(vals, pa.string())
+        la = pa.ListArray.from_arrays(offsets, vals)
+        joined = pc.binary_join(la, pa.scalar(sep))
+        sel = pa.array(starts, pa.int64())
+        return pa.table({key: t.column(key).take(sel), out_col: joined})
+
+    return _per_conversation_apply(
+        ds, [key, value_col, order_col, tie_col], key, order_col, kernel)

@@ -216,3 +216,43 @@ def test_percent_rank_differential(rows, cume):
                ).where(sizes > 1, 0.0)
     exp = dict(zip(df.id, ser.round(6)))
     assert got == exp
+
+
+# -- string_agg ---------------------------------------------------------------
+
+from hooqu_ray.pipelines.ranks import grouped_string_agg
+
+
+def test_string_agg_matches_pandas(ray_session):
+    df = _frame(n=2_000, keys=20, seed=12)
+    df["s"] = df.v.astype(str)
+    ds = rd.from_pandas(df).repartition(6).materialize()
+    out = grouped_string_agg(ds, "k", "s", "v", "id", sep="|").to_pandas()
+    got = dict(zip(out.k, out["agg"]))
+    exp = (df.sort_values(["k", "v", "id"])
+           .groupby("k")["s"].agg(lambda s: "|".join(s)).to_dict())
+    assert got == exp
+
+
+def test_string_agg_skips_null_values(ray_session):
+    df = pd.DataFrame({"k": ["a", "a", "b"], "v": [None, "x", None],
+                       "o": [0, 1, 0], "id": [0, 1, 2]})
+    out = grouped_string_agg(rd.from_pandas(df), "k", "v", "o", "id")
+    rows = sorted(out.to_pandas().itertuples(index=False))
+    # all-null group b is absent (documented; SQL would emit NULL)
+    assert [(r.k, r.agg) for r in rows] == [("a", "x")]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 9)),
+                min_size=1, max_size=100))
+def test_string_agg_differential(rows):
+    df = pd.DataFrame(rows, columns=["k", "o"]).astype(np.int64)
+    df["id"] = np.arange(len(df), dtype=np.int64)
+    df["v"] = df["o"].astype(str)
+    ds = rd.from_pandas(df).repartition(3)
+    out = grouped_string_agg(ds, "k", "v", "o", "id").to_pandas()
+    got = dict(zip(out.k, out["agg"]))
+    exp = (df.sort_values(["k", "o", "id"])
+           .groupby("k")["v"].agg(lambda s: ",".join(s)).to_dict())
+    assert got == exp

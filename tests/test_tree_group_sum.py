@@ -105,3 +105,29 @@ def test_keep_null_keys_matches_sql_group_by(ray_session):
     with _pytest.raises(ValueError, match="fold bound"):
         tree_group_sum(ds, ["k"], ["v"], drop_null_keys=False,
                        max_fold_rows=1, fanin=1).to_pandas()
+
+
+def test_hot_key_skew_no_reducer_blowup(ray_session):
+    # one mega-key holding 90% of rows: the tree path has NO keyed
+    # exchange, so no reducer ever sees more than a block's combine output
+    rng = np.random.default_rng(4)
+    n = 200_000
+    k = np.where(rng.random(n) < 0.9, 7, rng.integers(100, 1100, n))
+    df = pd.DataFrame({"k": k.astype(np.int64), "v": np.ones(n, np.int64)})
+    ds = rd.from_pandas(df).repartition(32).materialize()
+    out = tree_group_sum(ds, ["k"], ["v"]).to_pandas()
+    exp = df.groupby("k", as_index=False).v.sum()
+    pd.testing.assert_frame_equal(
+        out.sort_values("k").reset_index(drop=True), exp, check_like=True)
+
+
+def test_rerun_bit_identical(ray_session):
+    # Ray task retries re-execute map fns: the fold must be deterministic
+    # (same input, same result — ordering aside) across independent runs
+    df = _frame(seed=9)
+    ds = rd.from_pandas(df).repartition(16).materialize()
+    a = tree_group_sum(ds, ["k"], ["v", "w"]).to_pandas().sort_values(
+        "k", ignore_index=True)
+    b = tree_group_sum(ds, ["k"], ["v", "w"]).to_pandas().sort_values(
+        "k", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)  # incl. float bit-equality
