@@ -238,3 +238,48 @@ def test_fork_groups_mega_group_combiner(ray_session):
     assert len(out) == n  # every conversation is a member
     assert (out.n_convs == n).all()
     assert (out.fork_group == "c00000").all()  # min conv id wins
+
+
+def test_tree_group_sum_two_node_cluster(tmp_path):
+    """Simulated 2-node cluster: the tree fold's repartition rounds move
+    whole blocks ACROSS nodes — assert the fold is exact when partial
+    blocks live on different nodes (the round-4 primitive's only
+    multi-node-critical behavior)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import os, sys
+        os.environ.pop("RAY_ADDRESS", None)
+        import ray
+        from ray.cluster_utils import Cluster
+        cluster = Cluster(initialize_head=True,
+                          head_node_args={"num_cpus": 2})
+        cluster.add_node(num_cpus=2)
+        ray.init(address=cluster.address,
+                 include_dashboard=False, log_to_driver=False)
+        assert len([n for n in ray.nodes() if n["Alive"]]) == 2, ray.nodes()
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        from hooqu_ray.functions.shuffle import tree_group_sum
+        rng = np.random.default_rng(0)
+        df = pd.DataFrame({"k": rng.integers(0, 500, 100_000),
+                           "v": rng.integers(0, 100, 100_000)})
+        ds = rd.from_pandas(df).repartition(16).materialize()
+        out = tree_group_sum(ds, ["k"], ["v"]).to_pandas()
+        exp = df.groupby("k", as_index=False).v.sum()
+        got = out.sort_values("k", ignore_index=True)
+        pd.testing.assert_frame_equal(got, exp, check_like=True)
+        ray.shutdown()
+        cluster.shutdown()
+        print("TREE-MULTINODE-OK", len(got))
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=600, cwd="/root/repo",
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert "TREE-MULTINODE-OK" in proc.stdout, (
+        proc.stdout[-2000:], proc.stderr[-2000:])
