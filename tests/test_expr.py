@@ -401,3 +401,14 @@ def test_literal_coercion_hoisted_to_compile_time(monkeypatch):
     for _ in range(5):
         pred.filter(table)
     assert calls["n"] == compiled_calls  # no per-batch re-coercion
+
+
+def test_column_in_column_falls_back_to_pandas():
+    # 'a in b' with a COLUMN rhs is outside the compiled surface (the
+    # value set must be a list literal) — must route to pandas, whose
+    # query() gives isin semantics, not crash at filter time
+    df = pd.DataFrame({"a": [1, 2, 3], "b": [3, 3, 3]})
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    pred = compile_predicate("a in b", table.schema)
+    assert isinstance(pred, PandasPredicate)
+    assert pred.filter(table).column("a").to_pylist() == [3]
