@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["ntile_events_by_type"] = _ntile_events_by_type
     out["mode_value_by_type"] = _mode_value_by_type
     out["string_agg_users_by_type"] = _string_agg_users_by_type
+    out["dedup_lines_within_doc"] = _dedup_lines_within_doc
     out["percent_rank_events_by_type"] = (
         lambda sf_dir: _percent_rank_by_type(sf_dir, cume=False))
     out["cume_dist_events_by_type"] = (
@@ -696,6 +697,31 @@ def _rank_events_by_type(sf_dir: str, dense: bool = False):
 
     ds = _read(sf_dir, "events", ["event_type", "user_id", "event_id"])
     return grouped_rank(ds, "event_type", "user_id", "event_id", dense=dense)
+
+
+def _dedup_lines_within_doc(sf_dir: str):
+    """In-document line dedup over documents with INJECTED self-repeats
+    (doc_id % 7 == 0 gets its first line tripled) — byte-equal vs a SQL
+    window rebuild.  Null-text docs filtered on both sides (UNNEST drops
+    them from the SQL side)."""
+    from hooqu_ray.pipelines.dedup import dedup_lines_within_doc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        text = t.column("text").to_numpy(zero_copy_only=False).astype(object)
+        m = ids % 7 == 0
+        if m.any():
+            first = np.array([s.split("\n")[0] for s in text[m]], object)
+            text[m] = first + "\n" + text[m] + "\n" + first
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(text, pa.string())})
+
+    out = dedup_lines_within_doc(
+        ds.map_batches(inject, batch_format="pyarrow"), min_line_chars=10)
+    return out.to_pandas().sort_values("doc_id", ignore_index=True)
 
 
 def _string_agg_users_by_type(sf_dir: str):
@@ -3856,6 +3882,20 @@ def oracle_sql() -> dict[str, str]:
             'SELECT event_type, user_id, event_id, CAST(DENSE_RANK() OVER '
             '(PARTITION BY event_type ORDER BY user_id) AS BIGINT) AS "rank" '
             "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL"
+        ),
+        "dedup_lines_within_doc": (
+            "WITH base AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+            "string_split(text, chr(10))[1] || chr(10) || text || chr(10) "
+            "|| string_split(text, chr(10))[1] ELSE text END AS text "
+            "FROM documents WHERE text IS NOT NULL), "
+            "l AS (SELECT doc_id, UNNEST(string_split(text, chr(10))) AS "
+            "line, generate_subscripts(string_split(text, chr(10)), 1) AS "
+            "pos FROM base), "
+            "r AS (SELECT doc_id, line, pos, row_number() OVER (PARTITION "
+            "BY doc_id, line ORDER BY pos) AS rn FROM l) "
+            "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text "
+            "FROM r WHERE rn = 1 OR length(line) < 10 "
+            "GROUP BY doc_id ORDER BY doc_id"
         ),
         "string_agg_users_by_type": (
             "SELECT event_type, string_agg(CAST(user_id AS VARCHAR), ',' "

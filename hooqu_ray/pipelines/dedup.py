@@ -2113,3 +2113,58 @@ def dup_rate_by_source(ds, text_col: str = "text",
                          "n_unique": uniq, "dup_frac": frac})
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def dedup_lines_within_doc(ds, text_col: str = "text",
+                           min_line_chars: int = 10,
+                           delimiter: str = "\n"):
+    """IN-DOCUMENT line dedup: within each document, repeated occurrences
+    of any line of at least ``min_line_chars`` characters are removed,
+    keeping the first (the C4-style self-repetition trim — nav blocks or
+    generated text that loops inside ONE page; :func:`line_dedup` is the
+    corpus-wide counterpart).  Lines shorter than ``min_line_chars``
+    always survive (blank separators, bullets); null text passes through
+    as null.
+
+    Scale shape: map-only — the doc never leaves its block, no shuffle at
+    ANY scale.  Per block: one Arrow split, a 63-bit line hash, a lexsort
+    keep-first mask per (doc, hash), and one vectorized ``binary_join``
+    rebuild — no Python per line.  Exact up to the documented 2⁻⁶³
+    hash-collision class."""
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0 or text_col not in t.column_names:
+            return t
+        texts = t.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        in_type = t.schema.field(text_col).type
+        flat, parent, line_idx = _split_lines(texts, delimiter)
+        if len(flat) == 0:
+            return t
+        lh = _text_hash63(flat)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        keep = np.ones(len(flat), dtype=bool)
+        el = np.flatnonzero(lens >= min_line_chars)
+        if el.size:
+            p, h, li = parent[el], lh[el], line_idx[el]
+            order = np.lexsort((li, h, p))
+            ps, hs = p[order], h[order]
+            dup = np.zeros(order.size, dtype=bool)
+            dup[1:] = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
+            keep[el[order[dup]]] = False
+        kept_flat = flat.filter(pa.array(keep))
+        counts = np.bincount(parent[keep], minlength=n)
+        offsets = pa.array(np.r_[0, np.cumsum(counts)].astype(np.int32),
+                           pa.int32())
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(offsets,
+                                     pc.cast(kept_flat, pa.string())),
+            pa.scalar(delimiter))
+        new_text = pc.if_else(pc.is_valid(texts), joined,
+                              pa.scalar(None, pa.string()))
+        return t.set_column(t.column_names.index(text_col), text_col,
+                            pc.cast(new_text, in_type))
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")

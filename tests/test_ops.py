@@ -761,3 +761,57 @@ class TestEmbeddingPrep:
         assert got["scale"][0] == 1.0
         assert [int(x) for x in got["qvec"][1]] == [0, 0, 0]
         assert got["scale"][1] == 0.0
+
+
+class TestDedupLinesWithinDoc:
+    def test_keep_first_and_short_lines(self, ray_session):
+        import ray.data as rd
+        import pandas as pd
+        from hooqu_ray.pipelines.dedup import dedup_lines_within_doc
+
+        df = pd.DataFrame({"doc_id": [0, 1, 2], "text": [
+            "this line repeats here\nshort\nthis line repeats here\n"
+            "another unique line\nshort",
+            None,
+            "",
+        ]})
+        out = dedup_lines_within_doc(
+            rd.from_pandas(df), min_line_chars=10).to_pandas()
+        got = dict(zip(out.doc_id, out.text))
+        assert got[0] == ("this line repeats here\nshort\n"
+                          "another unique line\nshort")
+        assert got[1] is None or got[1] != got[1]  # null passes through
+        assert got[2] == ""  # empty doc unchanged
+
+    def test_matches_pandas_oracle_on_documents(self, ray_session):
+        import ray.data as rd
+        import pandas as pd
+        from hooqu_ray.pipelines.dedup import dedup_lines_within_doc
+
+        pdf = pd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text"])
+        # inject in-doc repeats so the op provably fires
+        pdf.loc[pdf.index[:20], "text"] = pdf.text.iloc[:20].map(
+            lambda t: "\n".join([str(t).split("\n")[0]] * 3 + [str(t)]))
+        got = dedup_lines_within_doc(
+            rd.from_pandas(pdf).repartition(4),
+            min_line_chars=10).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+
+        def oracle(t):
+            if t is None or t != t:
+                return t
+            seen, out = set(), []
+            for line in str(t).split("\n"):
+                if len(line) >= 10:
+                    if line in seen:
+                        continue
+                    seen.add(line)
+                out.append(line)
+            return "\n".join(out)
+
+        exp = pdf.assign(text=pdf.text.map(oracle)).sort_values(
+            "doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(got[["doc_id", "text"]],
+                                      exp[["doc_id", "text"]])
