@@ -135,6 +135,152 @@ def _tree_combine_factory(keys: Sequence[str], agg_cols: Sequence[str],
     return combine
 
 
+def _row_hash64(t: pa.Table, keys: Sequence[str]) -> np.ndarray:
+    """Deterministic uint64 hash of each row's key TUPLE, identical across
+    Ray workers (polars ``hash_rows`` at a fixed seed is process-stable for
+    a fixed polars version — the same contract ``dedup._text_hash63``
+    already relies on cross-block; builtin ``hash`` is PYTHONHASHSEED-random
+    per worker and must never be used here).  Nulls hash stably, so null
+    keys ride the exchange like any other group."""
+    sub = t.select(list(keys)).combine_chunks()
+    if len(sub) == 0:
+        return np.empty(0, dtype=np.uint64)
+    try:
+        import polars as pl
+
+        return pl.from_arrow(sub).hash_rows(seed=0).to_numpy().astype(np.uint64)
+    except ImportError:  # pragma: no cover - slow deterministic fallback
+        import hashlib
+
+        parts = [pc.cast(sub.column(k), pa.string()).to_pylist() for k in keys]
+        out = np.empty(len(sub), dtype=np.uint64)
+        for i, vals in enumerate(zip(*parts)):
+            payload = "\x1f".join("\x00" if v is None else v for v in vals)
+            out[i] = int.from_bytes(
+                hashlib.blake2b(payload.encode("utf-8"), digest_size=8).digest(),
+                "little")
+        return out
+
+
+class _StampBucket:
+    """Project a block to ``keys + cols`` and stamp ``__bh = hash64(keys)
+    % num_buckets`` (int32).  Degenerate blocks (schema-less empty
+    aggregates that lack the key columns) emit a typed empty table so the
+    exchange never sees mixed schemas."""
+
+    def __init__(self, keys, cols, num_buckets, empty: pa.Table):
+        self.proj = list(keys) + list(cols)
+        self.keys = list(keys)
+        self.num_buckets = num_buckets
+        self.empty = empty
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if len(t) == 0 or not set(self.proj).issubset(t.column_names):
+            return self.empty
+        t = t.select(self.proj)
+        b = (_row_hash64(t, self.keys) % np.uint64(self.num_buckets)).astype(
+            np.int32)
+        return t.append_column("__bh", pa.array(b, pa.int32()))
+
+
+def bucketed_group_fold(ds, keys, cols, funcs: Optional[Sequence[str]] = None,
+                        *, drop_null_keys: bool = False,
+                        num_buckets: Optional[int] = None,
+                        finalize: Optional[Callable[[pa.Table], pa.Table]] = None,
+                        rows_per_bucket: int = 250_000):
+    """Corpus-cardinality ``groupby(keys).agg(cols)`` via a BUCKETED hash
+    exchange — the replacement for Ray's sort-based groupby when the key
+    count scales with the corpus (near-unique ids, content hashes).
+
+    Ray's ``groupby(keys).aggregate(...)`` pays a per-GROUP Python cost in
+    its reduce tasks (~5 µs/row when keys are near-unique — CLAUDE.md
+    gotcha; the hash-shuffle strategy measured no faster).  Here the
+    exchange key is ``__bh = hash64(key tuple) % B`` — a SMALL int32 with
+    ``B`` ≈ #CPUs..4096 distinct values — so the sort/exchange is over a
+    machine int and the reduce side sees ``B`` groups, not millions; each
+    bucket then folds with ONE vectorized Arrow ``group_by``.  Rows of a
+    key always share a bucket (hash is cross-worker deterministic), buckets
+    partition the key space disjointly, so per-bucket folds are exact and
+    independent.  Measured at 3.2M rows / 600k string keys / 32 CPUs:
+    10.2× vs the sort-based groupby on per-block pre-combined partials
+    (21.1 s → 2.1 s) and 157× on raw uncombined rows (365 s → 2.3 s);
+    see BASELINE.md.
+
+    At 100 TB: ``B`` grows with the partial row count (``rows_per_bucket``)
+    up to 4096, each bucket is a bounded independent task, and only slim
+    ``keys + cols`` rows ride the exchange (payload columns are projected
+    away before the shuffle).  Skew note: one bucket holds ~1/B of the KEY
+    SPACE, not of the rows — a single mega-HOT key still lands in one
+    bucket, so callers with row-skewed keys must pre-combine per block
+    first (``_ProjectKeys`` / ``_tree_combine_factory`` pattern), after
+    which a hot key contributes ≤ #blocks rows.
+
+    ``funcs`` are the self-mergeable "sum"/"min"/"max" (inputs may already
+    be per-block partials).  ``drop_null_keys=False`` (default) keeps null
+    keys as their own group (SQL/Arrow parity); True drops them.
+    ``finalize`` (optional) maps each bucket's FOLDED table (columns
+    ``keys + cols``, one row per key) to an arbitrary summary table —
+    frequency reductions use it to emit one scalar-summary row per bucket
+    so the folded table itself never re-shuffles.  Returns an unmaterialized
+    Dataset of the per-bucket outputs."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cols = list(cols)
+    funcs = list(funcs) if funcs is not None else ["sum"] * len(cols)
+    combine = _tree_combine_factory(keys, cols, funcs, drop_null_keys)
+
+    ds = ds.materialize()  # need row/block counts to size the exchange
+    n = ds.count()
+    from ..util import dataset_arrow_schema
+
+    schema = dataset_arrow_schema(ds)
+    proj = keys + cols
+    if schema is None or not set(proj).issubset(schema.names):
+        # no typed block anywhere holds the key columns — nothing to fold
+        import ray.data as rd
+
+        out = combine(pa.table({}))
+        return rd.from_arrow(finalize(out) if finalize is not None else out)
+    empty = pa.schema([schema.field(c) for c in proj]).empty_table()
+    empty = empty.append_column("__bh", pa.array([], pa.int32()))
+
+    if num_buckets is None:
+        num_buckets = _default_buckets(n, rows_per_bucket)
+    stamped = ds.map_batches(_StampBucket(keys, cols, num_buckets, empty),
+                             batch_format="pyarrow")
+    # Ray's sort-based exchange inherits reduce parallelism from the input
+    # block count: a near-single-block input would serialize every bucket
+    # into one task (CLAUDE.md gotcha) — spread it first.
+    target_blocks = min(num_buckets, _cluster_cpus() * 2)
+    if n > 65_536 and ds.num_blocks() < target_blocks:
+        stamped = stamped.repartition(target_blocks)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        folded = combine(t.drop_columns(["__bh"]))
+        return finalize(folded) if finalize is not None else folded
+
+    return stamped.groupby("__bh").map_groups(
+        lambda t: per_bucket(t), batch_format="pyarrow")
+
+
+def _cluster_cpus() -> int:
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(1, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:  # pragma: no cover
+        pass
+    return 4
+
+
+def _default_buckets(n_rows: int, rows_per_bucket: int) -> int:
+    """#buckets: enough for cluster parallelism, growing with the partial
+    row count so one bucket's fold stays a bounded task, capped at 4096
+    (beyond that per-group scheduling overhead dominates)."""
+    return int(min(4096, max(_cluster_cpus(), 16,
+                             -(-n_rows // max(1, rows_per_bucket)))))
+
+
 def tree_group_sum(ds, keys, sum_cols, *, funcs: Optional[Sequence[str]] = None,
                    max_fold_rows: int = 4_000_000, fanin: int = 8,
                    drop_null_keys: bool = True):
@@ -175,52 +321,15 @@ def tree_group_sum(ds, keys, sum_cols, *, funcs: Optional[Sequence[str]] = None,
     n = partials.count()
     if n > max_fold_rows * fanin:
         # key cardinality is corpus-like — the tree's final block would not
-        # fit; pay the keyed exchange instead (partials already shrank the
-        # input as far as per-block combining can)
-        from ray.data.aggregate import Max, Min, Sum
-
-        aggs = [{"sum": Sum, "min": Min, "max": Max}[f](c)
-                for c, f in zip(sum_cols, funcs)]
-        exchange = partials
-        null_part = None
-        if not drop_null_keys:
-            # Ray's sort-based groupby cannot range-partition null keys
-            # (None-vs-value comparisons crash in its sort); split the
-            # null-key partial rows out and tree-fold them separately —
-            # they are at most one group per null-key combination
-            def any_null(t: pa.Table, invert: bool) -> pa.Table:
-                if len(t) == 0 or keys[0] not in t.column_names:
-                    return t
-                mask = pc.is_valid(t.column(keys[0]))
-                for k in keys[1:]:
-                    mask = pc.and_(mask, pc.is_valid(t.column(k)))
-                return t.filter(mask if not invert else pc.invert(mask))
-
-            null_rows = partials.map_batches(
-                lambda t: any_null(t, invert=True),
-                batch_format="pyarrow").materialize()
-            # bound by DISTINCT null-key combinations, not pre-fold
-            # partial rows (which scale with #blocks): _tree_fold checks
-            # the combined row count before its final single-block round
-            null_part = _tree_fold(null_rows, combine, fanin,
-                                   max_final_rows=max_fold_rows)
-            exchange = partials.map_batches(
-                lambda t: any_null(t, invert=False), batch_format="pyarrow")
-
-        folded = exchange.groupby(keys).aggregate(*aggs)
-
-        def rename(t: pa.Table) -> pa.Table:
-            want = {f"{f}({c})": c for c, f in zip(sum_cols, funcs)}
-            if not set(want).issubset(t.column_names):
-                return pa.table({})
-            return t.rename_columns(
-                [want.get(c, c) for c in t.column_names]).select(
-                keys + sum_cols)
-
-        out = folded.map_batches(rename, batch_format="pyarrow")
-        if null_part is not None:
-            out = out.union(null_part)
-        return out.materialize()
+        # fit; fold through the bucketed hash exchange instead (partials
+        # already shrank the input as far as per-block combining can;
+        # measured ~10× over the old sort-based groupby arm).  Null keys in
+        # drop_null_keys=False parity mode ride the exchange natively: the
+        # sort key is the int32 bucket, never the key columns, so the old
+        # null-split workaround for Ray's None-vs-value sort crash is gone.
+        return bucketed_group_fold(
+            partials, keys, sum_cols, funcs,
+            drop_null_keys=drop_null_keys).materialize()
 
     return _tree_fold(partials, combine, fanin)
 

@@ -601,14 +601,17 @@ def grouped_count_distinct(ds, group_col: str, value_col: str):
 
     Combiner-first: each block reduces to its distinct ``(group, value)``
     pairs via dictionary-code run counting (no Python per row), then two
-    slim shuffles finish globally: ``groupby(group, value).count()``
-    dedupes pairs across blocks and ``groupby(group).count()`` counts
-    them.  Only distinct-pair rows move; for an APPROXIMATE one-shuffle
+    slim BUCKETED hash exchanges (``shuffle.bucketed_group_fold`` — pair
+    cardinality is corpus-like, exactly where Ray's sort-based groupby
+    pays ~5 µs/row) finish globally: a fold keyed on the pair dedupes
+    across blocks (bucketing by the pair hash also spreads a hot GROUP
+    over buckets), and a fold keyed on the group counts the surviving
+    pairs.  Only distinct-pair rows move; for an APPROXIMATE one-shuffle
     answer at extreme pair cardinality use per-group HLL sketches instead
     (``analyzers/sketches.py``).  Null values are not counted (SQL
-    ``count(DISTINCT)``); null groups are dropped by the groupby
+    ``count(DISTINCT)``); null groups are dropped
     (documented divergence shared with the other grouped ops)."""
-    from ray.data.aggregate import Count
+    from ..functions.shuffle import bucketed_group_fold
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
         g = t.column(group_col)
@@ -632,23 +635,33 @@ def grouped_count_distinct(ds, group_col: str, value_col: str):
         idx = pa.array(sel, pa.int64())
         return pa.table({group_col: g.take(idx), value_col: v.take(idx)})
 
-    agg = (
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column("__one", pa.array(np.ones(len(t), np.int64)))
+
+    deduped = bucketed_group_fold(
         ds.map_batches(distinct_pairs, batch_format="pyarrow")
-        .groupby([group_col, value_col])
-        .aggregate(Count())
-        .groupby(group_col)
-        .aggregate(Count())
-    )
+        .map_batches(ones, batch_format="pyarrow"),
+        [group_col, value_col], ["__one"], ["sum"], drop_null_keys=True)
+
+    def pair_to_one(t: pa.Table) -> pa.Table:
+        if group_col not in t.column_names:
+            return pa.table({})
+        return pa.table({group_col: t.column(group_col)}).append_column(
+            "__one", pa.array(np.ones(len(t), np.int64)))
+
+    agg = bucketed_group_fold(
+        deduped.map_batches(pair_to_one, batch_format="pyarrow"),
+        [group_col], ["__one"], ["sum"], drop_null_keys=True)
 
     def rename(t: pa.Table) -> pa.Table:
-        if "count()" not in t.column_names:
+        if "__one" not in t.column_names:
             return pa.table(
                 {group_col: pa.array([]), "n_distinct": pa.array([], pa.int64())}
             )
         return pa.table(
             {
                 group_col: t.column(group_col),
-                "n_distinct": pc.cast(t.column("count()"), pa.int64()),
+                "n_distinct": pc.cast(t.column("__one"), pa.int64()),
             }
         )
 

@@ -264,31 +264,37 @@ class RayRunner:
         """Distributed MI reductions — never collects the joint frequency
         table on the driver (the reference materializes it in pandas,
         grouping_analyzers.py:44-84; a high-cardinality pair would OOM the
-        driver at scale).  One hash shuffle builds the joint ``(x, y, count)``
-        table; it stays in the object store, and three folds (joint + the two
-        marginals re-grouped FROM the joint table, so they cost shuffles over
-        #distinct-pairs rows, not #rows) each reduce to one
-        ``FrequenciesAndNumRows`` scalar summary.  MI derives from the
-        identity I(X;Y) = H(X) + H(Y) − H(X,Y) over those summaries."""
-        from ray.data.aggregate import Sum
+        driver at scale).  One BUCKETED hash exchange
+        (``shuffle.bucketed_group_fold`` over per-block ``_ProjectKeys``
+        partials — the joint key is corpus-cardinality, exactly the case
+        Ray's sort-based groupby pays ~5 µs/row on) builds the joint
+        ``(x, y, count)`` table; it stays in the object store, and three
+        folds (joint + the two marginals re-grouped FROM the joint table,
+        so they cost exchanges over #distinct-pairs rows, not #rows) each
+        reduce to one ``FrequenciesAndNumRows`` scalar summary.  MI derives
+        from the identity I(X;Y) = H(X) + H(Y) − H(X,Y) over those
+        summaries."""
+        from .functions.shuffle import bucketed_group_fold
 
         cols = list(columns)
         ds = self._filtered(where, predicate)
-        keys = ds.map_batches(_ProjectRawKeys(cols), batch_format="pyarrow")
+        partials = ds.map_batches(_ProjectKeys(cols), batch_format="pyarrow")
         # materialize: the lazy joint table is consumed by three folds; without
-        # this each fold would re-execute the full upstream scan + shuffle
-        joint = keys.groupby(cols).count().materialize()
+        # this each fold would re-execute the full upstream scan + exchange
+        joint = bucketed_group_fold(
+            partials, cols, ["__pcount"], ["sum"]).materialize()
 
-        def fold(freq_ds, count_col: str) -> FrequenciesAndNumRows:
-            plan = ScanPlan([_WhereGroup(None, [(0, _FreqReduceBound(count_col))])], 1)
+        def fold(freq_ds) -> FrequenciesAndNumRows:
+            plan = ScanPlan(
+                [_WhereGroup(None, [(0, _FreqReduceBound("__pcount"))])], 1)
             res = self._fold(freq_ds, plan)[0]
             if isinstance(res, FailedState):
                 raise res.to_exception()
             return res if res is not None else FrequenciesAndNumRows(0, 0, 0, 0.0)
 
-        joint_f = fold(joint, "count()")
+        joint_f = fold(joint)
         marginals = [
-            fold(joint.groupby(c).aggregate(Sum("count()")), "sum(count())")
+            fold(bucketed_group_fold(joint, [c], ["__pcount"], ["sum"]))
             for c in cols
         ]
         return joint_f, marginals[0], marginals[1]
@@ -307,14 +313,38 @@ class RayRunner:
         # probe misclassified clustered inputs globally; a per-block strided
         # probe cannot, and near-unique blocks still skip the wasted local
         # group_by and ship raw rows with __pcount=1).
-        from ray.data.aggregate import Sum
+        # The exchange is the BUCKETED hash fold (shuffle.bucketed_group_fold):
+        # Ray's sort-based groupby pays ~5 µs/row on corpus-cardinality keys
+        # (per-group reduce overhead); bucketing by hash64(keys) % B keeps the
+        # exchange key a small int32 and each bucket folds + reduces to ONE
+        # scalar-summary row with vectorized Arrow kernels, so only ≤B tiny
+        # rows ever reach the driver (measured 10.6× at 3.2M rows/600k keys).
+        from .functions.shuffle import bucketed_group_fold
 
         partials = ds.map_batches(_ProjectKeys(cols), batch_format="pyarrow")
-        freq = partials.groupby(cols).aggregate(Sum("__pcount"))
-        plan = ScanPlan(
-            [_WhereGroup(None, [(0, _FreqReduceBound("sum(__pcount)"))])], 1)
-        res = self._fold(freq, plan)[0]
-        return res if res is not None else FrequenciesAndNumRows(0, 0, 0, 0.0)
+
+        def summarize(folded: pa.Table) -> pa.Table:
+            f = _reduce_frequency_block(folded, "__pcount")
+            if f is None:
+                return pa.table({"__n": pa.array([], pa.int64()),
+                                 "__g": pa.array([], pa.int64()),
+                                 "__u": pa.array([], pa.int64()),
+                                 "__e": pa.array([], pa.float64())})
+            return pa.table({"__n": [f.num_rows], "__g": [f.num_groups],
+                             "__u": [f.num_singleton_groups],
+                             "__e": [f.entropy_sum]})
+
+        rows = bucketed_group_fold(
+            partials, cols, ["__pcount"], ["sum"], finalize=summarize
+        ).take_all()
+        if not rows:
+            return FrequenciesAndNumRows(0, 0, 0, 0.0)
+        return FrequenciesAndNumRows(
+            int(sum(r["__n"] for r in rows)),
+            int(sum(r["__g"] for r in rows)),
+            int(sum(r["__u"] for r in rows)),
+            float(sum(r["__e"] for r in rows)),
+        )
 
 
 class _BlockStates:

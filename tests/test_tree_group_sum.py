@@ -91,20 +91,17 @@ def test_keep_null_keys_matches_sql_group_by(ray_session):
     got = {(None if k is None or k != k else k): v
            for k, v in zip(out.k, out.v)}
     assert got == {"a": 4, None: 6}
-    # fallback path (forced): Ray's sort cannot range-partition null keys,
-    # so the null group must split out and tree-fold separately
-    out2 = tree_group_sum(ds, ["k"], ["v"], drop_null_keys=False,
-                          max_fold_rows=2, fanin=1).to_pandas()
-    got2 = {(None if k is None or k != k else k): v
-            for k, v in zip(out2.k, out2.v)}
-    assert got2 == got
-
-    # and the guard itself: null-key combinations exceeding the fold bound
-    # must raise, not OOM
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="fold bound"):
-        tree_group_sum(ds, ["k"], ["v"], drop_null_keys=False,
-                       max_fold_rows=1, fanin=1).to_pandas()
+    # fallback path (forced): the bucketed hash exchange sorts by the int32
+    # bucket, never the key columns, so null keys ride it natively — no
+    # null-split, and no fold bound to overflow (the old single-block
+    # null-group tree fold is gone, so max_fold_rows=1 must now simply
+    # produce the right answer instead of raising)
+    for mfr in (2, 1):
+        out2 = tree_group_sum(ds, ["k"], ["v"], drop_null_keys=False,
+                              max_fold_rows=mfr, fanin=1).to_pandas()
+        got2 = {(None if k is None or k != k else k): v
+                for k, v in zip(out2.k, out2.v)}
+        assert got2 == got
 
 
 def test_hot_key_skew_no_reducer_blowup(ray_session):
