@@ -52,10 +52,18 @@ class AnalysisBasedConstraint(Constraint):
         self,
         analyzer: Analyzer,
         assertion: Callable[[Any], bool],
+        value_picker: Optional[Callable[[Any], Any]] = None,
         hint: Optional[str] = None,
     ):
+        """``value_picker`` (optional) maps the metric's Success value to the
+        value the assertion sees — the reference declares this hook but never
+        wires it (analysis_based_constraint.py:47-51, the "TODO:
+        run_picker_on_metric"); we implement the declared semantics: picker
+        applies only to Success metrics, before the assertion, and a raising
+        picker fails the constraint like a raising assertion."""
         self.analyzer = analyzer
         self._assertion = assertion
+        self._value_picker = value_picker
         self._hint = hint
 
     def calculate_and_evaluate(self, data) -> ConstraintResult:
@@ -73,6 +81,8 @@ class AnalysisBasedConstraint(Constraint):
             return ConstraintResult(self, ConstraintStatus.FAILURE, str(ex), metric)
         value = metric.value.get()
         try:
+            if self._value_picker is not None:
+                value = self._run_picker(value)
             ok = self._run_assertion(value)
         except ConstraintAssertionException as ex:
             return ConstraintResult(
@@ -87,6 +97,12 @@ class AnalysisBasedConstraint(Constraint):
     def _run_assertion(self, value) -> bool:
         try:
             return self._assertion(value)
+        except Exception as ex:  # noqa: BLE001
+            raise ConstraintAssertionException(ex) from ex
+
+    def _run_picker(self, value):
+        try:
+            return self._value_picker(value)
         except Exception as ex:  # noqa: BLE001
             raise ConstraintAssertionException(ex) from ex
 
@@ -132,11 +148,13 @@ def named_analysis_constraint(
     assertion: Callable[[Any], bool],
     hint: Optional[str] = None,
     name: Optional[str] = None,
+    value_picker: Optional[Callable[[Any], Any]] = None,
 ) -> Constraint:
     """Generic factory covering all of the reference's constraint builders
     (constraints/constraints.py:32-271): wraps analyzer+assertion and names
     the constraint ``{Kind}Constraint({analyzer!r})``."""
     if not callable(assertion):
         raise ValueError("assertion is not a callable")
-    inner = AnalysisBasedConstraint(analyzer, assertion, hint=hint)
+    inner = AnalysisBasedConstraint(analyzer, assertion,
+                                    value_picker=value_picker, hint=hint)
     return NamedConstraint(inner, name or f"{kind}Constraint({analyzer!r})")

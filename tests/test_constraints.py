@@ -83,3 +83,47 @@ def test_assertion_must_be_callable():
 
     with pytest.raises(ValueError):
         named_analysis_constraint("Size", hq.Size(), "not callable")
+
+
+def test_value_picker_applied_before_assertion(df_with_numeric_values):
+    """Reference surface parity: value_picker (declared, unwired in
+    /root/reference/hooqu/constraints/analysis_based_constraint.py:47-51)
+    maps the metric's Success value before the assertion sees it."""
+    df = df_with_numeric_values
+    # picker doubles the mean (3.5 -> 7.0); assertion checks the PICKED value
+    ok = calculate(
+        named_analysis_constraint(
+            "Mean", hq.Mean("att1"), lambda v: v == 7.0,
+            value_picker=lambda m: m * 2), df)
+    assert ok.status == ConstraintStatus.SUCCESS
+    # without the picker the same assertion fails (value stays 3.5)
+    bad = calculate(
+        named_analysis_constraint("Mean", hq.Mean("att1"), lambda v: v == 7.0), df)
+    assert bad.status == ConstraintStatus.FAILURE
+
+
+def test_value_picker_exception_fails_like_assertion(df_with_numeric_values):
+    df = df_with_numeric_values
+    res = calculate(
+        named_analysis_constraint(
+            "Mean", hq.Mean("att1"), lambda v: True,
+            value_picker=lambda m: 1 / 0), df)
+    assert res.status == ConstraintStatus.FAILURE
+    assert "Can't execute the assertion" in res.message
+
+
+def test_value_picker_skipped_on_failure_metric():
+    # a missing column yields a Failure metric; the picker must NOT run
+    # (reference applies pickers to Success values only)
+    df = pd.DataFrame({"other": [1, 2, 3]})
+    calls = []
+
+    def picker(m):
+        calls.append(m)
+        return m
+
+    res = calculate(
+        named_analysis_constraint(
+            "Mean", hq.Mean("att1"), lambda v: True, value_picker=picker), df)
+    assert res.status == ConstraintStatus.FAILURE
+    assert calls == []
