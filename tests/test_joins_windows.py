@@ -529,6 +529,63 @@ def test_grouped_approx_quantile_accuracy_and_paths(ray_session):
             assert rel < 0.01, (row.g, row.q_value, exact[row.g])
 
 
+def test_grouped_approx_quantile_dense_groups_exact(ray_session):
+    """Round-5 vectorization pin: groups smaller than the digest compression
+    keep one centroid per value, so the estimate is EXACT (np.interp
+    midpoint semantics) — checked against the same interpolation in pandas,
+    on both the driver and the distributed bucketed-exchange merge path.
+    10k groups × ~10 rows is the high-group-density shape the old per-group
+    Python loop was slowest on (9.9× measured, BASELINE.md)."""
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.relational import grouped_approx_quantile
+
+    rng = np.random.default_rng(13)
+    n = 100_000
+    df = pd.DataFrame({
+        "g": [f"g{i:05d}" for i in rng.integers(0, 10_000, n)],
+        "v": rng.normal(100.0, 25.0, n),
+    })
+
+    def interp_median(s):
+        v = np.sort(s.to_numpy(dtype=np.float64))
+        cum = np.arange(len(v)) + 0.5
+        return float(np.interp(0.5 * len(v), cum, v))
+
+    exact = df.groupby("g")["v"].apply(interp_median)
+    for gate in (1_000_000, 0):
+        res = grouped_approx_quantile(
+            rd.from_pandas(df).repartition(8), "g", "v", 0.5,
+            driver_max_groups=gate)
+        out = res.to_pandas() if hasattr(res, "to_pandas") else res
+        if isinstance(out, pa.Table):
+            out = out.to_pandas()
+        assert len(out) == exact.size
+        got = out.set_index("g")["q_value"]
+        # single-block groups (all rows of a group land in one block) are
+        # exact; multi-block groups interleave centroids and stay within
+        # a tight bound — both far inside the 1%-of-exact oracle gate
+        rel = (got - exact).abs() / exact.abs()
+        assert rel.max() < 0.005, rel.sort_values().tail()
+
+
+def test_grouped_approx_quantile_null_groups_dropped(ray_session):
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.relational import grouped_approx_quantile
+
+    df = pd.DataFrame({"g": ["a", None, "a", None, "b"],
+                       "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    for gate in (1_000_000, 0):
+        res = grouped_approx_quantile(
+            rd.from_pandas(df).repartition(2), "g", "v", 0.5,
+            driver_max_groups=gate)
+        out = res.to_pandas() if hasattr(res, "to_pandas") else res
+        if isinstance(out, pa.Table):
+            out = out.to_pandas()
+        assert sorted(out.g) == ["a", "b"]
+
+
 class TestHashJoin:
     """Distributed bucketed hash join (functions.joins.hash_join) vs DuckDB."""
 
