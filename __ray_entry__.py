@@ -215,6 +215,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "str_len_compliance": (
             lambda: hq.Compliance("short_type", "event_type.str.len() <= 5"),
             "frac2", "events", ["event_type"]),
+        # where()/coalesce() conditional surface (functions/expr.py
+        # _func_call): CASE WHEN with ELSE NULL re-coalesced — exercises
+        # null-producing where, NaN/null-skipping coalesce, and composition
+        "case_coalesce_compliance": (
+            lambda: hq.Compliance(
+                "boosted",
+                "coalesce(where(l_discount > 0.05, "
+                "l_extendedprice * (1 - l_discount), None), 0.0) > 20000"),
+            "frac3", "lineitem", ["l_discount", "l_extendedprice"]),
+        "case_where_mean": (
+            lambda: hq.Mean(
+                "value", where="where(event_type == 'error', -value, value) > 0"),
+            "mean_val3", "events", ["value", "event_type"]),
     }
     for qname, (make, col, table, columns) in analyzer_specs.items():
         out[qname] = _q(
@@ -2784,6 +2797,15 @@ def oracle_sql() -> dict[str, str]:
         "str_len_compliance": (
             "SELECT ROUND(CAST(sum(CASE WHEN length(event_type) <= 5 "
             "THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS frac2 FROM events"
+        ),
+        "case_coalesce_compliance": (
+            "SELECT ROUND(CAST(sum(CASE WHEN COALESCE(CASE WHEN l_discount > 0.05 "
+            "THEN l_extendedprice * (1 - l_discount) ELSE NULL END, 0.0) > 20000 "
+            "THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS frac3 FROM lineitem"
+        ),
+        "case_where_mean": (
+            "SELECT ROUND(avg(value), 6) AS mean_val3 FROM events "
+            "WHERE (CASE WHEN event_type = 'error' THEN -value ELSE value END) > 0"
         ),
         "unique_value_ratio_custkey": (
             "WITH f AS (SELECT o_custkey, count(*) AS cnt FROM orders "

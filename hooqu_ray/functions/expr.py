@@ -12,6 +12,10 @@ expressions its API sugar and tests actually emit use a small surface:
     arithmetic   + - * / **          (/ is true division, as in pandas)
     backticks    `column name`
     literals     numbers, strings, True/False/None, [list] / (tuple)
+    conditionals where(cond, a, b) = SQL CASE WHEN (null cond -> ELSE);
+                 coalesce(a, b, ...) = SQL COALESCE (float NaN is null)
+                 — ENGINE EXTENSIONS: not pandas.eval syntax, so they have
+                 no pandas fallback (they compile or raise)
 
 We compile that surface once on the driver into a picklable evaluator over
 ``pyarrow.Table`` blocks (zero Python-per-row work).  Anything outside the
@@ -352,6 +356,8 @@ class _Compiler(ast.NodeVisitor):
         return fn
 
     def c_Call(self, node: ast.Call) -> _Node:
+        if isinstance(node.func, ast.Name):
+            return self._func_call(node)
         if not isinstance(node.func, ast.Attribute):
             raise ExprCompileError("only method calls on columns are supported")
         if (isinstance(node.func.value, ast.Attribute)
@@ -389,6 +395,62 @@ class _Compiler(ast.NodeVisitor):
         if meth == "abs":
             return _Node(lambda t: pc.abs(target(t)))
         raise ExprCompileError(f"unsupported method .{meth}()")
+
+    def _func_call(self, node: ast.Call) -> _Node:
+        """Top-level functions — ENGINE EXTENSIONS beyond pandas.eval (so no
+        pandas fallback exists for them; they must compile or raise), with
+        SQL semantics:
+
+        ``where(cond, a, b)``  = ``CASE WHEN cond THEN a ELSE b END``
+            (a null condition takes the ELSE branch, per SQL CASE — NOT
+            Kleene null propagation);
+        ``coalesce(a, b, ...)`` = first non-null argument left to right,
+            where float NaN counts as null (consistent with this engine's
+            ``.isna()``, which mirrors pandas' no-NaN/null split).
+
+        Scalar literals are aligned to the first array operand's type so
+        ``where(x > 0, 1, -1)`` and ``ELSE NULL`` (``None``) type cleanly."""
+        fname = node.func.id
+        if node.keywords:
+            raise ExprCompileError(f"{fname}() takes no keyword arguments")
+        args = [self.compile(a) for a in node.args]
+
+        def _align(vals):
+            arrays = [v for v in vals
+                      if isinstance(v, (pa.Array, pa.ChunkedArray))]
+            if not arrays:
+                return vals
+            t = arrays[0].type
+            return [v if isinstance(v, (pa.Array, pa.ChunkedArray))
+                    else pa.scalar(v, type=t) for v in vals]
+
+        if fname == "where":
+            if len(args) != 3:
+                raise ExprCompileError("where(cond, a, b) takes 3 arguments")
+            cond, a, b = args
+
+            def where_fn(t: pa.Table):
+                c = _as_bool_array(cond(t), t.num_rows)
+                c = pc.fill_null(c, False)  # SQL CASE: null cond -> ELSE
+                va, vb = _align([a(t), b(t)])
+                return pc.if_else(c, va, vb)
+
+            return _Node(where_fn)
+        if fname == "coalesce":
+            if len(args) < 2:
+                raise ExprCompileError("coalesce() takes >= 2 arguments")
+
+            def coalesce_fn(t: pa.Table):
+                vals = _align([a(t) for a in args])
+                out = vals[0]
+                for nxt in vals[1:]:
+                    if not isinstance(out, (pa.Array, pa.ChunkedArray)):
+                        return out if out is not None else nxt
+                    out = pc.if_else(_isna_array(out), nxt, out)
+                return out
+
+            return _Node(coalesce_fn)
+        raise ExprCompileError(f"unsupported function {fname}()")
 
     def _str_call(self, base_node: ast.AST, meth: str,
                   node: ast.Call) -> _Node:

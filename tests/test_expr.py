@@ -412,3 +412,83 @@ def test_column_in_column_falls_back_to_pandas():
     pred = compile_predicate("a in b", table.schema)
     assert isinstance(pred, PandasPredicate)
     assert pred.filter(table).column("a").to_pylist() == [3]
+
+
+# ------------------------------------------------ where / coalesce (round 5)
+
+
+def _wc_frame():
+    return pd.DataFrame({
+        "x": [1.0, 2.0, None, np.nan, 5.0, -3.0],
+        "y": [10, 20, 30, 40, 50, 60],
+        "s": ["a", None, "c", "d", None, "f"],
+    })
+
+
+def test_where_sql_case_semantics():
+    # null/NaN condition takes the ELSE branch (SQL CASE), not null-propagate
+    t = pa.Table.from_pandas(_wc_frame(), preserve_index=False)
+    pred = compile_predicate("where(x > 1.5, y, -1)", t.schema)
+    assert not isinstance(pred, PandasPredicate)
+    assert pred.values(t).to_pylist() == [-1, 20, -1, -1, 50, -1]
+    # scalar-only branches infer a type
+    assert compile_predicate("where(y > 25, 1, -1)", t.schema).values(
+        t).to_pylist() == [-1, -1, 1, 1, 1, 1]
+    # ELSE NULL via a None literal
+    got = compile_predicate("where(x > 1.5, x, None)", t.schema).values(t)
+    assert got.to_pylist() == [None, 2.0, None, None, 5.0, None]
+
+
+def test_coalesce_nan_is_null():
+    t = pa.Table.from_pandas(_wc_frame(), preserve_index=False)
+    pred = compile_predicate("coalesce(x, 0.0)", t.schema)
+    assert not isinstance(pred, PandasPredicate)
+    assert pred.values(t).to_pylist() == [1.0, 2.0, 0.0, 0.0, 5.0, -3.0]
+    # column fallback then literal; strings too
+    got = compile_predicate("coalesce(s, 'missing')", t.schema).values(t)
+    assert got.to_pylist() == ["a", "missing", "c", "d", "missing", "f"]
+
+
+def test_where_coalesce_compose_and_filter():
+    t = pa.Table.from_pandas(_wc_frame(), preserve_index=False)
+    pred = compile_predicate(
+        "coalesce(where(x > 1.5, x, None), -1.0) > 0", t.schema)
+    assert pred.filter(t).column("y").to_pylist() == [20, 50]
+
+
+def test_where_coalesce_arity_errors():
+    t = pa.Table.from_pandas(_wc_frame(), preserve_index=False)
+    # wrong arity is NOT pandas syntax either -> compile_predicate routes to
+    # the pandas fallback, which then fails at eval time; the compiled path
+    # itself must raise ExprCompileError
+    with pytest.raises(ExprCompileError):
+        Predicate("where(x > 1.5, y)", t.schema)
+    with pytest.raises(ExprCompileError):
+        Predicate("coalesce(x)", t.schema)
+    with pytest.raises(ExprCompileError):
+        Predicate("greatest(x, y)", t.schema)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(min_value=-50, max_value=50),
+                  st.just(float("nan"))),
+        min_size=1, max_size=30),
+    pivot=st.floats(min_value=-10, max_value=10),
+)
+def test_where_coalesce_differential(vals, pivot):
+    """Differential vs an explicit pandas model of the documented SQL
+    semantics: CASE WHEN (null cond -> else) and COALESCE (NaN = null)."""
+    df = pd.DataFrame({"x": pd.array(vals, dtype="float64"),
+                       "y": np.arange(len(vals), dtype=np.int64)})
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    got = compile_predicate(
+        f"where(x > {pivot}, y, -1)", t.schema).values(t).to_pylist()
+    cond = (df.x > pivot).fillna(False).to_numpy()
+    exp = np.where(cond, df.y.to_numpy(), -1).tolist()
+    assert got == exp
+    got2 = compile_predicate(
+        f"coalesce(x, {pivot})", t.schema).values(t).to_pylist()
+    exp2 = df.x.fillna(pivot).to_numpy().tolist()  # pandas fillna covers NaN
+    assert got2 == pytest.approx(exp2)
