@@ -2181,7 +2181,9 @@ def _loop_stats(sf_dir: str):
 
     tr = tp.transcripts_from_documents(docs).map_batches(
         add_loops, batch_format="pyarrow")
-    out = tp.assistant_loop_stats(tr, 2)
+    # via the fused report family (one-sort scaffold shared with the
+    # other reports); row-identical to tp.assistant_loop_stats(tr, 2)
+    out = tp.conversation_reports(tr, which="loop", min_run=2)["loop"]
     df = out.to_pandas()
     return df.sort_values("conv_id", ignore_index=True)
 
@@ -2223,7 +2225,8 @@ def _echo_stats(sf_dir: str):
 
     tr = tp.transcripts_from_documents(docs).map_batches(
         add_echoes, batch_format="pyarrow")
-    out = tp.echo_stats(tr)
+    # via the fused report family; row-identical to tp.echo_stats(tr)
+    out = tp.conversation_reports(tr, which="echo")["echo"]
     df = out.to_pandas()
     return df.sort_values("conv_id", ignore_index=True)
 
@@ -2511,7 +2514,10 @@ def _tool_transitions(sf_dir: str):
 
     tr = tp.transcripts_from_documents(docs).map_batches(
         add_tools, batch_format="pyarrow")
-    return tp.tool_transition_counts(tr).to_pandas() \
+    # via the fused report family; row-identical to
+    # tp.tool_transition_counts(tr)
+    out = tp.conversation_reports(tr, which="tool_transitions")
+    return out["tool_transitions"].to_pandas() \
         .sort_values(["tool_from", "tool_to"], ignore_index=True)
 
 
@@ -2556,7 +2562,10 @@ def _role_balance(sf_dir: str):
 
     tr = tp.transcripts_from_documents(docs).map_batches(
         retool, batch_format="pyarrow")
-    return tp.role_balance_stats(tr).to_pandas() \
+    # via the fused report family; row-identical to
+    # tp.role_balance_stats(tr) on dense-index transcripts
+    out = tp.conversation_reports(tr, which="role_balance")
+    return out["role_balance"].to_pandas() \
         .sort_values("conv_id", ignore_index=True)
 
 

@@ -614,6 +614,15 @@ def main() -> None:
     tp.echo_stats(rd.read_parquet(bench_input)).count()
     queries["echo_stats"] = round(time.time() - t0, 3)
 
+    # the fused per-conversation report family: loop + echo + role_balance
+    # + tool_transitions from ONE corpus sort (standalone they pay one
+    # sort each — compare with loop_stats + echo_stats above)
+    t0 = time.time()
+    reports = tp.conversation_reports(rd.read_parquet(bench_input))
+    for _name in ("loop", "echo", "role_balance", "tool_transitions"):
+        reports[_name].count()
+    queries["conv_reports"] = round(time.time() - t0, 3)
+
     # composed filter -> conversation-dedup -> clip DAG; the replicated
     # input again stresses the adversarial all-duplicate dedup path
     t0 = time.time()

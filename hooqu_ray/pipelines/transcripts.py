@@ -1505,24 +1505,31 @@ def extract_training_examples(ds, max_tokens: int, *,
         kernel)
 
 
-def _per_conversation_apply(ds, proj_cols, conv_col: str, idx_col: str,
-                            kernel):
-    """The shared whole-conversation scaffold: project + drop null
-    conv/idx, ONE range ``sort(conv, idx)``, apply ``kernel`` per block to
-    conversations fully interior to the block, and re-apply the SAME
-    kernel per boundary conversation in a ``groupby(conv)`` repair
-    (``kernel`` may assume complete, idx-sorted conversations)."""
+def _sorted_conv_projection(ds, proj_cols, conv_col: str, idx_col: str):
+    """Project + drop null conv/idx + ONE range ``sort(conv, idx)`` +
+    materialize — the expensive half of the whole-conversation scaffold,
+    shared so :func:`conversation_reports` can pay it once for a whole
+    report family."""
 
     def prep(t: pa.Table) -> pa.Table:
         mask = pc.and_(pc.is_valid(t.column(conv_col)),
                        pc.is_valid(t.column(idx_col)))
         return t.select(proj_cols).filter(mask)
 
-    sorted_ds = (
+    return (
         ds.map_batches(prep, batch_format="pyarrow")
         .sort([conv_col, idx_col])
         .materialize()
     )
+
+
+def _apply_kernel_on_sorted(sorted_ds, conv_col: str, idx_col: str, kernel):
+    """The cheap half: apply ``kernel`` per block to conversations fully
+    interior to the block, and re-apply the SAME kernel per boundary
+    conversation in a ``groupby(conv)`` repair (``kernel`` may assume
+    complete, idx-sorted conversations).  Multiple kernels may consume the
+    same materialized ``sorted_ds`` — each pays only map passes plus the
+    slim boundary exchange, never a second corpus sort."""
 
     def block_pass(t: pa.Table, emit: str) -> pa.Table:
         if len(t) == 0:
@@ -1543,6 +1550,18 @@ def _per_conversation_apply(ds, proj_cols, conv_col: str, idx_col: str,
         lambda g: kernel(g.sort_by([(idx_col, "ascending")])),
         batch_format="pyarrow")
     return finals.union(merged)
+
+
+def _per_conversation_apply(ds, proj_cols, conv_col: str, idx_col: str,
+                            kernel):
+    """The shared whole-conversation scaffold: project + drop null
+    conv/idx, ONE range ``sort(conv, idx)``, apply ``kernel`` per block to
+    conversations fully interior to the block, and re-apply the SAME
+    kernel per boundary conversation in a ``groupby(conv)`` repair
+    (``kernel`` may assume complete, idx-sorted conversations)."""
+    return _apply_kernel_on_sorted(
+        _sorted_conv_projection(ds, proj_cols, conv_col, idx_col),
+        conv_col, idx_col, kernel)
 
 
 # odd multipliers for combining (idx, lo, hi, n) into fingerprints; the
@@ -2733,6 +2752,45 @@ def preference_pairs(ds, prefix_turns: int, *,
         rd.from_arrow(out_schema.empty_table()))  # schema anchor
 
 
+def _make_loop_kernel(conv_col: str, min_run: int, out_schema: pa.Schema):
+    """Run-length kernel over complete, (conv, idx)-sorted ``loop_role``
+    rows carrying an ``__th`` text-hash column (null text → ``-1``): one
+    ``(conv, max_run, n_loops, n_role_turns)`` row per conversation
+    present.  Vectorized ``np.maximum.reduceat`` over run breaks — zero
+    Python per conversation.  Shared by :func:`assistant_loop_stats` and
+    :func:`conversation_reports`."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return out_schema.empty_table()
+        keys = t.column(conv_col).to_numpy(zero_copy_only=False)
+        text = t.column("__th").to_numpy(zero_copy_only=False)
+        new_conv = np.r_[True, keys[1:] != keys[:-1]]
+        prev_eq = np.r_[False, text[1:] == text[:-1]]
+        new_run = new_conv | ~prev_eq
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_start = np.flatnonzero(new_run)
+        conv_ord = np.cumsum(new_conv) - 1
+        run_conv_ord = conv_ord[run_start]
+        first_run = np.flatnonzero(
+            np.r_[True, run_conv_ord[1:] != run_conv_ord[:-1]])
+        conv_starts = np.flatnonzero(new_conv)
+        return pa.table({
+            conv_col: pa.array(keys[conv_starts],
+                               t.schema.field(conv_col).type),
+            "max_run": pa.array(
+                np.maximum.reduceat(run_len, first_run).astype(np.int64)),
+            "n_loops": pa.array(np.add.reduceat(
+                (run_len >= min_run).astype(np.int64), first_run)),
+            "n_role_turns": pa.array(
+                np.diff(np.r_[conv_starts, n]).astype(np.int64)),
+        })
+
+    return kernel
+
+
 def assistant_loop_stats(ds, min_run: int = 2, *,
                          conv_col: str = "conv_id",
                          idx_col: str = "turn_idx",
@@ -2775,33 +2833,7 @@ def assistant_loop_stats(ds, min_run: int = 2, *,
         ("n_loops", pa.int64()), ("n_role_turns", pa.int64()),
     ])
 
-    def kernel(t: pa.Table) -> pa.Table:
-        n = len(t)
-        if n == 0:
-            return out_schema.empty_table()
-        keys = t.column(conv_col).to_numpy(zero_copy_only=False)
-        text = t.column("__th").to_numpy(zero_copy_only=False)
-        new_conv = np.r_[True, keys[1:] != keys[:-1]]
-        prev_eq = np.r_[False, text[1:] == text[:-1]]
-        new_run = new_conv | ~prev_eq
-        run_id = np.cumsum(new_run) - 1
-        run_len = np.bincount(run_id)
-        run_start = np.flatnonzero(new_run)
-        conv_ord = np.cumsum(new_conv) - 1
-        run_conv_ord = conv_ord[run_start]
-        first_run = np.flatnonzero(
-            np.r_[True, run_conv_ord[1:] != run_conv_ord[:-1]])
-        conv_starts = np.flatnonzero(new_conv)
-        return pa.table({
-            conv_col: pa.array(keys[conv_starts],
-                               t.schema.field(conv_col).type),
-            "max_run": pa.array(
-                np.maximum.reduceat(run_len, first_run).astype(np.int64)),
-            "n_loops": pa.array(np.add.reduceat(
-                (run_len >= min_run).astype(np.int64), first_run)),
-            "n_role_turns": pa.array(
-                np.diff(np.r_[conv_starts, n]).astype(np.int64)),
-        })
+    kernel = _make_loop_kernel(conv_col, min_run, out_schema)
 
     def role_hash_proj(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column(role_col), loop_role))
@@ -2974,6 +3006,23 @@ def echo_stats(ds, *, conv_col: str = "conv_id",
             "__tv": pc.is_valid(text),
         })
 
+    kernel = _make_echo_kernel(conv_col, role_col, out_schema)
+
+    import ray.data as rd
+
+    return _per_conversation_apply(
+        ds.map_batches(hash_proj, batch_format="pyarrow"),
+        [conv_col, idx_col, role_col, "__th", "__tv"], conv_col, idx_col,
+        kernel).union(
+        rd.from_arrow(out_schema.empty_table()))  # schema anchor
+
+
+def _make_echo_kernel(conv_col: str, role_col: str, out_schema: pa.Schema):
+    """Adjacent user→assistant echo kernel over complete, (conv, idx)-
+    sorted rows carrying ``__th`` (text hash) + ``__tv`` (text validity):
+    one ``(conv, n_echoes, n_pairs)`` row per conversation with ≥1 pair.
+    Shared by :func:`echo_stats` and :func:`conversation_reports`."""
+
     def kernel(t: pa.Table) -> pa.Table:
         n = len(t)
         if n == 0:
@@ -3000,13 +3049,7 @@ def echo_stats(ds, *, conv_col: str = "conv_id",
             "n_pairs": pa.array(n_pairs[keepc]),
         })
 
-    import ray.data as rd
-
-    return _per_conversation_apply(
-        ds.map_batches(hash_proj, batch_format="pyarrow"),
-        [conv_col, idx_col, role_col, "__th", "__tv"], conv_col, idx_col,
-        kernel).union(
-        rd.from_arrow(out_schema.empty_table()))  # schema anchor
+    return kernel
 
 
 def clip_turn_texts(ds, max_tokens: int, *, text_col: str = "text"):
@@ -3135,6 +3178,33 @@ def role_balance_stats(ds, *, conv_col: str = "conv_id",
         rd.from_arrow(empty))  # schema anchor
 
 
+def _make_tool_pairs_kernel(conv_col: str, tool_col: str,
+                            out_schema: pa.Schema):
+    """Adjacent tool-pair pre-count kernel over complete, (conv, idx)-
+    sorted tool-call rows: per-block partial ``(tool_from, tool_to, __n)``
+    counts (folded globally by the caller).  Shared by
+    :func:`tool_transition_counts` and :func:`conversation_reports`."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n < 2:
+            return out_schema.empty_table()
+        keys = t.column(conv_col).to_numpy(zero_copy_only=False)
+        tools = t.column(tool_col).to_numpy(zero_copy_only=False)
+        same = keys[1:] == keys[:-1]
+        if not same.any():
+            return out_schema.empty_table()
+        pairs = pa.table({
+            "tool_from": pa.array(tools[:-1][same], pa.string()),
+            "tool_to": pa.array(tools[1:][same], pa.string()),
+        })
+        part = pairs.group_by(["tool_from", "tool_to"]).aggregate(
+            [([], "count_all")])
+        return part.rename_columns(["tool_from", "tool_to", "__n"])
+
+    return kernel
+
+
 def tool_transition_counts(ds, *, conv_col: str = "conv_id",
                            idx_col: str = "turn_idx",
                            tool_col: str = "tool"):
@@ -3155,23 +3225,7 @@ def tool_transition_counts(ds, *, conv_col: str = "conv_id",
         ("tool_from", pa.string()), ("tool_to", pa.string()),
         ("__n", pa.int64()),
     ])
-
-    def kernel(t: pa.Table) -> pa.Table:
-        n = len(t)
-        if n < 2:
-            return out_schema.empty_table()
-        keys = t.column(conv_col).to_numpy(zero_copy_only=False)
-        tools = t.column(tool_col).to_numpy(zero_copy_only=False)
-        same = keys[1:] == keys[:-1]
-        if not same.any():
-            return out_schema.empty_table()
-        pairs = pa.table({
-            "tool_from": pa.array(tools[:-1][same], pa.string()),
-            "tool_to": pa.array(tools[1:][same], pa.string()),
-        })
-        part = pairs.group_by(["tool_from", "tool_to"]).aggregate(
-            [([], "count_all")])
-        return part.rename_columns(["tool_from", "tool_to", "__n"])
+    kernel = _make_tool_pairs_kernel(conv_col, tool_col, out_schema)
 
     def tool_only(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_valid(t.column(tool_col)))
@@ -3200,6 +3254,269 @@ def tool_transition_counts(ds, *, conv_col: str = "conv_id",
     # zero-block dataset whose schema is lost
     return folded.map_batches(finalize, batch_format="pyarrow").union(
         rd.from_arrow(empty))
+
+
+def _make_role_segment_kernel(conv_col: str, role_col: str,
+                              out_schema: pa.Schema):
+    """Role-balance kernel over complete, (conv, idx)-sorted rows carrying
+    an ``__chars`` text-length column: one ``(conv, n_user, n_assistant,
+    n_other, user_chars, assistant_chars)`` row per conversation —
+    ``np.add.reduceat`` over conversation segments, zero Python per
+    conversation.  Used by :func:`conversation_reports` (the standalone
+    :func:`role_balance_stats` keeps its sort-free combiner path)."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return out_schema.empty_table()
+        keys = t.column(conv_col).to_numpy(zero_copy_only=False)
+        roles = t.column(role_col).to_numpy(zero_copy_only=False)
+        chars = t.column("__chars").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        new_conv = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(new_conv)
+        is_u = (roles == "user")
+        is_a = (roles == "assistant")
+        n_user = np.add.reduceat(is_u.astype(np.int64), starts)
+        n_assistant = np.add.reduceat(is_a.astype(np.int64), starts)
+        n_total = np.diff(np.r_[starts, n]).astype(np.int64)
+        return pa.table({
+            conv_col: pa.array(keys[starts], t.schema.field(conv_col).type),
+            "n_user": pa.array(n_user),
+            "n_assistant": pa.array(n_assistant),
+            "n_other": pa.array(n_total - n_user - n_assistant),
+            "user_chars": pa.array(np.add.reduceat(chars * is_u, starts)),
+            "assistant_chars": pa.array(
+                np.add.reduceat(chars * is_a, starts)),
+        })
+
+    return kernel
+
+
+_REPORT_NAMES = ("loop", "echo", "role_balance", "tool_transitions")
+
+
+def conversation_reports(ds, which=_REPORT_NAMES, *, min_run: int = 2,
+                         conv_col: str = "conv_id",
+                         idx_col: str = "turn_idx",
+                         role_col: str = "role",
+                         text_col: str = "text",
+                         tool_col: str = "tool",
+                         loop_role: str = "assistant"):
+    """The fused per-conversation report family: ``loop``
+    (:func:`assistant_loop_stats`), ``echo`` (:func:`echo_stats`),
+    ``role_balance`` (:func:`role_balance_stats`) and ``tool_transitions``
+    (:func:`tool_transition_counts`) computed from ONE corpus range sort
+    instead of one sort per report.  Returns ``{name: Dataset}`` for the
+    requested ``which``, each row-identical to its standalone op (up to
+    the same hash-collision classes those ops document).
+
+    Scale shape: one slim projection rides the single all-to-all — conv,
+    idx, role, an 8-byte text hash + validity (loop/echo), text char
+    length (role_balance) and the tool label (tool_transitions); text
+    bytes never shuffle.  Each report is then a vectorized ``map_batches``
+    consumer of the SAME materialized sorted dataset (interior
+    conversations per block + the shared boundary-conversation repair),
+    so adding a report to the family costs map passes, not another sort.
+    Per-report differences from the standalone ops, both immaterial on
+    well-formed transcripts: rows with a null ``idx_col`` are dropped for
+    every report here (the ordered scaffold needs the index; standalone
+    ``role_balance_stats`` keeps them), and the loop/tool role/tool
+    prefilters happen after the exchange (the fused sort moves every turn
+    row once — cheaper than three sorts of overlapping subsets)."""
+    which = [which] if isinstance(which, str) else list(which)
+    unknown = set(which) - set(_REPORT_NAMES)
+    if unknown:
+        raise ValueError(f"unknown report(s) {sorted(unknown)}; "
+                         f"choose from {_REPORT_NAMES}")
+    if min_run < 1:
+        raise ValueError(f"min_run must be >= 1, got {min_run}")
+
+    import ray.data as rd
+
+    from ..util import dataset_arrow_schema
+    from .dedup import _text_hash63
+
+    in_schema = dataset_arrow_schema(ds)
+    conv_type = (in_schema.field(conv_col).type
+                 if in_schema is not None and conv_col in in_schema.names
+                 else pa.string())
+    need_hash = "loop" in which or "echo" in which
+    need_chars = "role_balance" in which
+    need_tool = "tool_transitions" in which
+
+    proj_cols = [conv_col, idx_col, role_col]
+    proj_cols += ["__th", "__tv"] if need_hash else []
+    proj_cols += ["__chars"] if need_chars else []
+    proj_cols += [tool_col] if need_tool else []
+
+    def proj(t: pa.Table) -> pa.Table:
+        cols = {conv_col: t.column(conv_col), idx_col: t.column(idx_col),
+                role_col: t.column(role_col)}
+        if need_hash:
+            text = t.column(text_col)
+            cols["__th"] = pa.array(_text_hash63(text))
+            cols["__tv"] = pc.is_valid(text)
+        if need_chars:
+            cols["__chars"] = pc.coalesce(
+                pc.cast(pc.utf8_length(t.column(text_col)), pa.int64()),
+                pa.scalar(0, pa.int64()))
+        if need_tool:
+            cols[tool_col] = t.column(tool_col)
+        return pa.table(cols)
+
+    sorted_ds = _sorted_conv_projection(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        proj_cols, conv_col, idx_col)
+
+    # --- the wide per-conversation kernel: loop + echo + role_balance in
+    # ONE pass over a block of complete sorted conversations.  Family
+    # sub-tables (each one row per conv, conv-sorted) align onto the
+    # block's conversation spine with np.searchsorted; families a
+    # conversation doesn't qualify for are NULL on its wide row.
+    # canonical family order: the wide kernel emits columns in this order
+    per_conv = [f for f in ("loop", "echo", "role_balance") if f in which]
+    loop_schema = pa.schema([
+        (conv_col, conv_type), ("max_run", pa.int64()),
+        ("n_loops", pa.int64()), ("n_role_turns", pa.int64())])
+    echo_schema = pa.schema([
+        (conv_col, conv_type), ("n_echoes", pa.int64()),
+        ("n_pairs", pa.int64())])
+    rb_schema = pa.schema(
+        [(conv_col, conv_type)]
+        + [(c, pa.int64()) for c in _ROLE_BALANCE_COLS])
+    fam_cols = {"loop": ["max_run", "n_loops", "n_role_turns"],
+                "echo": ["n_echoes", "n_pairs"],
+                "role_balance": list(_ROLE_BALANCE_COLS)}
+    wide_schema = pa.schema(
+        [(conv_col, conv_type)]
+        + [(c, pa.int64()) for f in per_conv for c in fam_cols[f]])
+    base_loop = _make_loop_kernel(conv_col, min_run, loop_schema)
+    base_echo = _make_echo_kernel(conv_col, role_col, echo_schema)
+    base_rb = _make_role_segment_kernel(conv_col, role_col, rb_schema)
+
+    def wide_kernel(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return wide_schema.empty_table()
+        keys = t.column(conv_col).to_numpy(zero_copy_only=False)
+        spine_idx = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        spine = keys[spine_idx]
+        cols = {conv_col: pa.array(spine, t.schema.field(conv_col).type)}
+
+        def align(fam_tbl: pa.Table, names):
+            fc = fam_tbl.column(conv_col).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(spine, fc)
+            for name in names:
+                vals = np.zeros(len(spine), np.int64)
+                mask = np.ones(len(spine), bool)
+                vals[pos] = fam_tbl.column(name).to_numpy(
+                    zero_copy_only=False)
+                mask[pos] = False
+                cols[name] = pa.array(vals, pa.int64(), mask=mask)
+
+        if "loop" in per_conv:
+            lt = t.filter(pc.equal(t.column(role_col), loop_role))
+            th = lt.column("__th").to_numpy(zero_copy_only=False)
+            tv = lt.column("__tv").to_numpy(zero_copy_only=False)
+            # standalone op's null sentinel: null text hashes to -1
+            # (unreachable for the non-negative 63-bit hash)
+            align(base_loop(pa.table({
+                conv_col: lt.column(conv_col),
+                "__th": pa.array(
+                    np.where(tv.astype(bool), th, np.int64(-1)),
+                    pa.int64()),
+            })), fam_cols["loop"])
+        if "echo" in per_conv:
+            align(base_echo(t), fam_cols["echo"])
+        if "role_balance" in per_conv:
+            align(base_rb(t), fam_cols["role_balance"])
+        return pa.table(cols)
+
+    # pend rows (first/last conversation of each block) materialize ONCE
+    # and feed every family's boundary repair — they are O(#blocks) convs
+    def block_pend(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        keys = t.column(conv_col)
+        return t.filter(pc.or_(pc.equal(keys, keys[0]),
+                               pc.equal(keys, keys[-1])))
+
+    def block_interior(t: pa.Table, kernel) -> pa.Table:
+        if len(t) == 0:
+            return kernel(t)
+        keys = t.column(conv_col)
+        pending = pc.or_(pc.equal(keys, keys[0]), pc.equal(keys, keys[-1]))
+        return kernel(t.filter(pc.invert(pending)))
+
+    pend = sorted_ds.map_batches(
+        block_pend, batch_format="pyarrow", batch_size=None).materialize()
+
+    out = {}
+    if per_conv:
+        wide = sorted_ds.map_batches(
+            lambda t: block_interior(t, wide_kernel),
+            batch_format="pyarrow", batch_size=None
+        ).union(pend.groupby(conv_col).map_groups(
+            lambda g: wide_kernel(g.sort_by([(idx_col, "ascending")])),
+            batch_format="pyarrow")
+        ).union(rd.from_arrow(wide_schema.empty_table()))
+        if len(per_conv) > 1:
+            wide = wide.materialize()  # consumed once per family below
+
+        def family_view(fam):
+            names = fam_cols[fam]
+            sel = [conv_col] + names
+            fam_schema = pa.schema([(conv_col, conv_type)]
+                                   + [(c, pa.int64()) for c in names])
+
+            def proj_fam(t: pa.Table) -> pa.Table:
+                if len(t) == 0 or names[0] not in t.column_names:
+                    return fam_schema.empty_table()
+                t = t.select(sel)
+                # a conv absent from the family (no loop_role turn / no
+                # adjacent pair) is NULL on its wide row — drop it, like
+                # the standalone op
+                return t.filter(pc.is_valid(t.column(names[0])))
+
+            return wide.map_batches(
+                proj_fam, batch_format="pyarrow").union(
+                rd.from_arrow(fam_schema.empty_table()))  # schema anchor
+
+        for fam in per_conv:
+            out[fam] = family_view(fam)
+    if "tool_transitions" in which:
+        from ..functions.shuffle import tree_group_sum
+
+        part_schema = pa.schema([
+            ("tool_from", pa.string()), ("tool_to", pa.string()),
+            ("__n", pa.int64())])
+        base_tool = _make_tool_pairs_kernel(conv_col, tool_col, part_schema)
+
+        def tool_kernel(t: pa.Table) -> pa.Table:
+            return base_tool(t.filter(pc.is_valid(t.column(tool_col))))
+
+        partials = sorted_ds.map_batches(
+            lambda t: block_interior(t, tool_kernel),
+            batch_format="pyarrow", batch_size=None
+        ).union(pend.groupby(conv_col).map_groups(
+            lambda g: tool_kernel(g.sort_by([(idx_col, "ascending")])),
+            batch_format="pyarrow"))
+        folded = tree_group_sum(partials, ["tool_from", "tool_to"], ["__n"])
+        empty = pa.table({"tool_from": pa.array([], pa.string()),
+                          "tool_to": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+
+        def finalize(t: pa.Table) -> pa.Table:
+            if "__n" not in t.column_names:  # schema-less empty block
+                return empty
+            return pa.table({"tool_from": t.column("tool_from"),
+                             "tool_to": t.column("tool_to"),
+                             "n": pc.cast(t.column("__n"), pa.int64())})
+
+        out["tool_transitions"] = folded.map_batches(
+            finalize, batch_format="pyarrow").union(rd.from_arrow(empty))
+    return out
 
 
 def curate_conversations(ds, *, clip_tokens: int | None = None,

@@ -4,6 +4,8 @@ north_rule gate: per-turn keep/drop F1 ≥ 0.99 (we assert exact agreement)
 and scrubbed text byte-equal under stable (conv_id, turn_idx) order."""
 
 import numpy as np
+import pandas as pd
+import pyarrow as pa
 import pytest
 
 from hooqu_ray.pipelines import transcripts as tp
@@ -2216,3 +2218,96 @@ class TestClipDifferential:
                 assert bool(out["clipped"][i]) == clipped, (txt, i)
 
         prop()
+
+
+class TestConversationReportsFused:
+    """conversation_reports: the four-report family from ONE sort must be
+    row-identical to each standalone op — on a synthetic corpus with
+    multi-block boundary-spanning conversations, injected loops, echoes,
+    'other' roles, tool calls, and null texts/roles/tools."""
+
+    def _corpus(self):
+        import numpy as np
+        rng = np.random.default_rng(21)
+        rows = []
+        for c in range(120):
+            conv = f"conv-{c:04d}"
+            n_turns = int(rng.integers(2, 14))
+            for i in range(n_turns):
+                role = ("user" if i % 2 == 0 else "assistant")
+                if c % 6 == 1 and i == 1:
+                    role = "tool"
+                text = f"text {c} {i}"
+                if c % 7 == 3 and i % 2 == 1 and i <= 5:
+                    text = "RETRY output"          # loop runs
+                if c % 9 == 4 and i == 1:
+                    text = f"text {c} 0"           # echo of turn 0
+                if c % 11 == 5 and i == 2:
+                    text = None                    # null text
+                tool = (f"tool-{i % 3}"
+                        if c % 4 == 2 and i % 2 == 1 else None)
+                rows.append((conv, i, role, text, tool))
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([r[4] for r in rows], pa.string()),
+        })
+        import ray.data as rd
+        # many small blocks => conversations straddle block boundaries
+        return rd.from_arrow(t).repartition(17).materialize()
+
+    def test_all_four_match_standalone(self, ray_session):
+        ds = self._corpus()
+        fused = tp.conversation_reports(ds, min_run=2)
+        assert set(fused) == {"loop", "echo", "role_balance",
+                              "tool_transitions"}
+
+        def df(d, keys):
+            out = d.to_pandas()
+            return out.sort_values(keys, ignore_index=True)
+
+        pd.testing.assert_frame_equal(
+            df(fused["loop"], ["conv_id"]),
+            df(tp.assistant_loop_stats(ds, 2), ["conv_id"]))
+        pd.testing.assert_frame_equal(
+            df(fused["echo"], ["conv_id"]),
+            df(tp.echo_stats(ds), ["conv_id"]))
+        pd.testing.assert_frame_equal(
+            df(fused["role_balance"], ["conv_id"]),
+            df(tp.role_balance_stats(ds), ["conv_id"]))
+        pd.testing.assert_frame_equal(
+            df(fused["tool_transitions"], ["tool_from", "tool_to"]),
+            df(tp.tool_transition_counts(ds), ["tool_from", "tool_to"]))
+
+    def test_subset_and_validation(self, ray_session):
+        ds = self._corpus()
+        only = tp.conversation_reports(ds, which="echo")
+        assert set(only) == {"echo"}
+        with pytest.raises(ValueError, match="unknown report"):
+            tp.conversation_reports(ds, which=["echo", "nope"])
+        with pytest.raises(ValueError, match="min_run"):
+            tp.conversation_reports(ds, which="loop", min_run=0)
+
+    def test_empty_corpus_keeps_schemas(self, ray_session):
+        import ray.data as rd
+        t = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int64()),
+            "role": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string()),
+        })
+        fused = tp.conversation_reports(rd.from_arrow(t))
+        assert fused["loop"].schema().names == [
+            "conv_id", "max_run", "n_loops", "n_role_turns"]
+        assert fused["echo"].schema().names == [
+            "conv_id", "n_echoes", "n_pairs"]
+        assert fused["role_balance"].schema().names == [
+            "conv_id", "n_user", "n_assistant", "n_other",
+            "user_chars", "assistant_chars"]
+        assert fused["tool_transitions"].schema().names == [
+            "tool_from", "tool_to", "n"]
+        for d in fused.values():
+            assert d.count() == 0
