@@ -377,6 +377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["keep_best_dedup_documents"] = _keep_best_dedup_documents
     out["heavy_hitter_tokens"] = _heavy_hitter_tokens
     out["multimodal_image_stats"] = _multimodal_image_stats
+    out["multimodal_png_mixed_stats"] = (
+        lambda sf_dir: _multimodal_image_stats(sf_dir, kind="image_mixed"))
     out["multimodal_audio_stats"] = _multimodal_audio_stats
     out["multimodal_frame_stats"] = _multimodal_frame_stats
 
@@ -4675,6 +4677,18 @@ def oracle_sql() -> dict[str, str]:
             # flag must say so (False would mean the fake path ran)
             "FROM range(200) r ORDER BY image_id"
         ),
+        # same closed-form pixel content as image_stats, but the fixture
+        # alternates BMP (even ids) / pure-stdlib PNG (odd ids) payloads —
+        # real_decode must be TRUE for every row on BOTH decode paths
+        "multimodal_png_mixed_stats": (
+            "SELECT r.range AS image_id, "
+            "CAST(16 + (r.range % 13) * 4 AS INTEGER) AS width, "
+            "CAST(16 + ((r.range * 7) % 11) * 4 AS INTEGER) AS height, "
+            "CAST(3 AS INTEGER) AS channels, "
+            "CAST((r.range * 37) % 256 AS DOUBLE) AS mean_luma, "
+            "TRUE AS real_decode "
+            "FROM range(200) r ORDER BY image_id"
+        ),
         "multimodal_audio_stats": (
             "SELECT r.range AS audio_id, "
             "CAST(16000 AS INTEGER) AS sample_rate, "
@@ -5292,15 +5306,18 @@ def _mm_blocks(kind: str):
     return rd.from_arrow([t.slice(i, 25) for i in range(0, 200, 25)])
 
 
-def _multimodal_image_stats(sf_dir: str):
-    """BMP decode over an actor pool: (image_id, width, height, channels,
-    mean_luma) for 200 synthesized constant-fill 24-bit BMPs."""
+def _multimodal_image_stats(sf_dir: str, kind: str = "image"):
+    """Image decode over an actor pool: (image_id, width, height, channels,
+    mean_luma) for 200 synthesized constant-fill images.  kind="image" is
+    all 24-bit BMPs; kind="image_mixed" alternates BMP / 8-bit truecolor
+    PNG payloads with identical pixel content, exercising BOTH real
+    built-in decode paths under one closed-form oracle."""
     import ray.data as rd
 
     from hooqu_ray.pipelines.multimodal import (
         DEFAULT_BINARY_BATCH_SIZE, ImageDecodeStage, synthesize_binary_table)
 
-    ds = _mm_blocks("image")
+    ds = _mm_blocks(kind)
     out = ds.map_batches(
         ImageDecodeStage, batch_format="pyarrow",
         batch_size=DEFAULT_BINARY_BATCH_SIZE, concurrency=2,

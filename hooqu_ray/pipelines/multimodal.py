@@ -4,8 +4,10 @@ The Ray-side plumbing — schemas, actor-pool stages, batch sizing, output
 layout — is real and tested, and so is the default codec layer:
 
 - images: a pure-numpy 24-bit uncompressed **BMP** encoder/decoder
-  (``bmp_encode`` / ``bmp_decode``) — a real, externally-readable byte
-  format, no third-party library needed;
+  (``bmp_encode`` / ``bmp_decode``) and a pure-stdlib **PNG** codec
+  (``png_encode`` / ``png_decode`` — zlib inflate + numpy scanline-filter
+  reconstruction; 8-bit gray/RGB/RGBA, all five filters) — real,
+  externally-readable byte formats, no third-party library needed;
 - audio: stdlib ``wave`` PCM16 **WAV** encode/decode (``wav_encode`` /
   ``wav_decode``);
 - video: a length-prefixed frame container (``video_encode`` /
@@ -31,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -97,6 +100,122 @@ def bmp_decode(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
     if h_signed > 0:  # bottom-up
         rows = rows[::-1]
     return w, h, 3, np.ascontiguousarray(rows[:, :, ::-1])  # BGR → RGB
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """RGB uint8 array (h, w, 3) → PNG bytes (pure stdlib: zlib-compressed
+    8-bit truecolor, filter 0 on every scanline, non-interlaced, CRC'd
+    chunks — readable by any PNG decoder)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"png_encode expects (h, w, 3) RGB, got {arr.shape}")
+    h, w = arr.shape[:2]
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)  # filter byte 0 per row
+    raw[:, 1:] = arr.reshape(h, w * 3)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + chunk(b"IEND", b""))
+
+
+def png_decode(payload: bytes) -> Tuple[int, int, int, np.ndarray]:
+    """PNG bytes → (width, height, 3, RGB uint8 array) — pure stdlib
+    (zlib inflate + numpy filter reconstruction; PNG spec §6/§9).
+
+    Supports 8-bit grayscale (expanded to RGB), truecolor and
+    truecolor+alpha (alpha dropped, PIL ``convert("RGB")`` parity),
+    non-interlaced, all five scanline filters.  Filters 0/1/2 (none /
+    sub / up) reconstruct fully vectorized (sub is a per-channel-lane
+    cumsum); 3/4 (average / paeth) are inherently sequential in the left
+    neighbor, so those ROWS pay a per-pixel loop — our own
+    :func:`png_encode` emits filter 0 only, so round-trip decode stays
+    vectorized.  Unsupported variants (16-bit, palette, interlaced)
+    raise ``ValueError`` like :func:`bmp_decode` does."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload (missing PNG signature)")
+    off, ihdr, idat = 8, None, []
+    while off + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, off)
+        ctype = payload[off + 4:off + 8]
+        data = payload[off + 8:off + 8 + ln]
+        off += 12 + ln  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("corrupt PNG (missing IHDR/IDAT)")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth != 8 or comp != 0 or filt != 0 or interlace != 0
+            or color not in (0, 2, 6)):
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color_type={color}, "
+            f"interlace={interlace}); the built-in codec reads 8-bit "
+            "gray/RGB/RGBA non-interlaced only")
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("corrupt PNG pixel data (scanline size mismatch)")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes = lines[:, 0]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = lines[y, 1:].astype(np.int32)
+        prior = recon[y - 1].astype(np.int32) if y else zero_row
+        if f == 0:
+            recon[y] = row
+        elif f == 1:  # sub: recon[x] = raw[x] + recon[x-bpp] — lane cumsum
+            recon[y] = (row.reshape(w, ch).cumsum(axis=0) % 256).reshape(
+                stride)
+        elif f == 2:  # up
+            recon[y] = (row + prior) % 256
+        elif f == 3:  # average — sequential in the left neighbor
+            out = np.empty(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                sl = slice(x * ch, (x + 1) * ch)
+                out[sl] = (row[sl] + ((left + prior[sl]) >> 1)) % 256
+                left = out[sl]
+            recon[y] = out
+        elif f == 4:  # paeth — sequential in the left neighbor
+            out = np.empty(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            ul = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                sl = slice(x * ch, (x + 1) * ch)
+                up = prior[sl]
+                p = left + up - ul
+                pa_l, pa_u, pa_ul = (np.abs(p - left), np.abs(p - up),
+                                     np.abs(p - ul))
+                pred = np.where(
+                    (pa_l <= pa_u) & (pa_l <= pa_ul), left,
+                    np.where(pa_u <= pa_ul, up, ul))
+                out[sl] = (row[sl] + pred) % 256
+                left, ul = out[sl], up
+            recon[y] = out
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    px = recon.reshape(h, w, ch)
+    if color == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif color == 2:
+        rgb = px
+    else:  # RGBA → drop alpha (PIL convert("RGB") parity)
+        rgb = px[:, :, :3]
+    return w, h, 3, np.ascontiguousarray(rgb)
 
 
 def wav_encode(samples: np.ndarray, rate: int) -> bytes:
@@ -181,7 +300,9 @@ def _load_image_codec():
                 payload: bytes) -> Tuple[int, int, int, np.ndarray, bool]:
             if payload[:2] == b"BM":
                 return (*bmp_decode(payload), True)
-            # STUB fallback for unrecognized formats (JPEG/PNG need a real
+            if payload[:8] == PNG_MAGIC:
+                return (*png_decode(payload), True)
+            # STUB fallback for unrecognized formats (JPEG needs a real
             # library): deterministic fake derived from the payload hash —
             # flagged real=False PER PAYLOAD so fabricated metadata is
             # never indistinguishable from a real decode.
@@ -395,6 +516,17 @@ def synthesize_binary_table(n: int = 32, seed: int = 0, kind: str = "image") -> 
         for i in ids:
             w, h, v = synth_image_params(i)
             payloads.append(bmp_encode(np.full((h, w, 3), v, np.uint8)))
+        col, id_col = "image", "image_id"
+    elif kind == "image_mixed":
+        # alternating real byte formats: even ids 24-bit BMP, odd ids
+        # 8-bit truecolor PNG — same closed-form pixel content, so one
+        # oracle covers both decode paths and real_decode is TRUE for all
+        payloads = []
+        for i in ids:
+            w, h, v = synth_image_params(i)
+            arr = np.full((h, w, 3), v, np.uint8)
+            payloads.append(bmp_encode(arr) if i % 2 == 0
+                            else png_encode(arr))
         col, id_col = "image", "image_id"
     elif kind == "audio":
         payloads = []

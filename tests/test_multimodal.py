@@ -211,3 +211,153 @@ def test_frame_sampling_downsamples_long_videos():
     out = FrameSampleStage(k=4)(t)
     assert out.column("frame_idx").to_pylist() == [0, 3, 6, 9]
     assert out.column("frame").to_pylist() == [frames[i] for i in (0, 3, 6, 9)]
+
+
+def _png_with_filters(arr, ftypes):
+    """Spec-correct PNG bytes for RGB ``arr`` using an explicit filter type
+    per scanline — forward filtering per PNG spec §6 (easy direction), so
+    the test exercises png_decode's reconstruction of every filter."""
+    import struct
+    import zlib
+
+    from hooqu_ray.pipelines.multimodal import PNG_MAGIC
+
+    h, w, _ = arr.shape
+    px = arr.astype(np.int32)
+    raw = bytearray()
+    prior = np.zeros((w, 3), dtype=np.int32)
+    for y in range(h):
+        row = px[y]
+        left = np.vstack([np.zeros((1, 3), np.int32), row[:-1]])
+        up = prior
+        ul = np.vstack([np.zeros((1, 3), np.int32), prior[:-1]])
+        f = ftypes[y]
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - up
+        elif f == 3:
+            filt = row - ((left + up) >> 1)
+        else:  # paeth
+            p = left + up - ul
+            pa_l, pa_u, pa_ul = abs(p - left), abs(p - up), abs(p - ul)
+            pred = np.where((pa_l <= pa_u) & (pa_l <= pa_ul), left,
+                            np.where(pa_u <= pa_ul, up, ul))
+            filt = row - pred
+        raw.append(f)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prior = row
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_png_round_trip_random_pixels():
+    from hooqu_ray.pipelines.multimodal import png_decode, png_encode
+
+    rng = np.random.default_rng(11)
+    for w, h in [(1, 1), (3, 2), (17, 5), (64, 33)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        w2, h2, c2, back = png_decode(png_encode(arr))
+        assert (w2, h2, c2) == (w, h, 3)
+        assert (back == arr).all()
+
+
+def test_png_decode_all_five_filters():
+    """Reconstruction must invert every scanline filter type (0-4),
+    including rows that mix types within one image."""
+    from hooqu_ray.pipelines.multimodal import png_decode
+
+    rng = np.random.default_rng(12)
+    arr = rng.integers(0, 256, size=(10, 9, 3), dtype=np.uint8)
+    for ftypes in ([0] * 10, [1] * 10, [2] * 10, [3] * 10, [4] * 10,
+                   [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]):
+        _, _, _, back = png_decode(_png_with_filters(arr, ftypes))
+        assert (back == arr).all(), f"filter sequence {ftypes}"
+
+
+def test_png_gray_and_rgba_variants():
+    """8-bit grayscale expands to RGB; RGBA drops alpha (PIL
+    convert('RGB') parity)."""
+    import struct
+    import zlib
+
+    from hooqu_ray.pipelines.multimodal import PNG_MAGIC, png_decode
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    def build(w, h, color, pixdata):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        ch = {0: 1, 2: 3, 6: 4}[color]
+        raw = b"".join(b"\x00" + pixdata[y * w * ch:(y + 1) * w * ch]
+                       for y in range(h))
+        return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    gray = np.array([[0, 100], [200, 255]], dtype=np.uint8)
+    w2, h2, c2, rgb = png_decode(build(2, 2, 0, gray.tobytes()))
+    assert (w2, h2, c2) == (2, 2, 3)
+    assert (rgb == gray[:, :, None]).all()
+
+    rng = np.random.default_rng(13)
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    _, _, _, rgb2 = png_decode(build(4, 3, 6, rgba.tobytes()))
+    assert (rgb2 == rgba[:, :, :3]).all()
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    from hooqu_ray.pipelines.multimodal import PNG_MAGIC, png_decode
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    with pytest.raises(ValueError, match="PNG signature"):
+        png_decode(b"not a png at all")
+    # palette (color 3) and 16-bit depth are declared unsupported
+    for depth, color in [(8, 3), (16, 2)]:
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, 0)
+        payload = (PNG_MAGIC + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
+                   + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="unsupported PNG variant"):
+            png_decode(payload)
+
+
+def test_image_mixed_fixture_decodes_real_on_both_paths(ray_session):
+    """kind='image_mixed' alternates BMP / PNG payloads; the decode stage
+    must report real_decode=True for every row with identical closed-form
+    metadata on both paths."""
+    import ray.data as rd
+
+    from hooqu_ray.pipelines.multimodal import (
+        PNG_MAGIC, synth_image_params)
+
+    table = synthesize_binary_table(24, seed=1, kind="image_mixed")
+    payloads = table.column("image").to_pylist()
+    assert all(p[:2] == b"BM" for p in payloads[::2])
+    assert all(p[:8] == PNG_MAGIC for p in payloads[1::2])
+    out = (
+        rd.from_arrow(table)
+        .map_batches(ImageDecodeStage, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+        .sort_values("image_id", ignore_index=True)
+    )
+    assert out["real_decode"].all()
+    for i in range(24):
+        w, h, v = synth_image_params(i)
+        assert out.loc[i, "width"] == w
+        assert out.loc[i, "height"] == h
+        assert out.loc[i, "mean_luma"] == float(v)
