@@ -283,3 +283,127 @@ def test_tree_group_sum_two_node_cluster(tmp_path):
     )
     assert "TREE-MULTINODE-OK" in proc.stdout, (
         proc.stdout[-2000:], proc.stderr[-2000:])
+
+
+def test_uniqueness_bucketed_exchange_two_node_cluster(tmp_path):
+    """Simulated 2-node cluster: the corpus-cardinality BUCKETED hash
+    exchange (round-5 `shuffle.bucketed_group_fold`, the uniqueness /
+    grouped-count-distinct path) must fold keys exactly when a key's rows
+    start on DIFFERENT nodes — same-key co-location relies on the hash
+    being cross-worker deterministic, which PYTHONHASHSEED-style
+    randomness would break."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import os, sys
+        os.environ.pop("RAY_ADDRESS", None)
+        import ray
+        from ray.cluster_utils import Cluster
+        cluster = Cluster(initialize_head=True,
+                          head_node_args={"num_cpus": 2})
+        cluster.add_node(num_cpus=2)
+        ray.init(address=cluster.address,
+                 include_dashboard=False, log_to_driver=False)
+        assert len([n for n in ray.nodes() if n["Alive"]]) == 2, ray.nodes()
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        import hooqu_ray as hq
+        from hooqu_ray.functions.shuffle import bucketed_group_fold
+        from hooqu_ray.runner import do_analysis_run
+        rng = np.random.default_rng(3)
+        # near-unique string keys (corpus-cardinality regime) + dup tail
+        keys = np.array([f"k{i:06d}" for i in range(40_000)], dtype=object)
+        df = pd.DataFrame({
+            "k": np.concatenate([keys, keys[:10_000]]),
+            "v": rng.integers(0, 100, 50_000),
+        })
+        ds = rd.from_pandas(df).repartition(16).materialize()
+        out = bucketed_group_fold(ds, ["k"], ["v"]).to_pandas()
+        exp = df.groupby("k", as_index=False).v.sum()
+        pd.testing.assert_frame_equal(
+            out.sort_values("k", ignore_index=True), exp, check_like=True)
+        # the analyzer path that rides the exchange, vs local pandas
+        a = hq.Uniqueness(["k"])
+        local = do_analysis_run(df, [a]).metric_map[a].value.get()
+        dist = do_analysis_run(ds, [a]).metric_map[a].value.get()
+        assert abs(dist - local) < 1e-12, (dist, local)
+        ray.shutdown()
+        cluster.shutdown()
+        print("BUCKETED-MULTINODE-OK", len(out))
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=600, cwd="/root/repo",
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert "BUCKETED-MULTINODE-OK" in proc.stdout, (
+        proc.stdout[-2000:], proc.stderr[-2000:])
+
+
+def test_fork_index_probe_two_node_cluster(tmp_path):
+    """Simulated 2-node cluster: persisted fork-prefix index written by
+    one session, probed in the same multi-node cluster — exercises the
+    cross-node legs of the write sink, the sharded broadcast probe and
+    the witness stamp (retries must match, fresh tasks must not)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(f"""
+        import os, sys
+        os.environ.pop("RAY_ADDRESS", None)
+        import ray
+        from ray.cluster_utils import Cluster
+        cluster = Cluster(initialize_head=True,
+                          head_node_args={{"num_cpus": 2}})
+        cluster.add_node(num_cpus=2)
+        ray.init(address=cluster.address,
+                 include_dashboard=False, log_to_driver=False)
+        assert len([n for n in ray.nodes() if n["Alive"]]) == 2, ray.nodes()
+        import pyarrow as pa
+        import ray.data as rd
+        from hooqu_ray.pipelines import transcripts as tp
+
+        def corpus(conv_ids, salt=""):
+            conv, idx, text = [], [], []
+            for c in conv_ids:
+                for j in range(4):
+                    conv.append(c); idx.append(j)
+                    # prefix (turns 0-1) depends only on the TASK number
+                    # modulo 200 → retries share it; salt mutates it
+                    base = int(c.split("-")[1]) % 200
+                    text.append((f"task {{base}} turn {{j}}" + salt)
+                                if j < 2 else f"{{c}} tail {{j}}")
+            t = pa.table({{"conv_id": pa.array(conv, pa.string()),
+                          "turn_idx": pa.array(idx, pa.int64()),
+                          "text": pa.array(text, pa.string())}})
+            return rd.from_arrow(
+                [t.slice(i, 100) for i in range(0, len(t), 100)])
+
+        base = corpus([f"conv-{{i:05d}}" for i in range(200)])
+        retries = [f"conv-{{i + 1000:05d}}" for i in range(0, 100, 2)]
+        fresh = [f"conv-{{i + 2000:05d}}" for i in range(30)]
+        new = corpus(retries).union(corpus(fresh, salt=" fresh"))
+        path = {str(tmp_path / "forkidx")!r}
+        tp.fork_index_write(base, 2, path)
+        out = tp.fork_index_probe(new, path, 2).to_pandas()
+        got = sorted(out.conv_id)
+        assert got == sorted(retries), (len(got), got[:5])
+        # witness = MIN indexed conv id with that prefix
+        w = dict(zip(out.conv_id, out.matched_conv))
+        for c in retries:
+            assert w[c] == f"conv-{{int(c.split('-')[1]) % 200:05d}}", (c, w[c])
+        ray.shutdown()
+        cluster.shutdown()
+        print("FORKPROBE-MULTINODE-OK", len(out))
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=600, cwd="/root/repo",
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert "FORKPROBE-MULTINODE-OK" in proc.stdout, (
+        proc.stdout[-2000:], proc.stderr[-2000:])
