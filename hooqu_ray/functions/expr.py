@@ -421,7 +421,19 @@ class _Compiler(ast.NodeVisitor):
             if not arrays:
                 return vals
             t = arrays[0].type
-            return [v if isinstance(v, (pa.Array, pa.ChunkedArray))
+
+            def _is_float(v):
+                return (pa.types.is_floating(v.type)
+                        if isinstance(v, (pa.Array, pa.ChunkedArray))
+                        else isinstance(v, float))
+
+            # SQL type promotion: an integer operand mixed with ANY floating
+            # operand yields DOUBLE — casting the float down to the int type
+            # would silently truncate (pa.scalar(0.5, int64) == 0)
+            if pa.types.is_integer(t) and any(_is_float(v) for v in vals):
+                t = pa.float64()
+            return [(v if v.type.equals(t) else pc.cast(v, t))
+                    if isinstance(v, (pa.Array, pa.ChunkedArray))
                     else pa.scalar(v, type=t) for v in vals]
 
         if fname == "where":
@@ -440,13 +452,32 @@ class _Compiler(ast.NodeVisitor):
             if len(args) < 2:
                 raise ExprCompileError("coalesce() takes >= 2 arguments")
 
+            def _scalar_is_na(v):
+                if v is None:
+                    return True
+                if isinstance(v, pa.Scalar):
+                    if not v.is_valid:
+                        return True
+                    v = v.as_py()
+                return isinstance(v, float) and v != v
+
             def coalesce_fn(t: pa.Table):
                 vals = _align([a(t) for a in args])
-                out = vals[0]
-                for nxt in vals[1:]:
+                out = None  # no non-null source seen yet
+                for v in vals:
+                    if (not isinstance(v, (pa.Array, pa.ChunkedArray))
+                            and _scalar_is_na(v)):
+                        continue  # SQL: a NULL/NaN argument is an identity
+                    if out is None:
+                        out = v
+                    else:
+                        out = pc.if_else(_isna_array(out), v, out)
                     if not isinstance(out, (pa.Array, pa.ChunkedArray)):
-                        return out if out is not None else nxt
-                    out = pc.if_else(_isna_array(out), nxt, out)
+                        break  # non-null CONSTANT — wins every row
+                if out is None:  # every argument was a null constant
+                    return pa.nulls(t.num_rows)
+                if not isinstance(out, (pa.Array, pa.ChunkedArray)):
+                    return pa.repeat(out, t.num_rows)  # row-wise constant
                 return out
 
             return _Node(coalesce_fn)

@@ -423,14 +423,20 @@ def grouped_approx_quantile(ds, group_col: str, value_col: str, q: float,
     from ..functions.shuffle import _default_buckets, _row_hash64
 
     num_buckets = _default_buckets(partials.count(), 250_000)
+    # empty/schema-less blocks must keep the PARTIALS' key dtype (CLAUDE.md
+    # gotcha: a hardcoded null-typed group col makes mixed-schema blocks
+    # enter the groupby); partials is non-empty on this branch, so its
+    # schema is always resolvable
+    from ..util import dataset_arrow_schema
+
+    empty_stamped = dataset_arrow_schema(partials).empty_table().append_column(
+        "__bh", pa.array([], pa.int32()))
 
     def stamp(t: pa.Table) -> pa.Table:
-        if len(t) == 0 or group_col not in t.column_names:
-            return pa.table(
-                {group_col: pa.array([]),
-                 "__means": pa.array([], pa.list_(pa.float64())),
-                 "__weights": pa.array([], pa.list_(pa.float64())),
-                 "__bh": pa.array([], pa.int32())})
+        if group_col not in t.column_names:
+            return empty_stamped
+        if len(t) == 0:
+            return t.append_column("__bh", pa.array([], pa.int32()))
         b = (_row_hash64(t, [group_col]) % np.uint64(num_buckets)).astype(np.int32)
         return t.append_column("__bh", pa.array(b, pa.int32()))
 

@@ -3321,9 +3321,13 @@ def conversation_reports(ds, which=_REPORT_NAMES, *, min_run: int = 2,
     Per-report differences from the standalone ops, both immaterial on
     well-formed transcripts: rows with a null ``idx_col`` are dropped for
     every report here (the ordered scaffold needs the index; standalone
-    ``role_balance_stats`` keeps them), and the loop/tool role/tool
-    prefilters happen after the exchange (the fused sort moves every turn
-    row once — cheaper than three sorts of overlapping subsets)."""
+    ``role_balance_stats`` keeps them), and when ``echo`` or
+    ``role_balance`` is requested the loop/tool role/tool prefilters
+    happen after the exchange (those two families need every turn row, so
+    the fused sort moves each row once — cheaper than per-report sorts of
+    overlapping subsets).  When the request is loop/tool_transitions only,
+    the subset rows are pruned BEFORE the all-to-all, exactly like the
+    standalone ops."""
     which = [which] if isinstance(which, str) else list(which)
     unknown = set(which) - set(_REPORT_NAMES)
     if unknown:
@@ -3344,15 +3348,36 @@ def conversation_reports(ds, which=_REPORT_NAMES, *, min_run: int = 2,
     need_hash = "loop" in which or "echo" in which
     need_chars = "role_balance" in which
     need_tool = "tool_transitions" in which
+    # role feeds the loop prefilter and the echo/role_balance kernels; a
+    # tool_transitions-only request must not impose a role column the
+    # standalone op never reads
+    need_role = "loop" in which or "echo" in which or "role_balance" in which
 
-    proj_cols = [conv_col, idx_col, role_col]
+    # families that consume a SUBSET of the turn table can prune it BEFORE
+    # the all-to-all (the standalone ops' shape); echo/role_balance need
+    # every row, so any request including them ships the full table once
+    subset_masks = {
+        "loop": lambda t: pc.equal(t.column(role_col), loop_role),
+        "tool_transitions": lambda t: pc.is_valid(t.column(tool_col)),
+    }
+    prefilter_masks = ([subset_masks[f] for f in which]
+                       if set(which) <= set(subset_masks) else None)
+
+    proj_cols = [conv_col, idx_col]
+    proj_cols += [role_col] if need_role else []
     proj_cols += ["__th", "__tv"] if need_hash else []
     proj_cols += ["__chars"] if need_chars else []
     proj_cols += [tool_col] if need_tool else []
 
     def proj(t: pa.Table) -> pa.Table:
-        cols = {conv_col: t.column(conv_col), idx_col: t.column(idx_col),
-                role_col: t.column(role_col)}
+        if prefilter_masks is not None and len(t):
+            mask = prefilter_masks[0](t)
+            for m in prefilter_masks[1:]:
+                mask = pc.or_kleene(mask, m(t))
+            t = t.filter(pc.fill_null(mask, False))
+        cols = {conv_col: t.column(conv_col), idx_col: t.column(idx_col)}
+        if need_role:
+            cols[role_col] = t.column(role_col)
         if need_hash:
             text = t.column(text_col)
             cols["__th"] = pa.array(_text_hash63(text))

@@ -492,3 +492,34 @@ def test_where_coalesce_differential(vals, pivot):
         f"coalesce(x, {pivot})", t.schema).values(t).to_pylist()
     exp2 = df.x.fillna(pivot).to_numpy().tolist()  # pandas fillna covers NaN
     assert got2 == pytest.approx(exp2)
+
+
+def test_where_coalesce_int_float_promotion():
+    """SQL type promotion: an int column mixed with a fractional literal
+    yields DOUBLE — the round-5 review caught pa.scalar(0.5, int64) == 0
+    silently truncating."""
+    t = pa.table({"y": pa.array([1, None, 3], pa.int64())})
+    got = compile_predicate("coalesce(y, 0.5)", t.schema).values(t)
+    assert got.type == pa.float64()
+    assert got.to_pylist() == [1.0, 0.5, 3.0]
+    got2 = compile_predicate("where(y > 1, y, -0.5)", t.schema).values(t)
+    assert got2.to_pylist() == [-0.5, -0.5, 3.0]
+    # int-only branches still stay integral
+    got3 = compile_predicate("where(y > 1, y, -1)", t.schema).values(t)
+    assert got3.type == pa.int64() and got3.to_pylist() == [-1, -1, 3]
+
+
+def test_coalesce_scalar_first_argument():
+    """SQL COALESCE(NULL, x) = x; a non-null constant fills every row —
+    and the result must stay array-shaped so filters work."""
+    t = pa.table({"x": pa.array([0.5, 2.5, None], pa.float64()),
+                  "y": pa.array([1, 2, 3], pa.int64())})
+    assert compile_predicate("coalesce(None, x)", t.schema).values(
+        t).to_pylist() == [0.5, 2.5, None]
+    assert compile_predicate("coalesce(2.0, x)", t.schema).values(
+        t).to_pylist() == [2.0, 2.0, 2.0]
+    got = compile_predicate("coalesce(None, x) > 1.5", t.schema).filter(t)
+    assert got.column("y").to_pylist() == [2]
+    # all-null constants: NULL result for every row
+    assert compile_predicate(
+        "coalesce(None, None)", t.schema).values(t).null_count == 3

@@ -2290,6 +2290,51 @@ class TestConversationReportsFused:
         with pytest.raises(ValueError, match="min_run"):
             tp.conversation_reports(ds, which="loop", min_run=0)
 
+    def test_prefiltered_single_family_matches_standalone(self, ray_session):
+        """loop-only / tool-only / loop+tool requests prune the turn table
+        BEFORE the sort (the standalone ops' shape) — results must stay
+        row-identical to the standalone ops and to the full fused run."""
+        ds = self._corpus()
+
+        def df(d, keys):
+            return d.to_pandas().sort_values(keys, ignore_index=True)
+
+        only_loop = tp.conversation_reports(ds, which="loop", min_run=2)
+        pd.testing.assert_frame_equal(
+            df(only_loop["loop"], ["conv_id"]),
+            df(tp.assistant_loop_stats(ds, 2), ["conv_id"]))
+        only_tool = tp.conversation_reports(ds, which="tool_transitions")
+        pd.testing.assert_frame_equal(
+            df(only_tool["tool_transitions"], ["tool_from", "tool_to"]),
+            df(tp.tool_transition_counts(ds), ["tool_from", "tool_to"]))
+        both = tp.conversation_reports(ds, which=["loop", "tool_transitions"],
+                                       min_run=2)
+        pd.testing.assert_frame_equal(
+            df(both["loop"], ["conv_id"]),
+            df(tp.assistant_loop_stats(ds, 2), ["conv_id"]))
+        pd.testing.assert_frame_equal(
+            df(both["tool_transitions"], ["tool_from", "tool_to"]),
+            df(tp.tool_transition_counts(ds), ["tool_from", "tool_to"]))
+
+    def test_tool_only_request_needs_no_role_column(self, ray_session):
+        """A (conv, idx, tool) table — no role, no text — must work for
+        which='tool_transitions' exactly like the standalone op does."""
+        import ray.data as rd
+        t = pa.table({
+            "conv_id": pa.array(["a"] * 4 + ["b"] * 3, pa.string()),
+            "turn_idx": pa.array([0, 1, 2, 3, 0, 1, 2], pa.int64()),
+            "tool": pa.array(["x", None, "y", "x", "y", "y", None],
+                             pa.string()),
+        })
+        ds = rd.from_arrow([t.slice(0, 4), t.slice(4)])
+        fused = tp.conversation_reports(ds, which="tool_transitions")
+        got = (fused["tool_transitions"].to_pandas()
+               .sort_values(["tool_from", "tool_to"], ignore_index=True))
+        exp = (tp.tool_transition_counts(ds).to_pandas()
+               .sort_values(["tool_from", "tool_to"], ignore_index=True))
+        pd.testing.assert_frame_equal(got, exp)
+        assert got.n.sum() == 3  # a: x->y, y->x; b: y->y
+
     def test_empty_corpus_keeps_schemas(self, ray_session):
         import ray.data as rd
         t = pa.table({
