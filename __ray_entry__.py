@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["contamination_documents"] = _contamination_documents
     out["decontaminate_documents"] = _decontaminate_documents
     out["dup_ngram_stats_documents"] = _dup_ngram_stats_documents
+    out["scrub_dup_ngrams_documents"] = _scrub_dup_ngrams_documents
     out["split_assign_documents"] = _split_assign_documents
     out["quality_by_source_documents"] = _quality_by_source_documents
     out["chunk_documents"] = _chunk_documents_q
@@ -535,6 +536,17 @@ def _dup_ngram_stats_documents(sf_dir: str):
     df = dup_ngram_stats(ds, n=_DECONTAM_N).to_pandas()
     df["dup_ngram_frac"] = df["dup_ngram_frac"].round(6)
     return df.sort_values("doc_id", ignore_index=True)
+
+
+def _scrub_dup_ngrams_documents(sf_dir: str):
+    """Inline removal of corpus-duplicated word 5-gram spans (Lee et al.
+    2022 style): touched documents rebuilt from surviving tokens, untouched
+    ones byte-faithful, plus the covered-position count."""
+    from hooqu_ray.pipelines.decontam import scrub_dup_ngrams
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = scrub_dup_ngrams(ds, n=_DECONTAM_N).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
 
 
 def _split_assign_documents(sf_dir: str):
@@ -4059,6 +4071,32 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) "
             "/ GREATEST(len(gs), 1), 6) AS dup_ngram_frac "
             "FROM ng LEFT JOIN hit USING (doc_id) ORDER BY ng.doc_id"
+        ),
+        "scrub_dup_ngrams_documents": (
+            # remove token positions covered by any corpus-duplicated
+            # 5-gram occurrence (count >= 2 anywhere, own doc included);
+            # touched docs rebuilt by single-space join, untouched docs
+            # byte-faithful, fully-covered docs become ''
+            _NGRAM_SQL + ", "
+            "pos AS (SELECT doc_id, UNNEST(gs) AS g, "
+            "generate_subscripts(gs, 1) AS i FROM ng), "
+            "hot AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2), "
+            "cov AS (SELECT DISTINCT pos.doc_id, pos.i + r.range AS j "
+            f"FROM pos JOIN hot USING (g) CROSS JOIN range({_DECONTAM_N}) r), "
+            "wpos AS (SELECT doc_id, UNNEST(w) AS tok, "
+            "generate_subscripts(w, 1) AS k FROM toks), "
+            "kept AS (SELECT wp.doc_id, wp.tok, wp.k FROM wpos wp "
+            "LEFT JOIN cov ON cov.doc_id = wp.doc_id AND cov.j = wp.k "
+            "WHERE cov.doc_id IS NULL), "
+            "rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY k) "
+            "AS new_text FROM kept GROUP BY doc_id), "
+            "rem AS (SELECT doc_id, count(*) AS n_removed FROM cov "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, CASE WHEN COALESCE(rem.n_removed, 0) > 0 "
+            "THEN COALESCE(rb.new_text, '') ELSE d.text END AS text, "
+            "CAST(COALESCE(rem.n_removed, 0) AS BIGINT) AS n_removed "
+            "FROM documents d LEFT JOIN rem USING (doc_id) "
+            "LEFT JOIN rb USING (doc_id) ORDER BY d.doc_id"
         ),
         "chunk_documents": (
             "WITH toks AS (SELECT doc_id, list_filter("

@@ -336,3 +336,141 @@ def dup_ngram_stats(ds, text_col: str = "text", id_col: str = "doc_id",
     return merged.map_batches(rename, batch_format="pyarrow").map_batches(
         finish, batch_format="pyarrow"
     )
+
+
+class _SpanScrubber:
+    """Per-batch inline removal of corpus-duplicated n-gram spans: every
+    token position covered by an occurrence of a HOT n-gram (corpus count
+    ≥ min_count) is dropped and the document is rebuilt from the surviving
+    tokens (single-space join).  Documents with no hit pass through
+    byte-faithful; null text stays null.
+
+    The hot set arrives as object-store refs of SORTED uint64 hash-range
+    shards — workers read them zero-copy from plasma (one copy per node),
+    only the DRIVER collect was bounded per shard.  Probe is a vectorized
+    ``searchsorted`` per shard; span expansion is ``n`` strided stores;
+    the rebuild is the dedup_lines_within_doc split → filter →
+    ``binary_join`` idiom — no Python per token anywhere."""
+
+    def __init__(self, shard_refs: Sequence, text_col: str, n: int):
+        self.shard_refs = list(shard_refs)
+        self.text_col = text_col
+        self.n = n
+        self._shards = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._shards is None:
+            import ray
+
+            self._shards = [
+                r if isinstance(r, np.ndarray) else ray.get(r)
+                for r in self.shard_refs
+            ]
+        nrows = len(t)
+        texts = t.column(self.text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(flat):
+            nonempty = pc.invert(pc.equal(flat, "")).to_numpy(
+                zero_copy_only=False)
+            toks = flat.filter(pa.array(nonempty))
+            tp = parent[nonempty]
+        else:
+            toks, tp = flat, np.empty(0, np.int64)
+
+        covered = np.zeros(len(toks), dtype=bool)
+        if len(toks) >= self.n and any(s.size for s in self._shards):
+            from .dedup import _batch_token_hashes  # noqa: F401 (doc link)
+            from ..stages.heuristics import _token_hashes
+
+            h = _token_hashes(toks)
+            pos = np.flatnonzero(tp[: h.size - self.n + 1]
+                                 == tp[self.n - 1:])
+            if pos.size:
+                g = h[pos].copy()
+                for d in range(1, self.n):
+                    g *= _NGRAM_PRIME
+                    g += h[pos + d]
+                member = np.zeros(pos.size, dtype=bool)
+                for s in self._shards:
+                    if s.size:
+                        idx = np.searchsorted(s, g)
+                        member |= s[np.minimum(idx, s.size - 1)] == g
+                hit = pos[member]
+                for d in range(self.n):
+                    covered[hit + d] = True
+
+        n_removed = (np.bincount(tp[covered], minlength=nrows)
+                     .astype(np.int64) if covered.any()
+                     else np.zeros(nrows, np.int64))
+        if covered.any():
+            kept = ~covered
+            kept_toks = toks.filter(pa.array(kept))
+            counts = np.bincount(tp[kept], minlength=nrows)
+            offsets = pa.array(np.r_[0, np.cumsum(counts)].astype(np.int32),
+                               pa.int32())
+            joined = pc.binary_join(
+                pa.ListArray.from_arrays(offsets,
+                                         pc.cast(kept_toks, pa.string())),
+                pa.scalar(" "))
+            in_type = t.schema.field(self.text_col).type
+            new_text = pc.if_else(pa.array(n_removed > 0),
+                                  pc.cast(joined, in_type), texts)
+            t = t.set_column(t.column_names.index(self.text_col),
+                             self.text_col, new_text)
+        return t.append_column("n_removed", pa.array(n_removed, pa.int64()))
+
+
+def scrub_dup_ngrams(ds, text_col: str = "text", n: int = 5,
+                     min_count: int = 2,
+                     driver_hot_grams_max: int = _DRIVER_HOT_GRAMS_MAX):
+    """Corpus-self duplicated-SPAN removal (the n-gram-bucket approximation
+    of suffix-array substring dedup, "Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022): drop every token position
+    covered by a word n-gram occurring ≥ ``min_count`` times across the
+    WHOLE corpus (own occurrences included, duplicates within one document
+    count), rebuild each touched document from its surviving tokens, and
+    stamp ``n_removed`` (covered token positions).  Untouched documents
+    pass through byte-faithful; a fully-covered document becomes ``""``;
+    null text stays null.  :func:`dup_ngram_stats` is the stats-only
+    counterpart; :func:`decontaminate` removes against an EXTERNAL eval
+    set where this op removes against the corpus itself.
+
+    Scale shape: per-block (gram, count) combiner → ONE bucketed hash
+    exchange over distinct-gram rows (``shuffle.bucketed_group_fold`` —
+    corpus-cardinality keys never pay Ray's sort-based groupby) with the
+    hot-set filter fused into the per-bucket finalize → hot hashes
+    broadcast in driver-bounded hash-range shards (workers read plasma
+    zero-copy) → one streaming rewrite pass; text never shuffles."""
+    import ray
+
+    from ..functions.shuffle import bucketed_group_fold
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+
+    partials = ds.map_batches(
+        lambda t, _c=text_col, _n=n: _block_gram_counts(t, _c, _n),
+        batch_format="pyarrow",
+    )
+
+    def keep_hot(folded: pa.Table) -> pa.Table:
+        if "n" not in folded.column_names:
+            return pa.table({"gram": pa.array([], pa.int64())})
+        return folded.filter(
+            pc.greater_equal(folded.column("n"), min_count)).select(["gram"])
+
+    hot = bucketed_group_fold(partials, ["gram"], ["n"], funcs=["sum"],
+                              finalize=keep_hot)
+    shard_refs = [ray.put(grams)
+                  for grams, _ in _hot_gram_shards(hot, driver_hot_grams_max)]
+    return ds.map_batches(_SpanScrubber(shard_refs, text_col, n),
+                          batch_format="pyarrow")

@@ -293,3 +293,94 @@ class TestSplitTokenBudgetNullSource:
         assert int(null_rows["total_tokens"].sum()) == 30  # 3 tokens each
         # non-null groups intact too
         assert int(got["n_docs"].sum()) == 40
+
+
+class TestScrubDupNgrams:
+    """scrub_dup_ngrams: inline corpus-duplicated-span removal."""
+
+    @staticmethod
+    def _py_scrub(pdf, n=5, min_count=2):
+        """Naive single-process model of the documented semantics."""
+        from collections import Counter
+
+        counts = Counter()
+        for t in pdf.text:
+            counts.update(_py_ngrams(t, n))
+        hot = {g for g, c in counts.items() if c >= min_count}
+        texts, removed = [], []
+        for t in pdf.text:
+            if t is None:
+                texts.append(None)
+                removed.append(0)
+                continue
+            toks = t.split()
+            cov = [False] * len(toks)
+            for i in range(len(toks) - n + 1):
+                if " ".join(toks[i:i + n]) in hot:
+                    for d in range(n):
+                        cov[i + d] = True
+            nr = sum(cov)
+            texts.append(" ".join(tk for tk, c in zip(toks, cov) if not c)
+                         if nr else t)
+            removed.append(nr)
+        return pd.DataFrame({"doc_id": pdf.doc_id, "text": texts,
+                             "n_removed": removed})
+
+    def test_matches_python_oracle_on_corpus(self, docs_ds, docs_pdf):
+        from hooqu_ray.pipelines.decontam import scrub_dup_ngrams
+
+        got = (scrub_dup_ngrams(docs_ds, n=5).to_pandas()
+               .sort_values("doc_id", ignore_index=True))
+        exp = (self._py_scrub(docs_pdf, n=5)
+               .sort_values("doc_id", ignore_index=True))
+        pd.testing.assert_frame_equal(got, exp, check_like=True)
+
+    def test_edges_and_within_doc_duplicates(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from hooqu_ray.pipelines.decontam import scrub_dup_ngrams
+
+        span = "a b c d e"
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                f"{span} tail words here",   # cross-doc dup
+                f"lead {span} more",         # cross-doc dup
+                f"{span} mid {span}",        # within-doc dup counts too
+                "completely   unique\ttokens stay  byte-faithful",
+                None,
+            ],
+        })
+        t = pa.Table.from_pandas(pdf, preserve_index=False)
+        got = (scrub_dup_ngrams(
+                   rd.from_arrow([t.slice(0, 2), t.slice(2)]), n=5)
+               .to_pandas().sort_values("doc_id", ignore_index=True))
+        exp = self._py_scrub(pdf, n=5)
+        pd.testing.assert_frame_equal(got, exp, check_like=True)
+        # untouched doc keeps its exact original whitespace
+        assert got.loc[3, "text"] == pdf.loc[3, "text"]
+        assert got.loc[3, "n_removed"] == 0
+        # overlapping spans in doc 2: "a b c d e mid a b c d e" also
+        # contains grams straddling 'mid' only if duplicated — union holds
+        assert got.loc[2, "n_removed"] >= 10
+
+    def test_fully_covered_doc_becomes_empty(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.decontam import scrub_dup_ngrams
+
+        pdf = pd.DataFrame({"doc_id": [0, 1],
+                            "text": ["x y z w v", "x y z w v"]})
+        got = (scrub_dup_ngrams(rd.from_pandas(pdf), n=5).to_pandas()
+               .sort_values("doc_id", ignore_index=True))
+        assert (got.text == "").all()
+        assert (got.n_removed == 5).all()
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.decontam import scrub_dup_ngrams
+
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["a"]}))
+        with pytest.raises(ValueError, match="min_count"):
+            scrub_dup_ngrams(ds, min_count=1)
+        with pytest.raises(ValueError, match="n must"):
+            scrub_dup_ngrams(ds, n=0)
