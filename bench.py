@@ -317,6 +317,13 @@ def main() -> None:
     dup_ngram_stats(docs, n=5).count()
     queries["dup_ngrams"] = round(time.time() - t0, 3)
 
+    # corpus-self duplicated-span removal (Lee et al. style): gram counts
+    # ride the bucketed exchange, hot set broadcasts sharded, one rewrite
+    t0 = time.time()
+    from hooqu_ray.pipelines.decontam import scrub_dup_ngrams
+    scrub_dup_ngrams(docs, n=5).count()
+    queries["scrub_dup_ngrams"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     chunk_documents(docs, size=64, overlap=8).count()
     queries["chunking"] = round(time.time() - t0, 3)

@@ -266,30 +266,33 @@ def dup_ngram_stats(ds, text_col: str = "text", id_col: str = "doc_id",
     included), ``dup_ngram_frac``.  High fractions mark boilerplate /
     templated documents that within-doc metrics miss.
 
-    Shape: per-block (gram, count) combiner → one ``groupby(gram)``
-    shuffle over DISTINCT-gram rows (token volume never shuffles) →
-    hot set (count ≥ min_count) → broadcast probe.  The hot set is
-    processed one hash-range shard at a time above
-    ``driver_hot_grams_max`` rows: each shard's probe emits per-doc
-    partial hit counts (totals only in the first), folded by one
-    ``groupby(id).sum`` — the driver and workers hold one shard, never
-    the whole duplicated-gram universe."""
-    from ray.data.aggregate import Sum
-
+    Shape: per-block (gram, count) combiner → one BUCKETED hash exchange
+    over DISTINCT-gram rows (``shuffle.bucketed_group_fold`` — gram
+    hashes are corpus-cardinality keys, the case Ray's sort-based groupby
+    pays ~5 µs/row on; token volume never shuffles) with the hot-set
+    filter (count ≥ ``min_count``) fused into the per-bucket finalize →
+    broadcast probe.  The hot set is processed one hash-range shard at a
+    time above ``driver_hot_grams_max`` rows: each shard's probe emits
+    per-doc partial hit counts (totals only in the first), folded by one
+    bucketed exchange over doc ids — the driver and workers hold one
+    shard, never the whole duplicated-gram universe."""
     import ray
 
-    counts = ds.map_batches(
+    from ..functions.shuffle import bucketed_group_fold
+
+    partials = ds.map_batches(
         lambda t, _c=text_col, _n=n: _block_gram_counts(t, _c, _n),
         batch_format="pyarrow",
-    ).groupby("gram").aggregate(Sum("n"))
-    hot = counts.map_batches(
-        lambda t, _m=min_count: (
-            t.filter(pc.greater_equal(t.column("sum(n)"), _m)).select(["gram"])
-            if "sum(n)" in t.column_names
-            else pa.table({"gram": pa.array([], pa.int64())})
-        ),
-        batch_format="pyarrow",
     )
+
+    def keep_hot(folded: pa.Table) -> pa.Table:
+        if "n" not in folded.column_names:
+            return pa.table({"gram": pa.array([], pa.int64())})
+        return folded.filter(
+            pc.greater_equal(folded.column("n"), min_count)).select(["gram"])
+
+    hot = bucketed_group_fold(partials, ["gram"], ["n"], funcs=["sum"],
+                              finalize=keep_hot)
 
     shard_outs = []
     first = True
@@ -309,33 +312,12 @@ def dup_ngram_stats(ds, text_col: str = "text", id_col: str = "doc_id",
         )
     if n_shards_seen == 1:
         return shard_outs[0].map_batches(finish, batch_format="pyarrow")
-    merged = (
-        shard_outs[0]
-        .union(*shard_outs[1:])
-        .groupby(id_col)
-        .aggregate(Sum("n_hit"), Sum("n_ngrams"))
-    )
-
-    def rename(t: pa.Table) -> pa.Table:
-        if "sum(n_hit)" not in t.column_names:  # schema-less empty agg block
-            return pa.table(
-                {
-                    id_col: pa.array([], pa.int64()),
-                    "n_hit": pa.array([], pa.int64()),
-                    "n_ngrams": pa.array([], pa.int64()),
-                }
-            )
-        return pa.table(
-            {
-                id_col: t.column(id_col),
-                "n_hit": pc.cast(t.column("sum(n_hit)"), pa.int64()),
-                "n_ngrams": pc.cast(t.column("sum(n_ngrams)"), pa.int64()),
-            }
-        )
-
-    return merged.map_batches(rename, batch_format="pyarrow").map_batches(
-        finish, batch_format="pyarrow"
-    )
+    # doc ids are corpus-cardinality keys too — fold the shard partials
+    # with the same bucketed exchange (column names/types preserved)
+    merged = bucketed_group_fold(
+        shard_outs[0].union(*shard_outs[1:]), [id_col],
+        ["n_hit", "n_ngrams"], funcs=["sum", "sum"])
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 class _SpanScrubber:

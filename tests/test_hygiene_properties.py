@@ -169,3 +169,50 @@ class TestContextExamplesKernelDifferential:
                             g.text[i] or "", i - j, tot))
         got_t = list(got.itertuples(index=False, name=None))
         assert sorted(got_t) == sorted(exp)
+
+
+def _py_scrub_one(text, hot, n):
+    """Naive per-doc span removal given the hot gram-string set."""
+    if text is None:
+        return None, 0
+    toks = text.split()
+    cov = [False] * len(toks)
+    for i in range(len(toks) - n + 1):
+        if " ".join(toks[i:i + n]) in hot:
+            for d in range(n):
+                cov[i + d] = True
+    nr = sum(cov)
+    return (" ".join(tk for tk, c in zip(toks, cov) if not c)
+            if nr else text), nr
+
+
+class TestSpanScrubberProperties:
+    """_SpanScrubber (the scrub_dup_ngrams rewrite kernel) vs naive Python
+    over adversarial small-alphabet texts — duplicates, overlapping spans,
+    whitespace runs, unicode, empties, None."""
+
+    @HYPO
+    @given(_texts, st.integers(1, 3))
+    def test_matches_python(self, texts, n):
+        from collections import Counter
+
+        from hooqu_ray.pipelines.decontam import (
+            _SpanScrubber, _ngram_hashes)
+
+        counts = Counter()
+        for txt in texts:
+            toks = (txt or "").split()
+            counts.update(" ".join(toks[i:i + n])
+                          for i in range(len(toks) - n + 1))
+        hot = {g for g, c in counts.items() if c >= 2}
+        if hot:
+            h, _, _ = _ngram_hashes(pa.array(sorted(hot), pa.string()), n)
+            shards = [np.sort(np.unique(h))]
+        else:
+            shards = [np.empty(0, np.uint64)]
+        t = pa.table({"doc_id": list(range(len(texts))),
+                      "text": pa.array(texts, pa.string())})
+        got = _SpanScrubber(shards, "text", n)(t)
+        exp = [_py_scrub_one(txt, hot, n) for txt in texts]
+        assert got.column("text").to_pylist() == [e[0] for e in exp]
+        assert got.column("n_removed").to_pylist() == [e[1] for e in exp]
