@@ -228,6 +228,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda: hq.Mean(
                 "value", where="where(event_type == 'error', -value, value) > 0"),
             "mean_val3", "events", ["value", "event_type"]),
+        # greatest()/least() element-wise extremes (functions/expr.py
+        # _func_call): DuckDB NULL-identity semantics, literal mixing,
+        # composition — NaN-free columns so both sides agree exactly
+        "greatest_least_compliance": (
+            lambda: hq.Compliance(
+                "clamped",
+                "greatest(l_tax, l_discount, 0.03) <= "
+                "least(l_extendedprice / 400000 + 0.02, 0.07)"),
+            "frac4", "lineitem", ["l_tax", "l_discount", "l_extendedprice"]),
     }
     for qname, (make, col, table, columns) in analyzer_specs.items():
         out[qname] = _q(
@@ -2825,6 +2834,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ROUND(CAST(sum(CASE WHEN COALESCE(CASE WHEN l_discount > 0.05 "
             "THEN l_extendedprice * (1 - l_discount) ELSE NULL END, 0.0) > 20000 "
             "THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS frac3 FROM lineitem"
+        ),
+        "greatest_least_compliance": (
+            "SELECT ROUND(CAST(sum(CASE WHEN "
+            "greatest(l_tax, l_discount, 0.03) <= "
+            "least(l_extendedprice / 400000 + 0.02, 0.07) "
+            "THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS frac4 "
+            "FROM lineitem"
         ),
         "case_where_mean": (
             "SELECT ROUND(avg(value), 6) AS mean_val3 FROM events "

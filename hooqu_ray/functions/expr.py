@@ -406,7 +406,12 @@ class _Compiler(ast.NodeVisitor):
             Kleene null propagation);
         ``coalesce(a, b, ...)`` = first non-null argument left to right,
             where float NaN counts as null (consistent with this engine's
-            ``.isna()``, which mirrors pandas' no-NaN/null split).
+            ``.isna()``, which mirrors pandas' no-NaN/null split);
+        ``greatest(a, b, ...)`` / ``least(a, b, ...)`` = element-wise
+            max/min where NULL **and NaN** arguments are identities
+            (Arrow ``max/min_element_wise`` skip-nulls; matches DuckDB's
+            NULL handling exactly, diverges on NaN data only — DuckDB
+            sorts NaN greatest, this engine's convention is NaN = null).
 
         Scalar literals are aligned to the first array operand's type so
         ``where(x > 0, 1, -1)`` and ``ELSE NULL`` (``None``) type cleanly."""
@@ -481,6 +486,19 @@ class _Compiler(ast.NodeVisitor):
                 return out
 
             return _Node(coalesce_fn)
+        if fname in ("greatest", "least"):
+            if len(args) < 2:
+                raise ExprCompileError(f"{fname}() takes >= 2 arguments")
+            kernel = (pc.max_element_wise if fname == "greatest"
+                      else pc.min_element_wise)
+
+            def gl_fn(t: pa.Table, _k=kernel):
+                out = _k(*_align([a(t) for a in args]))
+                if not isinstance(out, (pa.Array, pa.ChunkedArray)):
+                    return pa.repeat(out, t.num_rows)  # all-constant args
+                return out
+
+            return _Node(gl_fn)
         raise ExprCompileError(f"unsupported function {fname}()")
 
     def _str_call(self, base_node: ast.AST, meth: str,

@@ -466,7 +466,9 @@ def test_where_coalesce_arity_errors():
     with pytest.raises(ExprCompileError):
         Predicate("coalesce(x)", t.schema)
     with pytest.raises(ExprCompileError):
-        Predicate("greatest(x, y)", t.schema)
+        Predicate("greatest(x)", t.schema)
+    with pytest.raises(ExprCompileError):
+        Predicate("magic(x, y)", t.schema)
 
 
 @settings(max_examples=60, deadline=None)
@@ -523,3 +525,50 @@ def test_coalesce_scalar_first_argument():
     # all-null constants: NULL result for every row
     assert compile_predicate(
         "coalesce(None, None)", t.schema).values(t).null_count == 3
+
+
+def test_greatest_least_sql_semantics():
+    """DuckDB GREATEST/LEAST parity: NULL arguments are identities, result
+    NULL only when every argument is null; NaN follows the engine's
+    NaN=null convention (documented DuckDB divergence on NaN data)."""
+    t = pa.table({"x": pa.array([1.0, None, 3.0, np.nan], pa.float64()),
+                  "y": pa.array([2.0, None, None, 1.0], pa.float64())})
+    assert compile_predicate("greatest(x, y)", t.schema).values(
+        t).to_pylist() == [2.0, None, 3.0, 1.0]
+    assert compile_predicate("least(x, y)", t.schema).values(
+        t).to_pylist() == [1.0, None, 3.0, 1.0]
+    # literal mixing + int/float promotion + filtering end to end
+    t2 = pa.table({"n": pa.array([1, 5, None], pa.int64()),
+                   "m": pa.array([4, 2, 7], pa.int64())})
+    got = compile_predicate("greatest(n, m, 2.5)", t2.schema).values(t2)
+    assert got.to_pylist() == [4.0, 5.0, 7.0]
+    kept = compile_predicate("least(n, m) <= 2", t2.schema).filter(t2)
+    # least(1,4)=1, least(5,2)=2 keep; least(NULL,7)=7 (identity) drops
+    assert kept.column("m").to_pylist() == [4, 2]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    xs=st.lists(st.one_of(st.none(),
+                          st.floats(min_value=-50, max_value=50)),
+                min_size=1, max_size=25),
+    lit=st.floats(min_value=-10, max_value=10),
+)
+def test_greatest_least_differential(xs, lit):
+    """Differential vs DuckDB GREATEST/LEAST on NaN-free data."""
+    import duckdb
+
+    df = pd.DataFrame({"x": pd.array(xs, dtype="float64"),
+                       "y": np.arange(len(xs), dtype=np.float64)})
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    got_g = compile_predicate(
+        f"greatest(x, y, {lit})", t.schema).values(t).to_pylist()
+    got_l = compile_predicate(
+        f"least(x, y, {lit})", t.schema).values(t).to_pylist()
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        f"SELECT greatest(x, y, {lit}) AS g, least(x, y, {lit}) AS l "
+        "FROM t").df()
+    assert got_g == pytest.approx(exp.g.tolist())
+    assert got_l == pytest.approx(exp.l.tolist())
