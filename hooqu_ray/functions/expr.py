@@ -453,18 +453,18 @@ class _Compiler(ast.NodeVisitor):
                 return pc.if_else(c, va, vb)
 
             return _Node(where_fn)
+        def _scalar_is_na(v):
+            if v is None:
+                return True
+            if isinstance(v, pa.Scalar):
+                if not v.is_valid:
+                    return True
+                v = v.as_py()
+            return isinstance(v, float) and v != v
+
         if fname == "coalesce":
             if len(args) < 2:
                 raise ExprCompileError("coalesce() takes >= 2 arguments")
-
-            def _scalar_is_na(v):
-                if v is None:
-                    return True
-                if isinstance(v, pa.Scalar):
-                    if not v.is_valid:
-                        return True
-                    v = v.as_py()
-                return isinstance(v, float) and v != v
 
             def coalesce_fn(t: pa.Table):
                 vals = _align([a(t) for a in args])
@@ -493,7 +493,17 @@ class _Compiler(ast.NodeVisitor):
                       else pc.min_element_wise)
 
             def gl_fn(t: pa.Table, _k=kernel):
-                out = _k(*_align([a(t) for a in args]))
+                vals = _align([a(t) for a in args])
+                # a NULL/NaN CONSTANT is an identity (DuckDB parity);
+                # Arrow's kernel has no (null, T) signature, so dropping
+                # it here rather than crashing — null ARRAY slots are
+                # already skipped by the kernel itself
+                live = [v for v in vals
+                        if isinstance(v, (pa.Array, pa.ChunkedArray))
+                        or not _scalar_is_na(v)]
+                if not live:  # every argument a null constant
+                    return pa.nulls(t.num_rows)
+                out = live[0] if len(live) == 1 else _k(*live)
                 if not isinstance(out, (pa.Array, pa.ChunkedArray)):
                     return pa.repeat(out, t.num_rows)  # all-constant args
                 return out

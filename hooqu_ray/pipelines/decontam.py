@@ -39,6 +39,24 @@ import pyarrow.compute as pc
 _NGRAM_PRIME = np.uint64(1099511628211)  # FNV prime, textstats._RK_PRIME
 
 
+def _gram_fold(h: np.ndarray, parent: np.ndarray,
+               n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Polynomial n-gram fold over token hashes: ``(gram_hashes, start
+    token positions)`` for every run of ``n`` consecutive tokens whose
+    first and last token share a parent row.  The ONE fold both the
+    hot-set builder and the scrub probe use — they may never diverge."""
+    if h.size < n:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    pos = np.flatnonzero(parent[: h.size - n + 1] == parent[n - 1 :])
+    if pos.size == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    g = h[pos].copy()
+    for d in range(1, n):
+        g *= _NGRAM_PRIME
+        g += h[pos + d]
+    return g, pos
+
+
 def _ngram_hashes(texts, n: int) -> Tuple[np.ndarray, np.ndarray, int]:
     """Vectorized word n-gram hashes for a whole string array.
 
@@ -50,16 +68,8 @@ def _ngram_hashes(texts, n: int) -> Tuple[np.ndarray, np.ndarray, int]:
     from .dedup import _batch_token_hashes
 
     h, parent, n_rows = _batch_token_hashes(texts)
-    if h.size < n:
-        return np.empty(0, np.uint64), np.empty(0, np.int64), n_rows
-    pos = np.flatnonzero(parent[: h.size - n + 1] == parent[n - 1 :])
-    if pos.size == 0:
-        return np.empty(0, np.uint64), np.empty(0, np.int64), n_rows
-    g = h[pos].copy()
-    for d in range(1, n):
-        g *= _NGRAM_PRIME
-        g += h[pos + d]
-    return g, parent[pos], n_rows
+    g, pos = _gram_fold(h, parent, n)
+    return g, parent[pos] if pos.size else np.empty(0, np.int64), n_rows
 
 
 def _block_distinct_grams(t: pa.Table, text_col: str, n: int) -> pa.Table:
@@ -256,6 +266,31 @@ def _hot_gram_shards(hot_ds, driver_max: int):
         ), n_shards
 
 
+def _hot_gram_ds(ds, text_col: str, n: int, min_count: int):
+    """The HOT n-gram set as a Dataset of int64 gram hashes: per-block
+    (gram, count) combiner -> ONE bucketed hash exchange
+    (``shuffle.bucketed_group_fold`` -- gram hashes are corpus-cardinality
+    keys) with the count >= ``min_count`` filter fused into the per-bucket
+    finalize.  Shared by :func:`dup_ngram_stats` and
+    :func:`scrub_dup_ngrams` so the two ops' hot sets are definitionally
+    identical."""
+    from ..functions.shuffle import bucketed_group_fold
+
+    partials = ds.map_batches(
+        lambda t, _c=text_col, _n=n: _block_gram_counts(t, _c, _n),
+        batch_format="pyarrow",
+    )
+
+    def keep_hot(folded: pa.Table) -> pa.Table:
+        if "n" not in folded.column_names:
+            return pa.table({"gram": pa.array([], pa.int64())})
+        return folded.filter(
+            pc.greater_equal(folded.column("n"), min_count)).select(["gram"])
+
+    return bucketed_group_fold(partials, ["gram"], ["n"], funcs=["sum"],
+                               finalize=keep_hot)
+
+
 def dup_ngram_stats(ds, text_col: str = "text", id_col: str = "doc_id",
                     n: int = 5, min_count: int = 2,
                     driver_hot_grams_max: int = _DRIVER_HOT_GRAMS_MAX):
@@ -280,19 +315,7 @@ def dup_ngram_stats(ds, text_col: str = "text", id_col: str = "doc_id",
 
     from ..functions.shuffle import bucketed_group_fold
 
-    partials = ds.map_batches(
-        lambda t, _c=text_col, _n=n: _block_gram_counts(t, _c, _n),
-        batch_format="pyarrow",
-    )
-
-    def keep_hot(folded: pa.Table) -> pa.Table:
-        if "n" not in folded.column_names:
-            return pa.table({"gram": pa.array([], pa.int64())})
-        return folded.filter(
-            pc.greater_equal(folded.column("n"), min_count)).select(["gram"])
-
-    hot = bucketed_group_fold(partials, ["gram"], ["n"], funcs=["sum"],
-                              finalize=keep_hot)
+    hot = _hot_gram_ds(ds, text_col, n, min_count)
 
     shard_outs = []
     first = True
@@ -352,33 +375,18 @@ class _SpanScrubber:
         texts = t.column(self.text_col)
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        words = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
-        flat = pc.list_flatten(words)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        parent = pc.list_parent_indices(words).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        if len(flat):
-            nonempty = pc.invert(pc.equal(flat, "")).to_numpy(
-                zero_copy_only=False)
-            toks = flat.filter(pa.array(nonempty))
-            tp = parent[nonempty]
-        else:
-            toks, tp = flat, np.empty(0, np.int64)
+        # the EXACT tokenize+hash+fold pipeline the hot-set builder uses
+        # (_batch_token_hashes / _gram_fold) — sharing the implementation
+        # is what guarantees probe hashes can never drift from set hashes
+        from .dedup import _batch_token_hashes
+
+        h, tp, _, toks = _batch_token_hashes(pc.fill_null(texts, ""),
+                                             return_tokens=True)
 
         covered = np.zeros(len(toks), dtype=bool)
-        if len(toks) >= self.n and any(s.size for s in self._shards):
-            from .dedup import _batch_token_hashes  # noqa: F401 (doc link)
-            from ..stages.heuristics import _token_hashes
-
-            h = _token_hashes(toks)
-            pos = np.flatnonzero(tp[: h.size - self.n + 1]
-                                 == tp[self.n - 1:])
+        if h.size >= self.n and any(s.size for s in self._shards):
+            g, pos = _gram_fold(h, tp, self.n)
             if pos.size:
-                g = h[pos].copy()
-                for d in range(1, self.n):
-                    g *= _NGRAM_PRIME
-                    g += h[pos + d]
                 member = np.zeros(pos.size, dtype=bool)
                 for s in self._shards:
                     if s.size:
@@ -439,19 +447,7 @@ def scrub_dup_ngrams(ds, text_col: str = "text", n: int = 5,
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
 
-    partials = ds.map_batches(
-        lambda t, _c=text_col, _n=n: _block_gram_counts(t, _c, _n),
-        batch_format="pyarrow",
-    )
-
-    def keep_hot(folded: pa.Table) -> pa.Table:
-        if "n" not in folded.column_names:
-            return pa.table({"gram": pa.array([], pa.int64())})
-        return folded.filter(
-            pc.greater_equal(folded.column("n"), min_count)).select(["gram"])
-
-    hot = bucketed_group_fold(partials, ["gram"], ["n"], funcs=["sum"],
-                              finalize=keep_hot)
+    hot = _hot_gram_ds(ds, text_col, n, min_count)
     shard_refs = [ray.put(grams)
                   for grams, _ in _hot_gram_shards(hot, driver_hot_grams_max)]
     return ds.map_batches(_SpanScrubber(shard_refs, text_col, n),

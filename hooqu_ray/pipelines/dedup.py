@@ -80,11 +80,14 @@ _SHINGLE_C = np.array(
 )
 
 
-def _batch_token_hashes(texts):
+def _batch_token_hashes(texts, return_tokens: bool = False):
     """Tokenize a whole string array in ONE Arrow pass and hash every token
     (polars 64-bit).  Returns ``(token_hashes uint64, parent_row int64,
     n_rows)`` with tokens in row order; empty split tokens are dropped to
-    match ``str.split()`` word semantics."""
+    match ``str.split()`` word semantics.  With ``return_tokens=True`` a
+    fourth element carries the token STRINGS aligned with the hashes —
+    the rebuild side of inline scrubbers must share THIS tokenization so
+    probe hashes can never drift from hot-set hashes."""
     from ..stages.heuristics import _token_hashes
 
     if isinstance(texts, pa.ChunkedArray):
@@ -101,8 +104,11 @@ def _batch_token_hashes(texts):
         tp = parent[keep].astype(np.int64)
         h = _token_hashes(toks)
     else:
+        toks = flat
         tp = np.empty(0, dtype=np.int64)
         h = np.empty(0, dtype=np.uint64)
+    if return_tokens:
+        return h, tp, n, toks
     return h, tp, n
 
 

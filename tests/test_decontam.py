@@ -384,3 +384,16 @@ class TestScrubDupNgrams:
             scrub_dup_ngrams(ds, min_count=1)
         with pytest.raises(ValueError, match="n must"):
             scrub_dup_ngrams(ds, n=0)
+
+    def test_multi_shard_hot_set_matches_single(self, docs_ds, docs_pdf):
+        """Force the hash-range-sharded hot-set path (tiny driver gate):
+        the cross-shard membership OR-union in _SpanScrubber must scrub
+        exactly what the single-shard run scrubs."""
+        from hooqu_ray.pipelines.decontam import scrub_dup_ngrams
+
+        single = (scrub_dup_ngrams(docs_ds, n=5).to_pandas()
+                  .sort_values("doc_id", ignore_index=True))
+        sharded = (scrub_dup_ngrams(docs_ds, n=5, driver_hot_grams_max=40)
+                   .to_pandas().sort_values("doc_id", ignore_index=True))
+        pd.testing.assert_frame_equal(sharded, single, check_like=True)
+        assert (single.n_removed > 0).any()  # the corpus has real dups
