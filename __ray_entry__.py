@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["split_by_cluster_documents"] = _split_by_cluster_documents
     out["vocab_stats_documents"] = _vocab_stats_documents
     out["jsonl_roundtrip_documents"] = _jsonl_roundtrip_documents
+    out["csv_roundtrip_documents"] = _csv_roundtrip_documents
     out["vector_mean_embeddings"] = _grouped_vector_mean
     out["length_bucket_batches_documents"] = _length_bucket_batches
     out["blocklist_filter_documents"] = _blocklist_filter_documents
@@ -4558,6 +4559,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, lang, source, n_chars FROM documents "
             "ORDER BY doc_id"
         ),
+        "csv_roundtrip_documents": (
+            # same losslessness proof for the CSV boundary
+            "SELECT doc_id, text, lang, source, n_chars FROM documents "
+            "ORDER BY doc_id"
+        ),
         "inverted_index_documents": (
             # distinct (term, doc) pairs, doc-ordered rank per term,
             # capped at 5 postings per term
@@ -5104,6 +5110,27 @@ def _jsonl_roundtrip_documents(sf_dir: str):
         write_jsonl(docs, d, min_rows_per_file=200)
         cols = ["doc_id", "text", "lang", "source", "n_chars"]
         df = read_jsonl(d).to_pandas()[cols]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def _csv_roundtrip_documents(sf_dir: str):
+    """CSV sink→source round trip: documents written as CSV and read back
+    must be value-identical (quoting preserves commas/quotes/newlines;
+    strings_can_be_null + quoted_strings_can_be_null=False keeps the
+    null-vs-empty-string split lossless).  Oracle: the original table."""
+    import shutil
+    import tempfile
+
+    from hooqu_ray.sources.io import read_csv, write_csv
+
+    docs = _read(sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="hooqu_csv_rt_")
+    try:
+        write_csv(docs, d, min_rows_per_file=200)
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        df = read_csv(d, columns=cols).to_pandas()[cols]
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return df.sort_values("doc_id", ignore_index=True)

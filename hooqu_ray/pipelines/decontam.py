@@ -19,7 +19,15 @@ the LLM-pipeline tier, like pipelines/dedup.py):
   distinct-gram rows produces the hot set; when the hot set outgrows a
   driver gate it is processed one hash shard at a time (per-shard
   broadcast probe emitting per-doc partial counts, folded by a final
-  ``groupby(doc_id)``) so the driver never holds more than one shard.
+  bucketed exchange over doc ids) so the driver never holds more than
+  one shard.
+- :func:`scrub_dup_ngrams` — the REMOVAL counterpart of
+  ``dup_ngram_stats`` (corpus-self duplicated-SPAN scrubbing, the
+  n-gram-bucket approximation of suffix-array substring dedup): token
+  positions covered by a hot n-gram are dropped and touched documents
+  are rebuilt from the surviving tokens; untouched documents pass
+  through byte-faithful.  Both ops share one hot-set pipeline
+  (:func:`_hot_gram_ds`) and one tokenize/hash/fold implementation.
 
 Both operators hash n-grams as a polynomial combine of per-token polars
 hashes (process-stable, see dedup._batch_token_hashes) — token volume

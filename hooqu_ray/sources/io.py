@@ -68,3 +68,35 @@ def write_jsonl(ds, out_dir: str, min_rows_per_file: int = 200_000):
     except TypeError:  # older Ray releases
         ds.write_json(out_dir, num_rows_per_file=min_rows_per_file)
     return out_dir
+
+
+def read_csv(path: str, columns: Optional[Sequence[str]] = None):
+    """``ray.data.read_csv`` hardened for text corpora — and configured so
+    the :func:`write_csv` round trip is LOSSLESS, null vs empty string
+    included: ``newlines_in_values`` accepts embedded newlines in quoted
+    fields, ``strings_can_be_null`` + ``quoted_strings_can_be_null=False``
+    map the writer's unquoted empty field back to null while a quoted
+    ``""`` stays the empty string.  ``columns`` prunes at the parse
+    (include_columns), not after."""
+    import pyarrow.csv as pcsv
+    import ray.data as rd
+
+    convert = pcsv.ConvertOptions(
+        strings_can_be_null=True, quoted_strings_can_be_null=False,
+        include_columns=list(columns) if columns is not None else None)
+    return rd.read_csv(
+        path,
+        parse_options=pcsv.ParseOptions(newlines_in_values=True),
+        convert_options=convert)
+
+
+def write_csv(ds, out_dir: str, min_rows_per_file: int = 200_000):
+    """Streaming CSV write (Arrow quoting: fields quoted when needed, so
+    commas/quotes/newlines survive; nulls become unquoted empty fields —
+    see :func:`read_csv` for the lossless read-back).  Bounded file sizes
+    like :func:`write_partitioned`."""
+    try:
+        ds.write_csv(out_dir, min_rows_per_file=min_rows_per_file)
+    except TypeError:  # older Ray releases
+        ds.write_csv(out_dir, num_rows_per_file=min_rows_per_file)
+    return out_dir

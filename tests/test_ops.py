@@ -703,6 +703,44 @@ class TestJsonlRoundtrip:
         assert back.equals(t.to_pandas())
 
 
+class TestCsvRoundtrip:
+    def test_lossless_adversarial(self, ray_session):
+        """CSV boundary must survive commas, quotes, embedded newlines,
+        unicode AND the null-vs-empty-string split (strings_can_be_null +
+        quoted_strings_can_be_null=False)."""
+        import shutil
+        import tempfile
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.sources.io import read_csv, write_csv
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                ['a "quoted"\nnewline,with,commas', "ünïcodé ✓", "",
+                 None, "plain"], pa.string()),
+            "score": pa.array([1.5, None, 0.0, 2.0, 3.0], pa.float64()),
+        })
+        d = tempfile.mkdtemp(prefix="hooqu_csv_test_")
+        try:
+            write_csv(rd.from_arrow(t), d, min_rows_per_file=2)
+            back = read_csv(d).to_pandas().sort_values(
+                "doc_id", ignore_index=True)[["doc_id", "text", "score"]]
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        pd.testing.assert_frame_equal(back, t.to_pandas())
+        # column pruning happens at the parse, not after
+        d2 = tempfile.mkdtemp(prefix="hooqu_csv_test2_")
+        try:
+            write_csv(rd.from_arrow(t), d2, min_rows_per_file=5)
+            slim = read_csv(d2, columns=["doc_id", "score"]).to_pandas()
+        finally:
+            shutil.rmtree(d2, ignore_errors=True)
+        assert sorted(slim.columns) == ["doc_id", "score"]
+
+
 class TestDupRateBySource:
     def test_cross_block_duplicates_counted(self, ray_session):
         import pyarrow as pa
