@@ -407,3 +407,57 @@ def test_fork_index_probe_two_node_cluster(tmp_path):
     )
     assert "FORKPROBE-MULTINODE-OK" in proc.stdout, (
         proc.stdout[-2000:], proc.stderr[-2000:])
+
+
+def test_scrub_dup_ngrams_two_node_cluster(tmp_path):
+    """Simulated 2-node cluster: scrub_dup_ngrams' bucketed gram-count
+    exchange and sharded hot-set broadcast must produce the same rewrite
+    when duplicate spans live on DIFFERENT nodes."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import os, sys
+        os.environ.pop("RAY_ADDRESS", None)
+        import ray
+        from ray.cluster_utils import Cluster
+        cluster = Cluster(initialize_head=True,
+                          head_node_args={"num_cpus": 2})
+        cluster.add_node(num_cpus=2)
+        ray.init(address=cluster.address,
+                 include_dashboard=False, log_to_driver=False)
+        assert len([n for n in ray.nodes() if n["Alive"]]) == 2, ray.nodes()
+        import pyarrow as pa
+        import ray.data as rd
+        from hooqu_ray.pipelines.decontam import scrub_dup_ngrams
+        span = "alpha beta gamma delta epsilon"
+        texts, ids = [], []
+        for i in range(2_000):
+            ids.append(i)
+            texts.append(f"{span} tail {i}" if i % 3 == 0
+                         else f"unique {i} body content words here")
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        ds = rd.from_arrow([t.slice(i, 100) for i in range(0, 2_000, 100)])
+        out = (scrub_dup_ngrams(ds, n=5, driver_hot_grams_max=10)
+               .to_pandas().sort_values("doc_id", ignore_index=True))
+        dup = out[out.doc_id % 3 == 0]
+        # "<span> tail {i}": the 5-gram span AND the shifted
+        # "beta..epsilon tail" gram are both corpus-hot -> 6 covered
+        # tokens, only the unique id survives
+        assert (dup.n_removed == 6).all(), dup.n_removed.value_counts()
+        assert (dup.text == dup.doc_id.astype(str)).all()
+        clean = out[out.doc_id % 3 != 0]
+        assert (clean.n_removed == 0).all()
+        ray.shutdown()
+        cluster.shutdown()
+        print("SCRUB-MULTINODE-OK", len(out))
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=600, cwd="/root/repo",
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert "SCRUB-MULTINODE-OK" in proc.stdout, (
+        proc.stdout[-2000:], proc.stderr[-4000:])
