@@ -5094,46 +5094,50 @@ def _quantize_int8_embeddings(sf_dir: str):
     return out.sort_values(["vec_id", "pos"], ignore_index=True)
 
 
-def _jsonl_roundtrip_documents(sf_dir: str):
-    """JSONL sink→source round trip: documents written as JSONL and read
-    back must be value-identical (unicode, quotes, newlines, empty
-    strings).  Oracle: the original table — a value-hash match proves the
-    boundary is lossless."""
+def _roundtrip_documents(sf_dir: str, write_fn, read_back, prefix: str):
+    """Shared sink→source round-trip scaffold: documents written through a
+    boundary and read back must be value-identical — a value-hash match
+    against the original table (the oracle) proves the boundary is
+    lossless.  ``read_back(dir, cols)`` returns the re-read DataFrame."""
     import shutil
     import tempfile
 
-    from hooqu_ray.sources.io import read_jsonl, write_jsonl
-
     docs = _read(sf_dir, "documents")
-    d = tempfile.mkdtemp(prefix="hooqu_jsonl_rt_")
+    d = tempfile.mkdtemp(prefix=prefix)
     try:
-        write_jsonl(docs, d, min_rows_per_file=200)
+        write_fn(docs, d, min_rows_per_file=200)
         cols = ["doc_id", "text", "lang", "source", "n_chars"]
-        df = read_jsonl(d).to_pandas()[cols]
+        df = read_back(d, cols)[cols]
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return df.sort_values("doc_id", ignore_index=True)
+
+
+def _jsonl_roundtrip_documents(sf_dir: str):
+    """JSONL boundary (unicode, quotes, newlines, empty strings)."""
+    from hooqu_ray.sources.io import read_jsonl, write_jsonl
+
+    return _roundtrip_documents(
+        sf_dir, write_jsonl,
+        lambda d, cols: read_jsonl(d).to_pandas(), "hooqu_jsonl_rt_")
 
 
 def _csv_roundtrip_documents(sf_dir: str):
-    """CSV sink→source round trip: documents written as CSV and read back
-    must be value-identical (quoting preserves commas/quotes/newlines;
-    strings_can_be_null + quoted_strings_can_be_null=False keeps the
-    null-vs-empty-string split lossless).  Oracle: the original table."""
-    import shutil
-    import tempfile
-
+    """CSV boundary (quoting preserves commas/quotes/newlines; the typed
+    read pins dtypes so numeric-looking strings survive inference; the
+    null-vs-empty-string split stays exact)."""
     from hooqu_ray.sources.io import read_csv, write_csv
 
-    docs = _read(sf_dir, "documents")
-    d = tempfile.mkdtemp(prefix="hooqu_csv_rt_")
-    try:
-        write_csv(docs, d, min_rows_per_file=200)
-        cols = ["doc_id", "text", "lang", "source", "n_chars"]
-        df = read_csv(d, columns=cols).to_pandas()[cols]
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return df.sort_values("doc_id", ignore_index=True)
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("lang", pa.string()), ("source", pa.string()),
+        ("n_chars", pa.int64())])
+
+    return _roundtrip_documents(
+        sf_dir, write_csv,
+        lambda d, cols: read_csv(d, columns=cols,
+                                 schema=schema).to_pandas(),
+        "hooqu_csv_rt_")
 
 
 def _inverted_index_documents(sf_dir: str):

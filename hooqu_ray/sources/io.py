@@ -70,23 +70,36 @@ def write_jsonl(ds, out_dir: str, min_rows_per_file: int = 200_000):
     return out_dir
 
 
-def read_csv(path: str, columns: Optional[Sequence[str]] = None):
+def read_csv(path: str, columns: Optional[Sequence[str]] = None,
+             schema=None):
     """``ray.data.read_csv`` hardened for text corpora — and configured so
-    the :func:`write_csv` round trip is LOSSLESS, null vs empty string
-    included: ``newlines_in_values`` accepts embedded newlines in quoted
-    fields, ``strings_can_be_null`` + ``quoted_strings_can_be_null=False``
-    map the writer's unquoted empty field back to null while a quoted
-    ``""`` stays the empty string.  ``columns`` prunes at the parse
-    (include_columns), not after."""
+    the :func:`write_csv` round trip is LOSSLESS: ``newlines_in_values``
+    accepts embedded newlines in quoted fields; ``strings_can_be_null`` +
+    ``quoted_strings_can_be_null=False`` map the writer's unquoted empty
+    field back to null while a quoted ``""`` stays the empty string;
+    ``null_values=[""]`` keeps float ``nan`` text as NaN (CSV default
+    null-word lists would fold it into null); ``ignore_empty_lines=False``
+    keeps single-column null rows (they render as blank lines).
+
+    Pass ``schema`` (a ``pyarrow.Schema``) whenever the column types are
+    known — CSV type INFERENCE re-types numeric-looking strings
+    (``"00456"`` → int64 456), locks types from the first block of the
+    streaming reader (later non-conforming values raise mid-read), and
+    infers Arrow ``null`` for all-null columns (mixed per-file schemas).
+    ``columns`` prunes at the parse (include_columns), not after."""
     import pyarrow.csv as pcsv
     import ray.data as rd
 
     convert = pcsv.ConvertOptions(
         strings_can_be_null=True, quoted_strings_can_be_null=False,
+        null_values=[""],
+        column_types=(dict(zip(schema.names, schema.types))
+                      if schema is not None else None),
         include_columns=list(columns) if columns is not None else None)
     return rd.read_csv(
         path,
-        parse_options=pcsv.ParseOptions(newlines_in_values=True),
+        parse_options=pcsv.ParseOptions(newlines_in_values=True,
+                                        ignore_empty_lines=False),
         convert_options=convert)
 
 

@@ -717,20 +717,34 @@ class TestCsvRoundtrip:
         from hooqu_ray.sources.io import read_csv, write_csv
 
         t = pa.table({
-            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
             "text": pa.array(
                 ['a "quoted"\nnewline,with,commas', "ünïcodé ✓", "",
-                 None, "plain"], pa.string()),
-            "score": pa.array([1.5, None, 0.0, 2.0, 3.0], pa.float64()),
+                 None, "plain", "00456", None], pa.string()),
+            "score": pa.array([1.5, None, 0.0, 2.0, 3.0, np.nan, 4.0],
+                              pa.float64()),
         })
         d = tempfile.mkdtemp(prefix="hooqu_csv_test_")
         try:
             write_csv(rd.from_arrow(t), d, min_rows_per_file=2)
-            back = read_csv(d).to_pandas().sort_values(
+            back = read_csv(d, schema=t.schema).to_pandas().sort_values(
                 "doc_id", ignore_index=True)[["doc_id", "text", "score"]]
         finally:
             shutil.rmtree(d, ignore_errors=True)
+        # typed read: "00456" keeps its leading zeros AND stays a string;
+        # NaN stays NaN (distinct from null); null text stays null
         pd.testing.assert_frame_equal(back, t.to_pandas())
+        # single-column null rows render as blank lines — they must NOT
+        # be dropped (ignore_empty_lines=False)
+        t1 = pa.table({"score": pa.array([np.nan, 1.5, None], pa.float64())})
+        d1 = tempfile.mkdtemp(prefix="hooqu_csv_test1_")
+        try:
+            write_csv(rd.from_arrow(t1), d1, min_rows_per_file=5)
+            back1 = read_csv(d1, schema=t1.schema).to_pandas()
+        finally:
+            shutil.rmtree(d1, ignore_errors=True)
+        assert len(back1) == 3
+        assert np.isnan(back1.score[0]) and pd.isna(back1.score[2])
         # column pruning happens at the parse, not after
         d2 = tempfile.mkdtemp(prefix="hooqu_csv_test2_")
         try:

@@ -440,7 +440,9 @@ def test_scrub_dup_ngrams_two_node_cluster(tmp_path):
         t = pa.table({"doc_id": pa.array(ids, pa.int64()),
                       "text": pa.array(texts, pa.string())})
         ds = rd.from_arrow([t.slice(i, 100) for i in range(0, 2_000, 100)])
-        out = (scrub_dup_ngrams(ds, n=5, driver_hot_grams_max=10)
+        # driver_hot_grams_max=1 forces the hot set (2 grams) into TWO
+        # hash-range shards, so the cross-shard OR-union actually runs
+        out = (scrub_dup_ngrams(ds, n=5, driver_hot_grams_max=1)
                .to_pandas().sort_values("doc_id", ignore_index=True))
         dup = out[out.doc_id % 3 == 0]
         # "<span> tail {i}": the 5-gram span AND the shifted
