@@ -305,6 +305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["full_join_orders_customer"] = _full_join_orders_customer
     out["running_sum_events"] = _running_sum_events
     out["lag_delta_events"] = _lag_delta_events
+    out["lag2_delta_events"] = (
+        lambda sf_dir: _lag_delta_events(sf_dir, periods=2))
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
@@ -312,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["pack_texts_documents"] = _pack_texts_documents
     out["mix_sources_documents"] = _mix_sources_documents
     out["json_field_events"] = _json_field_events
+    out["regex_extract_documents"] = _regex_extract_documents
     out["explode_embeddings"] = _explode_embeddings
     out["rollup_events_type_day"] = _rollup_events_type_day
     out["cohort_retention_events"] = _cohort_retention_events
@@ -4559,6 +4562,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, lang, source, n_chars FROM documents "
             "ORDER BY doc_id"
         ),
+        "regex_extract_documents": (
+            # same RE2 pattern string on both engines (CLAUDE.md parity);
+            # DuckDB counts the named group positionally as group 1
+            "SELECT doc_id, regexp_extract(text, '(?P<w>[a-z]{7,})', 1) "
+            "AS w FROM documents ORDER BY doc_id"
+        ),
         "csv_roundtrip_documents": (
             # same losslessness proof for the CSV boundary
             "SELECT doc_id, text, lang, source, n_chars FROM documents "
@@ -4721,6 +4730,13 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) "
             "AS prev_value, "
             "ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) "
+            "AS delta FROM events ORDER BY event_id"
+        ),
+        "lag2_delta_events": (
+            "SELECT event_id, "
+            "ROUND(LAG(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) "
+            "AS prev_value, "
+            "ROUND(value - LAG(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) "
             "AS delta FROM events ORDER BY event_id"
         ),
         # multimodal fixtures are real BMP/WAV/HQV1 payloads whose decoded
@@ -5140,6 +5156,17 @@ def _csv_roundtrip_documents(sf_dir: str):
         "hooqu_csv_rt_")
 
 
+def _regex_extract_documents(sf_dir: str):
+    """Regex field extraction (functions/strings.regex_extract): first
+    7+-letter word in each document, DuckDB regexp_extract parity — rows
+    without a match carry '' (both cases occur at sf0.01)."""
+    from hooqu_ray.functions.strings import regex_extract
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = regex_extract(ds, "text", r"(?P<w>[a-z]{7,})").to_pandas()
+    return out[["doc_id", "w"]].sort_values("doc_id", ignore_index=True)
+
+
 def _inverted_index_documents(sf_dir: str):
     """Capped inverted-index postings (term, rank, doc_id); cap at 5 so
     the truncation path is exercised on corpus-frequent terms."""
@@ -5295,13 +5322,15 @@ def _psi_drift_events(sf_dir: str):
     return df.sort_values("bucket", ignore_index=True)
 
 
-def _lag_delta_events(sf_dir: str):
-    """Per-user LAG(value) + delta in (ts, event_id) order — exact parity
-    with the SQL LAG window, rounded to 6 decimals on both sides."""
+def _lag_delta_events(sf_dir: str, periods: int = 1):
+    """Per-user LAG(value, periods) + delta in (ts, event_id) order —
+    exact parity with the SQL LAG window, rounded to 6 decimals on both
+    sides."""
     from hooqu_ray.pipelines.windows import lag_delta
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-    df = lag_delta(ds, "user_id", "ts", "event_id", "value").to_pandas()
+    df = lag_delta(ds, "user_id", "ts", "event_id", "value",
+                   periods=periods).to_pandas()
     df = df[["event_id", "prev_value", "delta"]]
     df["prev_value"] = df["prev_value"].round(6)
     df["delta"] = df["delta"].round(6)

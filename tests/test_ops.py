@@ -867,3 +867,33 @@ class TestDedupLinesWithinDoc:
             "doc_id", ignore_index=True)
         pd.testing.assert_frame_equal(got[["doc_id", "text"]],
                                       exp[["doc_id", "text"]])
+
+
+class TestRegexExtract:
+    def test_duckdb_parity_and_validation(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+
+        from hooqu_ray.functions.strings import regex_extract
+
+        t = pa.table({
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "s": pa.array(["order 42 of 77", "no digits here", None, "9"],
+                          pa.string()),
+        })
+        got = (regex_extract(rd.from_arrow(t), "s", r"(?P<num>[0-9]+)")
+               .to_pandas().sort_values("id", ignore_index=True))
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.execute(
+            "SELECT id, regexp_extract(s, '(?P<num>[0-9]+)', 1) AS num "
+            "FROM t ORDER BY id").df()
+        # DuckDB returns NULL input as null, no-match as ''
+        assert got["num"].tolist()[:2] == exp["num"].tolist()[:2] == ["42", ""]
+        assert pd.isna(got["num"][2]) and pd.isna(exp["num"][2])
+        assert got["num"][3] == "9"
+        with pytest.raises(ValueError, match="ONE named group"):
+            regex_extract(rd.from_arrow(t), "s", "([0-9]+)")
+        with pytest.raises(ValueError, match="RE2-compatible"):
+            regex_extract(rd.from_arrow(t), "s", r"(?P<x>a)\1")
