@@ -231,6 +231,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # greatest()/least() element-wise extremes (functions/expr.py
         # _func_call): DuckDB NULL-identity semantics, literal mixing,
         # composition — NaN-free columns so both sides agree exactly
+        # schema-check tier (driver-side, zero data passes): the oracle
+        # derives the SAME property independently from DuckDB's view of
+        # the identical parquet (DESCRIBE / typeof)
+        "schema_column_exists": (
+            lambda: hq.ColumnExists("l_quantity"),
+            "col_ok", "lineitem", ["l_quantity"]),
+        "schema_dtype_numeric": (
+            lambda: hq.ColumnDtype("l_quantity", "numeric"),
+            "dtype_ok", "lineitem", ["l_quantity"]),
+        "schema_dtype_not_string": (
+            lambda: hq.ColumnDtype("l_quantity", "string"),
+            "is_str", "lineitem", ["l_quantity"]),
         "greatest_least_compliance": (
             lambda: hq.Compliance(
                 "clamped",
@@ -2838,6 +2850,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ROUND(CAST(sum(CASE WHEN COALESCE(CASE WHEN l_discount > 0.05 "
             "THEN l_extendedprice * (1 - l_discount) ELSE NULL END, 0.0) > 20000 "
             "THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS frac3 FROM lineitem"
+        ),
+        "schema_column_exists": (
+            "SELECT CAST((SELECT count(*) FROM (DESCRIBE lineitem) "
+            "WHERE column_name = 'l_quantity') AS DOUBLE) AS col_ok"
+        ),
+        "schema_dtype_numeric": (
+            "SELECT CAST(CASE WHEN lower(typeof(l_quantity)) IN "
+            "('tinyint','smallint','integer','bigint','hugeint','float',"
+            "'double') OR lower(typeof(l_quantity)) LIKE 'decimal%' "
+            "THEN 1.0 ELSE 0.0 END AS DOUBLE) AS dtype_ok "
+            "FROM lineitem LIMIT 1"
+        ),
+        "schema_dtype_not_string": (
+            "SELECT CAST(CASE WHEN lower(typeof(l_quantity)) = 'varchar' "
+            "THEN 1.0 ELSE 0.0 END AS DOUBLE) AS is_str FROM lineitem LIMIT 1"
         ),
         "greatest_least_compliance": (
             "SELECT ROUND(CAST(sum(CASE WHEN "

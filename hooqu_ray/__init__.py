@@ -18,6 +18,7 @@ from .analyzers.grouping import (
     Uniqueness,
 )
 from .analyzers.quantile import Quantile
+from .analyzers.schema_checks import ColumnDtype, ColumnExists
 from .analyzers.scan import (
     Completeness,
     Compliance,
@@ -58,6 +59,8 @@ __all__ = [
     "Distinctness",
     "DoubleMetric",
     "Entity",
+    "ColumnDtype",
+    "ColumnExists",
     "Entropy",
     "Failure",
     "GroupingAnalyzer",

@@ -113,6 +113,27 @@ class Check:
 
     # -- constraint builders (reference: checks.py:114-685) -----------------
 
+    def has_column(self, column: str, hint: Optional[str] = None):
+        """Schema check (Deequ hasColumn): the column must exist — resolved
+        on the driver from Dataset.schema(), zero data passes."""
+        from .analyzers.schema_checks import ColumnExists
+
+        return self.add_constraint(named_analysis_constraint(
+            "ColumnExists", ColumnExists(column), is_one, hint))
+
+    def has_dtype(self, column: str, kind: str,
+                  assertion: Assertion = None,
+                  hint: Optional[str] = None):
+        """Schema check (Deequ hasDataType): the column's Arrow type must
+        belong to ``kind`` (numeric/integer/floating/string/boolean/
+        temporal/binary/list).  Default assertion: it does (metric 1.0).
+        Driver-side, zero data passes."""
+        from .analyzers.schema_checks import ColumnDtype
+
+        return self.add_constraint(named_analysis_constraint(
+            "ColumnDtype", ColumnDtype(column, kind),
+            assertion if assertion is not None else is_one, hint))
+
     def has_size(self, assertion: Assertion, hint: Optional[str] = None):
         return self._add_filterable(
             lambda f: named_analysis_constraint("Size", Size(f), assertion, hint)

@@ -514,6 +514,13 @@ def do_analysis_run(
     grouping_analyzers = [a for a in passed if isinstance(a, GroupingAnalyzer)]
     quantile_analyzers = [a for a in passed if isinstance(a, Quantile)]
 
+    # schema-level analyzers resolve on the driver, zero data passes
+    from .analyzers.schema_checks import SchemaAnalyzer
+
+    for a in passed:
+        if isinstance(a, SchemaAnalyzer):
+            metrics[a] = a.metric_from_schema(schema)
+
     # -- shared scan (scan analyzers + quantile profiles ride together) -----
     entries: List[Tuple[Optional[str], Any]] = []
     slot_of_scan: Dict[int, Analyzer] = {}

@@ -1,11 +1,13 @@
 """Check-builder goldens, mirroring /root/reference/hooqu/tests/test_check.py."""
 
 import pandas as pd
+import pytest
 
 import hooqu_ray as hq
 from hooqu_ray.checks import Check, CheckLevel, CheckStatus, is_one
 from hooqu_ray.constraints import ConstraintStatus
 from hooqu_ray.runner import do_analysis_run
+from hooqu_ray.verification import VerificationSuite
 
 
 def run_checks(data, *checks):
@@ -232,3 +234,54 @@ class TestPatternChecks:
         )
         ctx = run_checks(df, check)
         assert status_of(check, ctx) == CheckStatus.SUCCESS
+
+
+class TestSchemaChecks:
+    """has_column / has_dtype: driver-side schema constraints (Deequ
+    hasColumn / hasDataType — beyond the reference, which only uses
+    schema as analyzer preconditions)."""
+
+    def test_builders_on_pandas(self):
+        df = pd.DataFrame({"a": [1.5, 2.0], "s": ["x", "y"],
+                           "b": [True, False]})
+        check = (Check(CheckLevel.ERROR, "schema")
+                 .has_column("a")
+                 .has_dtype("a", "numeric")
+                 .has_dtype("a", "floating")
+                 .has_dtype("s", "string")
+                 .has_dtype("b", "boolean")
+                 .has_dtype("s", "numeric", assertion=lambda v: v == 0.0))
+        result = VerificationSuite().on_data(df).add_check(check).run()
+        assert result.status == CheckStatus.SUCCESS
+
+    def test_failures_and_preconditions(self):
+        df = pd.DataFrame({"a": [1, 2]})
+        check = (Check(CheckLevel.ERROR, "schema-bad")
+                 .has_column("missing")          # metric 0.0 -> fails
+                 .has_dtype("a", "string"))      # wrong kind -> fails
+        result = VerificationSuite().on_data(df).add_check(check).run()
+        assert result.status == CheckStatus.ERROR
+        statuses = [c.status for cr in result.check_results.values()
+                    for c in cr.constraint_results]
+        assert all(s == ConstraintStatus.FAILURE for s in statuses)
+        # missing column on has_dtype is a Failure METRIC (precondition),
+        # like every other column analyzer
+        check2 = Check(CheckLevel.ERROR, "pre").has_dtype("zz", "numeric")
+        r2 = VerificationSuite().on_data(df).add_check(check2).run()
+        cr = list(r2.check_results.values())[0].constraint_results[0]
+        assert cr.status == ConstraintStatus.FAILURE
+        assert "does not include column" in (cr.message or "")
+
+    def test_unknown_kind_raises(self):
+        with pytest.raises(ValueError, match="unknown dtype kind"):
+            Check(CheckLevel.ERROR, "x").has_dtype("a", "floatish")
+
+    def test_on_ray_dataset(self, ray_session):
+        import ray.data as rd
+        df = pd.DataFrame({"v": [1.0, 2.0], "t": ["a", "b"]})
+        check = (Check(CheckLevel.ERROR, "schema-ray")
+                 .has_column("v").has_dtype("v", "numeric")
+                 .has_dtype("t", "string"))
+        result = (VerificationSuite().on_data(rd.from_pandas(df))
+                  .add_check(check).run())
+        assert result.status == CheckStatus.SUCCESS
