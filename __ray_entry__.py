@@ -2857,8 +2857,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "schema_dtype_numeric": (
             "SELECT CAST(CASE WHEN lower(typeof(l_quantity)) IN "
-            "('tinyint','smallint','integer','bigint','hugeint','float',"
-            "'double') OR lower(typeof(l_quantity)) LIKE 'decimal%' "
+            "('tinyint','smallint','integer','bigint','hugeint','utinyint',"
+            "'usmallint','uinteger','ubigint','float','double') "
+            "OR lower(typeof(l_quantity)) LIKE 'decimal%' "
             "THEN 1.0 ELSE 0.0 END AS DOUBLE) AS dtype_ok "
             "FROM lineitem LIMIT 1"
         ),

@@ -38,6 +38,15 @@ def regex_extract(ds, col: str, pattern: str,
             "regex_extract needs exactly ONE named group (?P<name>...) "
             f"in the pattern, found {len(names)}: {pattern!r}")
     gname = names[0]
+    try:  # Arrow's extract_regex rejects UNNAMED capture groups
+        rx = re.compile(pattern)
+        if rx.groups > len(rx.groupindex):
+            raise ValueError(
+                "regex_extract: Arrow's extract_regex supports NAMED "
+                "groups only — make extra groups non-capturing (?:...) "
+                f"or named: {pattern!r}")
+    except re.error:
+        pass  # RE2-only syntax; the probe below is authoritative
     try:  # RE2 probe (non-empty array — CLAUDE.md gotcha)
         pc.extract_regex(pa.array(["probe"]), pattern=pattern)
     except pa.ArrowInvalid as ex:
@@ -46,9 +55,11 @@ def regex_extract(ds, col: str, pattern: str,
     name = out_col or gname
 
     def stamp(t: pa.Table) -> pa.Table:
+        if name in t.column_names:
+            raise ValueError(
+                f"regex_extract output column {name!r} already exists — "
+                "pass out_col to rename")
         src = t.column(col)
-        if isinstance(src, pa.ChunkedArray):
-            src = src.combine_chunks()
         ext = pc.extract_regex(pc.fill_null(src, ""), pattern=pattern)
         vals = pc.fill_null(pc.struct_field(ext, gname), "")
         vals = pc.if_else(pc.is_valid(src), vals,

@@ -897,3 +897,11 @@ class TestRegexExtract:
             regex_extract(rd.from_arrow(t), "s", "([0-9]+)")
         with pytest.raises(ValueError, match="RE2-compatible"):
             regex_extract(rd.from_arrow(t), "s", r"(?P<x>a)\1")
+        # a valid RE2 pattern with an extra UNNAMED group gets the real
+        # diagnosis, not a bogus "not RE2-compatible"
+        with pytest.raises(ValueError, match="NAMED groups only"):
+            regex_extract(rd.from_arrow(t), "s", r"(?P<w>[a-z]+)([0-9]+)")
+        # output-name collision raises instead of duplicating the column
+        with pytest.raises(Exception, match="already exists"):
+            regex_extract(rd.from_arrow(t), "s",
+                          r"(?P<s>[a-z]+)").to_pandas()
