@@ -150,3 +150,41 @@ def test_tree_fallback_rides_bucketed_exchange(ray_session):
     pd.testing.assert_frame_equal(
         out.sort_values("k").reset_index(drop=True),
         exp.sort_values("k").reset_index(drop=True), check_like=True)
+
+
+def test_hypothesis_differential_vs_pandas(ray_session):
+    """Hypothesis differential: random key/value tables (string + int keys,
+    nulls, skew, tiny and multi-block inputs) folded by the bucketed
+    exchange must equal pandas groupby(dropna=False) for every func mix."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 400),
+        nkeys=st.integers(1, 50),
+        seed=st.integers(0, 10_000),
+        funcs=st.lists(st.sampled_from(["sum", "min", "max"]),
+                       min_size=1, max_size=2),
+        blocks=st.integers(1, 6),
+    )
+    def prop(n, nkeys, seed, funcs, blocks):
+        rng = np.random.default_rng(seed)
+        keys = np.array([f"k{i}" for i in rng.integers(0, nkeys, n)],
+                        dtype=object)
+        keys[rng.random(n) < 0.1] = None  # null keys are their own group
+        df = pd.DataFrame({"k": keys})
+        cols = [f"v{j}" for j in range(len(funcs))]
+        for c in cols:
+            df[c] = rng.integers(-100, 100, n)
+        ds = rd.from_pandas(df).repartition(blocks)
+        got = (bucketed_group_fold(ds, ["k"], cols, funcs=funcs)
+               .to_pandas().sort_values("k", ignore_index=True,
+                                        na_position="last"))
+        exp = (df.groupby("k", dropna=False, as_index=False)
+               .agg({c: f for c, f in zip(cols, funcs)})
+               .sort_values("k", ignore_index=True, na_position="last"))
+        pd.testing.assert_frame_equal(got, exp, check_like=True,
+                                      check_dtype=False)
+
+    prop()
