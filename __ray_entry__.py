@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["lag_delta_events"] = _lag_delta_events
     out["lag2_delta_events"] = (
         lambda sf_dir: _lag_delta_events(sf_dir, periods=2))
+    out["lead_delta_events"] = _lead_delta_events
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
@@ -4767,6 +4768,13 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(value - LAG(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) "
             "AS delta FROM events ORDER BY event_id"
         ),
+        "lead_delta_events": (
+            "SELECT event_id, "
+            "ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) "
+            "AS next_value, "
+            "ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value, 6) "
+            "AS delta FROM events ORDER BY event_id"
+        ),
         # multimodal fixtures are real BMP/WAV/HQV1 payloads whose decoded
         # metrics are closed-form in the id (synth_*_params in
         # pipelines/multimodal.py); every double below is a dyadic rational,
@@ -5361,6 +5369,22 @@ def _lag_delta_events(sf_dir: str, periods: int = 1):
                    periods=periods).to_pandas()
     df = df[["event_id", "prev_value", "delta"]]
     df["prev_value"] = df["prev_value"].round(6)
+    df["delta"] = df["delta"].round(6)
+    df["event_id"] = df["event_id"].astype("int64")
+    return df.sort_values("event_id", ignore_index=True)
+
+
+def _lead_delta_events(sf_dir: str, periods: int = 1):
+    """Per-user LEAD(value, periods) + forward delta in (ts, event_id)
+    order — exact parity with the SQL LEAD window, rounded to 6 decimals
+    on both sides."""
+    from hooqu_ray.pipelines.windows import lead_delta
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    df = lead_delta(ds, "user_id", "ts", "event_id", "value",
+                    periods=periods).to_pandas()
+    df = df[["event_id", "next_value", "delta"]]
+    df["next_value"] = df["next_value"].round(6)
     df["delta"] = df["delta"].round(6)
     df["event_id"] = df["event_id"].astype("int64")
     return df.sort_values("event_id", ignore_index=True)

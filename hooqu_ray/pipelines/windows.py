@@ -526,19 +526,24 @@ def running_agg(ds, key: str, ts_col: str, tie: str, value_col: str):
 
 
 def _lag_block(t: pa.Table, key: str, value_col: str, periods: int,
-               emit: str) -> pa.Table:
-    """One vectorized pass over a (key, ts, tie)-sorted block for LAG.
+               emit: str, forward: bool = False) -> pa.Table:
+    """One vectorized pass over a (key, ts, tie)-sorted block for LAG
+    (``forward=False``) or LEAD (``forward=True`` — the block is then
+    sorted ts/tie-DESCENDING within each key, so the positional
+    predecessor is the logical successor; the output column becomes
+    ``next_value`` and the delta flips to ``next − v``).
 
     ``emit='finals'``: rows with their in-block predecessor resolved (the
     first ``periods`` rows of the block's FIRST key are pending — their
     predecessor may sit in the previous block).  ``emit='pendctx'``: those
     pending rows (``__emit`` true) plus the last ``periods`` rows of the
     block's LAST key as context (``__emit`` false)."""
+    out_col = "next_value" if forward else "prev_value"
     n = len(t)
     if n == 0:
         if emit == "finals":
             return t.append_column(
-                "prev_value", pa.array([], pa.float64())
+                out_col, pa.array([], pa.float64())
             ).append_column("delta", pa.array([], pa.float64()))
         return t.append_column("__emit", pa.array([], pa.bool_()))
     keys = t.column(key).to_numpy(zero_copy_only=False)
@@ -560,39 +565,46 @@ def _lag_block(t: pa.Table, key: str, value_col: str, periods: int,
     src = arange - periods
     ok = src >= run_start
     prev = np.where(ok, vals[np.maximum(src, 0)], np.nan)
+    delta = (prev - vals) if forward else (vals - prev)
     final = ~pending
     sub = t.filter(pa.array(final))
     prev_a = pa.array(prev[final], pa.float64(), from_pandas=True)
-    return sub.append_column("prev_value", prev_a).append_column(
-        "delta", pa.array((vals - prev)[final], pa.float64(), from_pandas=True)
+    return sub.append_column(out_col, prev_a).append_column(
+        "delta", pa.array(delta[final], pa.float64(), from_pandas=True)
     )
 
 
 class _MergeBoundaryLag:
     """groupby(key) repair: order one boundary key's pending + context rows
-    and re-resolve the lag over the group, emitting only pending rows."""
+    and re-resolve the lag (or lead, ``forward=True``) over the group,
+    emitting only pending rows."""
 
-    def __init__(self, ts_col: str, tie: str, value_col: str, periods: int):
+    def __init__(self, ts_col: str, tie: str, value_col: str, periods: int,
+                 forward: bool = False):
         self.ts_col = ts_col
         self.tie = tie
         self.value_col = value_col
         self.periods = periods
+        self.forward = forward
 
     def __call__(self, g: pa.Table) -> pa.Table:
-        g = g.sort_by([(self.ts_col, "ascending"), (self.tie, "ascending")])
+        order = "descending" if self.forward else "ascending"
+        g = g.sort_by([(self.ts_col, order), (self.tie, order)])
         vals = g.column(self.value_col).to_numpy(zero_copy_only=False).astype(
             np.float64, copy=False
         )
         n = len(g)
         src = np.arange(n, dtype=np.int64) - self.periods
         prev = np.where(src >= 0, vals[np.maximum(src, 0)], np.nan)
+        delta = (prev - vals) if self.forward else (vals - prev)
         emit = g.column("__emit").to_numpy(zero_copy_only=False)
         sub = g.filter(pa.array(emit)).drop_columns(["__emit"])
+        out_col = "next_value" if self.forward else "prev_value"
         return sub.append_column(
-            "prev_value", pa.array(prev[emit], pa.float64(), from_pandas=True)
+            out_col, pa.array(prev[emit], pa.float64(), from_pandas=True)
         ).append_column(
             "delta",
-            pa.array((vals - prev)[emit], pa.float64(), from_pandas=True),
+            pa.array(delta[emit], pa.float64(), from_pandas=True),
         )
 
 
@@ -610,8 +622,37 @@ def lag_delta(ds, key: str, ts_col: str, tie: str, value_col: str,
     and ``delta`` (SQL LAG default).  Rows with a null key or ts are
     dropped; ``tie`` must be unique per key.  Returns
     ``[key, ts_col, tie, value_col, prev_value, delta]``."""
+    return _lag_lead_scaffold(ds, key, ts_col, tie, value_col, periods,
+                              forward=False)
+
+
+def lead_delta(ds, key: str, ts_col: str, tie: str, value_col: str,
+               periods: int = 1):
+    """Per-key LEAD + forward delta — SQL ``LEAD(v, periods) OVER
+    (PARTITION BY key ORDER BY ts, tie)`` and ``LEAD(v, periods) − v`` —
+    "what happens next": next-event values, time-to-next deltas,
+    look-ahead labels for sequence models.
+
+    Exactly the :func:`lag_delta` machinery run over the REVERSED
+    per-key order: the one range sort is ``sort([key, ts DESC, tie
+    DESC])``, under which each row's positional predecessor is its
+    logical successor, so the same vectorized shift + O(#blocks)
+    boundary repair apply unchanged (the repair re-sorts its ≤
+    2·periods-row groups descending).  The last ``periods`` rows of each
+    key get null ``next_value``/``delta`` (SQL LEAD default).  Rows with
+    a null key or ts are dropped; ``tie`` must be unique per key.
+    Returns ``[key, ts_col, tie, value_col, next_value, delta]`` with
+    ``delta = next_value − value``."""
+    return _lag_lead_scaffold(ds, key, ts_col, tie, value_col, periods,
+                              forward=True)
+
+
+def _lag_lead_scaffold(ds, key: str, ts_col: str, tie: str, value_col: str,
+                       periods: int, forward: bool):
     if periods < 1:
-        raise ValueError(f"lag_delta: periods must be ≥ 1, got {periods}")
+        raise ValueError(
+            f"{'lead' if forward else 'lag'}_delta: periods must be ≥ 1, "
+            f"got {periods}")
 
     def project(t: pa.Table) -> pa.Table:
         mask = pc.and_(pc.is_valid(t.column(key)), pc.is_valid(t.column(ts_col)))
@@ -619,18 +660,19 @@ def lag_delta(ds, key: str, ts_col: str, tie: str, value_col: str,
 
     sorted_ds = (
         ds.map_batches(project, batch_format="pyarrow")
-        .sort([key, ts_col, tie])
+        .sort([key, ts_col, tie],
+              descending=[False, forward, forward])
         .materialize()  # shared by the two block passes
     )
     finals = sorted_ds.map_batches(
-        lambda t: _lag_block(t, key, value_col, periods, "finals"),
+        lambda t: _lag_block(t, key, value_col, periods, "finals", forward),
         batch_format="pyarrow", batch_size=None,
     )
     pendctx = sorted_ds.map_batches(
-        lambda t: _lag_block(t, key, value_col, periods, "pendctx"),
+        lambda t: _lag_block(t, key, value_col, periods, "pendctx", forward),
         batch_format="pyarrow", batch_size=None,
     )
-    merge = _MergeBoundaryLag(ts_col, tie, value_col, periods)
+    merge = _MergeBoundaryLag(ts_col, tie, value_col, periods, forward)
     merged = pendctx.groupby(key).map_groups(
         lambda g, _m=merge: _m(g), batch_format="pyarrow"
     )

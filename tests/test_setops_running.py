@@ -520,6 +520,59 @@ class TestLagDelta:
             lag_delta(d, "k", "ts", "id", "v", periods=0)
 
 
+class TestLeadDelta:
+    def test_matches_sql_lead(self, ray_session, events):
+        import ray.data as rd
+        from hooqu_ray.pipelines.windows import lead_delta
+
+        con = duckdb.connect()
+        con.register("t", events)
+        for p in (1, 3):
+            got = lead_delta(
+                rd.from_pandas(events).repartition(7), "k", "ts", "id", "v",
+                periods=p,
+            ).to_pandas().sort_values(["k", "ts", "id"], ignore_index=True)
+            exp = con.execute(
+                f"""SELECT k, ts, id,
+                    LEAD(v, {p}) OVER (PARTITION BY k ORDER BY ts, id) AS nv,
+                    LEAD(v, {p}) OVER (PARTITION BY k ORDER BY ts, id) - v AS d
+                    FROM t ORDER BY k, ts, id"""
+            ).df()
+            assert len(got) == len(exp)
+            assert np.allclose(
+                got["next_value"].to_numpy(), exp["nv"].to_numpy(), equal_nan=True
+            ), p
+            assert np.allclose(
+                got["delta"].to_numpy(), exp["d"].to_numpy(), equal_nan=True
+            ), p
+
+    def test_key_spanning_blocks(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.windows import lead_delta
+
+        df = pd.DataFrame(
+            {
+                "k": np.zeros(400, dtype=np.int64),
+                "ts": pd.to_datetime(np.arange(400), unit="s"),
+                "id": np.arange(400, dtype=np.int64),
+                "v": np.arange(400, dtype=np.float64),
+            }
+        )
+        got = lead_delta(
+            rd.from_pandas(df).repartition(5), "k", "ts", "id", "v", 2
+        ).to_pandas().sort_values("id", ignore_index=True)
+        assert got["next_value"].isna().tolist()[-3:] == [False, True, True]
+        assert np.allclose(got["delta"].to_numpy()[:-2], 2.0)
+
+    def test_bad_periods(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.windows import lead_delta
+
+        d = rd.from_pandas(pd.DataFrame({"k": [1], "ts": [1], "id": [1], "v": [1.0]}))
+        with pytest.raises(ValueError):
+            lead_delta(d, "k", "ts", "id", "v", periods=0)
+
+
 class TestKeepBestForcedShards:
     def test_many_losers_forced_multi_shard(self, ray_session):
         """Loser broadcast sharded (rows_per_shard below the loser count):
