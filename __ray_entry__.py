@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["lag2_delta_events"] = (
         lambda sf_dir: _lag_delta_events(sf_dir, periods=2))
     out["lead_delta_events"] = _lead_delta_events
+    out["first_last_value_events"] = _first_last_value_events
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
@@ -4775,6 +4776,15 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value, 6) "
             "AS delta FROM events ORDER BY event_id"
         ),
+        "first_last_value_events": (
+            "SELECT DISTINCT event_type, "
+            "ROUND(FIRST_VALUE(value) OVER "
+            "(PARTITION BY event_type ORDER BY ts, event_id), 6) AS first_value, "
+            "ROUND(LAST_VALUE(value) OVER "
+            "(PARTITION BY event_type ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) "
+            "AS last_value FROM events ORDER BY event_type"
+        ),
         # multimodal fixtures are real BMP/WAV/HQV1 payloads whose decoded
         # metrics are closed-form in the id (synth_*_params in
         # pipelines/multimodal.py); every double below is a dyadic rational,
@@ -5388,6 +5398,21 @@ def _lead_delta_events(sf_dir: str, periods: int = 1):
     df["delta"] = df["delta"].round(6)
     df["event_id"] = df["event_id"].astype("int64")
     return df.sort_values("event_id", ignore_index=True)
+
+
+def _first_last_value_events(sf_dir: str):
+    """Per-event-type FIRST_VALUE / LAST_VALUE in (ts, event_id) order —
+    the fold-based window (no corpus sort), exact parity with the SQL
+    FIRST_VALUE/LAST_VALUE windows (selection, so rounding is belt and
+    braces only)."""
+    from hooqu_ray.pipelines.windows import grouped_first_last
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    df = grouped_first_last(ds, "event_type", "ts", "event_id",
+                            "value").to_pandas()
+    df["first_value"] = df["first_value"].round(6)
+    df["last_value"] = df["last_value"].round(6)
+    return df.sort_values("event_type", ignore_index=True)
 
 
 def _heavy_hitter_tokens(sf_dir: str):

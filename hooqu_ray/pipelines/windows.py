@@ -677,3 +677,123 @@ def _lag_lead_scaffold(ds, key: str, ts_col: str, tie: str, value_col: str,
         lambda g, _m=merge: _m(g), batch_format="pyarrow"
     )
     return finals.union(merged)
+
+
+def _first_last_combine(key: str):
+    """Self-mergeable combine for the FIRST/LAST fold: one row per key
+    whose ``(__f_ts, __f_tie, first_value)`` is the lexicographically
+    EARLIEST candidate seen and ``(__l_ts, __l_tie, last_value)`` the
+    LATEST — the earlier of two firsts is the first, so candidates reduce
+    through a coalesce tree exactly like ``tree_group_sum`` partials."""
+    proj = [key, "__f_ts", "__f_tie", "first_value",
+            "__l_ts", "__l_tie", "last_value"]
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or not set(proj).issubset(t.column_names):
+            # schema-less empty aggregate block — caller anchors the schema
+            return pa.table({})
+        t = t.select(proj)
+        tf = t.take(pc.sort_indices(t, sort_keys=[
+            (key, "ascending"), ("__f_ts", "ascending"),
+            ("__f_tie", "ascending")]))
+        kf = tf.column(key).to_numpy(zero_copy_only=False)
+        starts = np.r_[True, kf[1:] != kf[:-1]]
+        firsts = tf.filter(pa.array(starts)).select(
+            [key, "__f_ts", "__f_tie", "first_value"])
+        tl = t.take(pc.sort_indices(t, sort_keys=[
+            (key, "ascending"), ("__l_ts", "ascending"),
+            ("__l_tie", "ascending")]))
+        kl = tl.column(key).to_numpy(zero_copy_only=False)
+        ends = np.r_[kl[1:] != kl[:-1], True]
+        lasts = tl.filter(pa.array(ends))
+        # both passes emit one row per key in ascending key order — the
+        # rows align positionally
+        out = firsts
+        for c in ("__l_ts", "__l_tie", "last_value"):
+            out = out.append_column(c, lasts.column(c))
+        return out
+
+    return combine
+
+
+def grouped_first_last(ds, key: str, ts_col: str, tie: str, value_col: str,
+                       *, max_fold_rows: int = 4_000_000, fanin: int = 8):
+    """Per-key FIRST_VALUE / LAST_VALUE in ``(ts, tie)`` order — SQL
+    ``FIRST_VALUE(v) OVER (PARTITION BY key ORDER BY ts, tie)`` /
+    ``LAST_VALUE(v) OVER (... ROWS BETWEEN UNBOUNDED PRECEDING AND
+    UNBOUNDED FOLLOWING)`` — WITHOUT the corpus range sort the rest of
+    the window family pays: first/last selection is an algebraic fold
+    (the earlier of two firsts is the first), so per-block candidates
+    (≤ #keys-in-block rows each) reduce through ``tree_group_sum``-style
+    coalesce rounds, and when the key count is corpus-like the partials
+    fall back to the bucketed hash exchange (int32 bucket key, one
+    vectorized combine per bucket) — never Ray's per-key sort groupby.
+
+    ``value_col`` keeps its input dtype (selection, not arithmetic), and
+    a null value at the boundary row is returned as-is (SQL parity).
+    Rows with a null key or ts are dropped; ``tie`` must be unique per
+    key.  Returns ``[key, first_value, last_value]``, one row per key."""
+    import ray.data as rd
+
+    from ..functions.shuffle import (_default_buckets, _row_hash64,
+                                     _tree_fold)
+    from ..util import dataset_arrow_schema
+
+    combine = _first_last_combine(key)
+
+    def prep(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or not {key, ts_col, tie, value_col}.issubset(
+                t.column_names):
+            return pa.table({})
+        mask = pc.and_(pc.is_valid(t.column(key)),
+                       pc.is_valid(t.column(ts_col)))
+        t = t.filter(mask)
+        cand = pa.table({
+            key: t.column(key),
+            "__f_ts": t.column(ts_col), "__f_tie": t.column(tie),
+            "first_value": t.column(value_col),
+            "__l_ts": t.column(ts_col), "__l_tie": t.column(tie),
+            "last_value": t.column(value_col),
+        })
+        return combine(cand)
+
+    partials = ds.map_batches(
+        prep, batch_format="pyarrow").materialize()
+    n = partials.count()
+    schema = dataset_arrow_schema(partials)
+    if n == 0 or schema is None:
+        in_schema = dataset_arrow_schema(ds)
+        ktype = (in_schema.field(key).type if in_schema is not None
+                 and key in in_schema.names else pa.string())
+        vtype = (in_schema.field(value_col).type if in_schema is not None
+                 and value_col in in_schema.names else pa.float64())
+        return rd.from_arrow(pa.schema(
+            [(key, ktype), ("first_value", vtype),
+             ("last_value", vtype)]).empty_table())
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or key not in t.column_names:
+            return pa.schema([schema.field(key),
+                              schema.field("first_value"),
+                              schema.field("last_value")]).empty_table()
+        return t.select([key, "first_value", "last_value"])
+
+    if n <= max_fold_rows * fanin:
+        folded = _tree_fold(partials, combine, fanin)
+        return folded.map_batches(finalize, batch_format="pyarrow")
+
+    # corpus-cardinality keys: bucketed hash exchange over an int32 key
+    num_buckets = _default_buckets(n, 250_000)
+    empty_stamped = schema.empty_table().append_column(
+        "__bh", pa.array([], pa.int32()))
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or key not in t.column_names:
+            return empty_stamped
+        b = (_row_hash64(t, [key]) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__bh", pa.array(b, pa.int32()))
+
+    return (partials.map_batches(stamp, batch_format="pyarrow")
+            .groupby("__bh")
+            .map_groups(lambda t: finalize(combine(t.drop_columns(["__bh"]))),
+                        batch_format="pyarrow"))

@@ -573,6 +573,64 @@ class TestLeadDelta:
             lead_delta(d, "k", "ts", "id", "v", periods=0)
 
 
+class TestGroupedFirstLast:
+    def test_matches_sql_window(self, ray_session, events):
+        import ray.data as rd
+        from hooqu_ray.pipelines.windows import grouped_first_last
+
+        df = events.copy()
+        df.loc[3, "k"] = None  # null key / ts rows must drop
+        con = duckdb.connect()
+        con.register("t", df)
+        got = grouped_first_last(
+            rd.from_pandas(df).repartition(7), "k", "ts", "id", "v"
+        ).to_pandas().sort_values("k", ignore_index=True)
+        exp = con.execute(
+            """SELECT DISTINCT k,
+               FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY ts, id) AS fv,
+               LAST_VALUE(v) OVER (PARTITION BY k ORDER BY ts, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+               FROM t WHERE k IS NOT NULL ORDER BY k"""
+        ).df()
+        assert len(got) == len(exp)
+        assert np.allclose(got["first_value"].to_numpy(), exp["fv"].to_numpy(),
+                           equal_nan=True)
+        assert np.allclose(got["last_value"].to_numpy(), exp["lv"].to_numpy(),
+                           equal_nan=True)
+
+    def test_bucketed_fallback_identical(self, ray_session, events):
+        import ray.data as rd
+        from hooqu_ray.pipelines.windows import grouped_first_last
+
+        src = rd.from_pandas(events).repartition(7)
+        tree = grouped_first_last(src, "k", "ts", "id", "v") \
+            .to_pandas().sort_values("k", ignore_index=True)
+        # max_fold_rows=1 forces the corpus-cardinality bucketed path
+        bucketed = grouped_first_last(src, "k", "ts", "id", "v",
+                                      max_fold_rows=1, fanin=1) \
+            .to_pandas().sort_values("k", ignore_index=True)
+        pd.testing.assert_frame_equal(tree, bucketed)
+
+    def test_value_dtype_preserved_and_empty(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from hooqu_ray.pipelines.windows import grouped_first_last
+
+        df = pd.DataFrame({"k": [1, 1, 2], "ts": [1, 2, 3],
+                           "id": [0, 1, 2], "v": ["a", "b", "c"]})
+        got = grouped_first_last(rd.from_pandas(df), "k", "ts", "id", "v") \
+            .to_pandas().sort_values("k", ignore_index=True)
+        assert got["first_value"].tolist() == ["a", "c"]
+        assert got["last_value"].tolist() == ["b", "c"]
+
+        e = rd.from_arrow(pa.table({
+            "k": pa.array([], pa.int64()), "ts": pa.array([], pa.int64()),
+            "id": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}))
+        ge = grouped_first_last(e, "k", "ts", "id", "v")
+        assert ge.schema().names == ["k", "first_value", "last_value"]
+        assert ge.count() == 0
+
+
 class TestKeepBestForcedShards:
     def test_many_losers_forced_multi_shard(self, ray_session):
         """Loser broadcast sharded (rows_per_shard below the loser count):
