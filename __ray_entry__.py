@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lambda sf_dir: _lag_delta_events(sf_dir, periods=2))
     out["lead_delta_events"] = _lead_delta_events
     out["first_last_value_events"] = _first_last_value_events
+    out["grouped_corr_lineitem"] = _grouped_corr_lineitem
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
@@ -4776,6 +4777,11 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value, 6) "
             "AS delta FROM events ORDER BY event_id"
         ),
+        "grouped_corr_lineitem": (
+            "SELECT l_returnflag, "
+            "ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_xy "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
         "first_last_value_events": (
             "SELECT DISTINCT event_type, "
             "ROUND(FIRST_VALUE(value) OVER "
@@ -5413,6 +5419,20 @@ def _first_last_value_events(sf_dir: str):
     df["first_value"] = df["first_value"].round(6)
     df["last_value"] = df["last_value"].round(6)
     return df.sort_values("event_type", ignore_index=True)
+
+
+def _grouped_corr_lineitem(sf_dir: str):
+    """Per-returnflag Pearson corr(quantity, extendedprice) — the
+    tree-fold raw-co-moment reduction vs DuckDB's streaming corr(),
+    rounded to 6 decimals on both sides."""
+    from hooqu_ray.pipelines.relational import grouped_corr
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    df = grouped_corr(ds, "l_returnflag", "l_quantity",
+                      "l_extendedprice").to_pandas()
+    df["corr_xy"] = df["corr_xy"].round(6)
+    return df.sort_values("l_returnflag", ignore_index=True)
 
 
 def _heavy_hitter_tokens(sf_dir: str):

@@ -1556,3 +1556,74 @@ def grouped_mode(ds, group_col: str, value_col: str, *,
     return top.map_batches(
         lambda t: (rename(t) if "__n" in t.column_names else t),
         batch_format="pyarrow")
+
+
+def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
+                 out_col: str = "corr_xy"):
+    """Per-group Pearson correlation — SQL ``corr(x, y) ... GROUP BY g`` —
+    the per-source / per-shard drift probe ("does quality still track
+    length in this slice?") companion to the global ``Correlation``
+    analyzer (``analyzers/scan.py``; Deequ has the same operator).
+
+    One data pass, no key exchange: rows where BOTH x and y are valid
+    (SQL's pairwise rule) reduce per block to per-group raw co-moment
+    sums ``(n, Σx, Σy, Σx², Σy², Σxy)`` that ride
+    :func:`hooqu_ray.functions.shuffle.tree_group_sum` (tree coalesce for
+    bounded group counts, bucketed hash-exchange fallback at corpus
+    cardinality); the final ``r = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy²
+    − (Σy)²))`` is one vectorized kernel over the #groups-row fold.
+    Sample and population correlation coincide (the (n−1) factors
+    cancel), so the value matches DuckDB/PostgreSQL ``corr`` exactly.
+
+    ``n < 2`` or a zero-variance side yields null (SQL parity).  Null
+    group keys drop (the engine's grouped-op convention).  Raw sums keep
+    ~9 significant digits when ``mean² / var`` is moderate (true of
+    ratio/score columns); for extreme-offset data pre-center x/y
+    upstream.  Returns ``[group_col, out_col]``, one row per group."""
+    from ..functions.shuffle import tree_group_sum
+
+    cols = ["__n", "__sx", "__sy", "__sxx", "__syy", "__sxy"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or not {group_col, x_col, y_col}.issubset(
+                t.column_names):
+            return pa.table({})
+        x = pc.cast(t.column(x_col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        y = pc.cast(t.column(y_col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        valid = ~(np.isnan(x) | np.isnan(y))
+        sub = pa.table({
+            group_col: t.column(group_col),
+            "__n": pa.array(valid.astype(np.int64)),
+            "__sx": pa.array(np.where(valid, x, 0.0)),
+            "__sy": pa.array(np.where(valid, y, 0.0)),
+            "__sxx": pa.array(np.where(valid, x * x, 0.0)),
+            "__syy": pa.array(np.where(valid, y * y, 0.0)),
+            "__sxy": pa.array(np.where(valid, x * y, 0.0)),
+        })
+        return sub
+
+    folded = tree_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), [group_col], cols)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or group_col not in t.column_names:
+            return pa.table({})
+        n = t.column("__n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t.column("__sx").to_numpy(zero_copy_only=False)
+        sy = t.column("__sy").to_numpy(zero_copy_only=False)
+        sxx = t.column("__sxx").to_numpy(zero_copy_only=False)
+        syy = t.column("__syy").to_numpy(zero_copy_only=False)
+        sxy = t.column("__sxy").to_numpy(zero_copy_only=False)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = cov / np.sqrt(vx * vy)
+        r = np.where((n < 2) | (vx <= 0) | (vy <= 0), np.nan, r)
+        return pa.table({group_col: t.column(group_col),
+                         out_col: pa.array(r, pa.float64(),
+                                           from_pandas=True)})
+
+    return folded.map_batches(finalize, batch_format="pyarrow")

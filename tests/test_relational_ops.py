@@ -671,3 +671,43 @@ class TestGroupedMode:
                                 "v": pa.array([], pa.int64())})
         out2 = grouped_mode(rd.from_arrow(typed_empty), "k", "v")
         assert len(out2.to_pylist()) == 0
+
+
+class TestGroupedCorr:
+    def test_matches_duckdb_corr(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import grouped_corr
+
+        rng = np.random.RandomState(3)
+        n = 6000
+        df = pd.DataFrame({
+            "g": rng.randint(0, 23, n),
+            "x": rng.randn(n) * 4 + 100.0,  # offset mean exercises raw sums
+            "y": rng.randn(n) * 2,
+        })
+        df["y"] += 0.6 * df["x"]  # induce correlation
+        df.loc[rng.rand(n) < 0.07, "x"] = np.nan  # pairwise-valid rule
+        df.loc[rng.rand(n) < 0.07, "y"] = np.nan
+        got = grouped_corr(rd.from_pandas(df).repartition(9), "g", "x", "y") \
+            .to_pandas().sort_values("g", ignore_index=True)
+        exp = duckdb.sql(
+            "SELECT g, corr(x, y) AS corr_xy FROM df GROUP BY g ORDER BY g"
+        ).df()
+        assert len(got) == len(exp)
+        assert np.allclose(got["corr_xy"].to_numpy(), exp["corr_xy"].to_numpy(),
+                           atol=1e-9, equal_nan=True)
+
+    def test_degenerate_groups_null(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import grouped_corr
+
+        df = pd.DataFrame({
+            "g": ["n1", "n1", "const", "const", "single", None],
+            "x": [1.0, 2.0, 5.0, 5.0, 3.0, 1.0],   # const: zero x-variance
+            "y": [1.0, np.nan, 1.0, 2.0, 4.0, 1.0],  # n1: one valid pair
+        })
+        got = grouped_corr(rd.from_pandas(df), "g", "x", "y").to_pandas()
+        got = got.set_index("g")["corr_xy"]
+        assert set(got.index) == {"n1", "const", "single"}  # null key drops
+        assert got.isna().all()  # n<2 or zero variance -> null (SQL parity)
