@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["lead_delta_events"] = _lead_delta_events
     out["first_last_value_events"] = _first_last_value_events
     out["grouped_corr_lineitem"] = _grouped_corr_lineitem
+    out["weighted_sample_events"] = _weighted_sample_events
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
@@ -4777,6 +4778,15 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value, 6) "
             "AS delta FROM events ORDER BY event_id"
         ),
+        "weighted_sample_events": (
+            "SELECT event_id, ROUND(value, 6) AS value FROM ("
+            "SELECT event_id, value, value / "
+            "((CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) + 1) / 4294967296.0) AS q "
+            "FROM events WHERE value > 0 AND event_id IS NOT NULL "
+            "ORDER BY q DESC, event_id LIMIT 500"
+            ") ORDER BY event_id"
+        ),
         "grouped_corr_lineitem": (
             "SELECT l_returnflag, "
             "ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_xy "
@@ -5433,6 +5443,19 @@ def _grouped_corr_lineitem(sf_dir: str):
                       "l_extendedprice").to_pandas()
     df["corr_xy"] = df["corr_xy"].round(6)
     return df.sort_values("l_returnflag", ignore_index=True)
+
+
+def _weighted_sample_events(sf_dir: str):
+    """Priority sampling (q = w/u, u the exact dyadic md5 fraction): the
+    500 largest-priority positive-value events — bit-identical priority
+    in DuckDB, so the selected row SET matches exactly."""
+    from hooqu_ray.pipelines.relational import weighted_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    df = weighted_sample(ds, "event_id", "value", 500).to_pandas()
+    df["value"] = df["value"].round(6)
+    df["event_id"] = df["event_id"].astype("int64")
+    return df.sort_values("event_id", ignore_index=True)
 
 
 def _heavy_hitter_tokens(sf_dir: str):

@@ -1627,3 +1627,69 @@ def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
                                            from_pandas=True)})
 
     return folded.map_batches(finalize, batch_format="pyarrow")
+
+
+def weighted_sample(ds, key_col: str, weight_col: str, n: int):
+    """Deterministic weight-proportional sample WITHOUT replacement of
+    exactly ``n`` rows — priority sampling (Duffield–Lund–Thorup, JACM
+    2007): each row gets priority ``q = w / u`` with ``u =
+    (md5_bucket(key) + 1) / 2³²`` ∈ (0, 1], and the ``n`` largest-``q``
+    rows (ties by ascending key) are kept.  Higher-weight rows survive
+    proportionally more often, yet the decision is a pure function of
+    ``(key, weight)`` — reproducible across runs, engines and data
+    orderings, and exactly SQL-checkable: ``u`` is an exact dyadic
+    rational and ``q`` a single IEEE division, so DuckDB computes the
+    bit-identical priority.  The quality-weighted corpus subselection
+    step (DSIR scores, educational-value scores) where
+    :func:`importance_sample` keeps a random-size Bernoulli sample.
+
+    Scale shape: ``q`` is stamped per block and each block reduces to
+    its exact local top-``n`` by ``(q DESC, key ASC)`` (the global top-n
+    is a subset of the per-block top-ns), so only ≤ ``#blocks × n`` slim
+    candidate rows enter the final distributed ``sort(...).limit(n)`` —
+    the corpus never shuffles.  Rows with a null key, or a null/NaN/≤ 0
+    weight, are dropped (weights must be positive).  Returns the
+    selected rows with their original columns."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    import ray.data as rd
+
+    from ..util import dataset_arrow_schema
+
+    in_schema = dataset_arrow_schema(ds)
+    if in_schema is None or not {key_col, weight_col}.issubset(
+            in_schema.names):
+        # no typed block carries the inputs — nothing can be sampled
+        return rd.from_arrow(
+            in_schema.empty_table() if in_schema is not None else pa.table(
+                {key_col: pa.array([], pa.string()),
+                 weight_col: pa.array([], pa.float64())}))
+    # typed empty anchor: schema-less pa.table({}) blocks would enter the
+    # candidate sort with a mixed schema (CLAUDE.md gotcha)
+    empty_cand = in_schema.append(pa.field("__q", pa.float64())).empty_table()
+
+    def candidates(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or not {key_col, weight_col}.issubset(t.column_names):
+            return empty_cand
+        w = pc.cast(t.column(weight_col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        keys = t.column(key_col)
+        ok = ~np.isnan(w) & (w > 0)
+        ok &= pc.is_valid(keys).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ok))
+        if len(t) == 0:
+            return empty_cand
+        w = w[ok]
+        u = (md5_bucket(t.column(key_col)).astype(np.float64) + 1.0) \
+            / 4294967296.0
+        q = w / u
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((kv, -q))[:n]  # exact local (q DESC, key ASC)
+        sub = t.take(pa.array(order))
+        return sub.append_column("__q", pa.array(q[order], pa.float64()))
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow")
+    out = cand.sort(["__q", key_col], descending=[True, False]).limit(n)
+    return out.map_batches(
+        lambda t: t.drop_columns(["__q"]) if "__q" in t.column_names else t,
+        batch_format="pyarrow")

@@ -711,3 +711,55 @@ class TestGroupedCorr:
         got = got.set_index("g")["corr_xy"]
         assert set(got.index) == {"n1", "const", "single"}  # null key drops
         assert got.isna().all()  # n<2 or zero variance -> null (SQL parity)
+
+
+class TestWeightedSample:
+    def test_matches_duckdb_priority_order(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import weighted_sample
+
+        rng = np.random.RandomState(5)
+        n = 3000
+        df = pd.DataFrame({
+            "id": np.arange(n, dtype=np.int64),
+            "w": np.abs(rng.randn(n)) * 10,
+        })
+        df.loc[rng.rand(n) < 0.05, "w"] = 0.0       # dropped (w must be > 0)
+        df.loc[rng.rand(n) < 0.05, "w"] = np.nan    # dropped
+        got = weighted_sample(rd.from_pandas(df).repartition(6), "id", "w", 200) \
+            .to_pandas().sort_values("id", ignore_index=True)
+        exp = duckdb.sql("""
+            SELECT id, w FROM (
+              SELECT id, w, w / ((CAST(concat('0x',
+                substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                / 4294967296.0) AS q
+              FROM df WHERE w > 0 ORDER BY q DESC, id LIMIT 200
+            ) ORDER BY id""").df()
+        assert got["id"].tolist() == exp["id"].tolist()
+        assert np.allclose(got["w"].to_numpy(), exp["w"].to_numpy())
+
+    def test_weight_proportional_bias(self, ray_session):
+        """A heavy row (weight >> others) must be selected essentially
+        always; with uniform weights the sample hits ~n/N of each half."""
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import weighted_sample
+
+        df = pd.DataFrame({"id": np.arange(2000, dtype=np.int64),
+                           "w": np.ones(2000)})
+        df.loc[7, "w"] = 1e9
+        got = weighted_sample(rd.from_pandas(df).repartition(4), "id", "w", 50) \
+            .to_pandas()
+        assert 7 in set(got["id"])
+        assert len(got) == 50
+
+    def test_empty_and_bad_n(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import weighted_sample
+
+        e = rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                    "w": pa.array([], pa.float64())}))
+        assert weighted_sample(e, "id", "w", 5).count() == 0
+        with pytest.raises(ValueError):
+            weighted_sample(e, "id", "w", 0)
