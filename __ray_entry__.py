@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["first_last_value_events"] = _first_last_value_events
     out["grouped_corr_lineitem"] = _grouped_corr_lineitem
     out["weighted_sample_events"] = _weighted_sample_events
+    out["value_histogram_events"] = _value_histogram_events
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
@@ -4778,6 +4779,14 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value, 6) "
             "AS delta FROM events ORDER BY event_id"
         ),
+        "value_histogram_events": (
+            "SELECT value, count, ROUND(count * 1.0 / "
+            "(SELECT COUNT(*) FROM events), 6) AS ratio FROM ("
+            "SELECT COALESCE(CAST(event_type AS VARCHAR), 'NullValue') AS value, "
+            "COUNT(*) AS count FROM events GROUP BY 1 "
+            "ORDER BY count DESC, value LIMIT 4"
+            ") ORDER BY value"
+        ),
         "weighted_sample_events": (
             "SELECT event_id, ROUND(value, 6) AS value FROM ("
             "SELECT event_id, value, value / "
@@ -5456,6 +5465,19 @@ def _weighted_sample_events(sf_dir: str):
     df["value"] = df["value"].round(6)
     df["event_id"] = df["event_id"].astype("int64")
     return df.sort_values("event_id", ignore_index=True)
+
+
+def _value_histogram_events(sf_dir: str):
+    """Deequ-Histogram-shaped top-4 event_type distribution
+    (value, count, ratio) — exercises the k-cut and the ratio
+    denominator (all rows, not just surviving bins)."""
+    from hooqu_ray.pipelines.relational import value_histogram
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    df = value_histogram(ds, "event_type", k=4).to_pandas()
+    df["ratio"] = df["ratio"].round(6)
+    df["count"] = df["count"].astype("int64")
+    return df.sort_values("value", ignore_index=True)
 
 
 def _heavy_hitter_tokens(sf_dir: str):

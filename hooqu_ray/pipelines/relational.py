@@ -1693,3 +1693,53 @@ def weighted_sample(ds, key_col: str, weight_col: str, n: int):
     return out.map_batches(
         lambda t: t.drop_columns(["__q"]) if "__q" in t.column_names else t,
         batch_format="pyarrow")
+
+
+def value_histogram(ds, col: str, k: int = 50):
+    """Top-``k`` categorical value distribution — Deequ's ``Histogram``
+    analyzer shape ``(value, count, ratio)`` with nulls as the
+    ``"NullValue"`` bin and ``ratio = count / total rows`` — the "what's
+    actually in this column" profiling op (label skew, source mix,
+    enum drift).  Intended for categorical / integer columns: values are
+    keyed by their string form, so float columns should be bucketized
+    first (:func:`bucketize` / ``value_deciles``).
+
+    Counts ride :func:`hooqu_ray.functions.shuffle.tree_group_sum`
+    (per-block Arrow combine, log-depth coalesce, bucketed-exchange
+    fallback at corpus cardinality); the total is re-read from the
+    MATERIALIZED fold (free second consume), and only the #distinct-row
+    fold enters the final ``sort(count DESC, value ASC).limit(k)``.
+    Returns ``[value, count, ratio]``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import ray.data as rd
+
+    from ..functions.shuffle import tree_group_sum
+
+    empty = pa.table({"value": pa.array([], pa.string()),
+                      "count": pa.array([], pa.int64()),
+                      "ratio": pa.array([], pa.float64())})
+
+    def prep(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or col not in t.column_names:
+            return pa.table({"value": pa.array([], pa.string()),
+                             "count": pa.array([], pa.int64())})
+        s = pc.fill_null(pc.cast(t.column(col), pa.string()), "NullValue")
+        return pa.table({"value": s,
+                         "count": pa.array(np.ones(len(t), np.int64))})
+
+    folded = tree_group_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                            ["value"], ["count"])
+    if folded.count() == 0:
+        return rd.from_arrow(empty)
+    total = folded.sum("count")  # fold is materialized — cheap re-consume
+    top = folded.sort(["count", "value"], descending=[True, False]).limit(k)
+
+    def stamp_ratio(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "count" not in t.column_names:
+            return empty
+        c = t.column("count").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "ratio", pa.array(c / float(total), pa.float64()))
+
+    return top.map_batches(stamp_ratio, batch_format="pyarrow")

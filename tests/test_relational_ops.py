@@ -763,3 +763,41 @@ class TestWeightedSample:
         assert weighted_sample(e, "id", "w", 5).count() == 0
         with pytest.raises(ValueError):
             weighted_sample(e, "id", "w", 0)
+
+
+class TestValueHistogram:
+    def test_counts_ratio_and_null_bin(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import value_histogram
+
+        df = pd.DataFrame({"c": ["a"] * 5 + ["b"] * 3 + [None] * 2 + ["d"]})
+        got = value_histogram(rd.from_pandas(df).repartition(3), "c", k=3) \
+            .to_pandas().sort_values("count", ascending=False,
+                                     ignore_index=True)
+        assert got["value"].tolist() == ["a", "b", "NullValue"]
+        assert got["count"].tolist() == [5, 3, 2]
+        assert np.allclose(got["ratio"].to_numpy(),
+                           np.array([5, 3, 2]) / 11.0)
+
+    def test_tie_break_and_int_column(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import value_histogram
+
+        df = pd.DataFrame({"c": [10, 10, 2, 2, 33]})
+        got = value_histogram(rd.from_pandas(df), "c", k=2).to_pandas()
+        got = got.sort_values(["count", "value"],
+                              ascending=[False, True], ignore_index=True)
+        # ties (10 and 2, both count 2) break by ascending string value
+        assert got["value"].tolist() == ["10", "2"]
+
+    def test_empty_and_bad_k(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import value_histogram
+
+        e = rd.from_arrow(pa.table({"c": pa.array([], pa.string())}))
+        out = value_histogram(e, "c", k=5)
+        assert out.count() == 0
+        assert out.schema().names == ["value", "count", "ratio"]
+        with pytest.raises(ValueError):
+            value_histogram(e, "c", k=0)
