@@ -4808,7 +4808,8 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(LAST_VALUE(value) OVER "
             "(PARTITION BY event_type ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) "
-            "AS last_value FROM events ORDER BY event_type"
+            "AS last_value FROM events WHERE event_type IS NOT NULL "
+            "ORDER BY event_type"
         ),
         # multimodal fixtures are real BMP/WAV/HQV1 payloads whose decoded
         # metrics are closed-form in the id (synth_*_params in

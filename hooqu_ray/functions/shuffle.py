@@ -187,6 +187,7 @@ def bucketed_group_fold(ds, keys, cols, funcs: Optional[Sequence[str]] = None,
                         *, drop_null_keys: bool = False,
                         num_buckets: Optional[int] = None,
                         finalize: Optional[Callable[[pa.Table], pa.Table]] = None,
+                        combine: Optional[Callable[[pa.Table], pa.Table]] = None,
                         rows_per_bucket: int = 250_000):
     """Corpus-cardinality ``groupby(keys).agg(cols)`` via a BUCKETED hash
     exchange — the replacement for Ray's sort-based groupby when the key
@@ -221,12 +222,18 @@ def bucketed_group_fold(ds, keys, cols, funcs: Optional[Sequence[str]] = None,
     ``finalize`` (optional) maps each bucket's FOLDED table (columns
     ``keys + cols``, one row per key) to an arbitrary summary table —
     frequency reductions use it to emit one scalar-summary row per bucket
-    so the folded table itself never re-shuffles.  Returns an unmaterialized
-    Dataset of the per-bucket outputs."""
+    so the folded table itself never re-shuffles.  ``combine`` (optional)
+    replaces the column-wise ``funcs`` fold with a custom self-mergeable
+    per-bucket reduction over ``keys + cols`` (e.g. the first/last
+    lexicographic selection of ``windows.grouped_first_last``); ``funcs``
+    and ``drop_null_keys`` are then ignored — the callable owns its own
+    semantics, including the empty/degenerate-block guard.  Returns an
+    unmaterialized Dataset of the per-bucket outputs."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     cols = list(cols)
     funcs = list(funcs) if funcs is not None else ["sum"] * len(cols)
-    combine = _tree_combine_factory(keys, cols, funcs, drop_null_keys)
+    if combine is None:
+        combine = _tree_combine_factory(keys, cols, funcs, drop_null_keys)
 
     ds = ds.materialize()  # need row/block counts to size the exchange
     n = ds.count()

@@ -1607,9 +1607,23 @@ def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
     folded = tree_group_sum(
         ds.map_batches(partial, batch_format="pyarrow"), [group_col], cols)
 
+    # typed-empty anchor: a legitimately empty result (empty input,
+    # all-null group keys) must keep its schema (CLAUDE.md gotcha)
+    import ray.data as rd
+
+    from ..util import dataset_arrow_schema
+
+    in_schema = dataset_arrow_schema(ds)
+    gtype = (in_schema.field(group_col).type if in_schema is not None
+             and group_col in in_schema.names else pa.string())
+    typed_empty = pa.table({group_col: pa.array([], gtype),
+                            out_col: pa.array([], pa.float64())})
+    if folded.count() == 0:
+        return rd.from_arrow(typed_empty)
+
     def finalize(t: pa.Table) -> pa.Table:
         if len(t) == 0 or group_col not in t.column_names:
-            return pa.table({})
+            return typed_empty
         n = t.column("__n").to_numpy(zero_copy_only=False).astype(np.float64)
         sx = t.column("__sx").to_numpy(zero_copy_only=False)
         sy = t.column("__sy").to_numpy(zero_copy_only=False)

@@ -735,27 +735,39 @@ def grouped_first_last(ds, key: str, ts_col: str, tie: str, value_col: str,
     key.  Returns ``[key, first_value, last_value]``, one row per key."""
     import ray.data as rd
 
-    from ..functions.shuffle import (_default_buckets, _row_hash64,
-                                     _tree_fold)
+    from ..functions.shuffle import _tree_fold, bucketed_group_fold
     from ..util import dataset_arrow_schema
 
     combine = _first_last_combine(key)
 
     def prep(t: pa.Table) -> pa.Table:
+        # single-sort fast path over the raw corpus block: the first/last
+        # orderings coincide here (both are (key, ts, tie)), so one
+        # sort_indices yields run starts AND run ends — the generic
+        # two-sort combine is only needed in fold rounds, where the f/l
+        # candidate columns genuinely differ
         if len(t) == 0 or not {key, ts_col, tie, value_col}.issubset(
                 t.column_names):
             return pa.table({})
         mask = pc.and_(pc.is_valid(t.column(key)),
                        pc.is_valid(t.column(ts_col)))
         t = t.filter(mask)
-        cand = pa.table({
-            key: t.column(key),
-            "__f_ts": t.column(ts_col), "__f_tie": t.column(tie),
-            "first_value": t.column(value_col),
-            "__l_ts": t.column(ts_col), "__l_tie": t.column(tie),
-            "last_value": t.column(value_col),
+        if len(t) == 0:
+            return pa.table({})
+        tt = t.take(pc.sort_indices(t, sort_keys=[
+            (key, "ascending"), (ts_col, "ascending"), (tie, "ascending")]))
+        kk = tt.column(key).to_numpy(zero_copy_only=False)
+        starts = np.r_[True, kk[1:] != kk[:-1]]
+        ends = np.r_[kk[1:] != kk[:-1], True]
+        firsts = tt.filter(pa.array(starts))
+        lasts = tt.filter(pa.array(ends))
+        return pa.table({
+            key: firsts.column(key),
+            "__f_ts": firsts.column(ts_col), "__f_tie": firsts.column(tie),
+            "first_value": firsts.column(value_col),
+            "__l_ts": lasts.column(ts_col), "__l_tie": lasts.column(tie),
+            "last_value": lasts.column(value_col),
         })
-        return combine(cand)
 
     partials = ds.map_batches(
         prep, batch_format="pyarrow").materialize()
@@ -782,18 +794,12 @@ def grouped_first_last(ds, key: str, ts_col: str, tie: str, value_col: str,
         folded = _tree_fold(partials, combine, fanin)
         return folded.map_batches(finalize, batch_format="pyarrow")
 
-    # corpus-cardinality keys: bucketed hash exchange over an int32 key
-    num_buckets = _default_buckets(n, 250_000)
-    empty_stamped = schema.empty_table().append_column(
-        "__bh", pa.array([], pa.int32()))
-
-    def stamp(t: pa.Table) -> pa.Table:
-        if len(t) == 0 or key not in t.column_names:
-            return empty_stamped
-        b = (_row_hash64(t, [key]) % np.uint64(num_buckets)).astype(np.int32)
-        return t.append_column("__bh", pa.array(b, pa.int32()))
-
-    return (partials.map_batches(stamp, batch_format="pyarrow")
-            .groupby("__bh")
-            .map_groups(lambda t: finalize(combine(t.drop_columns(["__bh"]))),
-                        batch_format="pyarrow"))
+    # corpus-cardinality keys: the shared bucketed hash exchange (int32
+    # bucket key, custom first/last combine per bucket — keeps one
+    # maintained exchange implementation incl. its low-block-count
+    # repartition guard)
+    return bucketed_group_fold(
+        partials, [key],
+        ["__f_ts", "__f_tie", "first_value", "__l_ts", "__l_tie",
+         "last_value"],
+        combine=combine, finalize=finalize)

@@ -712,6 +712,17 @@ class TestGroupedCorr:
         assert set(got.index) == {"n1", "const", "single"}  # null key drops
         assert got.isna().all()  # n<2 or zero variance -> null (SQL parity)
 
+    def test_empty_keeps_schema(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import grouped_corr
+
+        # all-null keys -> legitimately empty output must keep its schema
+        df = pd.DataFrame({"g": [None, None], "x": [1.0, 2.0],
+                           "y": [3.0, 4.0]})
+        out = grouped_corr(rd.from_pandas(df), "g", "x", "y")
+        assert out.schema().names == ["g", "corr_xy"]
+        assert out.count() == 0
+
 
 class TestWeightedSample:
     def test_matches_duckdb_priority_order(self, ray_session):
