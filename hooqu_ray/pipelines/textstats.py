@@ -870,3 +870,147 @@ def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
         return sub.filter(pc.less_equal(rn, pa.scalar(max_postings)))
 
     return run.map_batches(finish, batch_format="pyarrow")
+
+
+def bm25_scores(ds, query: str, *, text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75):
+    """BM25 relevance of every MATCHING document against a driver-side
+    query string (Robertson/Spärck Jones with Lucene's non-negative
+    ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))``) — the keyword-retrieval
+    companion to the embedding k-NN family (``similarity.py``): corpus
+    search, decontamination probes, eval-set leakage triage.
+
+    Tokenization is the engine's whitespace convention (``\\S+`` runs,
+    case-sensitive — ``doc_frequency``/``top_terms`` parity, so the SQL
+    oracle reproduces it with ``regexp_extract_all(text, '\\S+')``).
+
+    ONE corpus pass, NO key exchange: each block emits slim
+    ``(id, term, tf, dl)`` rows for its docs × query terms (vectorized
+    dense tf counting — #query-terms columns, not vocabulary) plus one
+    per-block ``(n_docs, Σdl)`` stats row; everything downstream reads
+    the MATERIALIZED match table (≤ #matching-docs × #terms rows).  The
+    per-term document frequencies fold driver-side (≤ #query-terms
+    rows), and scoring is block-local: a document is one input row, so
+    all its match rows share a block and the per-doc sum never shuffles.
+    Returns ``[id_col, score]`` for documents containing ≥ 1 query term
+    (null-text docs count toward N / avgdl, SQL ``COALESCE('')``
+    parity)."""
+    import ray.data as rd
+
+    from ..functions.shuffle import tree_group_sum
+    from ..util import collect_arrow, dataset_arrow_schema
+
+    q_terms = sorted(set(query.split()))
+    if not q_terms:
+        raise ValueError("query must contain at least one token")
+    q_arr = pa.array(q_terms, pa.string())
+    nq = len(q_terms)
+
+    in_schema = dataset_arrow_schema(ds)
+    id_type = (in_schema.field(id_col).type if in_schema is not None
+               and id_col in in_schema.names else pa.int64())
+    typed_out_empty = pa.table({id_col: pa.array([], id_type),
+                                "score": pa.array([], pa.float64())})
+    typed_mat_empty = pa.table({
+        id_col: pa.array([], id_type), "term": pa.array([], pa.string()),
+        "tf": pa.array([], pa.int64()), "dl": pa.array([], pa.int64()),
+        "n_docs": pa.array([], pa.int64()),
+        "sum_dl": pa.array([], pa.int64())})
+
+    def emit(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or not {id_col, text_col}.issubset(t.column_names):
+            return typed_mat_empty
+        texts = t.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        nrows = len(t)
+        if len(flat):
+            keep = pc.invert(pc.equal(flat, "")).to_numpy(zero_copy_only=False)
+            flat = flat.filter(pa.array(keep))
+            parent = parent[keep]
+        dl = np.bincount(parent, minlength=nrows).astype(np.int64)
+        stats = pa.table({
+            id_col: pa.array([None], id_type),
+            "term": pa.array([None], pa.string()),
+            "tf": pa.array([0], pa.int64()), "dl": pa.array([0], pa.int64()),
+            "n_docs": pa.array([nrows], pa.int64()),
+            "sum_dl": pa.array([int(dl.sum())], pa.int64())})
+        if len(flat) == 0:
+            return stats
+        qidx = pc.index_in(flat, q_arr)
+        hit = pc.is_valid(qidx).to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return stats
+        p = parent[hit]
+        qi = qidx.to_numpy(zero_copy_only=False)[hit].astype(np.int64)
+        m = np.zeros((nrows, nq), dtype=np.int64)
+        np.add.at(m, (p, qi), 1)
+        rows, cols = np.nonzero(m)
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        matches = pa.table({
+            id_col: ids.take(pa.array(rows, pa.int64())),
+            "term": q_arr.take(pa.array(cols, pa.int64())),
+            "tf": pa.array(m[rows, cols], pa.int64()),
+            "dl": pa.array(dl[rows], pa.int64()),
+            "n_docs": pa.array(np.zeros(len(rows), np.int64)),
+            "sum_dl": pa.array(np.zeros(len(rows), np.int64))})
+        return pa.concat_tables([matches, stats])
+
+    mat = ds.map_batches(emit, batch_format="pyarrow").materialize()
+    n_total = mat.sum("n_docs") or 0
+    if n_total == 0:
+        return rd.from_arrow(typed_out_empty)
+    avgdl = float(mat.sum("sum_dl") or 0) / float(n_total)
+
+    def term_ones(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "term" not in t.column_names:
+            return pa.table({})
+        sub = t.filter(pc.is_valid(t.column("term"))).select(["term"])
+        return sub.append_column("df", pa.array(np.ones(len(sub), np.int64)))
+
+    df_tbl = collect_arrow(tree_group_sum(
+        mat.map_batches(term_ones, batch_format="pyarrow"),
+        ["term"], ["df"]))
+    if df_tbl is None or len(df_tbl) == 0:
+        return rd.from_arrow(typed_out_empty)
+    df_map = dict(zip(df_tbl.column("term").to_pylist(),
+                      df_tbl.column("df").to_pylist()))
+    df_vec = np.array([df_map.get(term, 0) for term in q_terms], np.float64)
+    with np.errstate(divide="ignore"):
+        idf = np.log(1.0 + (n_total - df_vec + 0.5) / (df_vec + 0.5))
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "term" not in t.column_names:
+            return typed_out_empty
+        t = t.filter(pc.is_valid(t.column("term")))
+        if len(t) == 0:
+            return typed_out_empty
+        qi = pc.index_in(t.column("term"), q_arr).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tfv = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dlv = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        contrib = idf[qi] * (tfv * (k1 + 1.0)) / (
+            tfv + k1 * (1.0 - b + b * (dlv / avgdl)))
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        # all rows of a doc share this block (a doc is one input row) —
+        # the per-doc sum is block-local, no exchange
+        enc = ids.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        c_s = codes[order]
+        starts = np.r_[True, c_s[1:] != c_s[:-1]]
+        sums = np.add.reduceat(contrib[order], np.flatnonzero(starts))
+        return pa.table({
+            id_col: enc.dictionary.take(pa.array(c_s[starts], pa.int64())),
+            "score": pa.array(sums, pa.float64())})
+
+    return mat.map_batches(score, batch_format="pyarrow")

@@ -291,3 +291,74 @@ class TestInvertedIndex:
         # 'the' appears in docs 1,2,3 — capped at 2 postings (1, 2)
         the = got[got.term == "the"]
         assert the["doc_id"].tolist() == [1, 2]
+
+
+class TestBM25Scores:
+    _SQL = """
+WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM df),
+wu AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM t),
+dl AS (SELECT doc_id, count(*) AS dl FROM wu GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM t) AS n,
+       (SELECT count(*) FROM wu) * 1.0 / (SELECT count(*) FROM t) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM wu WHERE term IN ({terms})
+       GROUP BY doc_id, term),
+dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM wu
+        WHERE term IN ({terms}) GROUP BY term)
+SELECT tf.doc_id,
+  SUM( ln(1 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5))
+     * (tf.tf * ({k1} + 1)) / (tf.tf + {k1} * (1 - {b} + {b} * (dl.dl / st.avgdl))) )
+  AS score
+FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id), st
+GROUP BY tf.doc_id ORDER BY tf.doc_id"""
+
+    def test_matches_duckdb_closed_form(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from hooqu_ray.pipelines.textstats import bm25_scores
+
+        rng = np.random.RandomState(13)
+        vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        df = pd.DataFrame({
+            "doc_id": np.arange(300, dtype=np.int64),
+            "text": [" ".join(rng.choice(vocab, rng.randint(1, 40)))
+                     for _ in range(300)],
+        })
+        df.loc[7, "text"] = None       # null text counts toward N/avgdl
+        df.loc[11, "text"] = "   "     # empty-token doc too
+        got = bm25_scores(rd.from_pandas(df).repartition(5),
+                          "alpha gamma zeta").to_pandas() \
+            .sort_values("doc_id", ignore_index=True)
+        sql = self._SQL.format(terms="'alpha','gamma','zeta'",
+                               k1=1.2, b=0.75)
+        exp = duckdb.sql(sql).df()
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert np.allclose(got["score"].to_numpy(), exp["score"].to_numpy(),
+                           atol=1e-9)
+
+    def test_no_match_term_and_params(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from hooqu_ray.pipelines.textstats import bm25_scores
+
+        df = pd.DataFrame({"doc_id": [0, 1, 2],
+                           "text": ["a b a", "b c", "c c c"]})
+        # 'zzz' matches nothing; non-default k1/b
+        got = bm25_scores(rd.from_pandas(df), "a zzz", k1=0.9, b=0.4) \
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        sql = self._SQL.format(terms="'a','zzz'", k1=0.9, b=0.4)
+        exp = duckdb.sql(sql).df()
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist() == [0]
+        assert np.allclose(got["score"].to_numpy(), exp["score"].to_numpy())
+
+    def test_empty_inputs(self, ray_session):
+        import pytest
+        import ray.data as rd
+        from hooqu_ray.pipelines.textstats import bm25_scores
+
+        e = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "text": pa.array([], pa.string())}))
+        out = bm25_scores(e, "a b")
+        assert out.schema().names == ["doc_id", "score"]
+        assert out.count() == 0
+        with pytest.raises(ValueError):
+            bm25_scores(e, "   ")
