@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["weighted_sample_events"] = _weighted_sample_events
     out["value_histogram_events"] = _value_histogram_events
     out["bm25_scores_documents"] = _bm25_scores_documents
+    out["schema_diff_documents"] = _schema_diff_documents
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
@@ -4780,6 +4781,20 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value, 6) "
             "AS delta FROM events ORDER BY event_id"
         ),
+        "schema_diff_documents": (
+            "WITH da AS (SELECT column_name AS col, column_type AS ta FROM "
+            "(DESCRIBE SELECT doc_id, text, lang, source, n_chars FROM documents)), "
+            "db AS (SELECT column_name AS col, column_type AS tb FROM "
+            "(DESCRIBE SELECT doc_id, lang, source, "
+            "CAST(n_chars AS DOUBLE) AS n_chars, CAST(1 AS BIGINT) AS flag "
+            "FROM documents)) "
+            "SELECT COALESCE(da.col, db.col) AS col, "
+            "CASE WHEN da.col IS NULL THEN 'added' "
+            "WHEN db.col IS NULL THEN 'removed' "
+            "WHEN ta <> tb THEN 'changed' ELSE 'unchanged' END AS status, "
+            "ta AS dtype_a, tb AS dtype_b "
+            "FROM da FULL OUTER JOIN db ON da.col = db.col ORDER BY col"
+        ),
         "bm25_scores_documents": (
             "WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents), "
             "wu AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM t), "
@@ -5510,6 +5525,30 @@ def _bm25_scores_documents(sf_dir: str):
     df["score"] = df["score"].round(6)
     df["doc_id"] = df["doc_id"].astype("int64")
     return df.sort_values("doc_id", ignore_index=True)
+
+
+def _schema_diff_documents(sf_dir: str):
+    """Column-level drift between the documents snapshot and a mutated
+    variant (text dropped, n_chars re-typed to DOUBLE, flag added) —
+    driver-side schema diff vs a DESCRIBE FULL OUTER JOIN oracle."""
+    import pandas as pd
+
+    from hooqu_ray.analyzers.schema_checks import schema_diff
+
+    a = _read(sf_dir, "documents",
+              ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["text"])
+        t = t.set_column(t.column_names.index("n_chars"), "n_chars",
+                         pc.cast(t.column("n_chars"), pa.float64()))
+        return t.append_column(
+            "flag", pa.array(np.ones(len(t), dtype=np.int64)))
+
+    b = a.map_batches(mutate, batch_format="pyarrow")
+    df = schema_diff(a, b).to_pandas()
+    # pandas represents the absent side as None already; keep dtype str
+    return df.sort_values("col", ignore_index=True)
 
 
 def _heavy_hitter_tokens(sf_dir: str):

@@ -89,3 +89,73 @@ class ColumnDtype(SchemaAnalyzer):
         ok = DTYPE_KINDS[self.kind](schema.field(self.column).type)
         return metric_from_value(1.0 if ok else 0.0,
                                  self.name, self.instance, Entity.COLUMN)
+
+
+# Arrow → DuckDB type-name mapping for the common analytics types, so
+# schema_diff's output is directly comparable with a SQL DESCRIBE (the
+# same trick the has_dtype gate oracles use); unmapped types fall back to
+# their Arrow name (upper-cased) and still diff consistently engine-side.
+_DUCKDB_TYPE_NAMES = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INTEGER",
+    "int64": "BIGINT", "uint8": "UTINYINT", "uint16": "USMALLINT",
+    "uint32": "UINTEGER", "uint64": "UBIGINT", "float": "FLOAT",
+    "double": "DOUBLE", "string": "VARCHAR", "large_string": "VARCHAR",
+    "bool": "BOOLEAN", "binary": "BLOB", "large_binary": "BLOB",
+    "date32[day]": "DATE", "timestamp[us]": "TIMESTAMP",
+    "timestamp[ms]": "TIMESTAMP", "timestamp[ns]": "TIMESTAMP",
+}
+
+
+def sql_type_name(t: pa.DataType) -> str:
+    """DuckDB-style name of an Arrow type (lists map element-wise to
+    ``ELEM[]``)."""
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return sql_type_name(t.value_type) + "[]"
+    return _DUCKDB_TYPE_NAMES.get(str(t), str(t).upper())
+
+
+def schema_diff(ds_a, ds_b) -> pa.Table:
+    """Schema drift between two datasets/snapshots — the column-level
+    companion to the row-level ``dedup.snapshot_diff``: one row per
+    column with ``status ∈ {added, removed, changed, unchanged}``
+    (``a → b`` direction; ``changed`` = type name differs) and the
+    DuckDB-style type names on each side.  Resolved on the DRIVER from
+    ``Dataset.schema()`` — zero data passes, free at any scale (the
+    ingest-guard that catches an upstream producer silently re-typing a
+    column before 100 TB flows through the wrong kernel).  Accepts
+    ``ray.data.Dataset`` or anything with an Arrow schema (pandas /
+    Arrow tables via the same ``dataset_arrow_schema`` coercion the
+    runner uses)."""
+    from ..util import dataset_arrow_schema
+
+    def resolve(x) -> pa.Schema:
+        if isinstance(x, pa.Schema):
+            return x
+        if isinstance(x, pa.Table):
+            return x.schema
+        s = dataset_arrow_schema(x)
+        if s is None:
+            return pa.schema([])
+        return s
+
+    sa, sb = resolve(ds_a), resolve(ds_b)
+    ta = {f.name: sql_type_name(f.type) for f in sa}
+    tb = {f.name: sql_type_name(f.type) for f in sb}
+    cols = sorted(set(ta) | set(tb))
+    status, da, db = [], [], []
+    for c in cols:
+        a, b = ta.get(c), tb.get(c)
+        if a is None:
+            status.append("added")
+        elif b is None:
+            status.append("removed")
+        elif a != b:
+            status.append("changed")
+        else:
+            status.append("unchanged")
+        da.append(a)
+        db.append(b)
+    return pa.table({"col": pa.array(cols, pa.string()),
+                     "status": pa.array(status, pa.string()),
+                     "dtype_a": pa.array(da, pa.string()),
+                     "dtype_b": pa.array(db, pa.string())})

@@ -285,3 +285,34 @@ class TestSchemaChecks:
         result = (VerificationSuite().on_data(rd.from_pandas(df))
                   .add_check(check).run())
         assert result.status == CheckStatus.SUCCESS
+
+
+class TestSchemaDiff:
+    def test_statuses_and_type_names(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from hooqu_ray.analyzers.schema_checks import schema_diff
+
+        a = pa.table({"id": pa.array([1], pa.int64()),
+                      "x": pa.array([1.0], pa.float64()),
+                      "gone": pa.array(["g"], pa.string())})
+        b = pa.table({"id": pa.array([1], pa.int32()),   # narrowed
+                      "x": pa.array([1.0], pa.float64()),
+                      "new": pa.array([b"z"], pa.binary())})
+        out = schema_diff(rd.from_arrow(a), rd.from_arrow(b)).to_pydict()
+        rows = dict(zip(out["col"], zip(out["status"], out["dtype_a"],
+                                        out["dtype_b"])))
+        assert rows["id"] == ("changed", "BIGINT", "INTEGER")
+        assert rows["x"] == ("unchanged", "DOUBLE", "DOUBLE")
+        assert rows["gone"] == ("removed", "VARCHAR", None)
+        assert rows["new"] == ("added", None, "BLOB")
+
+    def test_accepts_tables_schemas_and_lists(self):
+        import pyarrow as pa
+        from hooqu_ray.analyzers.schema_checks import schema_diff, sql_type_name
+
+        assert sql_type_name(pa.list_(pa.float32())) == "FLOAT[]"
+        assert sql_type_name(pa.timestamp("us")) == "TIMESTAMP"
+        out = schema_diff(pa.schema([("a", pa.int64())]),
+                          pa.table({"a": pa.array([2], pa.int64())}))
+        assert out.column("status").to_pylist() == ["unchanged"]
