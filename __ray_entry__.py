@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["value_histogram_events"] = _value_histogram_events
     out["bm25_scores_documents"] = _bm25_scores_documents
     out["schema_diff_documents"] = _schema_diff_documents
+    out["alternation_stats_transcripts"] = _alternation_stats
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
@@ -2615,6 +2616,35 @@ def _role_balance(sf_dir: str):
         .sort_values("conv_id", ignore_index=True)
 
 
+def _alternation_stats(sf_dir: str):
+    """Per-conversation role-alternation report via the fused family.
+    Corruption injected on BOTH sides: doc_id % 5 == 1 conversations get
+    'tool' roles at turns 1-2 (an adjacent same-role pair), and
+    doc_id % 11 == 6 conversations get a NULL role at turn 2 (its two
+    pairs must not count as switches — the SQL null rule)."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+        role = t.column("role").to_numpy(zero_copy_only=False).astype(
+            object)
+        role[(doc % 5 == 1) & ((idx == 1) | (idx == 2))] = "tool"
+        # null wins over tool on rows matching both (SQL CASE order)
+        role[(doc % 11 == 6) & (idx == 2)] = None
+        return t.set_column(t.column_names.index("role"), "role",
+                            pa.array(role, pa.string()))
+
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        corrupt, batch_format="pyarrow")
+    out = tp.conversation_reports(tr, which="alternation")
+    return out["alternation"].to_pandas() \
+        .sort_values("conv_id", ignore_index=True)
+
+
 def _pack_sft(sf_dir: str):
     """Loss-mask packing plan over the extracted SFT examples: 48-token
     windows packed into 256-token sequences, target spans recorded."""
@@ -3583,6 +3613,31 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(regexp_extract_all(text, '\\S+')[1:8], ' ') "
             "ELSE text END AS text, nt > 8 AS clipped FROM n "
             "ORDER BY conv_id, turn_idx"
+        ),
+        "alternation_stats_transcripts": (
+            # same turn explosion + injected same-role pair (doc_id % 5
+            # == 1, turns 1-2 -> 'tool') and NULL role (doc_id % 11 == 6,
+            # turn 2; null wins); LAG-based switch counts with the SQL
+            # both-non-null <> rule
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, ws, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, "
+            "CASE WHEN doc_id % 11 = 6 AND i = 2 THEN NULL "
+            "WHEN doc_id % 5 = 1 AND i IN (1, 2) THEN 'tool' "
+            "WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, i "
+            "FROM t), "
+            "l AS (SELECT conv_id, role, "
+            "LAG(role) OVER (PARTITION BY conv_id ORDER BY i) AS prev, "
+            "ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY i) AS rn "
+            "FROM turn) "
+            "SELECT conv_id, "
+            "CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_adj, "
+            "CAST(SUM(CASE WHEN rn > 1 AND role IS NOT NULL AND prev IS NOT "
+            "NULL AND role <> prev THEN 1 ELSE 0 END) AS BIGINT) AS n_switches "
+            "FROM l GROUP BY conv_id ORDER BY conv_id"
         ),
         "role_balance_transcripts": (
             # same turn explosion + injected 'tool' role (doc_id % 6 == 1,

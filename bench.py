@@ -622,11 +622,12 @@ def main() -> None:
     queries["echo_stats"] = round(time.time() - t0, 3)
 
     # the fused per-conversation report family: loop + echo + role_balance
-    # + tool_transitions from ONE corpus sort (standalone they pay one
-    # sort each — compare with loop_stats + echo_stats above)
+    # + alternation + tool_transitions from ONE corpus sort (standalone
+    # they pay one sort each — compare with loop_stats + echo_stats above)
     t0 = time.time()
     reports = tp.conversation_reports(rd.read_parquet(bench_input))
-    for _name in ("loop", "echo", "role_balance", "tool_transitions"):
+    for _name in ("loop", "echo", "role_balance", "alternation",
+                  "tool_transitions"):
         reports[_name].count()
     queries["conv_reports"] = round(time.time() - t0, 3)
 

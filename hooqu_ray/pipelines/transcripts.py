@@ -3293,7 +3293,42 @@ def _make_role_segment_kernel(conv_col: str, role_col: str,
     return kernel
 
 
-_REPORT_NAMES = ("loop", "echo", "role_balance", "tool_transitions")
+def _make_alternation_kernel(conv_col: str, role_col: str,
+                             out_schema: pa.Schema):
+    """Adjacent-role alternation kernel over complete, (conv, idx)-sorted
+    rows: one ``(conv, n_adj, n_switches)`` row per conversation —
+    ``n_adj`` counts every adjacent turn pair, ``n_switches`` the pairs
+    whose roles are BOTH non-null and differ (the SQL ``role <> prev``
+    null rule).  Every conversation emits (a single-turn conv has
+    ``n_adj = 0``) — the ping-pong health probe for agent transcripts
+    (a low switch ratio flags role collapse / consecutive same-role
+    spam).  Used by :func:`conversation_reports`."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return out_schema.empty_table()
+        keys = t.column(conv_col).to_numpy(zero_copy_only=False)
+        roles = t.column(role_col).to_numpy(zero_copy_only=False)
+        rvalid = pc.is_valid(t.column(role_col)).to_numpy(
+            zero_copy_only=False)
+        new_conv = np.r_[True, keys[1:] != keys[:-1]]
+        adj = ~new_conv
+        switch = adj & np.r_[False, rvalid[1:] & rvalid[:-1]] \
+            & np.r_[False, roles[1:] != roles[:-1]]
+        starts = np.flatnonzero(new_conv)
+        return pa.table({
+            conv_col: pa.array(keys[starts], t.schema.field(conv_col).type),
+            "n_adj": pa.array(np.add.reduceat(adj.astype(np.int64), starts)),
+            "n_switches": pa.array(
+                np.add.reduceat(switch.astype(np.int64), starts)),
+        })
+
+    return kernel
+
+
+_REPORT_NAMES = ("loop", "echo", "role_balance", "alternation",
+                 "tool_transitions")
 
 
 def conversation_reports(ds, which=_REPORT_NAMES, *, min_run: int = 2,
@@ -3305,11 +3340,13 @@ def conversation_reports(ds, which=_REPORT_NAMES, *, min_run: int = 2,
                          loop_role: str = "assistant"):
     """The fused per-conversation report family: ``loop``
     (:func:`assistant_loop_stats`), ``echo`` (:func:`echo_stats`),
-    ``role_balance`` (:func:`role_balance_stats`) and ``tool_transitions``
-    (:func:`tool_transition_counts`) computed from ONE corpus range sort
-    instead of one sort per report.  Returns ``{name: Dataset}`` for the
-    requested ``which``, each row-identical to its standalone op (up to
-    the same hash-collision classes those ops document).
+    ``role_balance`` (:func:`role_balance_stats`), ``alternation``
+    (adjacent-role switch counts — fused-only, no standalone op) and
+    ``tool_transitions`` (:func:`tool_transition_counts`) computed from
+    ONE corpus range sort instead of one sort per report.  Returns
+    ``{name: Dataset}`` for the requested ``which``, each row-identical
+    to its standalone op (up to the same hash-collision classes those
+    ops document).
 
     Scale shape: one slim projection rides the single all-to-all — conv,
     idx, role, an 8-byte text hash + validity (loop/echo), text char
@@ -3348,10 +3385,11 @@ def conversation_reports(ds, which=_REPORT_NAMES, *, min_run: int = 2,
     need_hash = "loop" in which or "echo" in which
     need_chars = "role_balance" in which
     need_tool = "tool_transitions" in which
-    # role feeds the loop prefilter and the echo/role_balance kernels; a
-    # tool_transitions-only request must not impose a role column the
-    # standalone op never reads
-    need_role = "loop" in which or "echo" in which or "role_balance" in which
+    # role feeds the loop prefilter and the echo/role_balance/alternation
+    # kernels; a tool_transitions-only request must not impose a role
+    # column the standalone op never reads
+    need_role = bool({"loop", "echo", "role_balance",
+                      "alternation"} & set(which))
 
     # families that consume a SUBSET of the turn table can prune it BEFORE
     # the all-to-all (the standalone ops' shape); echo/role_balance need
@@ -3400,7 +3438,8 @@ def conversation_reports(ds, which=_REPORT_NAMES, *, min_run: int = 2,
     # block's conversation spine with np.searchsorted; families a
     # conversation doesn't qualify for are NULL on its wide row.
     # canonical family order: the wide kernel emits columns in this order
-    per_conv = [f for f in ("loop", "echo", "role_balance") if f in which]
+    per_conv = [f for f in ("loop", "echo", "role_balance", "alternation")
+                if f in which]
     loop_schema = pa.schema([
         (conv_col, conv_type), ("max_run", pa.int64()),
         ("n_loops", pa.int64()), ("n_role_turns", pa.int64())])
@@ -3410,15 +3449,20 @@ def conversation_reports(ds, which=_REPORT_NAMES, *, min_run: int = 2,
     rb_schema = pa.schema(
         [(conv_col, conv_type)]
         + [(c, pa.int64()) for c in _ROLE_BALANCE_COLS])
+    alt_schema = pa.schema([
+        (conv_col, conv_type), ("n_adj", pa.int64()),
+        ("n_switches", pa.int64())])
     fam_cols = {"loop": ["max_run", "n_loops", "n_role_turns"],
                 "echo": ["n_echoes", "n_pairs"],
-                "role_balance": list(_ROLE_BALANCE_COLS)}
+                "role_balance": list(_ROLE_BALANCE_COLS),
+                "alternation": ["n_adj", "n_switches"]}
     wide_schema = pa.schema(
         [(conv_col, conv_type)]
         + [(c, pa.int64()) for f in per_conv for c in fam_cols[f]])
     base_loop = _make_loop_kernel(conv_col, min_run, loop_schema)
     base_echo = _make_echo_kernel(conv_col, role_col, echo_schema)
     base_rb = _make_role_segment_kernel(conv_col, role_col, rb_schema)
+    base_alt = _make_alternation_kernel(conv_col, role_col, alt_schema)
 
     def wide_kernel(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -3456,6 +3500,8 @@ def conversation_reports(ds, which=_REPORT_NAMES, *, min_run: int = 2,
             align(base_echo(t), fam_cols["echo"])
         if "role_balance" in per_conv:
             align(base_rb(t), fam_cols["role_balance"])
+        if "alternation" in per_conv:
+            align(base_alt(t), fam_cols["alternation"])
         return pa.table(cols)
 
     # pend rows (first/last conversation of each block) materialize ONCE

@@ -2262,7 +2262,7 @@ class TestConversationReportsFused:
         ds = self._corpus()
         fused = tp.conversation_reports(ds, min_run=2)
         assert set(fused) == {"loop", "echo", "role_balance",
-                              "tool_transitions"}
+                              "alternation", "tool_transitions"}
 
         def df(d, keys):
             out = d.to_pandas()
@@ -2280,6 +2280,39 @@ class TestConversationReportsFused:
         pd.testing.assert_frame_equal(
             df(fused["tool_transitions"], ["tool_from", "tool_to"]),
             df(tp.tool_transition_counts(ds), ["tool_from", "tool_to"]))
+
+    def test_alternation_matches_pandas(self, ray_session):
+        """The fused-only alternation family vs an independent pandas
+        re-derivation — including a null role (its pairs must not count
+        as switches) and boundary-spanning conversations."""
+        import numpy as np
+        ds = self._corpus()
+
+        def nullify(t: pa.Table) -> pa.Table:
+            conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+            idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+            c = np.array([int(s[5:]) for s in conv])
+            role = t.column("role").to_numpy(
+                zero_copy_only=False).astype(object)
+            role[(c % 10 == 7) & (idx == 1)] = None
+            return t.set_column(t.column_names.index("role"), "role",
+                                pa.array(role, pa.string()))
+
+        ds2 = ds.map_batches(nullify, batch_format="pyarrow")
+        got = tp.conversation_reports(ds2, which="alternation")[
+            "alternation"].to_pandas().sort_values(
+            "conv_id", ignore_index=True)
+        pdf = ds2.to_pandas().sort_values(["conv_id", "turn_idx"])
+        exp_rows = []
+        for conv, g in pdf.groupby("conv_id", sort=True):
+            r = g["role"].tolist()
+            n_adj = len(r) - 1
+            n_sw = sum(1 for a, b in zip(r, r[1:])
+                       if a is not None and b is not None and a != b)
+            exp_rows.append((conv, n_adj, n_sw))
+        exp = pd.DataFrame(exp_rows,
+                           columns=["conv_id", "n_adj", "n_switches"])
+        pd.testing.assert_frame_equal(got, exp)
 
     def test_subset_and_validation(self, ray_session):
         ds = self._corpus()
