@@ -5586,8 +5586,6 @@ def _schema_diff_documents(sf_dir: str):
     """Column-level drift between the documents snapshot and a mutated
     variant (text dropped, n_chars re-typed to DOUBLE, flag added) —
     driver-side schema diff vs a DESCRIBE FULL OUTER JOIN oracle."""
-    import pandas as pd
-
     from hooqu_ray.analyzers.schema_checks import schema_diff
 
     a = _read(sf_dir, "documents",

@@ -119,13 +119,14 @@ def schema_diff(ds_a, ds_b) -> pa.Table:
     companion to the row-level ``dedup.snapshot_diff``: one row per
     column with ``status ∈ {added, removed, changed, unchanged}``
     (``a → b`` direction; ``changed`` = type name differs) and the
-    DuckDB-style type names on each side.  Resolved on the DRIVER from
-    ``Dataset.schema()`` — zero data passes, free at any scale (the
-    ingest-guard that catches an upstream producer silently re-typing a
-    column before 100 TB flows through the wrong kernel).  Accepts
-    ``ray.data.Dataset`` or anything with an Arrow schema (pandas /
-    Arrow tables via the same ``dataset_arrow_schema`` coercion the
-    runner uses)."""
+    DuckDB-style type names on each side.  ``changed`` compares the
+    ARROW types, not the display names — ``timestamp[ns] →
+    timestamp[us]`` or ``string → large_string`` both render as the
+    same SQL name yet still flag (that silent re-type is exactly what
+    the guard exists for).  Resolved on the DRIVER from
+    ``Dataset.schema()`` — zero data passes, free at any scale.
+    Accepts ``ray.data.Dataset``, Arrow tables/schemas, or pandas
+    DataFrames."""
     from ..util import dataset_arrow_schema
 
     def resolve(x) -> pa.Schema:
@@ -133,14 +134,16 @@ def schema_diff(ds_a, ds_b) -> pa.Table:
             return x
         if isinstance(x, pa.Table):
             return x.schema
+        if hasattr(x, "dtypes") and hasattr(x, "columns"):  # pandas
+            return pa.Schema.from_pandas(x, preserve_index=False)
         s = dataset_arrow_schema(x)
         if s is None:
             return pa.schema([])
         return s
 
     sa, sb = resolve(ds_a), resolve(ds_b)
-    ta = {f.name: sql_type_name(f.type) for f in sa}
-    tb = {f.name: sql_type_name(f.type) for f in sb}
+    ta = {f.name: f.type for f in sa}
+    tb = {f.name: f.type for f in sb}
     cols = sorted(set(ta) | set(tb))
     status, da, db = [], [], []
     for c in cols:
@@ -153,8 +156,8 @@ def schema_diff(ds_a, ds_b) -> pa.Table:
             status.append("changed")
         else:
             status.append("unchanged")
-        da.append(a)
-        db.append(b)
+        da.append(None if a is None else sql_type_name(a))
+        db.append(None if b is None else sql_type_name(b))
     return pa.table({"col": pa.array(cols, pa.string()),
                      "status": pa.array(status, pa.string()),
                      "dtype_a": pa.array(da, pa.string()),

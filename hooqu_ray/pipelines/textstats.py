@@ -40,6 +40,29 @@ def token_count_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ).append_column("n_bpe_tokens", pc.cast(n_bpe, pa.int64()))
 
 
+def _tokenize_block(texts):
+    """Whitespace tokens of a text column (the engine's ``\\S+`` oracle
+    convention, null text → no tokens): returns ``(flat, parent)`` — the
+    non-empty tokens as one flat string array plus each token's row index
+    as int64 numpy.  The single implementation behind
+    ``doc_frequency`` / ``top_terms`` / ``split_token_budget`` /
+    ``inverted_index`` / ``bm25_scores``, so the tokenization can never
+    drift between ops (or from the SQL oracles that mirror it with
+    ``regexp_extract_all(text, '\\S+')``)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = pc.list_parent_indices(words).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if len(flat) == 0:
+        return flat, parent
+    keep = pc.invert(pc.equal(flat, "")).to_numpy(zero_copy_only=False)
+    return flat.filter(pa.array(keep)), parent[keep]
+
+
 def quality_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-doc quality features: n_chars, symbol_ratio, stopword_ratio."""
     text = batch.column(text_col)
@@ -532,19 +555,9 @@ def doc_frequency(ds, text_col: str = "text", id_col: str = "doc_id"):
     so block-local distinct pairs are globally distinct."""
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col)
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        words = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
-        flat = pc.list_flatten(words)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        flat, parent = _tokenize_block(t.column(text_col))
         if len(flat) == 0:
             return pa.table({"term": pa.array([], pa.string())})
-        keep = pc.invert(pc.equal(flat, "")).to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(keep))
-        parent = parent[keep]
         enc = flat.dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((codes, parent))
@@ -613,19 +626,7 @@ class _TopTermsBatch:
                 "df": pa.array([], pa.int64()),
             }
         )
-        texts = t.column(self.text_col)
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        words = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
-        flat = pc.list_flatten(words)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
-        if len(flat) == 0:
-            return empty
-        keep = pc.invert(pc.equal(flat, "")).to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(keep))
-        parent = parent[keep]
+        flat, parent = _tokenize_block(t.column(self.text_col))
         if len(flat) == 0:
             return empty
         enc = flat.dictionary_encode()
@@ -726,25 +727,13 @@ def vocab_stats(ds, text_col: str = "text", group_col: str = "source"):
     def token_partials(t: pa.Table) -> pa.Table:
         sub = t.select([group_col, text_col]).filter(
             pc.is_valid(t.column(group_col)))
-        texts = sub.column(text_col)
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        words = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
-        flat = pc.list_flatten(words)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
+        flat, parent = _tokenize_block(sub.column(text_col))
         empty = pa.table({group_col: pa.array([], grp_type),
                           "__tk": pa.array([], pa.string()),
                           "__n": pa.array([], pa.int64())})
         if len(flat) == 0:
             return empty
-        parent = pc.list_parent_indices(words)
-        keep = pc.invert(pc.equal(flat, ""))
-        flat = flat.filter(keep)
-        parent = parent.filter(keep)
-        if len(flat) == 0:
-            return empty
-        grp = sub.column(group_col).take(parent)
+        grp = sub.column(group_col).take(pa.array(parent, pa.int64()))
         agg = pa.table({group_col: grp, "__tk": flat}).group_by(
             [group_col, "__tk"]).aggregate([([], "count_all")])
         return agg.rename_columns([group_col, "__tk", "__n"])
@@ -825,19 +814,7 @@ def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
                           id_col: pa.array([], pa.int64()),
                           "__tie": pa.array([], pa.int64()),
                           "__v": pa.array([], pa.int64())})
-        texts = t.column(text_col)
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        words = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
-        flat = pc.list_flatten(words)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        if len(flat) == 0:
-            return empty
-        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
-        keep = pc.invert(pc.equal(flat, "")).to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(keep))
-        parent = parent[keep]
+        flat, parent = _tokenize_block(t.column(text_col))
         if len(flat) == 0:
             return empty
         ids = np.asarray(t.column(id_col), dtype=np.int64)[parent]
@@ -920,19 +897,8 @@ def bm25_scores(ds, query: str, *, text_col: str = "text",
     def emit(t: pa.Table) -> pa.Table:
         if len(t) == 0 or not {id_col, text_col}.issubset(t.column_names):
             return typed_mat_empty
-        texts = t.column(text_col)
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        words = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
-        flat = pc.list_flatten(words)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        flat, parent = _tokenize_block(t.column(text_col))
         nrows = len(t)
-        if len(flat):
-            keep = pc.invert(pc.equal(flat, "")).to_numpy(zero_copy_only=False)
-            flat = flat.filter(pa.array(keep))
-            parent = parent[keep]
         dl = np.bincount(parent, minlength=nrows).astype(np.int64)
         stats = pa.table({
             id_col: pa.array([None], id_type),
@@ -964,10 +930,11 @@ def bm25_scores(ds, query: str, *, text_col: str = "text",
         return pa.concat_tables([matches, stats])
 
     mat = ds.map_batches(emit, batch_format="pyarrow").materialize()
-    n_total = mat.sum("n_docs") or 0
+    sums = mat.sum(["n_docs", "sum_dl"]) or {}
+    n_total = sums.get("sum(n_docs)") or 0
     if n_total == 0:
         return rd.from_arrow(typed_out_empty)
-    avgdl = float(mat.sum("sum_dl") or 0) / float(n_total)
+    avgdl = float(sums.get("sum(sum_dl)") or 0) / float(n_total)
 
     def term_ones(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "term" not in t.column_names:
@@ -1013,4 +980,7 @@ def bm25_scores(ds, query: str, *, text_col: str = "text",
             id_col: enc.dictionary.take(pa.array(c_s[starts], pa.int64())),
             "score": pa.array(sums, pa.float64())})
 
-    return mat.map_batches(score, batch_format="pyarrow")
+    # batch_size=None (whole blocks): a doc's match rows were emitted into
+    # one block and the per-doc sum is block-local — row-count batching
+    # would split a doc's rows and emit duplicate partial-score rows
+    return mat.map_batches(score, batch_format="pyarrow", batch_size=None)

@@ -316,3 +316,23 @@ class TestSchemaDiff:
         out = schema_diff(pa.schema([("a", pa.int64())]),
                           pa.table({"a": pa.array([2], pa.int64())}))
         assert out.column("status").to_pylist() == ["unchanged"]
+
+    def test_same_sql_name_different_arrow_type_flags(self):
+        import pyarrow as pa
+        from hooqu_ray.analyzers.schema_checks import schema_diff
+
+        # ns -> us renders as TIMESTAMP on both sides yet must flag
+        out = schema_diff(pa.schema([("ts", pa.timestamp("ns"))]),
+                          pa.schema([("ts", pa.timestamp("us"))]))
+        assert out.column("status").to_pylist() == ["changed"]
+        assert out.column("dtype_a").to_pylist() == ["TIMESTAMP"]
+        assert out.column("dtype_b").to_pylist() == ["TIMESTAMP"]
+
+    def test_pandas_input(self):
+        from hooqu_ray.analyzers.schema_checks import schema_diff
+
+        a = pd.DataFrame({"x": [1], "y": ["s"]})
+        b = pd.DataFrame({"x": [1.5]})
+        out = schema_diff(a, b).to_pydict()
+        rows = dict(zip(out["col"], out["status"]))
+        assert rows == {"x": "changed", "y": "removed"}
