@@ -525,7 +525,8 @@ def main() -> None:
     ).count()
     queries["grouped_hll"] = round(time.time() - t0, 3)
 
-    from hooqu_ray.pipelines.windows import lag_delta
+    from hooqu_ray.pipelines.windows import (grouped_first_last, lag_delta,
+                                             lead_delta)
 
     t0 = time.time()
     lag_delta(
@@ -534,6 +535,43 @@ def main() -> None:
         "user_id", "ts", "event_id", "value",
     ).count()
     queries["lag_delta"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    lead_delta(
+        bench_read(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts", "user_id", "value"]),
+        "user_id", "ts", "event_id", "value",
+    ).count()
+    queries["lead_delta"] = round(time.time() - t0, 3)
+
+    # fold-based first/last — the no-sort member of the window family
+    t0 = time.time()
+    grouped_first_last(
+        bench_read(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts", "user_id", "value"]),
+        "user_id", "ts", "event_id", "value",
+    ).count()
+    queries["first_last_fold"] = round(time.time() - t0, 3)
+
+    from hooqu_ray.pipelines.textstats import bm25_scores
+
+    t0 = time.time()
+    bm25_scores(
+        bench_read(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        "hash join merge stream sort scan",
+    ).count()
+    queries["bm25_retrieval"] = round(time.time() - t0, 3)
+
+    from hooqu_ray.pipelines.relational import weighted_sample
+
+    t0 = time.time()
+    weighted_sample(
+        bench_read(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "value"]),
+        "event_id", "value", 10_000,
+    ).count()
+    queries["weighted_sample"] = round(time.time() - t0, 3)
 
     from hooqu_ray.pipelines.cms import heavy_hitters
 
