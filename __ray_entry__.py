@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["bm25_scores_documents"] = _bm25_scores_documents
     out["schema_diff_documents"] = _schema_diff_documents
     out["alternation_stats_transcripts"] = _alternation_stats
+    out["grouped_weighted_sample_events"] = _grouped_weighted_sample_events
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
@@ -4874,6 +4875,16 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY count DESC, value LIMIT 4"
             ") ORDER BY value"
         ),
+        "grouped_weighted_sample_events": (
+            "SELECT event_type, event_id, ROUND(value, 6) AS value FROM ("
+            "SELECT event_type, event_id, value, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY value / "
+            "((CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) + 1) / 4294967296.0) DESC, event_id) AS rn "
+            "FROM events WHERE value > 0 AND event_id IS NOT NULL "
+            "AND event_type IS NOT NULL"
+            ") WHERE rn <= 50 ORDER BY event_type, event_id"
+        ),
         "weighted_sample_events": (
             "SELECT event_id, ROUND(value, 6) AS value FROM ("
             "SELECT event_id, value, value / "
@@ -5540,6 +5551,20 @@ def _grouped_corr_lineitem(sf_dir: str):
                       "l_extendedprice").to_pandas()
     df["corr_xy"] = df["corr_xy"].round(6)
     return df.sort_values("l_returnflag", ignore_index=True)
+
+
+def _grouped_weighted_sample_events(sf_dir: str):
+    """Per-event-type 50-row priority sample (q = w/u within each group)
+    — the balanced-per-source selection; bit-identical priorities in
+    DuckDB, so the per-group row SETS match exactly."""
+    from hooqu_ray.pipelines.relational import grouped_weighted_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = grouped_weighted_sample(ds, "event_type", "event_id", "value", 50)
+    df = out.to_pandas()  # pa.Table (driver merge) and Dataset both have it
+    df["value"] = df["value"].round(6)
+    df["event_id"] = df["event_id"].astype("int64")
+    return df.sort_values(["event_type", "event_id"], ignore_index=True)
 
 
 def _weighted_sample_events(sf_dir: str):

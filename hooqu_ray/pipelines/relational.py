@@ -1757,3 +1757,67 @@ def value_histogram(ds, col: str, k: int = 50):
             "ratio", pa.array(c / float(total), pa.float64()))
 
     return top.map_batches(stamp_ratio, batch_format="pyarrow")
+
+
+def grouped_weighted_sample(ds, group_col: str, key_col: str,
+                            weight_col: str, k: int):
+    """Per-GROUP exact-``k`` weight-proportional sample without
+    replacement — :func:`weighted_sample`'s priority rule (``q = w / u``,
+    ``u`` the exact dyadic md5 fraction of the key) applied within each
+    group via :func:`grouped_top_k` — the balanced-per-source selection
+    step of a data-mixing pipeline ("k quality-weighted docs from every
+    source/language shard"), where the global variant would let one
+    populous source crowd out the rest.
+
+    Deterministic and exactly SQL-checkable (``row_number() OVER
+    (PARTITION BY g ORDER BY q DESC, key)`` with the bit-identical
+    priority).  Scale shape inherited from :func:`grouped_top_k`:
+    per-block local top-``k`` per group → combiner-bounded partials →
+    driver merge below the row gate, distributed range-sort merge above
+    it.  Rows with a null group/key or a null/NaN/≤ 0 weight are
+    dropped.  Returns ``[group_col, key_col, weight_col]`` rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from ..util import dataset_arrow_schema
+
+    in_schema = dataset_arrow_schema(ds)
+    # typed empty anchor carrying the INPUT dtypes (CLAUDE.md gotcha:
+    # hardcoded types make mixed-schema unions for non-string groups)
+    if in_schema is not None and {group_col, key_col, weight_col}.issubset(
+            in_schema.names):
+        empty = pa.schema(
+            [in_schema.field(c) for c in (group_col, key_col, weight_col)]
+        ).empty_table().append_column("__q", pa.array([], pa.float64()))
+    else:
+        empty = pa.table({
+            group_col: pa.array([], pa.string()),
+            key_col: pa.array([], pa.int64()),
+            weight_col: pa.array([], pa.float64()),
+            "__q": pa.array([], pa.float64())})
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or not {group_col, key_col, weight_col}.issubset(
+                t.column_names):
+            return empty
+        w = pc.cast(t.column(weight_col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        ok = ~np.isnan(w) & (w > 0)
+        ok &= pc.is_valid(t.column(key_col)).to_numpy(zero_copy_only=False)
+        ok &= pc.is_valid(t.column(group_col)).to_numpy(zero_copy_only=False)
+        t = t.select([group_col, key_col, weight_col]).filter(pa.array(ok))
+        if len(t) == 0:
+            return t.append_column("__q", pa.array([], pa.float64()))
+        u = (md5_bucket(t.column(key_col)).astype(np.float64) + 1.0) \
+            / 4294967296.0
+        q = w[ok] / u
+        return t.append_column("__q", pa.array(q, pa.float64()))
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow")
+    out = grouped_top_k(stamped, group_col, "__q", k, tie_col=key_col,
+                        extra_cols=[weight_col])
+    if isinstance(out, pa.Table):
+        return out.drop_columns(["__q"])
+    return out.map_batches(
+        lambda t: t.drop_columns(["__q"]) if "__q" in t.column_names else t,
+        batch_format="pyarrow",
+    )

@@ -812,3 +812,50 @@ class TestValueHistogram:
         assert out.schema().names == ["value", "count", "ratio"]
         with pytest.raises(ValueError):
             value_histogram(e, "c", k=0)
+
+
+class TestGroupedWeightedSample:
+    def test_matches_duckdb_per_group(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import grouped_weighted_sample
+
+        rng = np.random.RandomState(8)
+        n = 2500
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], n),
+            "id": np.arange(n, dtype=np.int64),
+            "w": np.abs(rng.randn(n)) * 3,
+        })
+        df.loc[rng.rand(n) < 0.04, "w"] = np.nan
+        df.loc[3, "g"] = None  # null group drops
+        out = grouped_weighted_sample(
+            rd.from_pandas(df).repartition(6), "g", "id", "w", 40)
+        got = out.to_pandas().sort_values(["g", "id"], ignore_index=True)
+        exp = duckdb.sql("""
+            SELECT g, id, w FROM (
+              SELECT g, id, w, row_number() OVER (PARTITION BY g ORDER BY
+                w / ((CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 1) / 4294967296.0) DESC, id) AS rn
+              FROM df WHERE w > 0 AND g IS NOT NULL
+            ) WHERE rn <= 40 ORDER BY g, id""").df()
+        assert got["id"].tolist() == exp["id"].tolist()
+        assert got["g"].tolist() == exp["g"].tolist()
+        assert np.allclose(got["w"].to_numpy(), exp["w"].to_numpy())
+
+    def test_small_group_keeps_all_and_bad_k(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import grouped_weighted_sample
+
+        df = pd.DataFrame({"g": ["x", "x", "y"], "id": [1, 2, 3],
+                           "w": [1.0, 2.0, 5.0]})
+        out = grouped_weighted_sample(rd.from_pandas(df), "g", "id", "w", 10)
+        got = out.to_pandas().sort_values("id", ignore_index=True)
+        assert got["id"].tolist() == [1, 2, 3]  # groups smaller than k keep all
+        with pytest.raises(ValueError):
+            grouped_weighted_sample(
+                rd.from_arrow(pa.table({"g": pa.array([], pa.string()),
+                                        "id": pa.array([], pa.int64()),
+                                        "w": pa.array([], pa.float64())})),
+                "g", "id", "w", 0)
