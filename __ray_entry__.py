@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["schema_diff_documents"] = _schema_diff_documents
     out["alternation_stats_transcripts"] = _alternation_stats
     out["grouped_weighted_sample_events"] = _grouped_weighted_sample_events
+    out["robust_stats_events"] = _robust_stats_events
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
@@ -4875,6 +4876,39 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY count DESC, value LIMIT 4"
             ") ORDER BY value"
         ),
+        "robust_stats_events": (
+            # nearest-rank (half-to-even) median and MAD per event_type,
+            # then the modified-z outlier count with the same fixed
+            # expression shape the engine computes
+            "WITH s AS (SELECT event_type AS k, value AS v FROM events "
+            "WHERE event_type IS NOT NULL AND value IS NOT NULL), "
+            "r AS (SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v)"
+            " AS rn, count(*) OVER (PARTITION BY k) AS c FROM s), "
+            "i AS (SELECT k, CAST(floor(0.5 * (c - 1)) AS BIGINT) AS k0, "
+            "0.5 * (c - 1) - floor(0.5 * (c - 1)) AS frac "
+            "FROM (SELECT DISTINCT k, c FROM r) t), "
+            "kk AS (SELECT k, k0 + (CASE WHEN frac > 0.5 THEN 1 "
+            "WHEN frac = 0.5 AND k0 % 2 = 1 THEN 1 ELSE 0 END) AS sel FROM i), "
+            "med AS (SELECT r.k, r.v AS med FROM r JOIN kk "
+            "ON r.k = kk.k AND r.rn = kk.sel + 1), "
+            "d AS (SELECT s.k, s.v, med.med, ABS(s.v - med.med) AS dev "
+            "FROM s JOIN med ON s.k = med.k), "
+            "r2 AS (SELECT k, dev, row_number() OVER (PARTITION BY k ORDER BY dev)"
+            " AS rn, count(*) OVER (PARTITION BY k) AS c FROM d), "
+            "i2 AS (SELECT k, CAST(floor(0.5 * (c - 1)) AS BIGINT) AS k0, "
+            "0.5 * (c - 1) - floor(0.5 * (c - 1)) AS frac "
+            "FROM (SELECT DISTINCT k, c FROM r2) t), "
+            "kk2 AS (SELECT k, k0 + (CASE WHEN frac > 0.5 THEN 1 "
+            "WHEN frac = 0.5 AND k0 % 2 = 1 THEN 1 ELSE 0 END) AS sel FROM i2), "
+            "mad AS (SELECT r2.k, r2.dev AS mad FROM r2 JOIN kk2 "
+            "ON r2.k = kk2.k AND r2.rn = kk2.sel + 1) "
+            "SELECT d.k AS event_type, ROUND(MAX(d.med), 6) AS median, "
+            "ROUND(MAX(mad.mad), 6) AS mad, "
+            "CAST(SUM(CASE WHEN mad.mad > 0 AND "
+            "ABS(0.6745 * (d.v - d.med) / mad.mad) > 3.5 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_outliers "
+            "FROM d JOIN mad ON d.k = mad.k GROUP BY d.k ORDER BY event_type"
+        ),
         "grouped_weighted_sample_events": (
             "SELECT event_type, event_id, ROUND(value, 6) AS value FROM ("
             "SELECT event_type, event_id, value, row_number() OVER ("
@@ -5565,6 +5599,22 @@ def _grouped_weighted_sample_events(sf_dir: str):
     df["value"] = df["value"].round(6)
     df["event_id"] = df["event_id"].astype("int64")
     return df.sort_values(["event_type", "event_id"], ignore_index=True)
+
+
+def _robust_stats_events(sf_dir: str):
+    """Per-event-type robust dispersion profile (median, MAD, modified-z
+    outlier count at the Iglewicz–Hoaglin z=3.5 default) — both
+    quantiles are the engine's pandas-nearest rule, the outlier
+    predicate a fixed IEEE expression, so all three columns match the
+    SQL re-derivation exactly."""
+    from hooqu_ray.pipelines.relational import grouped_robust_stats
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    df = grouped_robust_stats(ds, "event_type", "value").to_pandas()
+    df["median"] = df["median"].round(6)
+    df["mad"] = df["mad"].round(6)
+    df["n_outliers"] = df["n_outliers"].astype("int64")
+    return df.sort_values("event_type", ignore_index=True)
 
 
 def _weighted_sample_events(sf_dir: str):

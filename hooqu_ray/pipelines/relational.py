@@ -1821,3 +1821,107 @@ def grouped_weighted_sample(ds, group_col: str, key_col: str,
         lambda t: t.drop_columns(["__q"]) if "__q" in t.column_names else t,
         batch_format="pyarrow",
     )
+
+
+def grouped_robust_stats(ds, group_col: str, value_col: str,
+                         z: float = 3.5):
+    """Per-group ROBUST dispersion profile — median, MAD (median absolute
+    deviation) and the count of modified-z-score outliers
+    (Iglewicz–Hoaglin rule: ``|0.6745 (v − median) / MAD| > z``, the
+    published default ``z = 3.5``) — the outlier-detection companion to
+    :func:`grouped_zscore` for long-tailed quality metrics, where mean ±
+    k·σ is itself dragged by the outliers it should flag.
+
+    Both quantiles use the engine-standard pandas-"nearest" rule
+    (:func:`hooqu_ray.pipelines.ranks.grouped_exact_quantile` — actual
+    data values, so the SQL oracle reproduces them row-exactly), and the
+    outlier predicate is a single fixed-shape IEEE expression, so counts
+    match SQL bit-for-bit.  Three slim passes, no key exchange on facts:
+    median fold → broadcast medians (``enrich_join``) + deviation stamp
+    → MAD fold → broadcast MADs + one counting fold
+    (:func:`~hooqu_ray.functions.shuffle.tree_group_sum`).  The
+    per-group stats tables must fit a worker's heap (one row per group —
+    shard by key-hash range beyond that).  Null values are ignored; null
+    group keys drop; a zero MAD (over half the group at the median)
+    yields ``n_outliers = 0``.  Returns
+    ``[group_col, median, mad, n_outliers]``."""
+    from ..functions.joins import enrich_join
+    from ..functions.shuffle import tree_group_sum
+    from ..util import dataset_arrow_schema
+    from .ranks import grouped_exact_quantile
+
+    in_schema = dataset_arrow_schema(ds)
+    gtype = (in_schema.field(group_col).type if in_schema is not None
+             and group_col in in_schema.names else pa.string())
+    vtype = (in_schema.field(value_col).type if in_schema is not None
+             and value_col in in_schema.names else pa.float64())
+    slim_empty = pa.schema([(group_col, gtype),
+                            (value_col, vtype)]).empty_table()
+
+    def slim(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or not {group_col, value_col}.issubset(t.column_names):
+            return slim_empty
+        t = t.select([group_col, value_col])
+        mask = pc.and_(pc.is_valid(t.column(group_col)),
+                       pc.is_valid(t.column(value_col)))
+        return t.filter(mask)
+
+    facts = ds.map_batches(slim, batch_format="pyarrow").materialize()
+    med = grouped_exact_quantile(facts, group_col, value_col, 0.5,
+                                 out_col="median").materialize()
+
+    with_med = enrich_join(facts, med, group_col, group_col, ["median"],
+                           how="inner")
+
+    dev_empty = pa.schema([(group_col, gtype), (value_col, vtype),
+                           ("median", vtype),
+                           ("__dev", pa.float64())]).empty_table()
+
+    def stamp_dev(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "median" not in t.column_names:
+            return dev_empty
+        v = pc.cast(t.column(value_col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        m = t.column("median").to_numpy(zero_copy_only=False)
+        return t.append_column("__dev", pa.array(np.abs(v - m), pa.float64()))
+
+    deviated = with_med.map_batches(
+        stamp_dev, batch_format="pyarrow").materialize()
+    mad = grouped_exact_quantile(deviated, group_col, "__dev", 0.5,
+                                 out_col="mad").materialize()
+
+    count_empty = pa.schema([(group_col, gtype),
+                             ("n_outliers", pa.int64())]).empty_table()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "mad" not in t.column_names:
+            return count_empty
+        v = pc.cast(t.column(value_col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        m = t.column("median").to_numpy(zero_copy_only=False)
+        s = t.column("mad").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # fixed expression shape — matches the SQL oracle bit-for-bit
+            flag = (s > 0) & (np.abs(0.6745 * (v - m) / s) > z)
+        return pa.table({
+            group_col: t.column(group_col),
+            "n_outliers": pa.array(flag.astype(np.int64))})
+
+    counts = tree_group_sum(
+        enrich_join(deviated, mad, group_col, group_col, ["mad"],
+                    how="inner").map_batches(
+            count_partial, batch_format="pyarrow"),
+        [group_col], ["n_outliers"])
+
+    out = enrich_join(enrich_join(counts, med, group_col, group_col,
+                                  ["median"], how="inner"),
+                      mad, group_col, group_col, ["mad"], how="inner")
+
+    def order_cols(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "n_outliers" not in t.column_names:
+            return pa.schema([(group_col, gtype), ("median", vtype),
+                              ("mad", pa.float64()),
+                              ("n_outliers", pa.int64())]).empty_table()
+        return t.select([group_col, "median", "mad", "n_outliers"])
+
+    return out.map_batches(order_cols, batch_format="pyarrow")

@@ -859,3 +859,60 @@ class TestGroupedWeightedSample:
                                         "id": pa.array([], pa.int64()),
                                         "w": pa.array([], pa.float64())})),
                 "g", "id", "w", 0)
+
+
+class TestGroupedRobustStats:
+    def test_matches_independent_model(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import grouped_robust_stats
+
+        rng = np.random.RandomState(4)
+        n = 4000
+        df = pd.DataFrame({"g": rng.choice(["a", "b", "c", "d"], n),
+                           "v": rng.standard_normal(n) * 5})
+        m1 = rng.rand(n) < 0.02
+        df.loc[m1, "v"] = rng.standard_normal(int(m1.sum())) * 200
+        df.loc[rng.rand(n) < 0.05, "v"] = np.nan
+        df.loc[5, "g"] = None  # null key drops
+
+        got = grouped_robust_stats(
+            rd.from_pandas(df).repartition(7), "g", "v"
+        ).to_pandas().sort_values("g", ignore_index=True)
+
+        def nearest_med(a):
+            a = np.sort(a[~np.isnan(a)])
+            vi = 0.5 * (len(a) - 1)
+            k0 = int(np.floor(vi))
+            frac = vi - k0
+            k = k0 + (1 if (frac > 0.5 or (frac == 0.5 and k0 % 2 == 1))
+                      else 0)
+            return a[k]
+
+        exp_rows = []
+        for g, grp in df[df["g"].notna()].groupby("g"):
+            vv = grp["v"].to_numpy(dtype=float)
+            vv = vv[~np.isnan(vv)]
+            med = nearest_med(vv)
+            mad = nearest_med(np.abs(vv - med))
+            no = (int((np.abs(0.6745 * (vv - med) / mad) > 3.5).sum())
+                  if mad > 0 else 0)
+            exp_rows.append((g, med, mad, no))
+        exp = pd.DataFrame(exp_rows,
+                           columns=["g", "median", "mad", "n_outliers"])
+        assert got["g"].tolist() == exp["g"].tolist()
+        assert np.allclose(got[["median", "mad"]].to_numpy(),
+                           exp[["median", "mad"]].to_numpy())
+        assert got["n_outliers"].tolist() == exp["n_outliers"].tolist()
+
+    def test_zero_mad_and_constant_group(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import grouped_robust_stats
+
+        # constant group: MAD 0 -> no outliers even with a huge spike
+        # (majority-at-median group: MAD 0 by construction)
+        df = pd.DataFrame({"g": ["c"] * 9 + ["c"],
+                           "v": [5.0] * 9 + [1e9]})
+        got = grouped_robust_stats(rd.from_pandas(df), "g", "v").to_pandas()
+        assert got["median"].tolist() == [5.0]
+        assert got["mad"].tolist() == [0.0]
+        assert got["n_outliers"].tolist() == [0]
