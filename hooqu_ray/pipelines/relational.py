@@ -1778,6 +1778,10 @@ def grouped_weighted_sample(ds, group_col: str, key_col: str,
     dropped.  Returns ``[group_col, key_col, weight_col]`` rows."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if len({group_col, key_col, weight_col}) != 3:
+        raise ValueError(
+            "group_col, key_col and weight_col must be distinct, got "
+            f"{(group_col, key_col, weight_col)}")
     from ..util import dataset_arrow_schema
 
     in_schema = dataset_arrow_schema(ds)
@@ -1816,6 +1820,10 @@ def grouped_weighted_sample(ds, group_col: str, key_col: str,
     out = grouped_top_k(stamped, group_col, "__q", k, tie_col=key_col,
                         extra_cols=[weight_col])
     if isinstance(out, pa.Table):
+        if len(out) == 0:
+            # grouped_top_k's driver path loses the schema on an empty
+            # result — re-anchor the input dtypes (CLAUDE.md gotcha)
+            return empty.drop_columns(["__q"])
         return out.drop_columns(["__q"])
     return out.map_batches(
         lambda t: t.drop_columns(["__q"]) if "__q" in t.column_names else t,
@@ -1866,9 +1874,21 @@ def grouped_robust_stats(ds, group_col: str, value_col: str,
                        pc.is_valid(t.column(value_col)))
         return t.filter(mask)
 
+    import ray.data as rd
+
+    from ..util import collect_arrow
+
+    final_empty = pa.schema([(group_col, gtype), ("median", vtype),
+                             ("mad", pa.float64()),
+                             ("n_outliers", pa.int64())]).empty_table()
     facts = ds.map_batches(slim, batch_format="pyarrow").materialize()
-    med = grouped_exact_quantile(facts, group_col, value_col, 0.5,
-                                 out_col="median").materialize()
+    # collect the per-group stats tables ONCE (one row per group — the
+    # documented heap bound) so each broadcasts a single ray.put, and an
+    # empty fact set returns the typed empty instead of crashing the join
+    med = collect_arrow(grouped_exact_quantile(
+        facts, group_col, value_col, 0.5, out_col="median"))
+    if med is None or len(med) == 0:
+        return rd.from_arrow(final_empty)
 
     with_med = enrich_join(facts, med, group_col, group_col, ["median"],
                            how="inner")
@@ -1887,8 +1907,10 @@ def grouped_robust_stats(ds, group_col: str, value_col: str,
 
     deviated = with_med.map_batches(
         stamp_dev, batch_format="pyarrow").materialize()
-    mad = grouped_exact_quantile(deviated, group_col, "__dev", 0.5,
-                                 out_col="mad").materialize()
+    mad = collect_arrow(grouped_exact_quantile(
+        deviated, group_col, "__dev", 0.5, out_col="mad"))
+    if mad is None or len(mad) == 0:  # unreachable when med is non-empty
+        return rd.from_arrow(final_empty)
 
     count_empty = pa.schema([(group_col, gtype),
                              ("n_outliers", pa.int64())]).empty_table()
@@ -1919,9 +1941,7 @@ def grouped_robust_stats(ds, group_col: str, value_col: str,
 
     def order_cols(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "n_outliers" not in t.column_names:
-            return pa.schema([(group_col, gtype), ("median", vtype),
-                              ("mad", pa.float64()),
-                              ("n_outliers", pa.int64())]).empty_table()
+            return final_empty
         return t.select([group_col, "median", "mad", "n_outliers"])
 
     return out.map_batches(order_cols, batch_format="pyarrow")

@@ -916,3 +916,38 @@ class TestGroupedRobustStats:
         assert got["median"].tolist() == [5.0]
         assert got["mad"].tolist() == [0.0]
         assert got["n_outliers"].tolist() == [0]
+
+
+class TestLateReviewRegressions:
+    def test_robust_stats_empty_and_all_null(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import grouped_robust_stats
+
+        allnull = rd.from_arrow(pa.table({
+            "g": pa.array(["a", "b"], pa.string()),
+            "v": pa.array([None, None], pa.float64())}))
+        out = grouped_robust_stats(allnull, "g", "v")
+        assert out.schema().names == ["g", "median", "mad", "n_outliers"]
+        assert out.count() == 0
+
+    def test_weighted_sample_empty_keeps_dtypes(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import grouped_weighted_sample
+
+        # every row fails the weight filter -> empty result must keep
+        # the INPUT dtypes (not type-null columns)
+        df = pd.DataFrame({"g": ["x"], "id": np.array([1], dtype=np.int64),
+                           "w": [-1.0]})
+        out = grouped_weighted_sample(rd.from_pandas(df), "g", "id", "w", 3)
+        assert isinstance(out, pa.Table)
+        assert len(out) == 0
+        assert out.schema.field("id").type == pa.int64()
+        assert out.schema.field("w").type == pa.float64()
+
+    def test_weighted_sample_alias_columns_raise(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.relational import grouped_weighted_sample
+
+        d = rd.from_pandas(pd.DataFrame({"g": ["x"], "w": [1.0]}))
+        with pytest.raises(ValueError, match="distinct"):
+            grouped_weighted_sample(d, "g", "g", "w", 3)
