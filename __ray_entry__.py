@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["alternation_stats_transcripts"] = _alternation_stats
     out["grouped_weighted_sample_events"] = _grouped_weighted_sample_events
     out["robust_stats_events"] = _robust_stats_events
+    out["split_by_gap_transcripts"] = _split_by_gap_transcripts
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
@@ -2647,6 +2648,33 @@ def _alternation_stats(sf_dir: str):
         .sort_values("conv_id", ignore_index=True)
 
 
+def _split_by_gap_transcripts(sf_dir: str):
+    """Inactivity-gap conversation splitting.  Gaps injected on BOTH
+    sides: every doc_id % 4 == 2 conversation's turns at i >= 3 shift
+    +2 h, so a 1-hour threshold opens exactly one sub-conversation
+    boundary there (30 s everywhere else)."""
+    from hooqu_ray.pipelines import transcripts as tp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        doc = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 13),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.asarray(t.column("turn_idx"), dtype=np.int64)
+        ts = t.column("ts").to_numpy(zero_copy_only=False).copy()
+        m = (doc % 4 == 2) & (idx >= 3)
+        ts[m] += np.timedelta64(7200, "s")
+        return t.set_column(t.column_names.index("ts"), "ts",
+                            pa.array(ts, pa.timestamp("us")))
+
+    tr = tp.transcripts_from_documents(docs).map_batches(
+        shift, batch_format="pyarrow")
+    df = tp.split_conversations_by_gap(tr, 3600.0).to_pandas()
+    df = df[["conv_id", "turn_idx", "sub_conv"]]
+    df["turn_idx"] = df["turn_idx"].astype("int64")
+    return df.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+
+
 def _pack_sft(sf_dir: str):
     """Loss-mask packing plan over the extracted SFT examples: 48-token
     windows packed into 256-token sequences, target spans recorded."""
@@ -3615,6 +3643,26 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(regexp_extract_all(text, '\\S+')[1:8], ' ') "
             "ELSE text END AS text, nt > 8 AS clipped FROM n "
             "ORDER BY conv_id, turn_idx"
+        ),
+        "split_by_gap_transcripts": (
+            # same turn explosion + the injected +2h shift at i >= 3 for
+            # doc_id % 4 == 2; running count of > 1h inter-turn gaps
+            "WITH w AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''),"
+            " '\\S+') AS ws FROM documents), "
+            "c AS (SELECT doc_id, ws, GREATEST(CAST(CEIL(len(ws) / 12.0) AS "
+            "BIGINT), 1) AS n_turns FROM w), "
+            "t AS (SELECT doc_id, UNNEST(range(n_turns)) AS i FROM c), "
+            "turn AS (SELECT printf('conv-%08d', doc_id) AS conv_id, i, "
+            "TIMESTAMP '2025-01-01 00:00:00' "
+            "+ to_seconds(doc_id * 60 + i * 30 "
+            "+ CASE WHEN doc_id % 4 = 2 AND i >= 3 THEN 7200 ELSE 0 END) "
+            "AS ts FROM t), "
+            "l AS (SELECT conv_id, i, CASE WHEN ts - "
+            "LAG(ts) OVER (PARTITION BY conv_id ORDER BY i) "
+            "> INTERVAL 3600 SECOND THEN 1 ELSE 0 END AS brk FROM turn) "
+            "SELECT conv_id, i AS turn_idx, "
+            "CAST(SUM(brk) OVER (PARTITION BY conv_id ORDER BY i) AS BIGINT) "
+            "AS sub_conv FROM l ORDER BY conv_id, turn_idx"
         ),
         "alternation_stats_transcripts": (
             # same turn explosion + injected same-role pair (doc_id % 5

@@ -4287,3 +4287,56 @@ def _diff_output(diff, conv_type, conv_col: str):
 
     return diff.map_batches(rename, batch_format="pyarrow").union(
         rd.from_arrow(out_schema.empty_table()))
+
+
+def split_conversations_by_gap(ds, gap_seconds: float, *,
+                               conv_col: str = "conv_id",
+                               idx_col: str = "turn_idx",
+                               ts_col: str = "ts",
+                               out_col: str = "sub_conv"):
+    """Split long agent logs into sub-conversations at INACTIVITY gaps:
+    every turn gets ``out_col`` = the number of strictly-greater-than-
+    ``gap_seconds`` jumps between consecutive turns (in ``idx_col``
+    order) before it — SQL ``SUM(CASE WHEN ts − LAG(ts) > gap THEN 1
+    ELSE 0 END) OVER (PARTITION BY conv ORDER BY idx)``.  The transcript
+    analogue of event sessionization (``sessions.py``): a crawl that
+    concatenates a user's sessions under one conv id is re-segmented so
+    downstream per-conversation ops (dedup, SFT extraction, reports)
+    see coherent units — ``(conv_col, out_col)`` is the new conversation
+    key.
+
+    One range sort via the shared whole-conversation scaffold
+    (:func:`_per_conversation_apply`), a vectorized cumsum kernel per
+    block, and the O(#blocks) boundary-conversation repair.  All input
+    columns ride the sort and come back stamped (the
+    ``truncate_conversations`` discipline).  A null or non-monotone
+    timestamp produces no break at that junction (SQL null/compare
+    rule); rows with a null conv or idx are dropped."""
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be > 0, got {gap_seconds}")
+    from ..util import dataset_arrow_schema
+
+    in_schema = dataset_arrow_schema(ds)
+    proj_cols = (list(in_schema.names) if in_schema is not None
+                 else [conv_col, idx_col, ts_col])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        keys = t.column(conv_col).to_numpy(zero_copy_only=False)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False)
+        new_conv = np.r_[True, keys[1:] != keys[:-1]]
+        if ts.dtype.kind == "M":
+            thresh = np.timedelta64(int(round(gap_seconds * 1e6)), "us")
+        else:
+            thresh = gap_seconds
+        with np.errstate(invalid="ignore"):
+            brk = np.r_[False, (ts[1:] - ts[:-1]) > thresh] & ~new_conv
+        c = np.cumsum(brk.astype(np.int64))
+        starts = np.flatnonzero(new_conv)
+        run_start = starts[np.cumsum(new_conv) - 1]
+        return t.append_column(
+            out_col, pa.array(c - c[run_start], pa.int64()))
+
+    return _per_conversation_apply(ds, proj_cols, conv_col, idx_col, kernel)

@@ -2389,3 +2389,53 @@ class TestConversationReportsFused:
             "tool_from", "tool_to", "n"]
         for d in fused.values():
             assert d.count() == 0
+
+
+class TestSplitConversationsByGap:
+    def test_matches_sql_running_gap_count(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        rng = np.random.default_rng(9)
+        rows = []
+        base = np.datetime64("2025-02-01T00:00:00", "us")
+        for c in range(60):
+            t = base + np.timedelta64(int(c) * 1000, "s")
+            for i in range(int(rng.integers(1, 12))):
+                # occasional > 1h jumps open sub-conversations
+                t = t + np.timedelta64(
+                    int(rng.choice([30, 30, 30, 7200])), "s")
+                rows.append((f"c{c:03d}", i, t))
+        df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts"])
+        got = tp.split_conversations_by_gap(
+            rd.from_pandas(df).repartition(11), 3600.0
+        ).to_pandas().sort_values(["conv_id", "turn_idx"],
+                                  ignore_index=True)
+        exp = duckdb.sql("""
+            WITH l AS (SELECT conv_id, turn_idx,
+              CASE WHEN ts - LAG(ts) OVER
+                    (PARTITION BY conv_id ORDER BY turn_idx)
+                  > INTERVAL 3600 SECOND THEN 1 ELSE 0 END AS brk FROM df)
+            SELECT conv_id, turn_idx,
+              SUM(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS sub
+            FROM l ORDER BY conv_id, turn_idx""").df()
+        assert got["sub_conv"].tolist() == exp["sub"].astype(int).tolist()
+        # all original columns survive the stamp
+        assert {"conv_id", "turn_idx", "ts", "sub_conv"} <= set(got.columns)
+
+    def test_null_ts_no_break_and_bad_gap(self, ray_session):
+        import ray.data as rd
+
+        base = np.datetime64("2025-02-01T00:00:00", "us")
+        df = pd.DataFrame({
+            "conv_id": ["a"] * 4,
+            "turn_idx": [0, 1, 2, 3],
+            "ts": [base, None, base + np.timedelta64(9000, "s"),
+                   base + np.timedelta64(9030, "s")],
+        })
+        got = tp.split_conversations_by_gap(rd.from_pandas(df), 3600.0) \
+            .to_pandas().sort_values("turn_idx", ignore_index=True)
+        # null junctions (0->1 and 1->2) produce no break
+        assert got["sub_conv"].tolist() == [0, 0, 0, 0]
+        with pytest.raises(ValueError):
+            tp.split_conversations_by_gap(rd.from_pandas(df), 0)
