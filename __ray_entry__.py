@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["grouped_weighted_sample_events"] = _grouped_weighted_sample_events
     out["robust_stats_events"] = _robust_stats_events
     out["split_by_gap_transcripts"] = _split_by_gap_transcripts
+    out["cross_source_overlap_documents"] = _cross_source_overlap_documents
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
@@ -2675,6 +2676,18 @@ def _split_by_gap_transcripts(sf_dir: str):
     return df.sort_values(["conv_id", "turn_idx"], ignore_index=True)
 
 
+def _cross_source_overlap_documents(sf_dir: str):
+    """Pairwise shared-distinct-5-gram counts between sources (string
+    order a < b) — engine counts by 63-bit gram hash, oracle by gram
+    string (the documented ~2^-63 collision class)."""
+    from hooqu_ray.pipelines.decontam import cross_source_overlap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    df = cross_source_overlap(ds, n=5).to_pandas()
+    df["n_shared"] = df["n_shared"].astype("int64")
+    return df.sort_values(["source_a", "source_b"], ignore_index=True)
+
+
 def _pack_sft(sf_dir: str):
     """Loss-mask packing plan over the extracted SFT examples: 48-token
     windows packed into 256-token sequences, target spans recorded."""
@@ -3643,6 +3656,18 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(regexp_extract_all(text, '\\S+')[1:8], ' ') "
             "ELSE text END AS text, nt > 8 AS clipped FROM n "
             "ORDER BY conv_id, turn_idx"
+        ),
+        "cross_source_overlap_documents": (
+            "WITH toks AS (SELECT source, list_filter("
+            "regexp_split_to_array(COALESCE(text, ''), '\\s+'), "
+            "t -> t <> '') AS w FROM documents), "
+            "ng AS (SELECT source, UNNEST([array_to_string(w[i:i+4], ' ') "
+            "FOR i IN generate_series(1, len(w) - 4)]) AS g FROM toks), "
+            "d AS (SELECT DISTINCT source, g FROM ng) "
+            "SELECT a.source AS source_a, b.source AS source_b, "
+            "CAST(count(*) AS BIGINT) AS n_shared "
+            "FROM d a JOIN d b ON a.g = b.g AND a.source < b.source "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "split_by_gap_transcripts": (
             # same turn explosion + the injected +2h shift at i >= 3 for

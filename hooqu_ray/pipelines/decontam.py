@@ -460,3 +460,110 @@ def scrub_dup_ngrams(ds, text_col: str = "text", n: int = 5,
                   for grams, _ in _hot_gram_shards(hot, driver_hot_grams_max)]
     return ds.map_batches(_SpanScrubber(shard_refs, text_col, n),
                           batch_format="pyarrow")
+
+
+def cross_source_overlap(ds, text_col: str = "text",
+                         source_col: str = "source", n: int = 5,
+                         num_buckets: Optional[int] = None):
+    """Cross-source duplication matrix: for every unordered source pair
+    ``(a < b)``, the number of DISTINCT word ``n``-grams both sources
+    contain — the "which corpora copy from each other" triage report
+    (mirror detection, pipeline-double-ingest detection, license-source
+    provenance) that decides WHERE :func:`dup_ngram_stats` /
+    :func:`scrub_dup_ngrams` effort should go.
+
+    Scale shape: each block emits its distinct ``(source, gram_hash)``
+    pairs (the :func:`_ngram_hashes` 63-bit fold — same 2⁻⁶³ collision
+    class every n-gram op here documents); the exchange key is ``gram %
+    B`` (an int32 — grams of a given hash land in ONE bucket, so
+    bucket-local dedup is global dedup), and each bucket vectorizes
+    pair generation over its gram segments (a gram shared by ``k``
+    sources yields ``k·(k−1)/2`` pairs — bounded by the SOURCE count,
+    not the corpus).  Per-bucket ``(a, b, count)`` partials fold through
+    :func:`~hooqu_ray.functions.shuffle.tree_group_sum` (≤ S² keys).
+    Text never shuffles.  Null sources / null text drop.  Returns
+    ``[source_a, source_b, n_shared]``."""
+    from ..functions.shuffle import _cluster_cpus, tree_group_sum
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    buckets = num_buckets or min(1024, max(16, _cluster_cpus() * 4))
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({source_col: pa.array([], pa.string()),
+                          "gram": pa.array([], pa.int64()),
+                          "__bh": pa.array([], pa.int32())})
+        if len(t) == 0 or not {text_col, source_col}.issubset(t.column_names):
+            return empty
+        t = t.filter(pc.is_valid(t.column(source_col)))
+        if len(t) == 0:
+            return empty
+        g, parent, _ = _ngram_hashes(pc.fill_null(t.column(text_col), ""), n)
+        if g.size == 0:
+            return empty
+        src = pc.cast(t.column(source_col), pa.string())
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)[parent]
+        # block-local distinct (source, gram)
+        u = np.unique(np.stack([g.view(np.int64), codes], axis=1), axis=0)
+        out_src = enc.dictionary.take(pa.array(u[:, 1], pa.int64()))
+        bh = (u[:, 0].view(np.uint64) % np.uint64(buckets)).astype(np.int32)
+        return pa.table({source_col: pc.cast(out_src, pa.string()),
+                         "gram": pa.array(u[:, 0], pa.int64()),
+                         "__bh": pa.array(bh, pa.int32())})
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source_a": pa.array([], pa.string()),
+                          "source_b": pa.array([], pa.string()),
+                          "n_shared": pa.array([], pa.int64())})
+        if len(t) == 0 or "gram" not in t.column_names:
+            return empty
+        # global dedup is bucket-local: all copies of a gram share this
+        # bucket
+        srcs = t.column(source_col)
+        if isinstance(srcs, pa.ChunkedArray):
+            srcs = srcs.combine_chunks()
+        # codes in SORTED-string order, so code order == the SQL
+        # ``a.source < b.source`` string order (dictionary_encode's
+        # insertion order would not be)
+        sd = pa.array(sorted(set(pc.drop_null(srcs).to_pylist())),
+                      pa.string())
+        codes = pc.index_in(srcs, sd).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        grams = t.column("gram").to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([grams, codes], axis=1), axis=0)
+        ug, uc = u[:, 0], u[:, 1]
+        # segments share a gram; sources within a segment are sorted
+        # (np.unique lexsort), so a-side code < b-side code always
+        starts = np.flatnonzero(np.r_[True, ug[1:] != ug[:-1]])
+        seg_end = np.r_[starts[1:], len(ug)]
+        ends = np.repeat(seg_end, np.diff(np.r_[starts, len(ug)]))
+        reps = ends - np.arange(len(ug)) - 1
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(len(ug)), reps)
+        csum = np.r_[0, np.cumsum(reps)]
+        within = np.arange(total) - np.repeat(csum[:-1], reps)
+        b_idx = np.repeat(np.arange(len(ug)) + 1, reps) + within
+        nsrc = len(sd)
+        pair_code = uc[a_idx] * nsrc + uc[b_idx]
+        pu, pcnt = np.unique(pair_code, return_counts=True)
+        return pa.table({
+            "source_a": sd.take(pa.array(pu // nsrc, pa.int64())),
+            "source_b": sd.take(pa.array(pu % nsrc, pa.int64())),
+            "n_shared": pa.array(pcnt.astype(np.int64))})
+
+    partials = (ds.map_batches(block_pairs, batch_format="pyarrow")
+                .groupby("__bh")
+                .map_groups(lambda t: bucket_pairs(t), batch_format="pyarrow"))
+    out = tree_group_sum(partials, ["source_a", "source_b"], ["n_shared"])
+    import ray.data as rd
+
+    return out.union(rd.from_arrow(pa.table({
+        "source_a": pa.array([], pa.string()),
+        "source_b": pa.array([], pa.string()),
+        "n_shared": pa.array([], pa.int64())})))

@@ -397,3 +397,60 @@ class TestScrubDupNgrams:
                    .to_pandas().sort_values("doc_id", ignore_index=True))
         pd.testing.assert_frame_equal(sharded, single, check_like=True)
         assert (single.n_removed > 0).any()  # the corpus has real dups
+
+
+class TestCrossSourceOverlap:
+    def test_matches_duckdb_string_grams(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        from hooqu_ray.pipelines.decontam import cross_source_overlap
+
+        rng = np.random.RandomState(2)
+        vocab = ["w%d" % i for i in range(30)]
+        # zz-source sorts AFTER the others: catches code-vs-string order
+        srcs = ["zz", "aa", "mm"]
+        rows = []
+        shared = " ".join(rng.choice(vocab, 12))  # a run shared by all
+        for d in range(90):
+            s = srcs[d % 3]
+            txt = " ".join(rng.choice(vocab, rng.randint(4, 40)))
+            if d % 5 == 0:
+                txt = txt + " " + shared
+            rows.append((d, s, txt))
+        df = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+        df.loc[7, "text"] = None    # null text contributes nothing
+        df.loc[11, "source"] = None  # null source drops
+        got = cross_source_overlap(
+            rd.from_pandas(df).repartition(7), n=3
+        ).to_pandas().sort_values(["source_a", "source_b"],
+                                  ignore_index=True)
+        exp = duckdb.sql("""
+            WITH toks AS (SELECT source, list_filter(
+              regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+              t -> t <> '') AS w FROM df WHERE source IS NOT NULL),
+            ng AS (SELECT source, UNNEST([array_to_string(w[i:i+2], ' ')
+              FOR i IN generate_series(1, len(w) - 2)]) AS g FROM toks),
+            d AS (SELECT DISTINCT source, g FROM ng)
+            SELECT a.source AS source_a, b.source AS source_b,
+              CAST(count(*) AS BIGINT) AS n_shared
+            FROM d a JOIN d b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY 1, 2""").df()
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_disjoint_and_empty(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+        from hooqu_ray.pipelines.decontam import cross_source_overlap
+
+        df = pd.DataFrame({"doc_id": [0, 1],
+                           "source": ["a", "b"],
+                           "text": ["p q r s t", "v w x y z"]})
+        out = cross_source_overlap(rd.from_pandas(df), n=5)
+        assert out.count() == 0  # nothing shared
+        assert out.schema().names == ["source_a", "source_b", "n_shared"]
+        with pytest.raises(ValueError):
+            cross_source_overlap(rd.from_pandas(df), n=0)
