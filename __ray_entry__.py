@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["robust_stats_events"] = _robust_stats_events
     out["split_by_gap_transcripts"] = _split_by_gap_transcripts
     out["cross_source_overlap_documents"] = _cross_source_overlap_documents
+    out["grouped_profile_documents"] = _grouped_profile_documents
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
@@ -2688,6 +2689,20 @@ def _cross_source_overlap_documents(sf_dir: str):
     return df.sort_values(["source_a", "source_b"], ignore_index=True)
 
 
+def _grouped_profile_documents(sf_dir: str):
+    """Per-source report card over (lang, n_chars, text): row / null /
+    exact-distinct counts per (source, column) — the grouped drill-down
+    of the single-scan profiler."""
+    from hooqu_ray.profiler import grouped_profile
+
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars", "text"])
+    df = grouped_profile(ds, "source", ["lang", "n_chars", "text"]) \
+        .to_pandas()
+    for c in ("n_rows", "n_null", "n_distinct"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["source", "col_name"], ignore_index=True)
+
+
 def _pack_sft(sf_dir: str):
     """Loss-mask packing plan over the extracted SFT examples: 48-token
     windows packed into 256-token sequences, target spans recorded."""
@@ -3656,6 +3671,25 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(regexp_extract_all(text, '\\S+')[1:8], ' ') "
             "ELSE text END AS text, nt > 8 AS clipped FROM n "
             "ORDER BY conv_id, turn_idx"
+        ),
+        "grouped_profile_documents": (
+            "SELECT source, col_name, n_rows, n_null, n_distinct FROM ("
+            "SELECT source, 'lang' AS col_name, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_null, CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct "
+            "FROM documents WHERE source IS NOT NULL GROUP BY source "
+            "UNION ALL "
+            "SELECT source, 'n_chars', CAST(count(*) AS BIGINT), "
+            "CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(count(DISTINCT n_chars) AS BIGINT) "
+            "FROM documents WHERE source IS NOT NULL GROUP BY source "
+            "UNION ALL "
+            "SELECT source, 'text', CAST(count(*) AS BIGINT), "
+            "CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(count(DISTINCT text) AS BIGINT) "
+            "FROM documents WHERE source IS NOT NULL GROUP BY source"
+            ") ORDER BY source, col_name"
         ),
         "cross_source_overlap_documents": (
             "WITH toks AS (SELECT source, list_filter("

@@ -56,3 +56,61 @@ def test_profile_column_subset_and_errors(ray_session):
     assert out["column"].tolist() == ["num"]
     with pytest.raises(KeyError, match="not in dataset"):
         profile(ds, ["nope"])
+
+
+class TestGroupedProfile:
+    def test_matches_duckdb_report(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        from hooqu_ray.profiler import grouped_profile
+
+        rng = np.random.RandomState(6)
+        n = 3000
+        df = pd.DataFrame({
+            "src": rng.choice(["a", "b", "c"], n),
+            "lang": rng.choice(["en", "de", None, "fr"], n),
+            "score": np.where(rng.rand(n) < 0.1, np.nan,
+                              rng.randint(0, 50, n).astype(float)),
+        })
+        df.loc[4, "src"] = None  # null group drops
+        got = grouped_profile(rd.from_pandas(df).repartition(6), "src",
+                              ["lang", "score"]).to_pandas() \
+            .sort_values(["src", "col_name"], ignore_index=True)
+        exp = duckdb.sql("""
+            SELECT src, col_name, n_rows, n_null, n_distinct FROM (
+              SELECT src, 'lang' AS col_name,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct
+              FROM df WHERE src IS NOT NULL GROUP BY src
+              UNION ALL
+              SELECT src, 'score', CAST(count(*) AS BIGINT),
+                CAST(SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+                CAST(count(DISTINCT score) AS BIGINT)
+              FROM df WHERE src IS NOT NULL GROUP BY src
+            ) ORDER BY src, col_name""").df()
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_all_null_column_and_empty(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+        from hooqu_ray.profiler import grouped_profile
+
+        df = pd.DataFrame({"g": ["x", "x"], "v": [None, None]})
+        got = grouped_profile(rd.from_pandas(df), "g", ["v"]).to_pandas()
+        assert got.iloc[0][["n_rows", "n_null", "n_distinct"]].tolist() \
+            == [2, 2, 0]
+        e = rd.from_arrow(pa.table({"g": pa.array([], pa.string()),
+                                    "v": pa.array([], pa.float64())}))
+        out = grouped_profile(e, "g", ["v"])
+        assert out.count() == 0
+        assert out.schema().names == ["g", "col_name", "n_rows", "n_null",
+                                      "n_distinct"]
+        with pytest.raises(ValueError):
+            grouped_profile(e, "g", [])
