@@ -483,16 +483,14 @@ def cross_source_overlap(ds, text_col: str = "text",
     :func:`~hooqu_ray.functions.shuffle.tree_group_sum` (≤ S² keys).
     Text never shuffles.  Null sources / null text drop.  Returns
     ``[source_a, source_b, n_shared]``."""
-    from ..functions.shuffle import _cluster_cpus, tree_group_sum
+    from ..functions.shuffle import bucketed_group_fold, tree_group_sum
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    buckets = num_buckets or min(1024, max(16, _cluster_cpus() * 4))
 
     def block_pairs(t: pa.Table) -> pa.Table:
-        empty = pa.table({source_col: pa.array([], pa.string()),
-                          "gram": pa.array([], pa.int64()),
-                          "__bh": pa.array([], pa.int32())})
+        empty = pa.table({"gram": pa.array([], pa.int64()),
+                          source_col: pa.array([], pa.string())})
         if len(t) == 0 or not {text_col, source_col}.issubset(t.column_names):
             return empty
         t = t.filter(pc.is_valid(t.column(source_col)))
@@ -510,10 +508,8 @@ def cross_source_overlap(ds, text_col: str = "text",
         # block-local distinct (source, gram)
         u = np.unique(np.stack([g.view(np.int64), codes], axis=1), axis=0)
         out_src = enc.dictionary.take(pa.array(u[:, 1], pa.int64()))
-        bh = (u[:, 0].view(np.uint64) % np.uint64(buckets)).astype(np.int32)
-        return pa.table({source_col: pc.cast(out_src, pa.string()),
-                         "gram": pa.array(u[:, 0], pa.int64()),
-                         "__bh": pa.array(bh, pa.int32())})
+        return pa.table({"gram": pa.array(u[:, 0], pa.int64()),
+                         source_col: pc.cast(out_src, pa.string())})
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
         empty = pa.table({"source_a": pa.array([], pa.string()),
@@ -528,9 +524,10 @@ def cross_source_overlap(ds, text_col: str = "text",
             srcs = srcs.combine_chunks()
         # codes in SORTED-string order, so code order == the SQL
         # ``a.source < b.source`` string order (dictionary_encode's
-        # insertion order would not be)
-        sd = pa.array(sorted(set(pc.drop_null(srcs).to_pylist())),
-                      pa.string())
+        # insertion order would not be); fully vectorized — no per-row
+        # Python strings
+        sd = pc.unique(srcs)
+        sd = sd.take(pc.array_sort_indices(sd))
         codes = pc.index_in(srcs, sd).to_numpy(
             zero_copy_only=False).astype(np.int64)
         grams = t.column("gram").to_numpy(zero_copy_only=False)
@@ -557,9 +554,13 @@ def cross_source_overlap(ds, text_col: str = "text",
             "source_b": sd.take(pa.array(pu % nsrc, pa.int64())),
             "n_shared": pa.array(pcnt.astype(np.int64))})
 
-    partials = (ds.map_batches(block_pairs, batch_format="pyarrow")
-                .groupby("__bh")
-                .map_groups(lambda t: bucket_pairs(t), batch_format="pyarrow"))
+    # the shared bucketed exchange (keys=[gram] — a gram's copies land in
+    # ONE bucket, so bucket-local dedup is global; keeps the low-block-
+    # count repartition guard a hand-rolled groupby would lose)
+    partials = bucketed_group_fold(
+        ds.map_batches(block_pairs, batch_format="pyarrow"),
+        ["gram"], [source_col], combine=bucket_pairs,
+        num_buckets=num_buckets)
     out = tree_group_sum(partials, ["source_a", "source_b"], ["n_shared"])
     import ray.data as rd
 

@@ -4317,6 +4317,13 @@ def split_conversations_by_gap(ds, gap_seconds: float, *,
     from ..util import dataset_arrow_schema
 
     in_schema = dataset_arrow_schema(ds)
+    if in_schema is not None and out_col in in_schema.names:
+        # re-splitting already-stamped output would duplicate the column
+        # (the documented "'exists 2 times'" failure class) — same guard
+        # as reindex_turns
+        raise ValueError(
+            f"input already has a {out_col!r} column — drop or rename it "
+            "before re-splitting")
     proj_cols = (list(in_schema.names) if in_schema is not None
                  else [conv_col, idx_col, ts_col])
 

@@ -134,98 +134,77 @@ def grouped_profile(ds, group_col: str, columns: Sequence[str]):
     per-source drill-down of :func:`profile` ("which crawl shard went
     bad") that a global profile averages away.
 
-    Scale shape: one slim per-column pipeline — null/row counts reduce
-    through per-block combiners + :func:`tree_group_sum` (never a row
-    shuffle), and the exact distinct count rides :func:`tree_distinct`
-    over ``(group, value)`` pairs (per-block dedup first, bucketed hash
-    exchange when the pair count stays corpus-sized) followed by a
-    bounded per-group count fold.  Exact distincts are affordable here
-    because the reduction is over DISTINCT pairs, not rows; for
-    hot-column triage at extreme cardinality use
-    ``relational.grouped_approx_count_distinct`` instead.  Null group
-    keys drop (grouped-op convention); SQL parity: ``count(DISTINCT
-    col)`` excludes nulls.  Returns
-    ``[group_col, col_name, n_rows, n_null, n_distinct]``."""
+    Scale shape: ONE scan computes every column's row/null counts
+    (per-block combiners + :func:`~hooqu_ray.functions.shuffle.
+    tree_group_sum` — never a row shuffle), and each column's exact
+    distinct count reuses :func:`hooqu_ray.pipelines.relational.
+    grouped_count_distinct` (block-distinct pairs + the bucketed hash
+    exchange), so profiling C columns costs 1 + C streaming passes over
+    the input lineage — pass a read-backed Dataset (or pre-materialize a
+    small one); for hot-column triage at extreme value cardinality use
+    ``grouped_approx_count_distinct`` instead.  The per-group stats are
+    one row per group and assemble on the driver (the same heap bound as
+    every grouped stats table here).  A missing group/profiled column
+    raises ``KeyError`` (the :func:`profile` convention); null group
+    keys drop; ``count(DISTINCT col)`` excludes nulls (SQL parity).
+    Returns ``[group_col, col_name, n_rows, n_null, n_distinct]``."""
     import numpy as np
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from .functions.shuffle import tree_distinct, tree_group_sum
-    from .util import dataset_arrow_schema
+    from .functions.shuffle import tree_group_sum
+    from .pipelines.relational import grouped_count_distinct
+    from .util import collect_arrow, dataset_arrow_schema
 
     columns = list(columns)
     if not columns:
         raise ValueError("columns must be non-empty")
     in_schema = dataset_arrow_schema(ds)
+    if in_schema is not None:
+        missing = [c for c in [group_col, *columns]
+                   if c not in in_schema.names]
+        if missing:
+            raise KeyError(f"columns not in dataset: {missing}")
     gtype = (in_schema.field(group_col).type if in_schema is not None
              and group_col in in_schema.names else pa.string())
     out_schema = pa.schema([
         (group_col, gtype), ("col_name", pa.string()),
         ("n_rows", pa.int64()), ("n_null", pa.int64()),
         ("n_distinct", pa.int64())])
+    null_cols = [f"__null_{c}" for c in columns]
 
+    def counts(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or not {group_col, *columns}.issubset(t.column_names):
+            return pa.table({})
+        t = t.filter(pc.is_valid(t.column(group_col)))
+        cols = {group_col: t.column(group_col),
+                "n_rows": pa.array(np.ones(len(t), np.int64))}
+        for col, nc in zip(columns, null_cols):
+            cols[nc] = pc.cast(pc.invert(pc.is_valid(t.column(col))),
+                               pa.int64())
+        return pa.table(cols)
+
+    cnt_tbl = collect_arrow(tree_group_sum(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        [group_col], ["n_rows", *null_cols]))
+    if cnt_tbl is None or len(cnt_tbl) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    groups = cnt_tbl.column(group_col).to_pylist()
+    n_rows = cnt_tbl.column("n_rows").to_pylist()
     parts = []
-    for col in columns:
-        def counts(t: pa.Table, col=col) -> pa.Table:
-            if len(t) == 0 or not {group_col, col}.issubset(t.column_names):
-                return pa.table({})
-            t = t.filter(pc.is_valid(t.column(group_col)))
-            sub = pa.table({
-                group_col: t.column(group_col),
-                "n_rows": pa.array(np.ones(len(t), np.int64)),
-                "n_null": pc.cast(
-                    pc.invert(pc.is_valid(t.column(col))), pa.int64()),
-            })
-            return sub
-
-        cnt = tree_group_sum(
-            ds.map_batches(counts, batch_format="pyarrow"),
-            [group_col], ["n_rows", "n_null"])
-
-        def pairs(t: pa.Table, col=col) -> pa.Table:
-            if len(t) == 0 or not {group_col, col}.issubset(t.column_names):
-                return pa.table({})
-            mask = pc.and_(pc.is_valid(t.column(group_col)),
-                           pc.is_valid(t.column(col)))
-            t = t.filter(mask)
-            return pa.table({group_col: t.column(group_col),
-                             "__v": t.column(col)})
-
-        dist = tree_group_sum(
-            tree_distinct(ds.map_batches(pairs, batch_format="pyarrow"),
-                          [group_col, "__v"]).map_batches(
-                lambda t: (t.select([group_col]).append_column(
-                    "n_distinct", pa.array(np.ones(len(t), np.int64)))
-                    if group_col in t.column_names else pa.table({})),
-                batch_format="pyarrow"),
-            [group_col], ["n_distinct"])
-
-        from .functions.joins import enrich_join
-        from .util import collect_arrow
-
-        # one row per group — collect ONCE; an all-null column yields an
-        # EMPTY fold whose schema enrich_join couldn't resolve
-        dist_tbl = collect_arrow(dist)
-        if dist_tbl is None or len(dist_tbl) == 0:
-            dist_tbl = pa.schema([(group_col, gtype),
-                                  ("n_distinct", pa.int64())]).empty_table()
-        merged = enrich_join(cnt, dist_tbl, group_col, group_col,
-                             ["n_distinct"], how="left")
-
-        def finish(t: pa.Table, col=col) -> pa.Table:
-            if len(t) == 0 or "n_rows" not in t.column_names:
-                return out_schema.empty_table()
-            nd = pc.fill_null(pc.cast(t.column("n_distinct"), pa.int64()), 0)
-            return pa.table({
-                group_col: t.column(group_col),
-                "col_name": pa.array([col] * len(t), pa.string()),
-                "n_rows": t.column("n_rows"),
-                "n_null": t.column("n_null"),
-                "n_distinct": nd})
-
-        parts.append(merged.map_batches(finish, batch_format="pyarrow"))
-
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    return out.union(rd.from_arrow(out_schema.empty_table()))
+    for col, nc in zip(columns, null_cols):
+        dist = collect_arrow(grouped_count_distinct(ds, group_col, col))
+        nd_map = ({} if dist is None or len(dist) == 0 else dict(zip(
+            dist.column(group_col).to_pylist(),
+            dist.column("n_distinct").to_pylist())))
+        parts.append(pa.table({
+            group_col: pa.array(groups, gtype),
+            "col_name": pa.array([col] * len(groups), pa.string()),
+            "n_rows": pa.array(n_rows, pa.int64()),
+            "n_null": pc.cast(cnt_tbl.column(nc), pa.int64()),
+            # a group absent from the distinct fold had only null values
+            "n_distinct": pa.array(
+                [int(nd_map.get(g, 0)) for g in groups], pa.int64()),
+        }))
+    return rd.from_arrow(pa.concat_tables(parts))

@@ -2439,3 +2439,13 @@ class TestSplitConversationsByGap:
         assert got["sub_conv"].tolist() == [0, 0, 0, 0]
         with pytest.raises(ValueError):
             tp.split_conversations_by_gap(rd.from_pandas(df), 0)
+
+    def test_resplit_guard(self, ray_session):
+        import ray.data as rd
+
+        base = np.datetime64("2025-02-01T00:00:00", "us")
+        df = pd.DataFrame({"conv_id": ["a"], "turn_idx": [0], "ts": [base]})
+        once = tp.split_conversations_by_gap(
+            rd.from_pandas(df), 3600.0).materialize()
+        with pytest.raises(ValueError, match="sub_conv"):
+            tp.split_conversations_by_gap(once, 3600.0)
