@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["split_by_gap_transcripts"] = _split_by_gap_transcripts
     out["cross_source_overlap_documents"] = _cross_source_overlap_documents
     out["grouped_profile_documents"] = _grouped_profile_documents
+    out["bm25_multi_documents"] = _bm25_multi_documents
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
@@ -4959,6 +4960,27 @@ def oracle_sql() -> dict[str, str]:
             "ta AS dtype_a, tb AS dtype_b "
             "FROM da FULL OUTER JOIN db ON da.col = db.col ORDER BY col"
         ),
+        "bm25_multi_documents": (
+            "WITH q(query_id, term) AS (VALUES "
+            "('q1', 'hash'), ('q1', 'join'), ('q2', 'merge'), "
+            "('q2', 'stream'), ('q3', 'sort'), ('q3', 'scan'), "
+            "('q3', 'table')), "
+            "t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents), "
+            "wu AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM t), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM wu GROUP BY doc_id), "
+            "st AS (SELECT (SELECT count(*) FROM t) AS n, "
+            "(SELECT count(*) FROM wu) * 1.0 / (SELECT count(*) FROM t) AS avgdl), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM wu "
+            "WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM wu "
+            "WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term) "
+            "SELECT q.query_id, tf.doc_id, ROUND(SUM("
+            "ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) "
+            "* (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl)))"
+            "), 6) AS score FROM q JOIN tf USING (term) JOIN df USING (term) "
+            "JOIN dl USING (doc_id), st "
+            "GROUP BY q.query_id, tf.doc_id ORDER BY q.query_id, tf.doc_id"
+        ),
         "bm25_scores_documents": (
             "WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents), "
             "wu AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM t), "
@@ -5784,6 +5806,20 @@ def _schema_diff_documents(sf_dir: str):
     df = schema_diff(a, b).to_pandas()
     # pandas represents the absent side as None already; keep dtype str
     return df.sort_values("col", ignore_index=True)
+
+
+def _bm25_multi_documents(sf_dir: str):
+    """Batch BM25: three queries scored in ONE corpus pass (shared match
+    table + per-term df); the oracle re-derives every (query, doc) score
+    from a VALUES query-term table, rounded to 6 decimals."""
+    from hooqu_ray.pipelines.textstats import bm25_scores_multi
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = bm25_scores_multi(ds, {"q1": "hash join", "q2": "merge stream",
+                                "q3": "sort scan table"}).to_pandas()
+    df["score"] = df["score"].round(6)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values(["query_id", "doc_id"], ignore_index=True)
 
 
 def _heavy_hitter_tokens(sf_dir: str):

@@ -849,44 +849,54 @@ def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
     return run.map_batches(finish, batch_format="pyarrow")
 
 
-def bm25_scores(ds, query: str, *, text_col: str = "text",
-                id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75):
-    """BM25 relevance of every MATCHING document against a driver-side
-    query string (Robertson/Spärck Jones with Lucene's non-negative
-    ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))``) — the keyword-retrieval
-    companion to the embedding k-NN family (``similarity.py``): corpus
-    search, decontamination probes, eval-set leakage triage.
+def bm25_scores_multi(ds, queries, *, text_col: str = "text",
+                      id_col: str = "doc_id", k1: float = 1.2,
+                      b: float = 0.75):
+    """Batch BM25 retrieval: score every matching document against EACH
+    of a driver-side set of queries (``{query_id: query string}``) in
+    the SAME single corpus pass — the shape of decontamination triage
+    ("score the corpus against every eval prompt") and bulk search,
+    where per-query passes would re-read the corpus |Q| times.
 
-    Tokenization is the engine's whitespace convention (``\\S+`` runs,
-    case-sensitive — ``doc_frequency``/``top_terms`` parity, so the SQL
-    oracle reproduces it with ``regexp_extract_all(text, '\\S+')``).
-
-    ONE corpus pass, NO key exchange: each block emits slim
-    ``(id, term, tf, dl)`` rows for its docs × query terms (vectorized
-    dense tf counting — #query-terms columns, not vocabulary) plus one
-    per-block ``(n_docs, Σdl)`` stats row; everything downstream reads
-    the MATERIALIZED match table (≤ #matching-docs × #terms rows).  The
-    per-term document frequencies fold driver-side (≤ #query-terms
-    rows), and scoring is block-local: a document is one input row, so
-    all its match rows share a block and the per-doc sum never shuffles.
-    Returns ``[id_col, score]`` for documents containing ≥ 1 query term
-    (null-text docs count toward N / avgdl, SQL ``COALESCE('')``
-    parity)."""
+    Same scoring as :func:`bm25_scores` (Lucene non-negative ``idf =
+    ln(1 + (N − df + 0.5)/(df + 0.5))``, whitespace tokens); the match
+    table is built once over the UNION of all query terms, document
+    frequencies are per TERM (shared across queries), and the per-query
+    per-doc sums stay block-local (a document is one input row, so its
+    match rows share a block).  Returns ``[query_id, id_col, score]``
+    for (query, doc) pairs sharing ≥ 1 term."""
     import ray.data as rd
 
     from ..functions.shuffle import tree_group_sum
     from ..util import collect_arrow, dataset_arrow_schema
 
-    q_terms = sorted(set(query.split()))
-    if not q_terms:
-        raise ValueError("query must contain at least one token")
+    if not isinstance(queries, dict):
+        queries = dict(queries)
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    per_query = {}
+    for qid, qs in queries.items():
+        terms = sorted(set(qs.split()))
+        if not terms:
+            raise ValueError(
+                f"query {qid!r} must contain at least one token")
+        per_query[str(qid)] = terms
+    q_terms = sorted({t for ts in per_query.values() for t in ts})
     q_arr = pa.array(q_terms, pa.string())
     nq = len(q_terms)
+    term_pos = {t: i for i, t in enumerate(q_terms)}
+    # per-query membership mask over the union term list
+    q_ids = sorted(per_query)
+    memberships = {
+        qid: np.isin(np.arange(nq),
+                     [term_pos[t] for t in per_query[qid]])
+        for qid in q_ids}
 
     in_schema = dataset_arrow_schema(ds)
     id_type = (in_schema.field(id_col).type if in_schema is not None
                and id_col in in_schema.names else pa.int64())
-    typed_out_empty = pa.table({id_col: pa.array([], id_type),
+    typed_out_empty = pa.table({"query_id": pa.array([], pa.string()),
+                                id_col: pa.array([], id_type),
                                 "score": pa.array([], pa.float64())})
     typed_mat_empty = pa.table({
         id_col: pa.array([], id_type), "term": pa.array([], pa.string()),
@@ -969,18 +979,72 @@ def bm25_scores(ds, query: str, *, text_col: str = "text",
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         # all rows of a doc share this block (a doc is one input row) —
-        # the per-doc sum is block-local, no exchange
+        # each query's per-doc sum is block-local, no exchange
         enc = ids.dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(codes, kind="stable")
-        c_s = codes[order]
-        starts = np.r_[True, c_s[1:] != c_s[:-1]]
-        sums = np.add.reduceat(contrib[order], np.flatnonzero(starts))
-        return pa.table({
-            id_col: enc.dictionary.take(pa.array(c_s[starts], pa.int64())),
-            "score": pa.array(sums, pa.float64())})
+        parts = []
+        for qid in q_ids:
+            sel = np.flatnonzero(memberships[qid][qi])
+            if sel.size == 0:
+                continue
+            c = codes[sel]
+            order = np.argsort(c, kind="stable")
+            c_s = c[order]
+            starts = np.r_[True, c_s[1:] != c_s[:-1]]
+            sums_q = np.add.reduceat(contrib[sel][order],
+                                     np.flatnonzero(starts))
+            doc_codes = c_s[starts]
+            parts.append(pa.table({
+                "query_id": pa.array([qid] * len(doc_codes), pa.string()),
+                id_col: enc.dictionary.take(
+                    pa.array(doc_codes, pa.int64())),
+                "score": pa.array(sums_q, pa.float64())}))
+        if not parts:
+            return typed_out_empty
+        return pa.concat_tables(parts)
 
     # batch_size=None (whole blocks): a doc's match rows were emitted into
-    # one block and the per-doc sum is block-local — row-count batching
+    # one block and the per-doc sums are block-local — row-count batching
     # would split a doc's rows and emit duplicate partial-score rows
     return mat.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def bm25_scores(ds, query: str, *, text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75):
+    """BM25 relevance of every MATCHING document against a driver-side
+    query string (Robertson/Spärck Jones with Lucene's non-negative
+    ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))``) — the keyword-retrieval
+    companion to the embedding k-NN family (``similarity.py``): corpus
+    search, decontamination probes, eval-set leakage triage.
+
+    Tokenization is the engine's whitespace convention (``\S+`` runs,
+    case-sensitive — ``doc_frequency``/``top_terms`` parity, so the SQL
+    oracle reproduces it with ``regexp_extract_all(text, '\S+')``).
+
+    ONE corpus pass, NO key exchange: each block emits slim
+    ``(id, term, tf, dl)`` rows for its docs × query terms (vectorized
+    dense tf counting — #query-terms columns, not vocabulary) plus one
+    per-block ``(n_docs, Σdl)`` stats row; everything downstream reads
+    the MATERIALIZED match table (≤ #matching-docs × #terms rows).  The
+    per-term document frequencies fold driver-side (≤ #query-terms
+    rows), and scoring is block-local: a document is one input row, so
+    all its match rows share a block and the per-doc sum never shuffles.
+    Thin wrapper over :func:`bm25_scores_multi` (one implementation).
+    Returns ``[id_col, score]`` for documents containing ≥ 1 query term
+    (null-text docs count toward N / avgdl, SQL ``COALESCE('')``
+    parity)."""
+    import ray.data as rd
+
+    from ..util import dataset_arrow_schema
+
+    out = bm25_scores_multi(ds, {"__q": query}, text_col=text_col,
+                            id_col=id_col, k1=k1, b=b)
+    s = dataset_arrow_schema(out)
+    id_type = (s.field(id_col).type if s is not None
+               and id_col in s.names else pa.int64())
+    anchor = pa.table({id_col: pa.array([], id_type),
+                       "score": pa.array([], pa.float64())})
+    return out.map_batches(
+        lambda t: (t.drop_columns(["query_id"])
+                   if "query_id" in t.column_names else t),
+        batch_format="pyarrow").union(rd.from_arrow(anchor))

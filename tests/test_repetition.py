@@ -362,3 +362,42 @@ GROUP BY tf.doc_id ORDER BY tf.doc_id"""
         assert out.count() == 0
         with pytest.raises(ValueError):
             bm25_scores(e, "   ")
+
+
+class TestBM25Multi:
+    def test_multi_equals_per_query_runs(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.textstats import bm25_scores, bm25_scores_multi
+
+        rng = np.random.RandomState(17)
+        vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+        df = pd.DataFrame({
+            "doc_id": np.arange(200, dtype=np.int64),
+            "text": [" ".join(rng.choice(vocab, rng.randint(1, 30)))
+                     for _ in range(200)],
+        })
+        ds = rd.from_pandas(df).repartition(5)
+        queries = {"a": "alpha beta", "b": "gamma", "c": "delta epsilon beta"}
+        multi = bm25_scores_multi(ds, queries).to_pandas()
+        for qid, qs in queries.items():
+            single = bm25_scores(ds, qs).to_pandas() \
+                .sort_values("doc_id", ignore_index=True)
+            part = multi[multi["query_id"] == qid] \
+                .drop(columns=["query_id"]).sort_values(
+                "doc_id", ignore_index=True)
+            pd.testing.assert_frame_equal(part, single)
+
+    def test_validation_and_empty(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.textstats import bm25_scores_multi
+
+        e = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "text": pa.array([], pa.string())}))
+        out = bm25_scores_multi(e, {"q": "x"})
+        assert out.schema().names == ["query_id", "doc_id", "score"]
+        assert out.count() == 0
+        import pytest
+        with pytest.raises(ValueError):
+            bm25_scores_multi(e, {})
+        with pytest.raises(ValueError):
+            bm25_scores_multi(e, {"q": "  "})
