@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cross_source_overlap_documents"] = _cross_source_overlap_documents
     out["grouped_profile_documents"] = _grouped_profile_documents
     out["bm25_multi_documents"] = _bm25_multi_documents
+    out["windowed_distinct_users"] = _windowed_distinct_users
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
@@ -3040,6 +3041,12 @@ def oracle_sql() -> dict[str, str]:
             "/ GREATEST(COALESCE(gstat.n_grams, 0), 1), 6) AS dup_2gram_frac "
             "FROM t JOIN ls USING (doc_id) LEFT JOIN wstat USING (doc_id) "
             "LEFT JOIN gstat USING (doc_id) ORDER BY t.doc_id"
+        ),
+        "windowed_distinct_users": (
+            "SELECT date_trunc('hour', ts) AS window_start, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
+            "FROM events WHERE ts IS NOT NULL "
+            "GROUP BY window_start ORDER BY window_start"
         ),
         "windowed_events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
@@ -5820,6 +5827,18 @@ def _bm25_multi_documents(sf_dir: str):
     df["score"] = df["score"].round(6)
     df["doc_id"] = df["doc_id"].astype("int64")
     return df.sort_values(["query_id", "doc_id"], ignore_index=True)
+
+
+def _windowed_distinct_users(sf_dir: str):
+    """Tumbling-hour COUNT(DISTINCT user_id) — the epoch-floor window
+    stamp equals date_trunc('hour') on naive timestamps, and the
+    distinct count rides the bucketed pair exchange."""
+    from hooqu_ray.pipelines.windows import windowed_count_distinct
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    df = windowed_count_distinct(ds, "ts", "user_id", 3600.0).to_pandas()
+    df["n_distinct"] = df["n_distinct"].astype("int64")
+    return df.sort_values("window_start", ignore_index=True)
 
 
 def _heavy_hitter_tokens(sf_dir: str):

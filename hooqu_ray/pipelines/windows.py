@@ -803,3 +803,38 @@ def grouped_first_last(ds, key: str, ts_col: str, tie: str, value_col: str,
         ["__f_ts", "__f_tie", "first_value", "__l_ts", "__l_tie",
          "last_value"],
         combine=combine, finalize=finalize)
+
+
+def windowed_count_distinct(ds, ts_col: str, value_col: str,
+                            window_seconds: float,
+                            out_ts: str = "window_start"):
+    """Tumbling-window ``COUNT(DISTINCT v)`` — SQL ``count(DISTINCT v)
+    GROUP BY time_bucket(ts)`` — the streaming-analytics staple
+    ("distinct active users per hour") as a batch composition: each
+    batch stamps its window start (vectorized epoch floor, any window
+    length), then :func:`hooqu_ray.pipelines.relational.
+    grouped_count_distinct` finishes with its combiner-first bucketed
+    exchanges (distinct pairs move, never rows).  Rows with a null
+    timestamp drop; null values are not counted (SQL parity).  Returns
+    ``[out_ts, n_distinct]``."""
+    if window_seconds <= 0:
+        raise ValueError(
+            f"window_seconds must be > 0, got {window_seconds}")
+    from .relational import grouped_count_distinct
+
+    w_us = int(round(window_seconds * 1e6))
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or not {ts_col, value_col}.issubset(t.column_names):
+            return pa.table({out_ts: pa.array([], pa.timestamp("us")),
+                             value_col: pa.array([], pa.string())})
+        t = t.filter(pc.is_valid(t.column(ts_col)))
+        ts = pc.cast(t.column(ts_col), pa.timestamp("us"))
+        us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        start = (us // w_us) * w_us
+        return pa.table({
+            out_ts: pa.array(start.astype("datetime64[us]")),
+            value_col: t.column(value_col)})
+
+    return grouped_count_distinct(
+        ds.map_batches(stamp, batch_format="pyarrow"), out_ts, value_col)

@@ -773,3 +773,46 @@ class TestHoppingWindow:
         assert got["n"].tolist() == [2, 1]
         assert got["avg_value"].tolist()[0] == 2.0
         assert pd.isna(got["avg_value"].tolist()[1])
+
+
+class TestWindowedCountDistinct:
+    def test_matches_duckdb_bucket(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        from hooqu_ray.pipelines.windows import windowed_count_distinct
+
+        rng = np.random.RandomState(3)
+        n = 5000
+        df = pd.DataFrame({
+            "ts": pd.to_datetime(rng.randint(0, 86400 * 3, n), unit="s"),
+            "u": rng.randint(0, 200, n),
+        })
+        df.loc[3, "ts"] = None   # dropped
+        df.loc[5, "u"] = None    # not counted
+        # 90-minute windows exercise the generic epoch floor (not a
+        # date_trunc unit)
+        got = windowed_count_distinct(
+            rd.from_pandas(df).repartition(7), "ts", "u", 5400.0
+        ).to_pandas().sort_values("window_start", ignore_index=True)
+        exp = duckdb.sql("""
+            SELECT to_timestamp(floor(epoch(ts) / 5400) * 5400)
+                     AT TIME ZONE 'UTC' AS window_start,
+                   CAST(count(DISTINCT u) AS BIGINT) AS n_distinct
+            FROM df WHERE ts IS NOT NULL
+            GROUP BY window_start ORDER BY window_start""").df()
+        assert len(got) == len(exp)
+        assert got["n_distinct"].tolist() == exp["n_distinct"].tolist()
+        assert (pd.to_datetime(got["window_start"]).to_numpy()
+                == pd.to_datetime(exp["window_start"]).to_numpy()).all()
+
+    def test_bad_window(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+        from hooqu_ray.pipelines.windows import windowed_count_distinct
+
+        d = rd.from_pandas(pd.DataFrame({"ts": [1], "u": [1]}))
+        with pytest.raises(ValueError):
+            windowed_count_distinct(d, "ts", "u", 0)
