@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["grouped_profile_documents"] = _grouped_profile_documents
     out["bm25_multi_documents"] = _bm25_multi_documents
     out["windowed_distinct_users"] = _windowed_distinct_users
+    out["hashed_vectors_documents"] = _hashed_vectors_documents
     out["zscore_events_by_type"] = _zscore_events_by_type
     out["minmax_events_by_type"] = _minmax_events_by_type
     out["pack_sequences_documents"] = _pack_sequences_documents
@@ -4967,6 +4968,15 @@ def oracle_sql() -> dict[str, str]:
             "ta AS dtype_a, tb AS dtype_b "
             "FROM da FULL OUTER JOIN db ON da.col = db.col ORDER BY col"
         ),
+        "hashed_vectors_documents": (
+            "WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents), "
+            "wu AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM t), "
+            "d AS (SELECT doc_id, "
+            "CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) % 16 AS dim "
+            "FROM wu) "
+            "SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS value "
+            "FROM d GROUP BY doc_id, dim ORDER BY doc_id, dim"
+        ),
         "bm25_multi_documents": (
             "WITH q(query_id, term) AS (VALUES "
             "('q1', 'hash'), ('q1', 'join'), ('q2', 'merge'), "
@@ -5839,6 +5849,19 @@ def _windowed_distinct_users(sf_dir: str):
     df = windowed_count_distinct(ds, "ts", "user_id", 3600.0).to_pandas()
     df["n_distinct"] = df["n_distinct"].astype("int64")
     return df.sort_values("window_start", ignore_index=True)
+
+
+def _hashed_vectors_documents(sf_dir: str):
+    """Hashing-trick doc vectors (k=16, md5 dim assignment) in exploded
+    (doc_id, dim, value) form — the oracle evaluates the identical md5
+    expression per token, so counts match exactly."""
+    from hooqu_ray.pipelines.similarity import hashed_doc_vectors
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = hashed_doc_vectors(ds, k=16, hash_fn="md5").to_pandas()
+    for c in ("doc_id", "dim", "value"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["doc_id", "dim"], ignore_index=True)
 
 
 def _heavy_hitter_tokens(sf_dir: str):

@@ -620,3 +620,57 @@ def quantize_int8(ds, vec_col: str = "embedding",
             scale_col, pa.array(np.round(scale, 6), pa.float64()))
 
     return ds.map_batches(quant_block, batch_format="pyarrow")
+
+
+def hashed_doc_vectors(ds, k: int = 64, *, text_col: str = "text",
+                       id_col: str = "doc_id", hash_fn: str = "fast"):
+    """Hashing-trick document featurization (Weinberger et al. 2009):
+    each document becomes a ``k``-dim hashed term-count vector — the
+    cheap, vocabulary-free doc representation for clustering / near-dup
+    / drift triage when no learned embeddings exist.  Emitted SPARSE in
+    the engine's exploded contract form ``(id, dim, value)`` — only
+    non-zero dims, ready for :func:`grouped_vector_mean`-style
+    consumers or a dense gather.
+
+    ``hash_fn='fast'`` (default): the cross-worker-deterministic polars
+    63-bit token hash (``dedup._text_hash63``) — the at-scale path, no
+    Python per token.  ``hash_fn='md5'``: dim = first-8-hex-digits md5
+    of the token mod ``k`` — ~1 µs/token Python, but exactly
+    SQL-reproducible (the same md5 expression DuckDB evaluates), which
+    is what the driver oracle checks.  Both are pure functions of the
+    token text, so vectors are stable across runs/engines.  Map-only —
+    a document is one row, so the per-doc counts never leave their
+    block.  Null text → no rows; null ids drop."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if hash_fn not in ("fast", "md5"):
+        raise ValueError(f"hash_fn must be 'fast' or 'md5', got {hash_fn!r}")
+    from .textstats import _tokenize_block
+
+    def vectors(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "value": pa.array([], pa.int64())})
+        if len(t) == 0 or not {id_col, text_col}.issubset(t.column_names):
+            return empty
+        t = t.filter(pc.is_valid(t.column(id_col)))
+        flat, parent = _tokenize_block(t.column(text_col))
+        if len(flat) == 0:
+            return empty
+        if hash_fn == "fast":
+            from .dedup import _text_hash63
+
+            dims = (_text_hash63(flat).astype(np.uint64)
+                    % np.uint64(k)).astype(np.int64)
+        else:
+            from .relational import md5_bucket
+
+            dims = (md5_bucket(flat) % k).astype(np.int64)
+        ids = np.asarray(t.column(id_col), dtype=np.int64)[parent]
+        key = ids * k + dims
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({id_col: pa.array(u // k, pa.int64()),
+                         "dim": pa.array(u % k, pa.int64()),
+                         "value": pa.array(c.astype(np.int64))})
+
+    return ds.map_batches(vectors, batch_format="pyarrow")

@@ -71,3 +71,57 @@ class TestKMeans:
         )
         with pytest.raises(ValueError, match="empty"):
             kmeans(empty, 2)
+
+
+class TestHashedDocVectors:
+    def test_md5_matches_duckdb_and_fast_is_deterministic(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+        from hooqu_ray.pipelines.similarity import hashed_doc_vectors
+
+        rng = np.random.RandomState(21)
+        vocab = ["tok%d" % i for i in range(40)]
+        df = pd.DataFrame({
+            "doc_id": np.arange(120, dtype=np.int64),
+            "text": [" ".join(rng.choice(vocab, rng.randint(1, 25)))
+                     for _ in range(120)],
+        })
+        df.loc[3, "text"] = None  # no rows for null text
+        ds = rd.from_pandas(df).repartition(5)
+        got = hashed_doc_vectors(ds, k=8, hash_fn="md5").to_pandas() \
+            .sort_values(["doc_id", "dim"], ignore_index=True)
+        exp = duckdb.sql("""
+            WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM df),
+            wu AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+'))
+                   AS term FROM t),
+            d AS (SELECT doc_id, CAST(concat('0x',
+              substr(md5(term), 1, 8)) AS BIGINT) % 8 AS dim FROM wu)
+            SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS value
+            FROM d GROUP BY doc_id, dim ORDER BY doc_id, dim""").df()
+        pd.testing.assert_frame_equal(got, exp)
+
+        # fast path: per-doc total counts must equal md5 path totals, and
+        # two runs must be identical (cross-run determinism)
+        f1 = hashed_doc_vectors(ds, k=8, hash_fn="fast").to_pandas() \
+            .sort_values(["doc_id", "dim"], ignore_index=True)
+        f2 = hashed_doc_vectors(ds, k=8, hash_fn="fast").to_pandas() \
+            .sort_values(["doc_id", "dim"], ignore_index=True)
+        pd.testing.assert_frame_equal(f1, f2)
+        tot_f = f1.groupby("doc_id")["value"].sum()
+        tot_m = got.groupby("doc_id")["value"].sum()
+        pd.testing.assert_series_equal(tot_f, tot_m)
+
+    def test_validation(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+        from hooqu_ray.pipelines.similarity import hashed_doc_vectors
+
+        d = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+        with pytest.raises(ValueError):
+            hashed_doc_vectors(d, k=0)
+        with pytest.raises(ValueError):
+            hashed_doc_vectors(d, k=4, hash_fn="nope")
