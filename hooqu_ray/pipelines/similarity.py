@@ -640,23 +640,31 @@ def hashed_doc_vectors(ds, k: int = 64, *, text_col: str = "text",
     is what the driver oracle checks.  Both are pure functions of the
     token text, so vectors are stable across runs/engines.  Map-only —
     a document is one row, so the per-doc counts never leave their
-    block.  Null text → no rows; null ids drop."""
+    block.  ``id_col`` keeps its input dtype (row-position arithmetic,
+    not a numeric cast).  Null text → no rows; null ids drop."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if hash_fn not in ("fast", "md5"):
         raise ValueError(f"hash_fn must be 'fast' or 'md5', got {hash_fn!r}")
+    import ray.data as rd
+
+    from ..util import dataset_arrow_schema
     from .textstats import _tokenize_block
 
+    in_schema = dataset_arrow_schema(ds)
+    id_type = (in_schema.field(id_col).type if in_schema is not None
+               and id_col in in_schema.names else pa.int64())
+    typed_empty = pa.table({id_col: pa.array([], id_type),
+                            "dim": pa.array([], pa.int64()),
+                            "value": pa.array([], pa.int64())})
+
     def vectors(t: pa.Table) -> pa.Table:
-        empty = pa.table({id_col: pa.array([], pa.int64()),
-                          "dim": pa.array([], pa.int64()),
-                          "value": pa.array([], pa.int64())})
         if len(t) == 0 or not {id_col, text_col}.issubset(t.column_names):
-            return empty
+            return typed_empty
         t = t.filter(pc.is_valid(t.column(id_col)))
         flat, parent = _tokenize_block(t.column(text_col))
         if len(flat) == 0:
-            return empty
+            return typed_empty
         if hash_fn == "fast":
             from .dedup import _text_hash63
 
@@ -666,11 +674,15 @@ def hashed_doc_vectors(ds, k: int = 64, *, text_col: str = "text",
             from .relational import md5_bucket
 
             dims = (md5_bucket(flat) % k).astype(np.int64)
-        ids = np.asarray(t.column(id_col), dtype=np.int64)[parent]
-        key = ids * k + dims
+        # key on ROW POSITION (a doc is one row) — any id dtype works
+        key = parent * k + dims
         u, c = np.unique(key, return_counts=True)
-        return pa.table({id_col: pa.array(u // k, pa.int64()),
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({id_col: ids.take(pa.array(u // k, pa.int64())),
                          "dim": pa.array(u % k, pa.int64()),
                          "value": pa.array(c.astype(np.int64))})
 
-    return ds.map_batches(vectors, batch_format="pyarrow")
+    return ds.map_batches(vectors, batch_format="pyarrow").union(
+        rd.from_arrow(typed_empty))

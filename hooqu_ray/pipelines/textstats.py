@@ -1005,8 +1005,12 @@ def bm25_scores_multi(ds, queries, *, text_col: str = "text",
 
     # batch_size=None (whole blocks): a doc's match rows were emitted into
     # one block and the per-doc sums are block-local — row-count batching
-    # would split a doc's rows and emit duplicate partial-score rows
-    return mat.map_batches(score, batch_format="pyarrow", batch_size=None)
+    # would split a doc's rows and emit duplicate partial-score rows.
+    # The typed-empty anchor keeps the schema when NO document shares a
+    # term with any query (every score block legitimately empty)
+    return mat.map_batches(
+        score, batch_format="pyarrow", batch_size=None
+    ).union(rd.from_arrow(typed_out_empty))
 
 
 def bm25_scores(ds, query: str, *, text_col: str = "text",
@@ -1017,9 +1021,9 @@ def bm25_scores(ds, query: str, *, text_col: str = "text",
     companion to the embedding k-NN family (``similarity.py``): corpus
     search, decontamination probes, eval-set leakage triage.
 
-    Tokenization is the engine's whitespace convention (``\S+`` runs,
+    Tokenization is the engine's whitespace convention (``\\S+`` runs,
     case-sensitive — ``doc_frequency``/``top_terms`` parity, so the SQL
-    oracle reproduces it with ``regexp_extract_all(text, '\S+')``).
+    oracle reproduces it with ``regexp_extract_all(text, '\\S+')``).
 
     ONE corpus pass, NO key exchange: each block emits slim
     ``(id, term, tf, dl)`` rows for its docs × query terms (vectorized
@@ -1037,11 +1041,11 @@ def bm25_scores(ds, query: str, *, text_col: str = "text",
 
     from ..util import dataset_arrow_schema
 
-    out = bm25_scores_multi(ds, {"__q": query}, text_col=text_col,
-                            id_col=id_col, k1=k1, b=b)
-    s = dataset_arrow_schema(out)
+    s = dataset_arrow_schema(ds)  # input schema — no lazy execution
     id_type = (s.field(id_col).type if s is not None
                and id_col in s.names else pa.int64())
+    out = bm25_scores_multi(ds, {"__q": query}, text_col=text_col,
+                            id_col=id_col, k1=k1, b=b)
     anchor = pa.table({id_col: pa.array([], id_type),
                        "score": pa.array([], pa.float64())})
     return out.map_batches(

@@ -815,19 +815,29 @@ def windowed_count_distinct(ds, ts_col: str, value_col: str,
     length), then :func:`hooqu_ray.pipelines.relational.
     grouped_count_distinct` finishes with its combiner-first bucketed
     exchanges (distinct pairs move, never rows).  Rows with a null
-    timestamp drop; null values are not counted (SQL parity).  Returns
-    ``[out_ts, n_distinct]``."""
+    timestamp drop; null values are not counted, and a window whose
+    values are ALL null is absent from the output — a documented
+    divergence from SQL, which emits that window with ``n_distinct =
+    0`` (the same null-drop convention as the engine's other grouped
+    ops).  Returns ``[out_ts, n_distinct]``."""
     if window_seconds <= 0:
         raise ValueError(
             f"window_seconds must be > 0, got {window_seconds}")
+    from ..util import dataset_arrow_schema
     from .relational import grouped_count_distinct
 
     w_us = int(round(window_seconds * 1e6))
+    in_schema = dataset_arrow_schema(ds)
+    vtype = (in_schema.field(value_col).type if in_schema is not None
+             and value_col in in_schema.names else pa.string())
+    # the empty anchor must carry the INPUT's value dtype (CLAUDE.md
+    # gotcha — a hardcoded string col would union-crash int values)
+    stamp_empty = pa.table({out_ts: pa.array([], pa.timestamp("us")),
+                            value_col: pa.array([], vtype)})
 
     def stamp(t: pa.Table) -> pa.Table:
         if len(t) == 0 or not {ts_col, value_col}.issubset(t.column_names):
-            return pa.table({out_ts: pa.array([], pa.timestamp("us")),
-                             value_col: pa.array([], pa.string())})
+            return stamp_empty
         t = t.filter(pc.is_valid(t.column(ts_col)))
         ts = pc.cast(t.column(ts_col), pa.timestamp("us"))
         us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)

@@ -816,3 +816,22 @@ class TestWindowedCountDistinct:
         d = rd.from_pandas(pd.DataFrame({"ts": [1], "u": [1]}))
         with pytest.raises(ValueError):
             windowed_count_distinct(d, "ts", "u", 0)
+
+
+class TestWindowedCountDistinctEmptyBlocks:
+    def test_int_values_with_empty_block(self, ray_session):
+        """An empty input block must not degrade the int64 value column to
+        the old hardcoded string fallback (mixed-schema union crash)."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        from hooqu_ray.pipelines.windows import windowed_count_distinct
+
+        df = pd.DataFrame({
+            "ts": pd.to_datetime(np.arange(100), unit="s"),
+            "u": np.arange(100, dtype=np.int64) % 7,
+        })
+        # repartition far beyond the row count guarantees empty blocks
+        ds = rd.from_pandas(df).repartition(150)
+        got = windowed_count_distinct(ds, "ts", "u", 60.0).to_pandas()
+        assert got["n_distinct"].sum() == 7 * 2  # two full minutes

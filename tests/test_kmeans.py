@@ -125,3 +125,22 @@ class TestHashedDocVectors:
             hashed_doc_vectors(d, k=0)
         with pytest.raises(ValueError):
             hashed_doc_vectors(d, k=4, hash_fn="nope")
+
+
+class TestHashedDocVectorsRegressions:
+    def test_string_ids_and_all_null_text(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        from hooqu_ray.pipelines.similarity import hashed_doc_vectors
+
+        df = pd.DataFrame({"doc_id": ["d-1", "d-2"],
+                           "text": ["a b a", "c"]})
+        got = hashed_doc_vectors(rd.from_pandas(df), k=4, hash_fn="md5") \
+            .to_pandas().sort_values(["doc_id", "dim"], ignore_index=True)
+        assert set(got["doc_id"]) == {"d-1", "d-2"}
+        assert got.groupby("doc_id")["value"].sum().tolist() == [3, 1]
+
+        nulls = pd.DataFrame({"doc_id": [1, 2], "text": [None, "   "]})
+        out = hashed_doc_vectors(rd.from_pandas(nulls), k=4)
+        assert out.count() == 0
+        assert out.schema().names == ["doc_id", "dim", "value"]

@@ -401,3 +401,19 @@ class TestBM25Multi:
             bm25_scores_multi(e, {})
         with pytest.raises(ValueError):
             bm25_scores_multi(e, {"q": "  "})
+
+
+class TestBM25NoMatchAnchor:
+    def test_query_absent_from_corpus_keeps_schema(self, ray_session):
+        import ray.data as rd
+        from hooqu_ray.pipelines.textstats import bm25_scores, bm25_scores_multi
+
+        df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                           "text": ["common words only"] * 50})
+        ds = rd.from_pandas(df).repartition(3)
+        multi = bm25_scores_multi(ds, {"q": "zzz_not_in_corpus"})
+        assert multi.count() == 0
+        assert multi.schema().names == ["query_id", "doc_id", "score"]
+        single = bm25_scores(ds, "zzz_not_in_corpus")
+        assert single.count() == 0
+        assert single.schema().names == ["doc_id", "score"]
